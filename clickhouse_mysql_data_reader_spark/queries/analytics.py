@@ -1,0 +1,659 @@
+"""Analytics surface [B] — the operators the reference delegates to
+ClickHouse (SURVEY.md §2.4), expressed as Catalyst built-ins.
+
+The reference lands rows into MergeTree tables precisely so the
+destination can run these (engine choice tablesqlbuilder.py:393-398,
+airline.ontime example); it implements none of them itself. Here each is
+a declarative DataFrame plan — Catalyst handles predicate pushdown,
+column pruning, partial aggregation, and join-strategy selection; AQE
+re-plans at runtime. Comments on each query note the scale story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from clickhouse_mysql_data_reader_spark.queries.registry import register
+from clickhouse_mysql_data_reader_spark.sources.parquet import load_table
+
+
+def _dec(col: str, prec: int = 18, scale: int = 4):
+    """Exact-arithmetic cast used on both sides of the oracle compare."""
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+           sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - l_discount AS DECIMAL(18,4))) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Flagship TPC-H-Q1-style scan+filter+hash-aggregate. Partial/final "
+    "agg is automatic (map-side combine); only the tiny grouped state "
+    "shuffles, so this scales linearly to 100 TB.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    """
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Exact distinct aggregation. Catalyst expands to a two-phase "
+    "shuffle (distinct-expand then final agg); key cardinality bounds "
+    "state, not input rows.",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    None,  # HLL sketch values are engine-specific -> rows-only check
+    doc="approx_count_distinct (HyperLogLog++). The 100 TB path: constant "
+    "memory per group vs exact distinct's shuffle of all keys.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"))
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals; Catalyst Expand keeps it one pass.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over two low-cardinality dims — single Expand pass.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.sum(_dec("o_totalprice")).alias("sum_price"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "sum_price",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "agg_pivot",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,4)) END) AS click,
+           sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,4)) END) AS view,
+           sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4)) END) AS purchase
+    FROM events
+    GROUP BY user_id % 10
+    """,
+    doc="Pivot with an explicit value list (no extra pass to discover "
+    "columns; pivot-on-known-values is a single aggregate at any scale).",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.sum(_dec("value")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_broadcast_dim",
+    """
+    SELECT n_name AS nation,
+           count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="Star join fact->dims. Both dims explicitly broadcast: zero "
+    "shuffle of the fact table, the decisive strategy at 100 TB.",
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "join_shuffle_fact_fact",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - l_discount AS DECIMAL(18,4))) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+    doc="Fact-fact equi join: sort-merge/shuffle-hash chosen by Catalyst, "
+    "AQE splits skewed keys. Filter on orders is pushed below the join.",
+)
+def join_shuffle_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+    GROUP BY o_orderstatus
+    """,
+    doc="Left-semi join (EXISTS). Only the key column of the probe side "
+    "moves; no row multiplication.",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    big = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+    doc="Left-anti join (NOT EXISTS) — customers with no orders.",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "join_theta",
+    """
+    SELECT p_brand,
+           count(*) AS n_lines,
+           sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+    GROUP BY p_brand
+    """,
+    doc="Equi + theta residual join: hash on the equi key, inequality as "
+    "post-probe filter; part side broadcast.",
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(
+            F.broadcast(part),
+            (li.l_partkey == part.p_partkey) & (li.l_quantity > part.p_size),
+        )
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.sum(_dec("l_quantity")).alias("sum_qty"))
+    )
+
+
+@register(
+    "join_outer_coalesce",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           sum(n_orders) AS total_orders
+    FROM (
+      SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_mktsegment
+    )
+    GROUP BY c_mktsegment
+    """,
+    doc="Left-outer join preserving unmatched build rows + two-level agg.",
+)
+def join_outer_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("n_orders").alias("total_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_topn_per_group",
+    """
+    SELECT c_mktsegment, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, rn
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    WHERE rn <= 3
+    """,
+    doc="Ranked top-N per group: row_number window with deterministic "
+    "tie-break; shuffles once on the partition key.",
+)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "window_lag_delta",
+    """
+    SELECT event_id, user_id,
+           CAST(value - lag(value) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS DECIMAL(18,4)) AS delta
+    FROM events
+    WHERE user_id < 10
+    """,
+    doc="lag() analytic — per-user deltas in event order (deterministic "
+    "tie-break on event_id).",
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).cast("decimal(18,4)").alias("delta"),
+    )
+
+
+@register(
+    "window_moving_agg",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS DECIMAL(18,4)) AS moving_sum
+    FROM events
+    WHERE user_id < 10
+    """,
+    doc="Moving-frame aggregate (ROWS BETWEEN): bounded state per key.",
+)
+def window_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, W.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum("value").over(w).cast("decimal(18,4)").alias("moving_sum"),
+    )
+
+
+@register(
+    "window_rank_dense",
+    """
+    SELECT s_suppkey, s_nationkey,
+           rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rnk,
+           dense_rank() OVER (PARTITION BY s_nationkey
+                              ORDER BY s_acctbal DESC, s_suppkey) AS drnk,
+           CAST(cume_dist() OVER (PARTITION BY s_nationkey
+                                  ORDER BY s_acctbal DESC, s_suppkey)
+                AS DECIMAL(10,6)) AS cd
+    FROM supplier
+    """,
+    doc="rank/dense_rank/cume_dist ranking family.",
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return sup.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.cume_dist().over(w).cast("decimal(10,6)").alias("cd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_global",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="Global top-k: Catalyst TakeOrderedAndProject — per-partition "
+    "heaps then a k-row driver merge, never a full sort at scale.",
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"))
+    )
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1995-12-31 23:59:59'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59'
+    """,
+    doc="INTERSECT set op (customers active in both years).",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select(F.col("o_custkey").alias("custkey"))
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    return y95.intersect(y96)
+
+
+@register(
+    "set_except",
+    """
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1995-12-31 23:59:59'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59'
+    """,
+    doc="EXCEPT set op (active in 1995 but not 1996).",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select(F.col("o_custkey").alias("custkey"))
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    return y95.subtract(y96)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           lower(p_type) AS type_lower,
+           substring(p_name, 1, 8) AS name_prefix,
+           length(p_name) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           replace(p_type, ' ', '_') AS type_snake,
+           trim(p_name) AS name_trim
+    FROM part
+    WHERE p_size <= 10
+    """,
+    doc="String scalar family (upper/lower/substr/length/concat/replace/trim).",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS o_year,
+           month(o_orderdate) AS o_month,
+           day(o_orderdate) AS o_day,
+           quarter(o_orderdate) AS o_quarter,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+    doc="Date/time scalar family incl. the reference's toYYYYMM-style "
+    "partition expression (date_trunc month).",
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_y2k"
+        ),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS abs_disc,
+           l_extendedprice / 64.0 AS price_64,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt,
+           round(ln(l_extendedprice + 1), 6) AS price_ln,
+           CAST(power(l_quantity, 2) AS BIGINT) AS qty_sq
+    FROM lineitem
+    WHERE l_orderkey % 500 = 0
+    """,
+    doc="Math scalar family; floating results rounded for hash stability.",
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 500 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc"),
+        # /64 is exact in binary FP -> hash-stable without rounding
+        (F.col("l_extendedprice") / 64.0).alias("price_64"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_extendedprice") / 1000.0).alias("price_k_ceil"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.pow("l_quantity", F.lit(2)).cast("bigint").alias("qty_sq"),
+    )
+
+
+@register(
+    "scalar_json_funcs",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    WHERE event_id < 1000
+    """,
+    doc="JSON extraction from a string column (the reference stores JSON "
+    "as String; analytics parse it on read — SURVEY §1.2/§2.4).",
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+@register(
+    "window_tumbling_hourly",
+    """
+    SELECT CAST(ts AS DATE) AS event_date,
+           CAST(extract(hour FROM ts) AS INT) AS event_hour,
+           event_type,
+           count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="Batch equivalent of the streaming tumbling-window aggregate "
+    "(streaming variant with watermark lives in streaming/windows.py).",
+)
+def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("ts").cast("date").alias("event_date"),
+            F.hour("ts").cast("int").alias("event_hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).alias("sum_value"),
+        )
+    )

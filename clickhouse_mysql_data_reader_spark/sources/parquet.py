@@ -1,0 +1,83 @@
+"""Parquet table loading — the engine's local stand-in for the landed
+ClickHouse tables (the reference lands MySQL data into MergeTree tables;
+we land/read parquet, Spark's columnar native format).
+
+Column pruning and predicate pushdown are handled by Catalyst as long as
+callers express projections/filters on the returned DataFrames — verified
+in tests via ``PushedFilters`` / ``ReadSchema`` in the formatted plan.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always broadcast in joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "customer", "part"})
+
+
+@lru_cache(maxsize=256)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark rejects these
+    outright (PARQUET_TYPE_ILLEGAL), so we read them as raw int64 nanos
+    (legacy conf) and rebuild microsecond timestamps ourselves."""
+    schema = pq.read_schema(path)
+    return tuple(
+        name
+        for name, typ in zip(schema.names, schema.types)
+        if str(typ).startswith("timestamp[ns")
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # Timestamp semantics must not depend on the caller's session zone
+    # (the driver builds its own SparkSession): pin UTC so date/hour
+    # extraction matches the DuckDB oracle's naive-UTC reading.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        # integer `div` (not `/`): epoch-nanos exceed double's 2^53 mantissa
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    """Load the test corpus; skips files that don't exist at this SF."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (mirrors the DuckDB oracle's
+    pre-registered views) so operators can be expressed in SQL."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
