@@ -1,0 +1,86 @@
+"""Batch sinks (SURVEY §2.2).
+
+The reference's writer chain (CHWriter row-INSERT batches, CSVWriter
+with sorted headers, CHCSVWriter shelling out to clickhouse-client,
+ProcessWriter forking per flush) collapses into Spark's native write
+path: executors parallelize, the format batches, and partitioning
+replaces the per-table belt routing. What remains worth keeping is the
+*policy*: destination naming (NameResolver), sorted-column CSV parity,
+monthly partition layout, and idempotent last-write-wins landing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_mysql_data_reader_spark.catalog.names import NameResolver
+
+YYYYMM_COL = "_yyyymm"
+
+
+def with_month_partition(df: DataFrame, date_col: str) -> DataFrame:
+    """Materialize the reference's ``toYYYYMM(date)`` partition key
+    (tablesqlbuilder.py:393-398) as a column; month-range predicates
+    then prune partitions at scan time."""
+    return df.withColumn(
+        YYYYMM_COL, (F.year(date_col) * 100 + F.month(date_col)).cast("int")
+    )
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    date_col: str | None = None,
+    mode: str = "append",
+) -> None:
+    """K1-equivalent append sink. With ``date_col``, lays out monthly
+    partitions — the same pruning contract as MergeTree's PARTITION BY."""
+    writer = df.write.mode(mode)
+    if date_col:
+        df = with_month_partition(df, date_col)
+        writer = df.write.mode(mode).partitionBy(YYYYMM_COL)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K2 — CSV export with lexicographically sorted columns, matching
+    the reference's sorted fieldnames contract (csvwriter.py:122)."""
+    df.select(*sorted(df.columns)).write.mode(mode).option("header", True).csv(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    db: str,
+    table: str,
+    resolver: NameResolver | None = None,
+    num_partitions: int | None = None,
+    batch_size: int = 10_000,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """JDBC append with destination-name resolution (rename/prefix/
+    fan-in/_all — chwriter.py:35-38, 89-91) and explicit write fan-out.
+    ``batch_size`` plays the role of the reference's pool flush size."""
+    dst_db, dst_table = (resolver or NameResolver()).resolve(db, table)
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    props = {"batchsize": str(batch_size), **(properties or {})}
+    df.write.mode("append").jdbc(url, f"{dst_db}.{dst_table}", properties=props)
+
+
+def fan_in(
+    spark: SparkSession, frames: list[DataFrame], source_names: list[str] | None = None
+) -> DataFrame:
+    """T9 many-tables -> one-table fan-in (``log_* -> logunified``,
+    docs/manual.md:531-553): schema-aligned union, optionally tagged
+    with the source table name."""
+    out = []
+    for i, f in enumerate(frames):
+        if source_names:
+            f = f.withColumn("_src_table", F.lit(source_names[i]))
+        out.append(f)
+    result = out[0]
+    for f in out[1:]:
+        result = result.unionByName(f, allowMissingColumns=True)
+    return result
