@@ -125,7 +125,10 @@ def lsh_candidate_pairs(
 
 
 def jaccard_pairs(
-    shingles: DataFrame, candidates: DataFrame | None = None, min_jaccard: float = 0.0
+    shingles: DataFrame,
+    candidates: DataFrame | None = None,
+    min_jaccard: float = 0.0,
+    min_inter: int = 1,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (or all co-shingled
     pairs when candidates is None).
@@ -148,15 +151,17 @@ def jaccard_pairs(
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
         .withColumn(
+            # raw double division, NOT rounded: both engines lower
+            # int/int to the identical IEEE double op, so the value is
+            # bit-deterministic — unlike round(), whose half-way
+            # behavior differs across engines.
             "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
-            ),
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
         )
     )
-    return out.filter(F.col("jaccard") >= min_jaccard).select(
-        "doc_a", "doc_b", "n_inter", "jaccard"
-    )
+    return out.filter(
+        (F.col("jaccard") >= min_jaccard) & (F.col("n_inter") >= min_inter)
+    ).select("doc_a", "doc_b", "n_inter", "jaccard")
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
@@ -176,10 +181,13 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit_i"),
         "th",
-    ).withColumn("vote", F.when(F.shiftright(F.col("th"), F.col("bit_i")).bitwiseAND(1) == 1, 1).otherwise(-1))
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(shiftright(th, bit_i) & 1) = 1"), 1).otherwise(-1),
+    )
     bitsum = bit.groupBy("doc_id", "bit_i").agg(F.sum("vote").alias("s"))
     return bitsum.groupBy("doc_id").agg(
         F.sum(
-            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit_i"))).otherwise(0)
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit_i)")).otherwise(0)
         ).alias("simhash")
     )

@@ -1,0 +1,141 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The Spark-side contract is fully real — schema, partitioning, batch
+shapes, UDF signatures — while the media decode itself is stubbed
+(image/audio libraries are not in this container): ``decode_fn`` is
+injectable; the default ``deterministic_fake_decoder`` derives features
+from the bytes' md5 so tests are reproducible, and a real deployment
+injects Pillow/torchaudio/ffmpeg without touching the pipeline.
+
+Scale notes: media bytes are the widest column by far — the pipeline
+(a) never shuffles the binary column (feature extraction happens
+before any groupBy/join), (b) processes it in bounded Arrow batches
+(`spark.sql.execution.arrow.maxRecordsPerBatch` controls peak memory),
+and (c) drops it as early as possible via select().
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("content_sha", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def real_decoder(content: bytes, kind: str) -> list[float]:
+    """Placeholder for the actual media decoder (Pillow / torchaudio /
+    pyav are not available in this environment)."""
+    raise NotImplementedError(
+        "media decoding requires image/audio libraries not present in "
+        "this container; inject a decode_fn into extract_features()"
+    )
+
+
+def deterministic_fake_decoder(content: bytes, kind: str) -> list[float]:
+    """Stand-in decoder: 8 floats derived from the content digest.
+    Deterministic, so the distributed plumbing is testable end-to-end."""
+    digest = hashlib.md5(content or b"").digest()
+    return [b / 255.0 for b in digest[:8]]
+
+
+def extract_features(
+    media: DataFrame,
+    decode_fn: Callable[[bytes, str], list[float]] = deterministic_fake_decoder,
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    ``mapInPandas`` (not a scalar UDF) so one python worker call sees a
+    whole Arrow batch: decode libraries amortize setup per batch, and
+    output rows may be filtered (undecodable media dropped) — a shape
+    scalar UDFs can't express.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "content_sha": [
+                    hashlib.sha256(c or b"").hexdigest() for c in pdf["content"]
+                ],
+                "n_bytes": [len(c or b"") for c in pdf["content"]],
+                "feature": [
+                    decode_fn(c, k) for c, k in zip(pdf["content"], pdf["kind"])
+                ],
+            }
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per frame timestamp
+    (the decode of each frame is the injectable step). Expressed with
+    sequence+explode so the row explosion happens JVM-side and the
+    binary column is carried, not copied per frame, until the UDF."""
+    return media.filter(F.col("kind") == "video").select(
+        "media_id",
+        "content",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter building a MEDIA_SCHEMA frame from the text corpus (the
+    container has no real media files); exercises the identical
+    binary-column path."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(64).cast("int").alias("width"),
+            F.lit(64).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )

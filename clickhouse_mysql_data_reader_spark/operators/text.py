@@ -1,0 +1,91 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+language-ID heuristic, quality scoring, fingerprinting.
+
+Everything is built from whole-column Catalyst expressions (split /
+higher-order array functions / md5) — no Python in the hot path, and
+every function has an exact SQL equivalent for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clickhouse_mysql_data_reader_spark.operators.dedup import content_fingerprint, normalize_text
+
+# Tiny English function-word inventory: enough signal for a ratio
+# heuristic, cheap enough to inline into codegen as an IN list.
+EN_STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of normalized text."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_estimate(col: Column) -> Column:
+    """BPE-ish token-count estimate: ~1 token per 4 chars of normalized
+    text (the industry rule of thumb), as a cheap pre-tokenizer budget
+    gate. Exact tokenization needs a real BPE vocab (not in-container);
+    the estimate keeps the column pipeline shape identical."""
+    return F.ceil(F.length(normalize_text(col)) / 4).cast("bigint")
+
+
+def stopword_hits(col: Column) -> Column:
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*EN_STOPWORDS)))
+
+
+def stopword_ratio(col: Column) -> Column:
+    return stopword_hits(col) / token_count(col)
+
+
+def lang_id(col: Column, threshold: float = 0.05) -> Column:
+    """N-gram-free language ID heuristic: function-word density. Real
+    pipelines swap in fastText/CLD — the operator shape (one expression
+    column, no shuffle) stays the same."""
+    return F.when(stopword_ratio(col) >= threshold, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality features + a composite score:
+    - n_tokens, mean token length (verbosity/garbage detector)
+    - stopword ratio (fluency proxy)
+    - alnum ratio (boilerplate/punctuation-soup detector)
+    Score = stopword and length terms, clamped to [0,1], rounded for
+    hash stability."""
+    t = F.col(text_col)
+    norm_len = F.length(normalize_text(t))
+    n_tok = token_count(t)
+    alnum_len = F.length(F.regexp_replace(normalize_text(t), r"[^a-z0-9]", ""))
+    mean_tok_len = (norm_len - (n_tok - 1)) / n_tok
+    sw_ratio = stopword_ratio(t)
+    score = F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(0.0),
+            sw_ratio * 4 + F.least(n_tok / 100.0, F.lit(1.0)) * 0.5,
+        ),
+    )
+    # ratios stay raw doubles: int/int lowers to the same IEEE division
+    # in any engine, so values are bit-deterministic without round()'s
+    # cross-engine half-way hazards.
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        mean_tok_len.alias("mean_token_len"),
+        sw_ratio.alias("stopword_ratio"),
+        (alnum_len / norm_len).alias("alnum_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint_documents(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stable 128-bit content fingerprint (md5 of normalized text) —
+    the join key for cross-corpus exact dedup."""
+    return df.select(
+        F.col(id_col), content_fingerprint(F.col(text_col)).alias("fingerprint")
+    )

@@ -1,0 +1,343 @@
+"""LLM-data-pipeline operators as oracle-checked queries: dedup family,
+embedding similarity search, text analysis (BASELINE.json north-star).
+
+Oracle-portability notes:
+- all content hashing is md5 (identical across Spark/DuckDB, unlike
+  murmur3/xxhash), so MinHash/SimHash/fingerprints compare exactly;
+- ratios are raw double divisions (bit-deterministic IEEE) instead of
+  round(), whose half-way semantics differ across engines;
+- the shingle construction is mirrored token-for-token between
+  ``operators.dedup.word_shingles`` and the SQL CTE below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_mysql_data_reader_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_table,
+    simhash,
+)
+from clickhouse_mysql_data_reader_spark.operators.similarity import cosine_topk, ivf_topk
+from clickhouse_mysql_data_reader_spark.operators.text import (
+    EN_STOPWORDS,
+    fingerprint_documents,
+    lang_id,
+    quality_features,
+    stopword_ratio,
+)
+from clickhouse_mysql_data_reader_spark.queries.registry import register
+from clickhouse_mysql_data_reader_spark.sources.parquet import load_table
+
+NUM_HASHES = 16
+BANDS = 4
+
+# --- shared SQL fragments (mirror operators.dedup exactly) -----------------
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+_SHINGLE_CTE = f"""
+  norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+  toks AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM norm),
+  sh AS (
+    SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+    FROM toks, UNNEST(range(1, greatest(len(tk) - 2, 1) + 1)) AS u(i)
+  )
+"""
+
+_MH_COLS = ", ".join(
+    f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(NUM_HASHES)
+)
+_ROWS_PER_BAND = NUM_HASHES // BANDS
+_BAND_SELECTS = "\n    UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_id, md5({expr}) AS band_hash FROM mh".format(
+        b=b,
+        expr=" || '|' || ".join(
+            f"mh_{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+        ),
+    )
+    for b in range(BANDS)
+)
+_SW_LIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+# --- dedup family ----------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    f"""
+    SELECT fp, count(*) AS n_dupes, min(doc_id) AS keeper_id
+    FROM (SELECT doc_id, md5({_NORM}) AS fp FROM documents)
+    GROUP BY fp
+    """,
+    doc="Exact dedup by normalized-content hash; keeper = min doc_id. "
+    "One groupBy on a 128-bit key — the cheapest and first dedup pass "
+    "of any corpus pipeline.",
+)
+def dedup_exact_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "text", "doc_id")
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+    """,
+    doc="Per-document stable content fingerprint (md5 of normalized "
+    "text) — the cross-corpus exact-dedup join key.",
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint_documents(docs, "text", "doc_id")
+
+
+@register(
+    "dedup_minhash_signatures",
+    f"""
+    WITH {_SHINGLE_CTE}
+    SELECT doc_id, {_MH_COLS}
+    FROM sh GROUP BY doc_id
+    """,
+    doc="MinHash signatures (k=16) over 3-word shingles: hash_i = "
+    "md5(i||':'||shingle), signature element = min over shingles. "
+    "Exact-checked element-wise against the oracle — validates the "
+    "whole shingle+hash pipeline, not just pair counts.",
+)
+def dedup_minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(shingle_table(docs, "text", "doc_id", k=3), NUM_HASHES)
+
+
+@register(
+    "dedup_lsh_candidates",
+    f"""
+    WITH {_SHINGLE_CTE},
+    mh AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+    bands AS (
+    {_BAND_SELECTS}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """,
+    doc="LSH banding (4 bands x 4 rows): docs sharing any band bucket "
+    "become candidate pairs. The self-join keys on (band_id, band_hash) "
+    "— narrow columns, AQE handles bucket skew at scale.",
+)
+def dedup_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingle_table(docs, "text", "doc_id", k=3), NUM_HASHES)
+    return lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_inter,
+           n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter >= 3
+    """,
+    doc="Exact 3-gram Jaccard for pairs sharing >=3 shingles. The "
+    "shingle equi-join only materializes co-shingled pairs — the 100 TB "
+    "path never forms the full cross product.",
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, "text", "doc_id", k=3)
+    return jaccard_pairs(sh, min_inter=3)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+    tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM norm),
+    th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS th FROM tok),
+    bits AS (
+      SELECT doc_id, i AS bit_i,
+             sum(CASE WHEN (th >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th, UNNEST(range(0, 32)) AS u(i)
+      GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (1::BIGINT << bit_i) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    doc="32-bit SimHash: token hashes vote bitwise (frequency-weighted); "
+    "sign of each bit-sum forms the fingerprint. Hamming-close "
+    "fingerprints = near-dups. Pure expression pipeline, md5-derived "
+    "hashes so the oracle matches bit-for-bit.",
+)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "text", "doc_id", bits=32)
+
+
+# --- similarity search -----------------------------------------------------
+
+_COS_ORACLE = """
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS cos
+      FROM q, embeddings e
+      WHERE e.vec_id <> q.qid {extra}
+    )
+    SELECT qid, vec_id, round(cos, 6) AS cos_sim, rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos DESC, vec_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= 3
+"""
+
+
+@register(
+    "embed_cosine_topk",
+    _COS_ORACLE.format(extra=""),
+    doc="Brute-force exact cosine top-k (queries broadcast, corpus "
+    "streamed, per-query heap via row_number). The correctness baseline "
+    "for ANN; zip_with/aggregate fold keeps the math in codegen.",
+)
+def embed_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=3, query_id_col="qid")
+
+
+@register(
+    "embed_ivf_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe, label AS qcell
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS cos
+      FROM q JOIN embeddings e ON e.label = q.qcell
+      WHERE e.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, round(cos, 6) AS cos_sim, rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos DESC, vec_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+    doc="IVF-style ANN: probe only the query's coarse-quantizer cell "
+    "(the corpus `label`). At scale the corpus is partitioned by cell, "
+    "so the equi-join prunes ~n_cells x of I/O and compute.",
+)
+def embed_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding", "label"
+    )
+    return ivf_topk(emb, queries, k=3, cell_col="label", query_id_col="qid")
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+    t AS (SELECT doc_id, nt, len(string_split(nt, ' ')) AS n_tokens FROM norm)
+    SELECT doc_id, n_tokens,
+           CAST(ceil(length(nt) / 4) AS BIGINT) AS bpe_est,
+           (length(nt) - (n_tokens - 1)) / n_tokens AS mean_token_len
+    FROM t
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish chars/4 budget "
+    "estimate + mean token length. Raw-double ratios for bit parity.",
+)
+def text_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.dedup import normalize_text
+    from clickhouse_mysql_data_reader_spark.operators.text import (
+        bpe_token_estimate,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = token_count(t)
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        bpe_token_estimate(t).alias("bpe_est"),
+        ((F.length(normalize_text(t)) - (n_tok - 1)) / n_tok).alias("mean_token_len"),
+    )
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH norm AS (SELECT doc_id, lang, {_NORM} AS nt FROM documents),
+    t AS (SELECT doc_id, lang,
+                 len(list_filter(string_split(nt, ' '), x -> x IN ({_SW_LIST})))
+                   AS sw_hits,
+                 len(string_split(nt, ' ')) AS n_tokens
+          FROM norm)
+    SELECT doc_id, lang,
+           sw_hits / n_tokens AS sw_ratio,
+           CASE WHEN sw_hits / n_tokens >= 0.05 THEN 'en' ELSE 'unk' END AS lang_pred
+    FROM t
+    """,
+    doc="Language-ID heuristic: English function-word density over "
+    "whitespace tokens. One expression column, no shuffle; swap in a "
+    "real classifier (pandas UDF) without changing the pipeline shape.",
+)
+def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        stopword_ratio(t).alias("sw_ratio"),
+        lang_id(t, threshold=0.05).alias("lang_pred"),
+    )
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+    t AS (SELECT doc_id, nt,
+                 len(string_split(nt, ' ')) AS n_tokens,
+                 len(list_filter(string_split(nt, ' '), x -> x IN ({_SW_LIST})))
+                   AS sw_hits
+          FROM norm)
+    SELECT doc_id,
+           n_tokens,
+           (length(nt) - (n_tokens - 1)) / n_tokens AS mean_token_len,
+           sw_hits / n_tokens AS stopword_ratio,
+           length(regexp_replace(nt, '[^a-z0-9]', '', 'g')) / length(nt) AS alnum_ratio,
+           least(1.0, greatest(0.0,
+                 (sw_hits / n_tokens) * 4
+                 + least(n_tokens / 100.0, 1.0) * 0.5)) AS quality_score
+    FROM t
+    """,
+    doc="Composite quality features: verbosity, fluency (stopword "
+    "density), boilerplate (alnum ratio), folded into a clamped score.",
+)
+def text_quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(docs, "text", "doc_id")

@@ -1,0 +1,88 @@
+"""Streaming window aggregates with watermarks — the [B]-surface
+streaming operators (SURVEY §2.4 last rows).
+
+The reference batches by wall clock only (bbpool.py:108-118 flush
+timer) and has no event-time semantics at all; these helpers provide
+the real thing: tumbling/sliding/session windows over event time with
+late-data handling via watermark.
+
+Each helper works on BOTH a streaming and a batch DataFrame (Spark's
+unified semantics) — tests exercise the streaming path with
+``trigger(availableNow=True)`` + memory sink, and the batch path is
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Non-overlapping event-time windows; late rows beyond the
+    watermark are dropped and state is garbage-collected — the property
+    that keeps an infinite stream's state finite."""
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    keys = [F.window(ts_col, width).alias("win")] + [F.col(c) for c in group_cols or []]
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            *(group_cols or []),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Overlapping windows (each event lands in width/slide windows)."""
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, width, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n_events",
+        )
+    )
+
+
+def session_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows: a session closes after ``gap`` of inactivity
+    per key. Dynamic-length state, merged incrementally by Spark."""
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            key_col,
+            "n_events",
+        )
+    )

@@ -1,0 +1,188 @@
+"""Streaming CDC pump + windowed aggregates, driven by deterministic
+event files (FIXTURES F5 methodology) with availableNow triggers."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clickhouse_mysql_data_reader_spark.streaming.pump import (
+    SnapshotStore,
+    read_cdc_stream,
+    start_pump,
+)
+from clickhouse_mysql_data_reader_spark.streaming.windows import (
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("day", T.StringType(), True),
+        T.StructField("str", T.StringType(), True),
+    ]
+)
+
+
+def _write_events(path, events):
+    path.mkdir(parents=True, exist_ok=True)
+    for i, batch in enumerate(events):
+        with open(path / f"batch_{i}.json", "w") as f:
+            for e in batch:
+                f.write(json.dumps(e) + "\n")
+
+
+def _ev(op, pos, id_, s, table="log_a", file="f1"):
+    return {
+        "op": op, "log_file": file, "log_pos": pos,
+        "schema": "db", "table": table, "id": id_, "day": "2018-01-01", "str": s,
+    }
+
+
+def _await_done(query, timeout=60):
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(timeout)
+
+
+def test_cdc_pump_end_to_end(spark, tmp_path):
+    src = tmp_path / "cdc_src"
+    _write_events(
+        src,
+        [
+            [
+                _ev("insert", 1, 1, "one"),
+                _ev("insert", 2, 2, "two"),
+                _ev("insert", 3, 10, "ten", table="log_b"),
+            ],
+            [
+                _ev("update", 4, 1, "one-v2"),
+                _ev("delete", 5, 2, "two"),
+                _ev("update", 6, 10, "ten-v2", table="log_b"),
+            ],
+        ],
+    )
+    store = SnapshotStore(root=str(tmp_path / "snap"), key_cols=["id"])
+    stream = read_cdc_stream(spark, str(src), PAYLOAD, max_files_per_trigger=1)
+    q = start_pump(
+        stream, store, str(tmp_path / "ckpt"), trigger={"availableNow": True}
+    )
+    _await_done(q)
+
+    a = store.read(spark, "db", "log_a")
+    got = {r["id"]: r["str"] for r in a.collect()}
+    assert got == {1: "one-v2"}
+    b = store.read(spark, "db", "log_b")
+    assert {r["id"]: r["str"] for r in b.collect()} == {10: "ten-v2"}
+
+
+def test_cdc_pump_resume_from_checkpoint(spark, tmp_path):
+    """New files after restart are picked up; old ones not reapplied —
+    the binlog-position-file contract (O5) via checkpointLocation."""
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    store = SnapshotStore(root=str(tmp_path / "snap"), key_cols=["id"])
+    _write_events(src, [[_ev("insert", 1, 1, "v1")]])
+    q = start_pump(
+        read_cdc_stream(spark, str(src), PAYLOAD), store, ckpt,
+        trigger={"availableNow": True},
+    )
+    _await_done(q)
+    assert {r["id"]: r["str"] for r in store.read(spark, "db", "log_a").collect()} == {1: "v1"}
+
+    with open(src / "batch_9.json", "w") as f:
+        f.write(json.dumps(_ev("update", 2, 1, "v2")) + "\n")
+    q2 = start_pump(
+        read_cdc_stream(spark, str(src), PAYLOAD), store, ckpt,
+        trigger={"availableNow": True},
+    )
+    _await_done(q2)
+    assert {r["id"]: r["str"] for r in store.read(spark, "db", "log_a").collect()} == {1: "v2"}
+
+
+def _ts_events_df(spark):
+    rows = [
+        ("2024-01-01 00:05:00", 1, 1.0),
+        ("2024-01-01 00:20:00", 1, 2.0),
+        ("2024-01-01 00:50:00", 2, 3.0),
+        ("2024-01-01 01:10:00", 1, 4.0),
+        ("2024-01-01 02:40:00", 2, 5.0),
+    ]
+    return spark.createDataFrame(rows, "ts_s string, user_id long, value double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "value"
+    )
+
+
+def _stream_from(spark, df, tmp_path, name):
+    p = str(tmp_path / name)
+    df.write.mode("overwrite").parquet(p)
+    return spark.readStream.schema(df.schema).parquet(p)
+
+
+def _run_to_memory(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_tumbling_window_stream_matches_batch(spark, tmp_path):
+    df = _ts_events_df(spark)
+    stream = _stream_from(spark, df, tmp_path, "ev1")
+    _run_to_memory(tumbling_counts(stream), "tumbling_t")
+    got = {
+        (str(r["win_start"]), r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from tumbling_t").collect()
+    }
+    expected = {
+        (str(r["win_start"]), r["n_events"], r["sum_value"])
+        for r in tumbling_counts(df).collect()
+    }
+    assert got == expected
+    assert len(got) == 3  # hours 0, 1, 2
+
+
+def test_sliding_window_overlap(spark, tmp_path):
+    df = _ts_events_df(spark)
+    out = sliding_counts(df, width="1 hour", slide="30 minutes").collect()
+    # an event at 00:05 belongs to 2 windows (23:30-00:30, 00:00-01:00)
+    total = sum(r["n_events"] for r in out)
+    assert total == 2 * df.count()
+
+
+def test_session_window_gap_split(spark, tmp_path):
+    df = _ts_events_df(spark)
+    out = session_counts(df, gap="20 minutes").collect()
+    sessions_u1 = [r for r in out if r["user_id"] == 1]
+    # user 1: 00:05+00:20 merge (gap 15m), 01:10 separate
+    assert len(sessions_u1) == 2
+    assert {r["n_events"] for r in sessions_u1} == {2, 1}
+
+
+def test_streaming_tumbling_with_watermark_runs(spark, tmp_path):
+    df = _ts_events_df(spark)
+    stream = _stream_from(spark, df, tmp_path, "ev2")
+    agg = tumbling_counts(stream, watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # append mode only emits windows closed by the watermark; the final
+    # (max-ts) window stays open -> strictly fewer rows than complete mode
+    n = spark.sql("select count(*) n from wm_t").collect()[0]["n"]
+    assert n >= 1
