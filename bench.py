@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Queries are fully materialized through the noop sink (forces every
+exchange/agg to execute without driver-collect overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Representative slice of the registry: scan+agg, shuffle join, broadcast
+# star join, window rank, CDC fold, and the scale-sensitive LLM ops.
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_shuffle_fact_fact",
+    "join_broadcast_dim",
+    "window_topn_per_group",
+    "agg_rollup",
+    "topk_global",
+    "cdc_apply_final_state",
+    "dedup_latest_wins",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "embed_cosine_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    from clickhouse_mysql_data_reader_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+    import __spark_entry__ as entrymod
+
+    qmap = entrymod.queries()
+    # warm the JVM, parquet footers, and codegen paths on the big tables
+    qmap["topk_global"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    qmap["scan_prune_filter"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

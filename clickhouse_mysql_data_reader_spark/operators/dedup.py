@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from clickhouse_mysql_data_reader_spark.util import fan_out
+
 
 def latest_wins_view(
     df: DataFrame, key_cols: list[str], version_cols: list[str]
@@ -51,43 +53,92 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def tokenize(col):
+    """Whitespace tokens of normalized text."""
+    return F.split(normalize_text(col), " ")
+
+
+def shingles_from_tokens(tk, k: int = 3):
+    """k-word shingles from an ALREADY-MATERIALIZED token-array column.
+
+    ``tk`` must be a plain column reference, not an inline
+    split/regexp expression: this expression references it several
+    times (size bound + every slice), and Catalyst's project collapsing
+    would otherwise re-run the tokenization once per reference — i.e.
+    per shingle, turning an O(tokens) transform into O(tokens^2).
+    """
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - k, F.lit(0)))
+    return F.when(
+        F.size(tk) >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i + 1, k))),
+    ).otherwise(F.array(F.concat_ws(" ", tk)))
+
+
 def word_shingles(col, k: int = 3):
     """k-word shingles of normalized text as an array column.
 
     Built from pure SQL building blocks (split + sequence + transform)
-    so the DuckDB oracle can reproduce it token-for-token.
+    so the DuckDB oracle can reproduce it token-for-token. Prefer
+    ``tokenize`` + ``shingles_from_tokens`` with a projection boundary
+    between them in hot paths (see shingle_table).
     """
-    toks = F.split(normalize_text(col), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))).otherwise(
-        F.array(F.concat_ws(" ", toks))
-    )
+    return shingles_from_tokens(tokenize(col), k)
+
+
+# MinHash constants: one md5 per shingle -> 60-bit int, then the i-th
+# hash function is the affine transform (A_i * h28 + B_i) mod MH_P.
+# h28 < 2^28 and A_i < 2^20 keep every product far below 2^63 — both
+# engines (and the SQL oracle) compute identical exact integers.
+MH_P = 1_000_000_007
+MH_H28 = 1 << 28
+
+
+def mh_a(i: int) -> int:
+    return 2 * i + 3
+
+
+def mh_b(i: int) -> int:
+    return 104729 * i + 12345
 
 
 def shingle_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """(id, shingle) pairs, distinct — the base relation for Jaccard and
-    MinHash. At scale this is the only wide dataset; everything after
-    operates on (id, hash) pairs."""
+    """(doc_id, sh_h) distinct pairs — the base relation for Jaccard and
+    MinHash. The shingle string is hashed to a 60-bit int IMMEDIATELY
+    (md5 hex prefix -> bigint): every downstream shuffle/join moves an
+    8-byte key instead of a ~20-byte string, and the hash is computed
+    once, not once per MinHash function. Collisions at 60 bits are
+    negligible for any realistic shingle vocabulary."""
     return (
-        df.select(F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), k).alias("sh"))
-        .select("doc_id", F.explode("sh").alias("shingle"))
+        fan_out(df)
+        # tokenize behind its own projection so the regex+split runs
+        # once per doc, not once per shingle (see shingles_from_tokens)
+        .select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("tk"))
+        .select("doc_id", F.explode(shingles_from_tokens(F.col("tk"), k)).alias("shingle"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("sh_h"),
+        )
         .distinct()
     )
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
-    """MinHash signature per doc: hash_i(s) = md5(i || ':' || s); the
-    signature element is min over shingles (lexicographic min of the hex
-    digest — a uniform 128-bit hash, so ties are measure-zero).
+    """MinHash signature per doc: signature element i is
+    min((A_i * (sh_h mod 2^28) + B_i) mod P) over the doc's shingles.
 
-    One groupBy on doc_id; per-doc state is num_hashes * 32 bytes.
+    One groupBy on doc_id; per-doc state is num_hashes longs. The
+    num_hashes hash functions cost one multiply-add each — not one md5
+    each — which is what makes k=16+ viable over billions of shingles.
     """
+    h28 = (F.col("sh_h") % MH_H28).alias("h28")
+    base = shingles.select("doc_id", h28)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        F.min((F.lit(mh_a(i)) * F.col("h28") + F.lit(mh_b(i))) % MH_P).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return shingles.groupBy("doc_id").agg(*aggs)
+    return base.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -133,15 +184,22 @@ def jaccard_pairs(
     """Exact n-gram Jaccard over candidate pairs (or all co-shingled
     pairs when candidates is None).
 
-    |A ∩ B| comes from the shingle self-join; |A ∪ B| = |A|+|B|-|A∩B|.
+    |A ∩ B| comes from the shingle-hash self-join; |A ∪ B| = |A|+|B|-|A∩B|.
     Restricting to candidate pairs first is the 100 TB path: the
     all-pairs join only ever materializes pairs that share ≥1 shingle.
+
+    The shingle relation is consumed three times (sizes + both join
+    sides), so it is persisted spill-safely — it is narrow (two 8-byte
+    columns), which is exactly why hashing shingles early pays off.
     """
+    from pyspark import StorageLevel
+
+    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingles.alias("sa")
     b = shingles.alias("sb")
     inter = (
-        a.join(b, (F.col("sa.shingle") == F.col("sb.shingle")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
+        a.join(b, (F.col("sa.sh_h") == F.col("sb.sh_h")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
         .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -174,7 +232,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     portable to the oracle via conv/hex tricks).
     """
     toks = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"))
+        fan_out(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"))
         .withColumn("th", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
     )
     bit = toks.select(

@@ -57,12 +57,19 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     - alnum ratio (boilerplate/punctuation-soup detector)
     Score = stopword and length terms, clamped to [0,1], rounded for
     hash stability."""
-    t = F.col(text_col)
-    norm_len = F.length(normalize_text(t))
-    n_tok = token_count(t)
-    alnum_len = F.length(F.regexp_replace(normalize_text(t), r"[^a-z0-9]", ""))
-    mean_tok_len = (norm_len - (n_tok - 1)) / n_tok
-    sw_ratio = stopword_ratio(t)
+    # normalize + tokenize ONCE behind projection boundaries — every
+    # feature references them repeatedly, and inlining would re-run the
+    # regex per reference (same hazard as shingles_from_tokens).
+    base = df.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("nt")
+    ).select(
+        id_col,
+        "nt",
+        F.split(F.col("nt"), " ").alias("tk"),
+    )
+    n_tok = F.size("tk")
+    sw_hits = F.size(F.filter(F.col("tk"), lambda t: t.isin(*EN_STOPWORDS)))
+    sw_ratio = sw_hits / n_tok
     score = F.least(
         F.lit(1.0),
         F.greatest(
@@ -73,12 +80,14 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # ratios stay raw doubles: int/int lowers to the same IEEE division
     # in any engine, so values are bit-deterministic without round()'s
     # cross-engine half-way hazards.
-    return df.select(
+    return base.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
-        mean_tok_len.alias("mean_token_len"),
+        ((F.length("nt") - (n_tok - 1)) / n_tok).alias("mean_token_len"),
         sw_ratio.alias("stopword_ratio"),
-        (alnum_len / norm_len).alias("alnum_ratio"),
+        (F.length(F.regexp_replace(F.col("nt"), r"[^a-z0-9]", "")) / F.length("nt")).alias(
+            "alnum_ratio"
+        ),
         score.alias("quality_score"),
     )
 

@@ -16,9 +16,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_mysql_data_reader_spark.operators.dedup import (
+    MH_H28,
+    MH_P,
     exact_dedup_groups,
     jaccard_pairs,
     lsh_candidate_pairs,
+    mh_a,
+    mh_b,
     minhash_signatures,
     shingle_table,
     simhash,
@@ -45,13 +49,15 @@ _SHINGLE_CTE = f"""
   norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
   toks AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM norm),
   sh AS (
-    SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+    SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(array_to_string(tk[i:i+2], ' ')), 1, 15))::BIGINT AS sh_h
     FROM toks, UNNEST(range(1, greatest(len(tk) - 2, 1) + 1)) AS u(i)
   )
 """
 
 _MH_COLS = ", ".join(
-    f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(NUM_HASHES)
+    f"min(({mh_a(i)} * (sh_h % {MH_H28}) + {mh_b(i)}) % {MH_P}) AS mh_{i}"
+    for i in range(NUM_HASHES)
 )
 _ROWS_PER_BAND = NUM_HASHES // BANDS
 _BAND_SELECTS = "\n    UNION ALL ".join(
@@ -105,8 +111,8 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, {_MH_COLS}
     FROM sh GROUP BY doc_id
     """,
-    doc="MinHash signatures (k=16) over 3-word shingles: hash_i = "
-    "md5(i||':'||shingle), signature element = min over shingles. "
+    doc="MinHash signatures (k=16) over 3-word shingles: one md5 per "
+    "shingle -> 60-bit int, then k affine hashes (A_i*h+B_i) mod P. "
     "Exact-checked element-wise against the oracle — validates the "
     "whole shingle+hash pipeline, not just pair counts.",
 )
@@ -144,7 +150,7 @@ def dedup_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, n_inter,

@@ -1,0 +1,44 @@
+"""Small shared utilities."""
+
+from __future__ import annotations
+
+import os
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame
+
+# Only inputs smaller than target_partitions * this are worth fanning
+# out — bigger inputs already split into enough parquet row-group tasks.
+_SMALL_INPUT_BYTES_PER_SLOT = 32 * 1024 * 1024
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ONLY when the input is a genuinely small, under-split
+    file set (e.g. one small parquet file -> one task), which would run
+    CPU-heavy per-row transforms (shingling, hashing, decode UDFs) on a
+    single core.
+
+    Decision uses the *scan* inputs, not ``df.rdd`` (whose partitioning
+    reflects the conversion, not the file splits). On a well-partitioned
+    100 TB input — many files, or few huge splittable files — the
+    condition is false and NO shuffle is added.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= target:
+        return df
+    total = 0
+    for uri in files:
+        p = urlparse(uri)
+        if p.scheme not in ("file", ""):
+            return df  # remote store: trust the source's split planning
+        try:
+            total += os.path.getsize(p.path)
+        except OSError:
+            return df
+    if total < target * _SMALL_INPUT_BYTES_PER_SLOT:
+        return df.repartition(target)
+    return df
