@@ -26,6 +26,14 @@ try:
     from clickhouse_mysql_data_reader_spark.queries import llmops  # noqa: F401
 except ImportError:
     pass
+try:
+    from clickhouse_mysql_data_reader_spark.queries import advanced  # noqa: F401
+except ImportError:
+    pass
+try:
+    from clickhouse_mysql_data_reader_spark.queries import multimodal  # noqa: F401
+except ImportError:
+    pass
 
 from clickhouse_mysql_data_reader_spark.queries.registry import (
     oracle_sql_map,

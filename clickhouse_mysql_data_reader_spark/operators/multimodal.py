@@ -18,6 +18,7 @@ and (c) drops it as early as possible via select().
 from __future__ import annotations
 
 import hashlib
+import sys
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -84,6 +85,17 @@ def extract_features(
     output rows may be filtered (undecodable media dropped) — a shape
     scalar UDFs can't express.
     """
+
+    # Ship this module's functions BY VALUE inside the pickled UDF:
+    # the driver may run from any cwd without the repo on the workers'
+    # PYTHONPATH, and a by-reference pickle of decode_fn would make
+    # every python worker try (and fail) to import the package.
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

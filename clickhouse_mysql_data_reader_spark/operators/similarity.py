@@ -110,3 +110,41 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("qid", "vec_id", F.round("cos", 6).alias("cos_sim"), "rn")
     )
+
+
+def near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by quantizer cell.
+
+    The all-pairs O(n^2) self-join is replaced by a cell-blocked one:
+    only vectors sharing a coarse cell are compared (the embedding
+    analogue of LSH banding for MinHash). At 100 TB the corpus is
+    partitioned by cell, so the self-join is co-located per cell and
+    the candidate count is sum(|cell|^2), not |corpus|^2. Near-dups
+    missed across cell borders are the standard recall trade-off;
+    multi-probe (assign each vector its 2 nearest cells) restores them.
+
+    Output: (vec_a, vec_b, cos_sim) with vec_a < vec_b; the threshold
+    is applied to the ROUNDED similarity so both engines of the oracle
+    compare identical decisions.
+    """
+    e = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(cell_col).alias("cell"),
+        as_double_array(vec_col).alias("v"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vid") < F.col("b.vid")))
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,275 @@
+"""Advanced analytics surface [B]: as-of / range joins, GROUPING SETS,
+exact percentiles, sessionization, sliding windows, CSV round-trip.
+
+These extend SURVEY.md §2.4 beyond the basics: the reference delegates
+all analytics to ClickHouse, whose dialect offers ASOF JOIN, quantile
+functions, and window frames over the landed MergeTree tables — here
+they are Catalyst plans with DuckDB oracles.
+
+Timestamps cross the oracle boundary as ``unix_micros`` BIGINTs: epoch
+microseconds are exact integers in both engines, immune to session-
+timezone and float-epoch hazards.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from clickhouse_mysql_data_reader_spark.operators.asof import asof_join
+from clickhouse_mysql_data_reader_spark.queries.registry import register
+from clickhouse_mysql_data_reader_spark.sinks.batch import write_csv
+from clickhouse_mysql_data_reader_spark.sources.parquet import load_table
+
+
+@register(
+    "join_asof_attrib",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
+               FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+           c.click_id, c.click_value
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    doc="As-of join: attribute each purchase to the user's most recent "
+    "click at-or-before it. Spark side uses the union+running-window "
+    "formulation (operators/asof.py) — one key shuffle, linear pass, no "
+    "quadratic range-join intermediate; identical plan shape at 100 TB.",
+)
+def join_asof_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["click_id", "click_value"],
+        seq_col="click_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "click_id",
+        "click_value",
+    )
+
+
+@register(
+    "join_range_bands",
+    """
+    WITH bands(band, lo, hi) AS (VALUES
+        ('b1_lt50k', 0, 50000), ('b2_50_150k', 50000, 150000),
+        ('b3_150_300k', 150000, 300000), ('b4_ge300k', 300000, 600000))
+    SELECT band, count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price
+    FROM orders JOIN bands
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+    doc="Range (band) join: orders bucketed into price bands via a "
+    "non-equi join. The band table is broadcast, so Catalyst runs a "
+    "BroadcastNestedLoopJoin — each fact row tests a handful of in-"
+    "memory intervals; the fact side never shuffles.",
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = spark.createDataFrame(
+        [
+            ("b1_lt50k", 0, 50_000),
+            ("b2_50_150k", 50_000, 150_000),
+            ("b3_150_300k", 150_000, 300_000),
+            ("b4_ge300k", 300_000, 600_000),
+        ],
+        "band string, lo int, hi int",
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="Explicit GROUPING SETS (the general form behind rollup/cube). "
+    "Catalyst's Expand emits one copy of each input row per set in a "
+    "single pass; only grouped state shuffles.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gsets")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem_gsets
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "agg_percentile",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Exact continuous percentiles (linear interpolation — the same "
+    "definition as quantile_cont). At 100 TB swap to percentile_approx "
+    "(t-digest sketch, constant memory, mergeable map-side) — the exact "
+    "form is the correctness anchor.",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "window_session_gaps",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 3600000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM t
+    ),
+    sess AS (
+      SELECT user_id, us,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(us) AS session_start_us
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Sessionization (gaps-and-islands): a new session starts after "
+    ">1h of inactivity; session id is the running sum of gap flags. One "
+    "shuffle on user_id serves both windows; session assignment is a "
+    "linear per-partition pass. The streaming twin is session_window() "
+    "in streaming/windows.py.",
+)
+def window_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    order = [F.col("us").asc(), F.col("event_id").asc()]
+    w_lag = W.partitionBy("user_id").orderBy(*order)
+    w_run = w_lag.rowsBetween(W.unboundedPreceding, W.currentRow)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w_lag).isNull()
+            | ((F.col("us") - F.lag("us").over(w_lag)) > 3_600_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("is_new").over(w_run))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("session_start_us"),
+    )
+
+
+@register(
+    "window_sliding_counts",
+    """
+    WITH slots AS (
+      SELECT event_type, value,
+             (epoch_us(ts) - epoch_us(ts) % 1800000000)
+               - i * 1800000000 AS win_start_us
+      FROM events, UNNEST([0, 1]) AS t(i)
+    )
+    SELECT win_start_us, event_type, count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+    FROM slots GROUP BY win_start_us, event_type
+    """,
+    doc="Sliding-window aggregate (1h window, 30m slide) in batch form: "
+    "window() assigns each event to its 2 overlapping slots JVM-side "
+    "(an Expand, no self-join), then a plain hash aggregate. The "
+    "streaming twin with watermarks lives in streaming/windows.py.",
+)
+def window_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("win_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "csv_roundtrip_nation",
+    "SELECT n_name, n_nationkey, n_regionkey FROM nation",
+    doc="S3/K2 surface: write a table through the sorted-column CSV sink "
+    "(the reference's CSVWriter contract, csvwriter.py:122) and read it "
+    "back with an explicit schema — values must survive the round-trip "
+    "bit-exactly. Local-path only; at scale the same writer targets "
+    "object storage.",
+)
+def csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"cmdrs_csv_roundtrip_{tag}")
+    write_csv(load_table(spark, sf_dir, "nation"), path)
+    # write_csv sorts columns lexicographically; mirror that order here.
+    return spark.read.option("header", True).schema(
+        "n_name string, n_nationkey int, n_regionkey int"
+    ).csv(path)

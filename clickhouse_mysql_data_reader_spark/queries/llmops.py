@@ -347,3 +347,24 @@ def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return quality_features(docs, "text", "doc_id")
+
+
+@register(
+    "dedup_embed_near",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    """,
+    doc="Embedding-cosine near-duplicate detection, cell-blocked: only "
+    "vectors in the same coarse-quantizer cell are compared (the "
+    "embedding analogue of LSH banding), so candidates scale with "
+    "sum(|cell|^2) instead of |corpus|^2.",
+)
+def dedup_embed_near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.similarity import near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return near_dup_pairs(emb, threshold=0.35, cell_col="label")

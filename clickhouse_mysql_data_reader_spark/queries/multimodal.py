@@ -1,0 +1,74 @@
+"""Multimodal column queries: binary media columns processed through
+the Arrow-batched ``mapInPandas`` plumbing (operators/multimodal.py).
+
+The decode step is a deterministic stand-in (no media libs in this
+container), which makes the ENTIRE distributed path oracle-checkable:
+the fake features derive from md5/sha256 of the bytes, which DuckDB
+can recompute — so schema, batching, UDF signature, and row routing
+are all verified, not just smoke-tested.
+
+Features are quantized back to their source byte (``round(x*255)``)
+for the compare: float32 storage noise (~6e-8) is far below the 1/255
+quantum, so the recovered integers are exact on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_mysql_data_reader_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+    frame_sample_plan,
+)
+from clickhouse_mysql_data_reader_spark.queries.registry import register
+from clickhouse_mysql_data_reader_spark.sources.parquet import load_table
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           sha256(text) AS content_sha,
+           octet_length(encode(text)) AS n_bytes,
+           list_transform([1, 2, 3, 4, 5, 6, 7, 8],
+                          i -> ('0x' || substr(md5(text), 2*i - 1, 2))::INT
+           ) AS feature_q
+    FROM documents
+    """,
+    doc="Feature extraction over binary media columns via mapInPandas "
+    "(Arrow batches; decode_fn injectable, stubbed deterministically). "
+    "The binary column never crosses a shuffle — features are computed "
+    "in the scan stage and the wide bytes dropped immediately after.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "content_sha",
+        "n_bytes",
+        F.transform("feature", lambda x: F.round(x * 255).cast("int")).alias("feature_q"),
+    )
+
+
+@register(
+    "multimodal_frame_plan",
+    """
+    SELECT doc_id AS media_id, i AS frame_ts_ms
+    FROM documents,
+         UNNEST(range(0, greatest(n_chars * 10 - 1, 0) + 1, 1000)) AS t(i)
+    WHERE doc_id % 3 = 2
+    """,
+    doc="Video frame-sampling plan: one row per frame timestamp via "
+    "sequence+explode (JVM-side row explosion; the binary payload is "
+    "referenced, not copied per frame, until the decode UDF runs).",
+)
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return frame_sample_plan(media, every_ms=1000).select("media_id", "frame_ts_ms")
