@@ -28,6 +28,8 @@ HEADLINE = [
     "window_topn_per_group",
     "agg_rollup",
     "topk_global",
+    "join_asof_attrib",
+    "window_session_gaps",
     "cdc_apply_final_state",
     "dedup_latest_wins",
     "dedup_minhash_signatures",

@@ -47,7 +47,10 @@ def map_type(mysql_type: str, strict_parity: bool = False) -> T.DataType:
     """Map a MySQL column type string to a Spark DataType."""
     t = mysql_type.strip().lower()
     unsigned = "unsigned" in t
-    base = t.split("(")[0].strip()
+    # MySQL < 8.0.19 prints `bigint(20) unsigned`, newer prints
+    # `bigint unsigned` — strip display width AND attribute words so
+    # both forms resolve to the same base type.
+    base = t.split("(")[0].replace("unsigned", "").replace("zerofill", "").strip()
 
     if base == "bit":
         return T.StringType() if strict_parity else T.BinaryType()

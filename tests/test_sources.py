@@ -1,0 +1,103 @@
+"""Sources: JDBC plan construction (S2/S4/S5 — no MySQL server in this
+container, so the pure seams are tested: SELECT building, partition
+slicing, discovery matching, the post-read cast layer) and the CSV
+source end-to-end (S3/T6)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clickhouse_mysql_data_reader_spark.schema.typemap import ColumnSpec
+from clickhouse_mysql_data_reader_spark.sources.csv import read_csv, sniff_dialect
+from clickhouse_mysql_data_reader_spark.sources.jdbc import (
+    JdbcSourceConfig,
+    build_select,
+    match_tables,
+    partition_options,
+)
+from clickhouse_mysql_data_reader_spark.transforms.row_ops import cast_to_schema
+from clickhouse_mysql_data_reader_spark.schema.typemap import mysql_description_to_schema
+
+
+def test_build_select_prunes_and_pushes_where():
+    sql = build_select(
+        "shop",
+        "orders",
+        columns=["id", "price", "secret"],
+        skip_columns=["secret"],
+        where="id > 100",
+    )
+    assert sql == "SELECT `id`,`price` FROM `shop`.`orders` WHERE id > 100"
+
+
+def test_build_select_star_when_no_columns():
+    assert build_select("db", "t") == "SELECT * FROM `db`.`t`"
+
+
+def test_partition_options_range_slicing():
+    opts = partition_options("id", 0, 1_000_000, 16)
+    assert opts == {
+        "partitionColumn": "id",
+        "lowerBound": "0",
+        "upperBound": "1000000",
+        "numPartitions": "16",
+    }
+    with pytest.raises(ValueError):
+        partition_options("id", None, None, 16)
+
+
+def test_jdbc_config_fetchsize_default_matches_reference_chunk():
+    cfg = JdbcSourceConfig(url="jdbc:mysql://h:3306")
+    # pool_max_rows_num = 100k (tablemigrator.py:21) -> fetchsize
+    assert cfg.base_options()["fetchsize"] == "100000"
+
+
+def test_match_tables_prefix_and_db_expansion():
+    found = {
+        "app": ["log_2024_01", "log_2024_02", "users"],
+        "other": ["t1"],
+    }
+    # prefix fan-in selection (log_* -> logunified, docs/manual.md:531-553)
+    got = match_tables(found, dbs=["app"], prefixes=["log_"])
+    assert got == {"app": ["log_2024_01", "log_2024_02"]}
+    # db-only spec expands to all tables
+    assert match_tables(found, dbs=["other"]) == {"other": ["t1"]}
+
+
+def test_cast_layer_applies_unsigned_widening(spark):
+    desc = [
+        ColumnSpec("id", "bigint unsigned", nullable=False, is_key=True),
+        ColumnSpec("qty", "int", nullable=True),
+    ]
+    df = spark.createDataFrame([("18446744073709551615", 5)], "id string, qty int")
+    out = cast_to_schema(df, mysql_description_to_schema(desc))
+    assert dict(out.dtypes) == {"id": "decimal(20,0)", "qty": "int"}
+    # UInt64 max survives (would overflow a signed long)
+    assert str(out.collect()[0]["id"]) == "18446744073709551615"
+
+
+def test_csv_source_sniff_and_null_handling(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("id;name;city\n1;alice;paris\n2;;berlin\n3;carol;\n")
+    delimiter, has_header = sniff_dialect(str(p))
+    assert delimiter == ";"
+    assert has_header
+    df = read_csv(
+        spark, str(p), schema="id int, name string, city string"
+    ).orderBy("id")
+    rows = df.collect()
+    assert rows[1]["name"] is None  # T6: empty string -> NULL
+    assert rows[2]["city"] is None
+    assert rows[0]["name"] == "alice"
+
+
+def test_csv_source_reads_spark_written_directory(spark, tmp_path):
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    out = os.path.join(str(tmp_path), "out_csv")
+    src.write.option("header", True).csv(out)
+    back = read_csv(spark, out, schema="id int, v string").orderBy("id")
+    assert [tuple(r) for r in back.collect()] == [(1, "a"), (2, "b")]
