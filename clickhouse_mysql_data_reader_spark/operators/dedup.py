@@ -101,14 +101,21 @@ def mh_b(i: int) -> int:
     return 104729 * i + 12345
 
 
-def shingle_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """(doc_id, sh_h) distinct pairs — the base relation for Jaccard and
+def shingle_table(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, sh_h) pairs — the base relation for Jaccard and
     MinHash. The shingle string is hashed to a 60-bit int IMMEDIATELY
     (md5 hex prefix -> bigint): every downstream shuffle/join moves an
     8-byte key instead of a ~20-byte string, and the hash is computed
     once, not once per MinHash function. Collisions at 60 bits are
-    negligible for any realistic shingle vocabulary."""
-    return (
+    negligible for any realistic shingle vocabulary.
+
+    ``distinct=False`` skips the dedup shuffle — correct for consumers
+    that are duplicate-insensitive (MinHash: min over a multiset equals
+    min over its set), wrong for anything that COUNTS shingles
+    (Jaccard sizes/intersections need the set)."""
+    sh = (
         fan_out(df)
         # tokenize behind its own projection so the regex+split runs
         # once per doc, not once per shingle (see shingles_from_tokens)
@@ -120,8 +127,8 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
             .cast("long")
             .alias("sh_h"),
         )
-        .distinct()
     )
+    return sh.distinct() if distinct else sh
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:

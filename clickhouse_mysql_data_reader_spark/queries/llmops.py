@@ -118,7 +118,10 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_signatures(shingle_table(docs, "text", "doc_id", k=3), NUM_HASHES)
+    # distinct=False: MinHash is duplicate-insensitive, skip the dedup shuffle
+    return minhash_signatures(
+        shingle_table(docs, "text", "doc_id", k=3, distinct=False), NUM_HASHES
+    )
 
 
 @register(
@@ -139,7 +142,9 @@ def dedup_minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(shingle_table(docs, "text", "doc_id", k=3), NUM_HASHES)
+    sigs = minhash_signatures(
+        shingle_table(docs, "text", "doc_id", k=3, distinct=False), NUM_HASHES
+    )
     return lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
 
 
