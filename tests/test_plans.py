@@ -1,0 +1,88 @@
+"""Physical-plan guards — the scale properties the engine promises,
+asserted on .explain output so a refactor can't silently regress them:
+filter/column pushdown into the parquet scan, broadcast of small dims,
+the as-of join's single-shuffle shape, and shuffle-free bucketed joins.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from clickhouse_mysql_data_reader_spark.sinks.batch import write_bucketed
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _n_exchanges(plan: str) -> int:
+    # each node appears twice in formatted output (tree line + detail
+    # header "(N) Exchange") — count the detail headers
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_correct):
+    plan = _formatted(entrymod.queries()["q1_pricing_summary"](spark, sf_correct))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_correct):
+    plan = _formatted(entrymod.queries()["scan_prune_filter"](spark, sf_correct))
+    # only the 4 referenced columns are read, not lineitem's 11
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert read.count(":") - 1 <= 4, read
+
+
+def test_dim_join_broadcasts(spark, sf_correct):
+    plan = _formatted(entrymod.queries()["join_broadcast_dim"](spark, sf_correct))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_is_single_shuffle_per_side(spark, sf_correct):
+    plan = _formatted(entrymod.queries()["join_asof_attrib"](spark, sf_correct))
+    # union of two scans -> one Exchange per branch into ONE window sort;
+    # any range-join formulation would add a nested-loop or extra joins
+    assert _n_exchanges(plan) <= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_no_distinct_shuffle(spark, sf_correct):
+    plan = _formatted(entrymod.queries()["dedup_minhash_signatures"](spark, sf_correct))
+    # fan_out repartition + signature groupBy = 2; the duplicate-
+    # insensitive path must not add a distinct's third exchange
+    assert _n_exchanges(plan) <= 2
+
+
+@pytest.mark.usefixtures("spark")
+def test_bucketed_join_has_no_exchange(spark):
+    tag = uuid.uuid4().hex[:8]
+    lname, rname = f"bkt_left_{tag}", f"bkt_right_{tag}"
+    left = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("a")
+    )
+    right = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 11).alias("b")
+    )
+    try:
+        write_bucketed(left, lname, ["k"], num_buckets=8, sort_cols=["k"])
+        write_bucketed(right, rname, ["k"], num_buckets=8, sort_cols=["k"])
+        # hint("merge"): the tiny test tables would otherwise broadcast;
+        # at real scale SMJ is what the optimizer picks on its own
+        joined = spark.table(lname).hint("merge").join(spark.table(rname), "k")
+        plan = _formatted(joined)
+        assert "SortMergeJoin" in plan
+        assert _n_exchanges(plan) == 0  # co-located: bucket files align 1:1
+        assert joined.count() == 10_000
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {lname}")
+        spark.sql(f"DROP TABLE IF EXISTS {rname}")
