@@ -1,0 +1,80 @@
+"""Skew mitigation: salting for hot keys.
+
+AQE's skew-join splitting (on in session.py) handles most cases at
+runtime; salting is the *plan-level* tool for the pathological ones —
+a groupBy where one key owns half the input, or a shuffle join against
+a side with a few giant keys. Both transforms below are semantics-
+preserving and deterministic (hash-derived salt, no RNG), so results
+are oracle-checkable against the unsalted form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (partial_fn, merge_fn) per supported algebraic aggregate
+_ALGEBRAIC = {
+    "count": (lambda c: F.count(F.lit(1)), F.sum),
+    "sum": (F.sum, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    num_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with an explicit salt: phase 1 groups by
+    (keys + salt) so a hot key's rows spread over ``num_salts``
+    reducers; phase 2 merges the small per-salt partials.
+
+    ``aggs`` maps output column -> (source column, fn) with fn in
+    {count, sum, min, max} (algebraic: partials merge losslessly).
+    The salt is a deterministic hash of the whole row, not rand() —
+    rerunning a failed stage must re-salt identically.
+    """
+    for out, (_, fn) in aggs.items():
+        if fn not in _ALGEBRAIC:
+            raise ValueError(f"{out}: {fn} is not algebraically mergeable")
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(num_salts))
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[
+            _ALGEBRAIC[fn][0](src).alias(f"_p_{out}")
+            for out, (src, fn) in aggs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            _ALGEBRAIC[fn][1](f"_p_{out}").alias(out)
+            for out, (_, fn) in aggs.items()
+        ]
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to hot keys on the skewed side: the skewed
+    side gets a deterministic salt in [0, num_salts); the other side is
+    replicated num_salts times (explode of a literal range — num_salts
+    times ITS size, which is why this fits dimension-ish right sides).
+    The join key becomes (on + salt), so one hot key's rows land on
+    num_salts different reducers instead of one."""
+    s = skewed.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(num_salts)),
+    )
+    o = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    return s.join(o, on + ["_salt"], how).drop("_salt")

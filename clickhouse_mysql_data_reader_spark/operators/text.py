@@ -98,3 +98,45 @@ def fingerprint_documents(df: DataFrame, text_col: str, id_col: str) -> DataFram
     return df.select(
         F.col(id_col), content_fingerprint(F.col(text_col)).alias("fingerprint")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every k-gram IN ORDER, then keep the minimum hash
+    of each sliding window of w consecutive hashes. Guarantees any
+    shared run of >= w+k-1 tokens yields a shared fingerprint, at ~1/w
+    the density of full shingle sets — the local-similarity complement
+    to whole-document md5 fingerprints.
+
+    Entirely higher-order array functions per row: NO shuffle at all —
+    (doc_id, fp_hash) pairs come straight out of the scan stage, so at
+    100 TB this is embarrassingly parallel map work.
+    """
+    from clickhouse_mysql_data_reader_spark.operators.dedup import (
+        shingles_from_tokens,
+        tokenize,
+    )
+    from clickhouse_mysql_data_reader_spark.util import fan_out
+
+    # each array is referenced multiple times -> own projection each,
+    # or Catalyst's project collapsing re-runs the whole chain per
+    # reference (see shingles_from_tokens)
+    base = (
+        fan_out(df)
+        .select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("tk"))
+        .select("doc_id", shingles_from_tokens(F.col("tk"), k).alias("sh"))
+        .select(
+            "doc_id",
+            F.transform(
+                "sh",
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            ).alias("hs"),
+        )
+    )
+    idx = F.sequence(F.lit(1), F.greatest(F.size("hs") - (w - 1), F.lit(1)))
+    fps = F.array_distinct(
+        F.transform(idx, lambda j: F.array_min(F.slice(F.col("hs"), j, w)))
+    )
+    return base.select("doc_id", F.explode(fps).alias("fp_hash"))

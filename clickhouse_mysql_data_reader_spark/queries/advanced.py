@@ -273,3 +273,40 @@ def csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("header", True).schema(
         "n_name string, n_nationkey int, n_regionkey int"
     ).csv(path)
+
+
+@register(
+    "agg_salted_skew",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+           min(l_orderkey) AS min_key,
+           max(l_orderkey) AS max_key
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Skew-salted two-phase aggregation: groupBy(key, salt) spreads "
+    "a hot key over 16 reducers, then the tiny per-salt partials merge. "
+    "Semantics-preserving (algebraic aggs only, deterministic salt), so "
+    "the oracle is the PLAIN group-by — identical results, skew-proof "
+    "plan. lineitem's 3-value l_returnflag is exactly the shape that "
+    "melts a single reducer at 100 TB.",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "qty_dec", F.col("l_quantity").cast("decimal(18,4)")
+    )
+    return salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n_rows": ("l_quantity", "count"),
+            "sum_qty": ("qty_dec", "sum"),
+            "min_key": ("l_orderkey", "min"),
+            "max_key": ("l_orderkey", "max"),
+        },
+        num_salts=16,
+    )

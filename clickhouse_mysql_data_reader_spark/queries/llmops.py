@@ -373,3 +373,33 @@ def dedup_embed_near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return near_dup_pairs(emb, threshold=0.35, cell_col="label")
+
+
+@register(
+    "doc_winnow_fingerprint",
+    f"""
+    WITH
+      norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+      toks AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM norm),
+      sh AS (
+        SELECT doc_id, i,
+               ('0x' || substr(md5(array_to_string(tk[i:i+2], ' ')), 1, 15))::BIGINT AS h
+        FROM toks, UNNEST(range(1, greatest(len(tk) - 2, 1) + 1)) AS u(i)
+      ),
+      lists AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM sh GROUP BY doc_id)
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(hs) - 3, 1) + 1),
+               j -> list_min(hs[j:j+3])))) AS fp_hash
+    FROM lists
+    """,
+    doc="Winnowing fingerprints (Schleimer et al., SIGMOD'03): min-hash "
+    "of each sliding window of 4 consecutive ordered 3-gram hashes. "
+    "Pure per-row array work — zero shuffles; guarantees shared runs "
+    ">= w+k-1 tokens produce shared fingerprints at ~1/w density.",
+)
+def doc_winnow_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "text", "doc_id", k=3, w=4)
