@@ -148,3 +148,56 @@ def near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def centroids_by_cell(
+    corpus: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell mean vector (one k-means step) -> (cell, centroid).
+
+    posexplode + per-(cell, dim) avg + ordered re-assembly: the shuffle
+    keys on (cell, dim) so no executor ever holds more than one running
+    mean — at 100 TB this is how you compute centroids without ever
+    materializing a cell's vectors in one place."""
+    dims = (
+        corpus.select(
+            F.col(cell_col).alias("cell"),
+            F.posexplode(as_double_array(vec_col)).alias("pos", "x"),
+        )
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("m"))
+    )
+    return dims.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-quantizer assignment: nearest centroid (squared L2) per
+    vector -> (vec_id, cell). The centroid table is tiny and broadcast;
+    each vector is scored against all k cells in its scan task, then a
+    per-vector argmin (row_number over k rows) picks the cell. Ties
+    break on cell id so the assignment is deterministic."""
+    c = F.broadcast(centroids.select("cell", F.col("centroid").alias("ce")))
+    v = vectors.select(F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("ve"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("ve"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = v.crossJoin(c).select("vec_id", "cell", d2.alias("d2"))
+    w = W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )

@@ -403,3 +403,40 @@ def doc_winnow_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return winnow_fingerprints(docs, "text", "doc_id", k=3, w=4)
+
+
+@register(
+    "embed_cell_assign",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (
+      SELECT label, i, avg(v[i]) AS m
+      FROM e, UNNEST(range(1, len(v) + 1)) AS t(i)
+      GROUP BY label, i
+    ),
+    cent AS (SELECT label AS cell, list(m ORDER BY i) AS c FROM dims GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, cent.cell, list_distance(e.v, cent.c) AS d
+      FROM e CROSS JOIN cent
+    )
+    SELECT vec_id, cell
+    FROM (SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+    doc="IVF coarse quantizer end-to-end: per-cell mean centroids (one "
+    "k-means step, computed per-dimension so no cell ever gathers on "
+    "one executor) then broadcast-argmin assignment. This is the step "
+    "that produces the cell ids embed_ivf_topk and dedup_embed_near "
+    "block on. Ordering-only use of distance keeps it oracle-exact "
+    "(sqrt vs squared L2 is monotone).",
+)
+def embed_cell_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.similarity import (
+        assign_cells,
+        centroids_by_cell,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return assign_cells(emb, centroids_by_cell(emb))
