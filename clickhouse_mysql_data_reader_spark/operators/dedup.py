@@ -203,15 +203,27 @@ def jaccard_pairs(
 
     shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = shingles.alias("sa")
-    b = shingles.alias("sb")
-    inter = (
-        a.join(b, (F.col("sa.sh_h") == F.col("sb.sh_h")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
-        .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    if candidates is None:
+        a = shingles.alias("sa")
+        b = shingles.alias("sb")
+        inter = (
+            a.join(b, (F.col("sa.sh_h") == F.col("sb.sh_h")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
+            .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        # candidates DRIVE the join (not a post-hoc semi-join filter):
+        # the intermediate is |candidates| x shingles-per-doc, never the
+        # all-pairs co-shingle explosion — this is what makes
+        # LSH-then-verify linear-ish at 100 TB.
+        sa = shingles.select(F.col("doc_id").alias("doc_a"), F.col("sh_h").alias("_h"))
+        sb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("sh_h").alias("_h"))
+        inter = (
+            candidates.join(sa, "doc_a")
+            .join(sb, ["doc_b", "_h"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     out = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")

@@ -440,3 +440,45 @@ def embed_cell_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return assign_cells(emb, centroids_by_cell(emb))
+
+
+@register(
+    "dedup_lsh_jaccard",
+    f"""
+    WITH {_SHINGLE_CTE},
+    mh AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+    bands AS (
+    {_BAND_SELECTS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.sh_h = a.sh_h
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_inter,
+           i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    """,
+    doc="The full 100 TB near-dup pipeline as one verified operator: "
+    "MinHash signatures -> LSH band buckets -> candidate pairs -> exact "
+    "Jaccard ONLY over candidates. The candidate set drives the "
+    "verification join, so the all-pairs co-shingle explosion never "
+    "materializes — cost is |candidates| x shingles-per-doc.",
+)
+def dedup_lsh_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, "text", "doc_id", k=3)
+    sigs = minhash_signatures(sh, NUM_HASHES)
+    cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
+    return jaccard_pairs(sh, candidates=cands)
