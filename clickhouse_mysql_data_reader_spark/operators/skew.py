@@ -13,9 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# (partial_fn, merge_fn) per supported algebraic aggregate
+# (partial_fn, merge_fn) per supported algebraic aggregate.
+# count honors SQL count(col) semantics (nulls excluded); pass a
+# known-non-null column for count(*) behavior.
 _ALGEBRAIC = {
-    "count": (lambda c: F.count(F.lit(1)), F.sum),
+    "count": (F.count, F.sum),
     "sum": (F.sum, F.sum),
     "min": (F.min, F.min),
     "max": (F.max, F.max),
@@ -69,7 +71,25 @@ def salted_join(
     replicated num_salts times (explode of a literal range — num_salts
     times ITS size, which is why this fits dimension-ish right sides).
     The join key becomes (on + salt), so one hot key's rows land on
-    num_salts different reducers instead of one."""
+    num_salts different reducers instead of one.
+
+    Only inner/left/semi/anti shapes are semantics-preserving: an
+    unmatched row on the REPLICATED side exists in every salted copy,
+    so right/full outer joins would emit it num_salts times."""
+    if how.replace("_", "").lower() not in (
+        "inner",
+        "left",
+        "leftouter",
+        "leftsemi",
+        "semi",
+        "leftanti",
+        "anti",
+        "cross",
+    ):
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched rows of "
+            "the replicated side; use inner/left/semi/anti"
+        )
     s = skewed.withColumn(
         "_salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(num_salts)),

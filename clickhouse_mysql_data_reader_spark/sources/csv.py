@@ -21,7 +21,19 @@ from pyspark.sql import types as T
 def sniff_dialect(path: str, sample_bytes: int = 4096) -> tuple[str, bool]:
     """(delimiter, has_header) from the first file's head — the same
     csv.Sniffer call the reference makes, kept off the executors."""
-    first = sorted(glob.glob(os.path.join(path, "*.csv")))[0] if os.path.isdir(path) else path
+    if os.path.isdir(path):
+        # prefer *.csv, else any regular data file (e.g. part-* without
+        # extension); hidden/_SUCCESS markers excluded
+        names = sorted(glob.glob(os.path.join(path, "*.csv"))) or sorted(
+            p
+            for p in glob.glob(os.path.join(path, "*"))
+            if os.path.isfile(p) and not os.path.basename(p).startswith((".", "_"))
+        )
+        if not names:
+            raise ValueError(f"sniff_dialect: no data files found under {path!r}")
+        first = names[0]
+    else:
+        first = path
     with open(first, newline="") as f:
         sample = f.read(sample_bytes)
     sniffer = csv.Sniffer()

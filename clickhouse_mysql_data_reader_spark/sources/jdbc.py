@@ -127,6 +127,37 @@ def match_tables(
     return out
 
 
+def scan_options(
+    cfg: JdbcSourceConfig,
+    db: str,
+    table: str,
+    columns: list[str] | None = None,
+    skip_columns: list[str] | None = None,
+    where: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+) -> dict[str, str]:
+    """The complete JDBC reader option set for one table scan (pure —
+    unit-testable without a server).
+
+    Spark forbids ``query`` together with ``partitionColumn``; the
+    partitioned path therefore ships the pruned/filtered SELECT as a
+    ``dbtable`` subquery (same server-side pushdown, legal with range
+    slicing)."""
+    sql = build_select(db, table, columns, skip_columns, where)
+    opts = cfg.base_options()
+    if partition_column is not None:
+        opts["dbtable"] = f"({sql}) AS __scan"
+    else:
+        opts["query"] = sql
+    opts.update(
+        partition_options(partition_column, lower_bound, upper_bound, num_partitions)
+    )
+    return opts
+
+
 def read_table(
     spark: SparkSession,
     cfg: JdbcSourceConfig,
@@ -149,13 +180,17 @@ def read_table(
     here instead (SURVEY.md §4 custom-work item 2).
     """
     reader = spark.read.format("jdbc")
-    for k, v in cfg.base_options().items():
-        reader = reader.option(k, v)
-    reader = reader.option(
-        "query", build_select(db, table, columns, skip_columns, where)
-    )
-    for k, v in partition_options(
-        partition_column, lower_bound, upper_bound, num_partitions
+    for k, v in scan_options(
+        cfg,
+        db,
+        table,
+        columns,
+        skip_columns,
+        where,
+        partition_column,
+        lower_bound,
+        upper_bound,
+        num_partitions,
     ).items():
         reader = reader.option(k, v)
     df = reader.load()

@@ -101,3 +101,37 @@ def test_csv_source_reads_spark_written_directory(spark, tmp_path):
     src.write.option("header", True).csv(out)
     back = read_csv(spark, out, schema="id int, v string").orderBy("id")
     assert [tuple(r) for r in back.collect()] == [(1, "a"), (2, "b")]
+
+
+def test_partitioned_scan_uses_dbtable_subquery():
+    # Spark forbids query+partitionColumn together: the partitioned
+    # path must ship the SELECT as a dbtable subquery instead
+    from clickhouse_mysql_data_reader_spark.sources.jdbc import scan_options
+
+    cfg = JdbcSourceConfig(url="jdbc:mysql://h:3306")
+    opts = scan_options(
+        cfg, "db", "t", where="id > 5",
+        partition_column="id", lower_bound=0, upper_bound=100, num_partitions=4,
+    )
+    assert "query" not in opts
+    assert opts["dbtable"] == "(SELECT * FROM `db`.`t` WHERE id > 5) AS __scan"
+    assert opts["partitionColumn"] == "id"
+    # unpartitioned path keeps the plain query option
+    opts1 = scan_options(cfg, "db", "t")
+    assert opts1["query"] == "SELECT * FROM `db`.`t`"
+    assert "dbtable" not in opts1
+
+
+def test_sniff_dialect_clear_error_and_extensionless_fallback(tmp_path):
+    import pytest as _pytest
+
+    empty = tmp_path / "emptydir"
+    empty.mkdir()
+    with _pytest.raises(ValueError, match="no data files"):
+        sniff_dialect(str(empty))
+    d = tmp_path / "partdir"
+    d.mkdir()
+    (d / "_SUCCESS").write_text("")
+    (d / "part-00000").write_text("id,v\n1,a\n2,b\n")
+    delimiter, has_header = sniff_dialect(str(d))
+    assert delimiter == ","
