@@ -310,3 +310,21 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         num_salts=16,
     )
+
+
+@register(
+    "agg_approx_percentile",
+    None,  # t-digest sketch values are engine-specific -> rows-only check
+    doc="percentile_approx (mergeable sketch, constant memory per group) "
+    "— the 100 TB path for agg_percentile; the exact form is its "
+    "correctness anchor at test scale.",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 1000).alias("p50_approx"),
+            F.percentile_approx("o_totalprice", 0.9, 1000).alias("p90_approx"),
+        )
+    )
