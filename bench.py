@@ -33,7 +33,7 @@ HEADLINE = [
     "cdc_apply_final_state",
     "dedup_latest_wins",
     "dedup_minhash_signatures",
-    "dedup_ngram_jaccard",
+    "dedup_lsh_jaccard",
     "embed_cosine_topk",
     "text_quality_score",
 ]
