@@ -79,7 +79,7 @@ def join_asof_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('b1_lt50k', 0, 50000), ('b2_50_150k', 50000, 150000),
         ('b3_150_300k', 150000, 300000), ('b4_ge300k', 300000, 600000))
     SELECT band, count(*) AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
     FROM orders JOIN bands
       ON o_totalprice >= lo AND o_totalprice < hi
     GROUP BY band
@@ -108,7 +108,7 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("sum_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
         )
     )
 
@@ -118,7 +118,7 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
-           sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
            count(*) AS n_rows
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -133,7 +133,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                coalesce(l_linestatus, 'ALL') AS linestatus,
-               sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                count(*) AS n_rows
         FROM lineitem_gsets
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -185,8 +185,8 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, us,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -231,7 +231,7 @@ def window_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events, UNNEST([0, 1]) AS t(i)
     )
     SELECT win_start_us, event_type, count(*) AS n_events,
-           sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM slots GROUP BY win_start_us, event_type
     """,
     doc="Sliding-window aggregate (1h window, 30m slide) in batch form: "
@@ -245,7 +245,7 @@ def window_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
         .select(
             F.unix_micros(F.col("win.start")).alias("win_start_us"),
@@ -280,7 +280,7 @@ def csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            count(*) AS n_rows,
-           sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
            min(l_orderkey) AS min_key,
            max(l_orderkey) AS max_key
     FROM lineitem
@@ -299,7 +299,7 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").withColumn(
         "qty_dec", F.col("l_quantity").cast("decimal(18,4)")
     )
-    return salted_aggregate(
+    out = salted_aggregate(
         li,
         keys=["l_returnflag"],
         aggs={
@@ -310,21 +310,38 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         num_salts=16,
     )
+    return out.withColumn("sum_qty", F.col("sum_qty").cast("double"))
 
 
 @register(
     "agg_approx_percentile",
-    None,  # t-digest sketch values are engine-specific -> rows-only check
+    """
+    SELECT o_orderpriority, TRUE AS p50_within_2pct, TRUE AS p90_within_2pct
+    FROM orders GROUP BY o_orderpriority
+    """,
     doc="percentile_approx (mergeable sketch, constant memory per group) "
     "— the 100 TB path for agg_percentile; the exact form is its "
-    "correctness anchor at test scale.",
+    "correctness anchor at test scale. Sketch values are engine-"
+    "specific, so the oracle is a bounded check: Spark computes both "
+    "the sketch and the exact percentile and asserts the sketch lands "
+    "within 2%; the oracle asserts TRUE per group.",
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def within(approx, exact, tol=0.02):
+        return F.abs(approx - exact) <= tol * F.abs(exact)
+
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
             F.percentile_approx("o_totalprice", 0.5, 1000).alias("p50_approx"),
             F.percentile_approx("o_totalprice", 0.9, 1000).alias("p90_approx"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90_exact"),
+        )
+        .select(
+            "o_orderpriority",
+            within(F.col("p50_approx"), F.col("p50_exact")).alias("p50_within_2pct"),
+            within(F.col("p90_approx"), F.col("p90_exact")).alias("p90_within_2pct"),
         )
     )

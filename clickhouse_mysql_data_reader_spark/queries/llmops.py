@@ -188,7 +188,8 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id, i
     )
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN (1::BIGINT << bit_i) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit_i) ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     """,
     doc="32-bit SimHash: token hashes vote bitwise (frequency-weighted); "

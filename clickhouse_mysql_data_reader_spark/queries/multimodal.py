@@ -35,9 +35,9 @@ from clickhouse_mysql_data_reader_spark.sources.parquet import load_table
                 ELSE 'video' END AS kind,
            sha256(text) AS content_sha,
            octet_length(encode(text)) AS n_bytes,
-           list_transform([1, 2, 3, 4, 5, 6, 7, 8],
-                          i -> ('0x' || substr(md5(text), 2*i - 1, 2))::INT
-           ) AS feature_q
+           array_to_string(list_transform([1, 2, 3, 4, 5, 6, 7, 8],
+                           i -> ('0x' || substr(md5(text), 2*i - 1, 2))::INT
+           ), ',') AS feature_q
     FROM documents
     """,
     doc="Feature extraction over binary media columns via mapInPandas "
@@ -53,7 +53,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         "content_sha",
         "n_bytes",
-        F.transform("feature", lambda x: F.round(x * 255).cast("int")).alias("feature_q"),
+        # joined to a flat string: array columns reach pandas as numpy
+        # arrays on one side and lists on the other — a delimiter-joined
+        # VARCHAR is representation-stable in the driver's value hash
+        F.array_join(
+            F.transform("feature", lambda x: F.round(x * 255).cast("int")), ","
+        ).alias("feature_q"),
     )
 
 

@@ -65,7 +65,7 @@ def table_name_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "type_coercion_parity",
     """
     SELECT o_orderkey,
-           CAST(o_orderkey AS DECIMAL(20,0)) AS okey_u64,
+           CAST(CAST(o_orderkey AS DECIMAL(20,0)) AS VARCHAR) AS okey_u64,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
            CAST(o_orderdate AS DATE) AS odate,
            CAST(year(o_orderdate) AS INT) AS o_year_u16
@@ -81,7 +81,9 @@ def type_coercion_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
     return orders.select(
         "o_orderkey",
-        F.col("o_orderkey").cast("decimal(20,0)").alias("okey_u64"),
+        # DECIMAL(20,0) is the UInt64-widening type; surfaced as its
+        # digit string so the compare is representation-stable
+        F.col("o_orderkey").cast("decimal(20,0)").cast("string").alias("okey_u64"),
         F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price_str"),
         F.col("o_orderdate").cast("date").alias("odate"),
         F.year("o_orderdate").cast("int").alias("o_year_u16"),
@@ -120,7 +122,7 @@ def null_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT _src_table,
            count(*) AS n_rows,
-           sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
     FROM (
       SELECT 'orders_1995' AS _src_table, o_totalprice FROM orders
       WHERE year(o_orderdate) = 1995
@@ -140,7 +142,7 @@ def rename_fanin_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     unified = fan_in(spark, [y95, y96], ["orders_1995", "orders_1996"])
     return unified.groupBy("_src_table").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("sum_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
     )
 
 
@@ -169,7 +171,7 @@ def partition_month_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_latest_wins",
     """
     SELECT user_id, event_type, event_id AS latest_event_id,
-           CAST(value AS DECIMAL(18,4)) AS latest_value
+           value AS latest_value
     FROM (
       SELECT *, row_number() OVER (PARTITION BY user_id, event_type
                                    ORDER BY ts DESC, event_id DESC) AS rn
@@ -187,7 +189,7 @@ def dedup_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         F.col("event_id").alias("latest_event_id"),
-        F.col("value").cast("decimal(18,4)").alias("latest_value"),
+        F.col("value").alias("latest_value"),
     )
 
 
@@ -195,7 +197,7 @@ def dedup_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_apply_final_state",
     """
     SELECT user_id, event_id AS last_event_id,
-           CAST(value AS DECIMAL(18,4)) AS last_value
+           value AS last_value
     FROM (
       SELECT user_id, event_id, value,
              CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
@@ -231,5 +233,5 @@ def cdc_apply_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
-        F.col("value").cast("decimal(18,4)").alias("last_value"),
+        F.col("value").alias("last_value"),
     )
