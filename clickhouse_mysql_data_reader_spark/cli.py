@@ -1,0 +1,117 @@
+"""CLI entrypoint (O4) — ``python -m clickhouse_mysql_data_reader_spark``.
+
+Routes the reference's four verbs (main.py:185-228: start() dispatch
+over create-table-sql / create-table-json-template / migrate-table /
+pump-data) onto the engine:
+
+- create-table-sql  -> print executable Spark DDL per discovered table
+- create-table-json-template -> print the JSON IPC template
+- migrate-table     -> Migrator.migrate_all() + reconciliation report
+- pump-data         -> streaming CDC pump over a JSON event directory
+
+Exit code is 0 only when every migrated table reconciles (the
+reference's manual acceptance check, automated).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+from clickhouse_mysql_data_reader_spark.config import AppConfig, parse_config
+from clickhouse_mysql_data_reader_spark.migrator import Migrator
+
+
+def _get_spark(cfg: AppConfig) -> SparkSession:
+    spark = (
+        SparkSession.builder.appName("clickhouse-mysql-spark")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel(cfg.log_level)
+    return spark
+
+
+def run(cfg: AppConfig, spark: SparkSession | None = None) -> int:
+    verb = cfg.verb()  # validates exactly-one
+    spark = spark or _get_spark(cfg)
+
+    if verb in ("create-table-sql", "create-table-json-template"):
+        mig = Migrator(spark, cfg)
+        for db, tables in sorted(mig.discover().items()):
+            for table in tables:
+                df = mig.read_source(db, table)
+                if verb == "create-table-sql":
+                    dst_db, dst_table = mig.resolver.resolve(db, table)
+                    location = (
+                        f"{cfg.dst.parquet_dir}/{dst_db}/{dst_table}"
+                        if cfg.dst.parquet_dir
+                        else None
+                    )
+                    print(mig.ddl_for(db, table, df, location) + ";")
+                else:
+                    print(mig.json_template_for(db, table, df))
+        return 0
+
+    if verb == "migrate-table":
+        mig = Migrator(spark, cfg)
+        reports = mig.migrate_all()
+        ok = True
+        for r in reports:
+            print(json.dumps(r.as_dict()))
+            ok = ok and (cfg.dry or r.reconciled)
+        return 0 if ok else 1
+
+    # pump-data
+    from pyspark.sql import types as T
+
+    from clickhouse_mysql_data_reader_spark.catalog.names import NameResolver
+    from clickhouse_mysql_data_reader_spark.streaming.pump import (
+        SnapshotStore,
+        read_cdc_stream,
+        start_pump,
+    )
+
+    p = cfg.pump
+    if not (p.cdc_dir and p.checkpoint_dir and p.snapshot_root and p.key_cols):
+        raise ValueError(
+            "--pump-data requires --cdc-dir, --binlog-position-file, "
+            "--snapshot-root and --pump-key-columns"
+        )
+    # payload schema from a sample event file (driver-side peek, like
+    # the reference reading the binlog header)
+    sample = spark.read.json(p.cdc_dir)
+    payload = T.StructType(
+        [f for f in sample.schema.fields
+         if f.name not in {"op", "log_file", "log_pos", "schema", "table"}]
+    )
+    events = read_cdc_stream(
+        spark, p.cdc_dir, payload, max_files_per_trigger=p.max_files_per_trigger
+    )
+    store = SnapshotStore(
+        root=p.snapshot_root,
+        key_cols=p.key_cols,
+        resolver=NameResolver(
+            dst_schema=cfg.dst.schema,
+            dst_table=cfg.dst.table,
+            dst_table_prefix=cfg.dst.table_prefix,
+        ),
+    )
+    trigger: dict = {}
+    if p.available_now:
+        trigger = {"availableNow": True}
+    elif p.flush_interval_secs:
+        trigger = {"processingTime": f"{p.flush_interval_secs} seconds"}
+    query = start_pump(events, store, p.checkpoint_dir, trigger or None)
+    query.awaitTermination()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    return run(parse_config(argv))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -54,13 +54,20 @@ def read_csv(
     schema: T.StructType | str | None = None,
     empty_as_null: bool = True,
     infer_schema: bool = True,
+    sampling_ratio: float = 0.01,
 ) -> DataFrame:
     """Distributed CSV read with sniffed dialect.
 
     ``empty_as_null`` reproduces T6 (empty-string→NULL on ingest) via
     the native ``nullValue`` option — per-cell Python conversion becomes
-    a scan-time rule. An explicit ``schema`` skips the inference pass
-    (one full extra read of the data — avoid at scale).
+    a scan-time rule.
+
+    Schema policy at scale: an explicit ``schema`` is the zero-extra-
+    pass path (no inference job at all — asserted in
+    tests/test_sources.py). When inferring, ``sampling_ratio`` bounds
+    the inference pass (Spark samples that fraction of rows) instead of
+    re-reading the full dataset — at 100 TB an unbounded inference
+    pass doubles the scan cost before the first real job runs.
     """
     delimiter, has_header = sniff_dialect(path)
     reader = (
@@ -73,5 +80,7 @@ def read_csv(
     if schema is not None:
         reader = reader.schema(schema)
     elif infer_schema:
-        reader = reader.option("inferSchema", True)
+        reader = reader.option("inferSchema", True).option(
+            "samplingRatio", sampling_ratio
+        )
     return reader.csv(path)

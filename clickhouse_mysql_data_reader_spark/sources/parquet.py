@@ -65,12 +65,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
 ) -> dict[str, DataFrame]:
-    """Load the test corpus; skips files that don't exist at this SF."""
+    """Load the test corpus; skips files that don't exist at this SF.
+
+    Delegates to ``load_table`` so every read shares the
+    TIMESTAMP(NANOS) rebuild and UTC session pinning — a direct
+    ``spark.read.parquet`` here would throw PARQUET_TYPE_ILLEGAL on
+    events.parquet under Spark 4.
+    """
     out: dict[str, DataFrame] = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = load_table(spark, sf_dir, name)
     return out
 
 
