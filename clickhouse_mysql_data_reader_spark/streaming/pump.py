@@ -21,13 +21,18 @@ Spark shape (restoring one unified path):
   binlog-position file (O5, config.py:42-58).
 
 Scale: each micro-batch does one window + one anti-join per touched
-table; state is bounded by snapshot size, and the snapshot itself is
-monthly-partitioned parquet so the merge only rewrites touched months.
+table; state is bounded by the *touched partitions* of the snapshot,
+not the whole table — the store is partition-versioned (see
+``SnapshotStore``), so a micro-batch touching one month of a 100 TB
+table reads and rewrites only that month.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
+import urllib.parse
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,49 +72,147 @@ def read_cdc_stream(
     return reader.load(path)
 
 
+PART_COL = "_part"
+MANIFEST = "MANIFEST.json"
+
+
 @dataclass
 class SnapshotStore:
-    """Parquet-backed current-state snapshots, one dir per (db, table).
+    """Partition-versioned parquet snapshots, one dir per (db, table).
 
-    ``apply`` rewrites the snapshot through a staging dir so a crashed
-    batch never leaves a half-written table; combined with the stream
-    checkpoint this gives effectively-once application.
+    Models the reference destination's ``ReplacingMergeTree(...)
+    PARTITION BY toYYYYMM(date)`` contract (reference
+    tablesqlbuilder.py:393-398) with the durability the reference gets
+    from ClickHouse parts:
+
+    - layout: ``<table>/gen-<N>/_part=<pv>/*.parquet`` data generations
+      plus a ``MANIFEST.json`` mapping each live partition value to the
+      generation directory that holds its current rows;
+    - ``apply`` merges a CDC batch into ONLY the partitions the batch
+      touches, writes the merged rows ONCE into a fresh generation, and
+      commits by atomically replacing the manifest (``os.replace``).
+      Untouched partitions keep pointing at their existing files, which
+      are never rewritten — per-trigger I/O is O(|touched partitions|),
+      not O(|snapshot|);
+    - a crash anywhere before the manifest swap leaves the previous
+      manifest (and every file it references) intact, so the next batch
+      reads the pre-crash state; the orphaned generation is garbage-
+      collected by the next successful commit. Combined with the stream
+      checkpoint this gives effectively-once application.
+
+    ``partition_expr`` is a SQL expression over payload columns (e.g.
+    ``date_format(day, 'yyyyMM')``). Like the reference's partition
+    key, it must be stable for a given primary key: an update that
+    moves a key across partitions leaves the old copy behind — the
+    exact semantics of ReplacingMergeTree, which also never merges
+    across partitions. Single writer per table (the micro-batch loop),
+    as in the reference's single-threaded pump.
     """
 
     root: str
     key_cols: list[str]
     order_cols: list[str] = field(default_factory=lambda: ["log_file", "log_pos"])
     resolver: NameResolver = field(default_factory=NameResolver)
+    partition_expr: str | None = None
 
     def path_for(self, db: str, table: str) -> str:
         dst_db, dst_table = self.resolver.resolve(db, table)
         return os.path.join(self.root, dst_db, dst_table)
 
-    def read(self, spark: SparkSession, db: str, table: str) -> DataFrame | None:
-        p = self.path_for(db, table)
-        if not os.path.exists(p):
+    # -- manifest ----------------------------------------------------------
+    def _load_manifest(self, tdir: str) -> dict | None:
+        mp = os.path.join(tdir, MANIFEST)
+        if not os.path.exists(mp):
             return None
-        return spark.read.parquet(p)
+        with open(mp) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, tdir: str, manifest: dict) -> None:
+        """Atomic commit: tmp write + ``os.replace`` (POSIX-atomic)."""
+        tmp = os.path.join(tdir, MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(tdir, MANIFEST))
+
+    def _gc(self, tdir: str, manifest: dict) -> None:
+        """Best-effort removal of generations the manifest no longer
+        references (crash-orphaned or fully superseded)."""
+        live = {rel.split("/", 1)[0] for rel in manifest["partitions"].values()}
+        for name in os.listdir(tdir):
+            if name.startswith("gen-") and name not in live:
+                shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+
+    def partition_paths(self, db: str, table: str) -> dict[str, str]:
+        """Live partition value -> absolute data dir (for tests/tools)."""
+        tdir = self.path_for(db, table)
+        m = self._load_manifest(tdir) or {"partitions": {}}
+        return {pv: os.path.join(tdir, rel) for pv, rel in m["partitions"].items()}
+
+    # -- read/apply --------------------------------------------------------
+    def read(self, spark: SparkSession, db: str, table: str) -> DataFrame | None:
+        tdir = self.path_for(db, table)
+        m = self._load_manifest(tdir)
+        if m is None:
+            return None
+        paths = [os.path.join(tdir, rel) for rel in m["partitions"].values()]
+        if not paths:  # every key deleted — empty frame with the landed schema
+            return spark.createDataFrame([], T.StructType.fromJson(m["schema"]))
+        return spark.read.parquet(*paths)
 
     def apply(self, spark: SparkSession, db: str, table: str, changes: DataFrame) -> None:
+        from clickhouse_mysql_data_reader_spark.operators.cdc import cdc_final_state
+
         payload_cols = [
             c for c in changes.columns if c not in {"op", "log_file", "log_pos", "schema", "table"}
         ]
-        base = self.read(spark, db, table)
-        if base is None:
-            from clickhouse_mysql_data_reader_spark.operators.cdc import cdc_final_state
+        tdir = self.path_for(db, table)
+        os.makedirs(tdir, exist_ok=True)
+        manifest = self._load_manifest(tdir) or {"version": 0, "partitions": {}, "schema": None}
 
-            merged = cdc_final_state(changes, self.key_cols, self.order_cols, payload_cols)
+        part_expr = F.expr(self.partition_expr) if self.partition_expr else F.lit("all")
+        changes = changes.withColumn(PART_COL, part_expr.cast("string"))
+        touched = sorted(
+            r[PART_COL] for r in changes.select(PART_COL).distinct().collect()
+        )
+        base_paths = [
+            os.path.join(tdir, manifest["partitions"][pv])
+            for pv in touched
+            if pv in manifest["partitions"]
+        ]
+        change_cols = changes.select(*payload_cols, "op", *self.order_cols)
+        if base_paths:
+            base = spark.read.parquet(*base_paths)
+            merged = apply_cdc_batch(base, change_cols, self.key_cols, self.order_cols)
         else:
-            merged = apply_cdc_batch(
-                base, changes.select(*payload_cols, "op", *self.order_cols),
-                self.key_cols, self.order_cols,
-            )
-        p = self.path_for(db, table)
-        staging = p + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        final_df = spark.read.parquet(staging)
-        final_df.write.mode("overwrite").parquet(p)
+            merged = cdc_final_state(change_cols, self.key_cols, self.order_cols, payload_cols)
+
+        gen = f"gen-{manifest['version'] + 1:06d}"
+        gen_dir = os.path.join(tdir, gen)
+        if os.path.exists(gen_dir):  # orphan from a crashed attempt: not in
+            shutil.rmtree(gen_dir)   # the manifest, safe to clear for retry
+        out = merged.withColumn(PART_COL, part_expr.cast("string"))
+        # the single data write of this commit (the old store wrote twice)
+        out.write.partitionBy(PART_COL).parquet(gen_dir)
+
+        written = {}
+        if os.path.isdir(gen_dir):
+            for d in os.listdir(gen_dir):
+                if d.startswith(PART_COL + "="):
+                    pv = urllib.parse.unquote(d.split("=", 1)[1])
+                    written[pv] = f"{gen}/{d}"
+        new_parts = dict(manifest["partitions"])
+        for pv in touched:  # a touched partition with zero survivors drops out
+            new_parts.pop(pv, None)
+        new_parts.update(written)
+        new_manifest = {
+            "version": manifest["version"] + 1,
+            "partitions": new_parts,
+            "schema": json.loads(merged.schema.json()),
+        }
+        self._commit_manifest(tdir, new_manifest)
+        self._gc(tdir, new_manifest)
 
 
 def start_pump(
