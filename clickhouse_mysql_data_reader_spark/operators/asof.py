@@ -37,18 +37,25 @@ def asof_join(
 
     ``seq_col`` (a right-side column) breaks ties among right rows with
     identical (key, ts) deterministically — the row with the greatest
-    ``seq_col`` wins, mirroring last-write-wins CDC semantics.
+    ``seq_col`` wins, mirroring last-write-wins CDC semantics. Without
+    ``seq_col`` the tie-break is a content hash of the right row
+    (``xxhash64`` over all its columns): arbitrary but DETERMINISTIC —
+    the same input rows produce the same winner regardless of input
+    partitioning, shuffle layout, or stage retries (unlike
+    ``monotonically_increasing_id``, which is partition-layout-
+    dependent and changes under retry).
     """
     left_cols = left.columns
     pay = [f"_r_{c}" for c in payload_cols]
 
     # Tag sides; left rows carry NULL payload slots that the running
     # window fills from the most recent preceding right row.
+    tie = F.col(seq_col) if seq_col else F.xxhash64(*[F.col(c) for c in right.columns])
     r = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        (F.col(seq_col) if seq_col else F.monotonically_increasing_id()).alias("_seq"),
+        tie.alias("_seq"),
         *[F.col(c).alias(p) for c, p in zip(payload_cols, pay)],
         *[F.lit(None).alias(c) for c in left_cols],
     )

@@ -1,0 +1,42 @@
+"""asof_join determinism (VERDICT r2 item 3): equal (key, ts) right
+rows must pick the SAME winner regardless of input partitioning."""
+
+from __future__ import annotations
+
+from clickhouse_mysql_data_reader_spark.operators.asof import asof_join
+
+
+def _frames(spark, right_parts):
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 150)], "k long, lts long"
+    )
+    # two right rows tie exactly on (k=1, ts=100) with different payloads
+    right = spark.createDataFrame(
+        [(1, 100, "a"), (1, 100, "b"), (1, 150, "c"), (2, 50, "d")],
+        "k long, rts long, v string",
+    ).repartition(right_parts, "v")
+    return left, right
+
+
+def _run(spark, right_parts):
+    left, right = _frames(spark, right_parts)
+    out = asof_join(left, right, "k", "lts", "rts", ["v"])
+    return sorted((r["k"], r["lts"], r["v"]) for r in out.collect())
+
+
+def test_asof_tie_break_stable_across_partitioning(spark):
+    results = {tuple(_run(spark, n)) for n in (1, 3, 7)}
+    assert len(results) == 1  # identical output under different layouts
+
+
+def test_asof_tie_break_stable_across_runs(spark):
+    assert _run(spark, 5) == _run(spark, 5)
+
+
+def test_asof_seq_col_still_wins(spark):
+    left = spark.createDataFrame([(1, 100)], "k long, lts long")
+    right = spark.createDataFrame(
+        [(1, 100, 1, "old"), (1, 100, 2, "new")], "k long, rts long, seq long, v string"
+    )
+    out = asof_join(left, right, "k", "lts", "rts", ["v"], seq_col="seq")
+    assert out.collect()[0]["v"] == "new"
