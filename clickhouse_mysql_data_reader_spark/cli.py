@@ -42,7 +42,9 @@ def run(cfg: AppConfig, spark: SparkSession | None = None) -> int:
         mig = Migrator(spark, cfg)
         for db, tables in sorted(mig.discover().items()):
             for table in tables:
-                df = mig.read_source(db, table)
+                # policy-applied frame so the printed DDL matches the
+                # schema migrate-table actually lands (column-skip etc.)
+                df = mig.apply_column_policy(mig.read_source(db, table))
                 if verb == "create-table-sql":
                     dst_db, dst_table = mig.resolver.resolve(db, table)
                     location = (

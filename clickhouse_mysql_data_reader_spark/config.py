@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import configparser
+import os
 from dataclasses import dataclass, field
 
 
@@ -71,18 +72,23 @@ class SourceConfig:
 
     def where_for(self, table: str) -> str | None:
         """Positional WHERE pairing, same contract as the reference:
-        --src-tables=t1,t2 --src-tables-where-clauses=w1,w2 (a clause
-        may also be a path to a file containing the clause — not
-        supported here; pass the clause text)."""
+        --src-tables=t1,t2 --src-tables-where-clauses=w1,w2. As in the
+        reference (tablemigrator.py:69-119), a clause that names an
+        existing file is read from that file (first line wins, matching
+        its ``readline()``)."""
         if not self.tables_where_clauses:
             return None
         try:
             idx = self.tables.index(table)
         except ValueError:
             return None
-        if idx < len(self.tables_where_clauses):
-            return self.tables_where_clauses[idx] or None
-        return None
+        if idx >= len(self.tables_where_clauses):
+            return None
+        clause = self.tables_where_clauses[idx]
+        if clause and os.path.isfile(clause):
+            with open(clause) as f:
+                clause = f.readline().strip()
+        return clause or None
 
 
 @dataclass
@@ -233,28 +239,38 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _layer_config_file(path: str, args: argparse.Namespace) -> None:
     """INI file fills any value still at its parser default — CLI wins,
-    same layering as the reference (clioptions.py:785-800)."""
+    same layering as the reference (clioptions.py:785-800).
+
+    Values are coerced by the option's REGISTERED type and nargs (not by
+    the default's runtime type, which mis-typed every option whose
+    default is None): boolean flags via getboolean, ``nargs='*'`` list
+    options via CSV split, typed scalars via the argparse ``type``
+    callable."""
     ini = configparser.ConfigParser()
     read = ini.read(path)
     if not read:
         raise FileNotFoundError(path)
     parser = build_parser()
+    actions: dict[str, argparse.Action] = {}
+    for a in parser._actions:
+        actions[a.dest] = a
+        for opt in a.option_strings:  # INI keys use the option spelling
+            actions[opt.lstrip("-").replace("-", "_")] = a
     for section in ini.sections():
         for key, value in ini.items(section):
-            dest = key.replace("-", "_")
-            if not hasattr(args, dest):
+            action = actions.get(key.replace("-", "_"))
+            if action is None or not hasattr(args, action.dest):
                 continue
-            if getattr(args, dest) != parser.get_default(dest):
+            if getattr(args, action.dest) != parser.get_default(action.dest):
                 continue  # explicitly set on the CLI
-            default = parser.get_default(dest)
-            if isinstance(default, bool):
-                setattr(args, dest, ini.getboolean(section, key))
-            elif isinstance(default, int) and default is not None:
-                setattr(args, dest, int(value))
-            elif isinstance(default, float) and default is not None:
-                setattr(args, dest, float(value))
+            if isinstance(action, argparse._StoreTrueAction):
+                setattr(args, action.dest, ini.getboolean(section, key))
+            elif action.nargs in ("*", "+"):
+                setattr(args, action.dest, _split_csv(value))
+            elif action.type is not None:
+                setattr(args, action.dest, action.type(value))
             else:
-                setattr(args, dest, value)
+                setattr(args, action.dest, value)
 
 
 def parse_config(argv: list[str] | None = None) -> AppConfig:

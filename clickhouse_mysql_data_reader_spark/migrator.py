@@ -104,15 +104,17 @@ class Migrator:
                 for f in os.listdir(src.parquet_dir)
                 if f.endswith(".parquet")
             )
-            if src.tables:
-                names = [t for t in names if t in src.tables]
-            if src.tables_prefixes:
-                names = [
+            # union-of-inclusions over the FULL discovered list, same
+            # semantics as the JDBC path (jdbc.match_tables): a table
+            # kept by EITHER --src-tables OR a prefix survives
+            if src.tables or src.tables_prefixes:
+                keep = {t for t in names if t in src.tables} | {
                     t
                     for t in names
                     if any(t.startswith(p) for p in src.tables_prefixes)
-                ] + [t for t in names if t in src.tables]
-            return {db: sorted(set(names))}
+                }
+                names = sorted(keep)
+            return {db: names}
         if src.file:
             table = os.path.splitext(os.path.basename(src.file))[0]
             return {(src.schemas[0] if src.schemas else "default"): [table]}

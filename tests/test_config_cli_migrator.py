@@ -1,0 +1,322 @@
+"""Tests for the O4/K9 product surface (VERDICT r2 item 2): config
+parsing and INI layering, Migrator discovery/policy, and the
+migrate-table verb end-to-end over TESTDATA — the reference's own
+acceptance method (docs/manual.md:436-443, count reconciliation).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from clickhouse_mysql_data_reader_spark.cli import run
+from clickhouse_mysql_data_reader_spark.config import AppConfig, parse_config
+from clickhouse_mysql_data_reader_spark.migrator import Migrator
+
+SF = "/root/testdata/sf0.001"
+
+
+# -- config: CLI parsing ----------------------------------------------------
+
+
+def test_parse_basic_migrate_verb():
+    cfg = parse_config(
+        [
+            "--migrate-table",
+            "--src-parquet-dir", SF,
+            "--src-tables", "nation,region",
+            "--dst-parquet-dir", "/tmp/out",
+        ]
+    )
+    assert cfg.verb() == "migrate-table"
+    assert cfg.src.tables == ["nation", "region"]
+    assert cfg.dst.parquet_dir == "/tmp/out"
+
+
+def test_verb_validation_rejects_none_and_multiple():
+    with pytest.raises(ValueError):
+        parse_config(["--src-parquet-dir", SF]).verb()
+    with pytest.raises(ValueError):
+        parse_config(["--migrate-table", "--pump-data"]).verb()
+
+
+def test_column_skip_csv_and_repeated_forms():
+    a = parse_config(["--migrate-table", "--column-skip", "a,b"])
+    b = parse_config(["--migrate-table", "--column-skip", "a", "b"])
+    assert a.columns.skip == b.columns.skip == ["a", "b"]
+
+
+def test_column_default_value_pairs():
+    cfg = parse_config(
+        ["--migrate-table", "--column-default-value", "x=0", "y=none"]
+    )
+    assert cfg.columns.defaults == {"x": "0", "y": "none"}
+    with pytest.raises(ValueError):
+        parse_config(["--migrate-table", "--column-default-value", "noequals"])
+
+
+def test_where_clause_positional_pairing():
+    cfg = parse_config(
+        [
+            "--migrate-table",
+            "--src-tables", "t1,t2,t3",
+            "--src-tables-where-clauses", "a > 1,b = 2",
+        ]
+    )
+    assert cfg.src.where_for("t1") == "a > 1"
+    assert cfg.src.where_for("t2") == "b = 2"
+    assert cfg.src.where_for("t3") is None  # fewer clauses than tables
+    assert cfg.src.where_for("unknown") is None
+
+
+def test_where_clause_from_file(tmp_path):
+    """Reference contract tablemigrator.py:69-119: a clause naming an
+    existing file is read from the file (first line)."""
+    clause = tmp_path / "where.sql"
+    clause.write_text("n_regionkey = 1\n-- trailing comment line\n")
+    cfg = parse_config(
+        [
+            "--migrate-table",
+            "--src-tables", "nation",
+            "--src-tables-where-clauses", str(clause),
+        ]
+    )
+    assert cfg.src.where_for("nation") == "n_regionkey = 1"
+
+
+# -- config: INI layering ---------------------------------------------------
+
+INI = """
+[source]
+src-parquet-dir = {sf}
+src-tables = nation,region
+src-lower-bound = 5
+num-partitions = 4
+mempool-max-flush-interval = 2.5
+mempool-max-events-num = 7
+column-skip = n_comment,r_comment
+column-default-value = a=1,b=2
+dst-distribute = true
+binlog-position-file = /tmp/ckpt
+"""
+
+
+def _ini(tmp_path):
+    p = tmp_path / "app.ini"
+    p.write_text(INI.format(sf=SF))
+    return str(p)
+
+
+def test_ini_layering_types(tmp_path):
+    """The ADVICE r2 medium: INI values must be coerced by the option's
+    registered type/nargs — list options to lists, int/float options
+    with None defaults to numbers, booleans via getboolean."""
+    cfg = parse_config(["--migrate-table", "--config-file", _ini(tmp_path)])
+    assert cfg.src.parquet_dir == SF
+    assert cfg.src.tables == ["nation", "region"]
+    assert cfg.src.lower_bound == 5  # int despite default None
+    assert cfg.src.num_partitions == 4
+    assert cfg.pump.flush_interval_secs == 2.5  # float despite default None
+    assert cfg.pump.max_files_per_trigger == 7
+    assert cfg.columns.skip == ["n_comment", "r_comment"]  # nargs='*' list
+    assert cfg.columns.defaults == {"a": "1", "b": "2"}
+    assert cfg.dst.distribute is True
+    assert cfg.pump.checkpoint_dir == "/tmp/ckpt"  # dest-aliased option
+
+
+def test_cli_overrides_ini(tmp_path):
+    cfg = parse_config(
+        [
+            "--migrate-table",
+            "--config-file", _ini(tmp_path),
+            "--src-tables", "orders",
+            "--num-partitions", "16",
+        ]
+    )
+    assert cfg.src.tables == ["orders"]
+    assert cfg.src.num_partitions == 16
+    assert cfg.src.lower_bound == 5  # untouched keys still layered
+
+
+def test_missing_config_file_raises():
+    with pytest.raises(FileNotFoundError):
+        parse_config(["--migrate-table", "--config-file", "/nope/absent.ini"])
+
+
+# -- migrator: discovery ----------------------------------------------------
+
+
+def _mig(spark, argv):
+    return Migrator(spark, parse_config(argv))
+
+
+def test_discover_all_tables(spark):
+    found = _mig(
+        spark, ["--migrate-table", "--src-parquet-dir", SF, "--src-schemas", "db"]
+    ).discover()
+    assert "db" in found and "lineitem" in found["db"] and "nation" in found["db"]
+
+
+def test_discover_tables_and_prefixes_union(spark):
+    """ADVICE r2: --src-tables and --src-tables-prefixes are a UNION of
+    inclusions over the full list, matching the JDBC discover path —
+    a prefix match absent from --src-tables must survive."""
+    found = _mig(
+        spark,
+        [
+            "--migrate-table",
+            "--src-parquet-dir", SF,
+            "--src-schemas", "db",
+            "--src-tables", "nation",
+            "--src-tables-prefixes", "part",
+        ],
+    ).discover()
+    assert found == {"db": ["nation", "part"]}
+
+
+def test_discover_prefix_only(spark):
+    found = _mig(
+        spark,
+        [
+            "--migrate-table",
+            "--src-parquet-dir", SF,
+            "--src-schemas", "db",
+            "--src-tables-prefixes", "region,nat",
+        ],
+    ).discover()
+    assert found == {"db": ["nation", "region"]}
+
+
+# -- migrator: policy + migrate loop ---------------------------------------
+
+
+def test_column_policy_skip_and_defaults(spark):
+    mig = _mig(
+        spark,
+        [
+            "--migrate-table",
+            "--src-parquet-dir", SF,
+            "--column-skip", "n_comment",
+            "--column-default-value", "n_name=unknown",
+        ],
+    )
+    df = mig.apply_column_policy(mig.read_source("db", "nation"))
+    assert "n_comment" not in df.columns
+    assert "n_name" in df.columns
+
+
+def test_migrate_all_reconciles(spark, tmp_path):
+    """Integration: migrate several tables end-to-end; every report
+    must reconcile src/dst counts (the reference's acceptance gate)."""
+    mig = _mig(
+        spark,
+        [
+            "--migrate-table",
+            "--src-parquet-dir", SF,
+            "--src-schemas", "db",
+            "--src-tables", "nation,region,customer,orders",
+            "--dst-parquet-dir", str(tmp_path / "dst"),
+        ],
+    )
+    reports = mig.migrate_all()
+    assert len(reports) == 4
+    assert all(r.reconciled for r in reports)
+    assert all(r.src_rows > 0 for r in reports)
+
+
+def test_migrate_with_where_clause_filters_rows(spark, tmp_path):
+    mig = _mig(
+        spark,
+        [
+            "--migrate-table",
+            "--src-parquet-dir", SF,
+            "--src-tables", "nation",
+            "--src-tables-where-clauses", "n_regionkey = 0",
+            "--dst-parquet-dir", str(tmp_path / "dst"),
+        ],
+    )
+    [report] = mig.migrate_all()
+    assert report.reconciled
+    assert 0 < report.src_rows < 25
+
+
+def test_migrate_dry_runs_nothing(spark, tmp_path):
+    dst = tmp_path / "dst"
+    mig = _mig(
+        spark,
+        [
+            "--migrate-table", "--dry",
+            "--src-parquet-dir", SF,
+            "--src-tables", "nation",
+            "--dst-parquet-dir", str(dst),
+        ],
+    )
+    [report] = mig.migrate_all()
+    assert report.src_rows == 25 and report.dst_rows == 0
+    assert not dst.exists()
+
+
+def test_migrate_to_csv_roundtrip(spark, tmp_path):
+    dst = tmp_path / "out_csv"
+    mig = _mig(
+        spark,
+        [
+            "--migrate-table",
+            "--src-parquet-dir", SF,
+            "--src-tables", "region",
+            "--dst-file", str(dst),
+        ],
+    )
+    [report] = mig.migrate_all()
+    assert report.reconciled and report.src_rows == 5
+
+
+# -- cli: verbs end-to-end --------------------------------------------------
+
+
+def test_cli_migrate_table_exit_code_and_report(spark, tmp_path, capsys):
+    cfg = parse_config(
+        [
+            "--migrate-table",
+            "--src-parquet-dir", SF,
+            "--src-tables", "nation",
+            "--dst-parquet-dir", str(tmp_path / "dst"),
+        ]
+    )
+    rc = run(cfg, spark)
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["reconciled"] is True and report["src_rows"] == 25
+
+
+def test_cli_create_table_sql_respects_column_skip(spark, capsys):
+    """ADVICE r2: the printed DDL must match the schema migrate-table
+    lands — column-skip applies to the create-table verbs too."""
+    cfg = parse_config(
+        [
+            "--create-table-sql",
+            "--src-parquet-dir", SF,
+            "--src-tables", "nation",
+            "--column-skip", "n_comment",
+        ]
+    )
+    assert run(cfg, spark) == 0
+    ddl = capsys.readouterr().out
+    assert "CREATE TABLE" in ddl
+    assert "n_nationkey" in ddl and "n_comment" not in ddl
+
+
+def test_cli_create_table_json_template(spark, capsys):
+    cfg = parse_config(
+        [
+            "--create-table-json-template",
+            "--src-parquet-dir", SF,
+            "--src-tables", "region",
+        ]
+    )
+    assert run(cfg, spark) == 0
+    tmpl = json.loads(capsys.readouterr().out)
+    names = [f["name"] for f in tmpl["schema"]["fields"]]
+    assert "r_regionkey" in names
+    assert tmpl["table"] == "region" and "CREATE TABLE" in tmpl["ddl"]

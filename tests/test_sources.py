@@ -95,6 +95,25 @@ def test_csv_source_sniff_and_null_handling(spark, tmp_path):
     assert rows[0]["name"] == "alice"
 
 
+def test_csv_explicit_schema_runs_no_inference_job(spark, tmp_path):
+    """The csv.py scale claim, asserted: with an explicit schema,
+    building the frame launches ZERO Spark jobs (no inference pass);
+    with inference on, at least one job runs before any action."""
+    p = tmp_path / "probe.csv"
+    p.write_text("id,name\n" + "\n".join(f"{i},n{i}" for i in range(50)) + "\n")
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    sc.setJobGroup("csv_no_infer", "schema given")
+    read_csv(spark, str(p), schema="id int, name string")  # build only
+    assert tracker.getJobIdsForGroup("csv_no_infer") == []
+
+    sc.setJobGroup("csv_infer", "inference")
+    read_csv(spark, str(p))  # inference path pays a sampled scan
+    assert len(tracker.getJobIdsForGroup("csv_infer")) >= 1
+    sc.setJobGroup(None, None)
+
+
 def test_csv_source_reads_spark_written_directory(spark, tmp_path):
     src = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
     out = os.path.join(str(tmp_path), "out_csv")
