@@ -24,6 +24,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 HEADLINE = [
     "q1_pricing_summary",
     "join_shuffle_fact_fact",
+    "join_shuffle_fact_fact_bucketed",
     "join_broadcast_dim",
     "window_topn_per_group",
     "agg_rollup",
@@ -56,12 +57,24 @@ def main() -> None:
     # plan+codegen cost.
     for warm in ("agg_count_distinct", "scan_prune_filter", "window_rank_dense", "text_token_stats", "join_semi"):
         qmap[warm](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # land the bucketed tables during warmup: the bucketed-join headline
+    # measures the QUERY over the landed layout, not the one-time write
+    # (the layout's whole point is paying the shuffle once at landing)
+    from clickhouse_mysql_data_reader_spark.queries.analytics import (
+        landed_bucketed_tables,
+    )
+
+    landed_bucketed_tables(spark, SF_DIR)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # caller-owned cache lifecycle: queries may persist shared
+        # frames (e.g. the shingle relation); release between queries so
+        # the session never accumulates stale cached relations
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

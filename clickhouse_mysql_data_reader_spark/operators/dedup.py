@@ -187,6 +187,7 @@ def jaccard_pairs(
     candidates: DataFrame | None = None,
     min_jaccard: float = 0.0,
     min_inter: int = 1,
+    storage=None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (or all co-shingled
     pairs when candidates is None).
@@ -196,12 +197,14 @@ def jaccard_pairs(
     all-pairs join only ever materializes pairs that share ≥1 shingle.
 
     The shingle relation is consumed three times (sizes + both join
-    sides), so it is persisted spill-safely — it is narrow (two 8-byte
-    columns), which is exactly why hashing shingles early pays off.
+    sides); pass ``storage`` (e.g. ``StorageLevel.MEMORY_AND_DISK``) to
+    persist it spill-safely for the duration. The CALLER owns the
+    persist lifecycle — unpersist/clearCache after the action — so a
+    long-lived session (the bench loop, a notebook) doesn't accumulate
+    stale cached relations. No persist happens by default.
     """
-    from pyspark import StorageLevel
-
-    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
+    if storage is not None:
+        shingles = shingles.persist(storage)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if candidates is None:
         a = shingles.alias("sa")

@@ -97,15 +97,21 @@ def extract_features(
     except Exception:
         pass
 
+    # content hash + size are JVM expressions (codegen, no Python): the
+    # bytes already cross into Arrow once for the decode, but hashing
+    # them doesn't need Python at all. The computed columns ride the
+    # Arrow batch through the UDF untouched.
+    media = media.withColumn(
+        "content_sha", F.sha2(F.coalesce(F.col("content"), F.lit(b"")), 256)
+    ).withColumn("n_bytes", F.coalesce(F.length("content"), F.lit(0)).cast("long"))
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
-                "content_sha": [
-                    hashlib.sha256(c or b"").hexdigest() for c in pdf["content"]
-                ],
-                "n_bytes": [len(c or b"") for c in pdf["content"]],
+                "content_sha": pdf["content_sha"],
+                "n_bytes": pdf["n_bytes"],
                 "feature": [
                     decode_fn(c, k) for c, k in zip(pdf["content"], pdf["kind"])
                 ],

@@ -4,14 +4,35 @@ AQE's skew-join splitting (on in session.py) handles most cases at
 runtime; salting is the *plan-level* tool for the pathological ones —
 a groupBy where one key owns half the input, or a shuffle join against
 a side with a few giant keys. Both transforms below are semantics-
-preserving and deterministic (hash-derived salt, no RNG), so results
-are oracle-checkable against the unsalted form.
+preserving (partials merge across salts, so the salt value never
+affects the result) and RNG-free, so results are oracle-checkable
+against the unsalted form.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _row_salt(df: DataFrame, num_salts: int) -> Column:
+    """Per-row salt in [0, num_salts): a hash of the row content MIXED
+    with the row's physical position (partition id + in-partition
+    offset). The position term spreads a hot key made of IDENTICAL rows
+    (common in event/CDC data) across salts — a pure content hash maps
+    all duplicates to one reducer, recreating the skew it was meant to
+    break. Stable where it matters: a retried map task re-reads the
+    same partition in the same order, so rows re-salt identically; and
+    since partials merge across all salts, the salt value never leaks
+    into results."""
+    return F.pmod(
+        F.xxhash64(
+            *[F.col(c) for c in df.columns],
+            F.spark_partition_id(),
+            F.monotonically_increasing_id(),
+        ),
+        F.lit(num_salts),
+    )
 
 # (partial_fn, merge_fn) per supported algebraic aggregate.
 # count honors SQL count(col) semantics (nulls excluded); pass a
@@ -36,15 +57,14 @@ def salted_aggregate(
 
     ``aggs`` maps output column -> (source column, fn) with fn in
     {count, sum, min, max} (algebraic: partials merge losslessly).
-    The salt is a deterministic hash of the whole row, not rand() —
-    rerunning a failed stage must re-salt identically.
+    The salt is position-mixed row hashing (see ``_row_salt``), not
+    rand() — a retried stage re-salts identically, and duplicate rows
+    of a hot key still spread.
     """
     for out, (_, fn) in aggs.items():
         if fn not in _ALGEBRAIC:
             raise ValueError(f"{out}: {fn} is not algebraically mergeable")
-    salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(num_salts))
-    )
+    salted = df.withColumn("_salt", _row_salt(df, num_salts))
     partial = salted.groupBy(*keys, "_salt").agg(
         *[
             _ALGEBRAIC[fn][0](src).alias(f"_p_{out}")
@@ -90,10 +110,7 @@ def salted_join(
             f"salted_join: how={how!r} would duplicate unmatched rows of "
             "the replicated side; use inner/left/semi/anti"
         )
-    s = skewed.withColumn(
-        "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(num_salts)),
-    )
+    s = skewed.withColumn("_salt", _row_salt(skewed, num_salts))
     o = other.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("long"))

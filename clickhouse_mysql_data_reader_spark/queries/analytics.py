@@ -11,6 +11,9 @@ re-plans at runtime. Comments on each query note the scale story.
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -256,9 +259,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "join_shuffle_fact_fact",
-    """
+_FACT_FACT_ORACLE = """
     SELECT o_orderpriority,
            count(*) AS n_lines,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
@@ -267,7 +268,23 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
     GROUP BY o_orderpriority
-    """,
+    """
+
+
+def _fact_fact_agg(joined: DataFrame) -> DataFrame:
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "join_shuffle_fact_fact",
+    _FACT_FACT_ORACLE,
     doc="Fact-fact equi join: sort-merge/shuffle-hash chosen by Catalyst, "
     "AQE splits skewed keys. Filter on orders is pushed below the join.",
 )
@@ -276,17 +293,72 @@ def join_shuffle_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
     )
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.sum(
-                _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
-            )
-            .cast("double")
-            .alias("revenue"),
+    return _fact_fact_agg(li.join(orders, li.l_orderkey == orders.o_orderkey))
+
+
+def _drop_stale_warehouse_dir(spark: SparkSession, table: str) -> None:
+    """A fresh in-memory metastore doesn't know tables a PREVIOUS
+    session landed, but their warehouse directories persist and make
+    saveAsTable fail with LOCATION_ALREADY_EXISTS — clear them."""
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if wh.scheme not in ("", "file"):
+        return
+    path = os.path.join(wh.path, table.lower())
+    if os.path.exists(path):
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def landed_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Land lineitem/orders as managed tables bucketed by the join key
+    (column-pruned to the query's needs) — the write-once MergeTree-
+    ORDER-BY-style layout. Idempotent per (catalog, sf_dir)."""
+    from clickhouse_mysql_data_reader_spark.sinks.batch import write_bucketed
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/")).lower()
+    lt, ot = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
+    if not spark.catalog.tableExists(lt):
+        _drop_stale_warehouse_dir(spark, lt)
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            lt, ["l_orderkey"], num_buckets=16, sort_cols=["l_orderkey"],
         )
+    if not spark.catalog.tableExists(ot):
+        _drop_stale_warehouse_dir(spark, ot)
+        write_bucketed(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderdate", "o_orderpriority"
+            ),
+            ot, ["o_orderkey"], num_buckets=16, sort_cols=["o_orderkey"],
+        )
+    return lt, ot
+
+
+@register(
+    "join_shuffle_fact_fact_bucketed",
+    _FACT_FACT_ORACLE,
+    doc="The same fact-fact join over tables LANDED bucketed by the join "
+    "key: both sides' bucket files align 1:1, so the join runs with NO "
+    "exchange below it — at 100 TB the dominant shuffle of the nightly "
+    "fact-fact join is paid once at landing time instead of per query. "
+    "Physical-plan variant of join_shuffle_fact_fact (same oracle).",
+)
+def join_shuffle_fact_fact_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lt, ot = landed_bucketed_tables(spark, sf_dir)
+    li = spark.table(lt)
+    orders = spark.table(ot).filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    # hint("merge") pins the scale-representative plan: at test SFs the
+    # pruned orders side fits the broadcast threshold, which would mask
+    # the co-located bucket join this layout exists to demonstrate; at
+    # 100 TB sort-merge is what Catalyst picks unhinted.
+    return _fact_fact_agg(
+        li.hint("merge").join(orders, li.l_orderkey == orders.o_orderkey)
     )
 
 

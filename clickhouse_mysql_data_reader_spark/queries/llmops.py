@@ -170,9 +170,13 @@ def dedup_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "path never forms the full cross product.",
 )
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_table(docs, "text", "doc_id", k=3)
-    return jaccard_pairs(sh, min_inter=3)
+    # caller-owned persist: released by unpersist/clearCache after the
+    # action (bench.py clears between queries)
+    return jaccard_pairs(sh, min_inter=3, storage=StorageLevel.MEMORY_AND_DISK)
 
 
 @register(
@@ -478,8 +482,12 @@ def embed_cell_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "materializes — cost is |candidates| x shingles-per-doc.",
 )
 def dedup_lsh_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_table(docs, "text", "doc_id", k=3)
     sigs = minhash_signatures(sh, NUM_HASHES)
     cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
-    return jaccard_pairs(sh, candidates=cands)
+    # the shared shingle frame feeds signatures AND the verify join;
+    # caller-owned persist (bench.py clearCache releases it)
+    return jaccard_pairs(sh, candidates=cands, storage=StorageLevel.MEMORY_AND_DISK)

@@ -46,7 +46,10 @@ QUERIES: dict[str, QueryDef] = {}
 #     candidate generation and consumes its output
 #   - doc_fingerprint: the same md5 fingerprint is the groupBy key of
 #     dedup_exact_groups
-# All 58 stay registered and green under pytest; the ordering only
+#   - join_shuffle_fact_fact_bucketed: physical-plan variant (bucketed
+#     landing, no-exchange join) of the checked join_shuffle_fact_fact;
+#     same oracle, bench headline + plan guard cover it
+# All registered queries stay green under pytest; the ordering only
 # decides which 50 the external driver re-verifies.
 DEPRIORITIZED = (
     "agg_rollup",
@@ -57,6 +60,7 @@ DEPRIORITIZED = (
     "window_moving_agg",
     "dedup_lsh_candidates",
     "doc_fingerprint",
+    "join_shuffle_fact_fact_bucketed",
 )
 
 

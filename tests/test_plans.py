@@ -63,6 +63,28 @@ def test_minhash_no_distinct_shuffle(spark, sf_correct):
     assert _n_exchanges(plan) <= 2
 
 
+def test_bucketed_fact_fact_headline_single_exchange(spark, sf_dir):
+    """The bench headline join_shuffle_fact_fact_bucketed: both sides
+    scan co-located bucket files, so the ONLY exchange in the plan is
+    the final groupBy — the join itself is shuffle-free."""
+    plan = _formatted(
+        entrymod.queries()["join_shuffle_fact_fact_bucketed"](spark, sf_dir)
+    )
+    assert "SortMergeJoin" in plan
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_no_cached_relations_leak_after_jaccard_queries(spark, sf_dir):
+    """VERDICT r2 item 6: the persist inside the jaccard pipeline is
+    caller-owned; after the action + clearCache the session holds no
+    persistent RDDs (the bench loop relies on this)."""
+    q = entrymod.queries()
+    q["dedup_ngram_jaccard"](spark, sf_dir).count()
+    q["dedup_lsh_jaccard"](spark, sf_dir).count()
+    spark.catalog.clearCache()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
 @pytest.mark.usefixtures("spark")
 def test_bucketed_join_has_no_exchange(spark):
     tag = uuid.uuid4().hex[:8]
