@@ -316,15 +316,20 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_approx_percentile",
     """
-    SELECT o_orderpriority, TRUE AS p50_within_2pct, TRUE AS p90_within_2pct
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact,
+           TRUE AS p50_within_2pct, TRUE AS p90_within_2pct
     FROM orders GROUP BY o_orderpriority
     """,
     doc="percentile_approx (mergeable sketch, constant memory per group) "
     "— the 100 TB path for agg_percentile; the exact form is its "
     "correctness anchor at test scale. Sketch values are engine-"
-    "specific, so the oracle is a bounded check: Spark computes both "
-    "the sketch and the exact percentile and asserts the sketch lands "
-    "within 2%; the oracle asserts TRUE per group.",
+    "specific, so the oracle is a bounded check — but the exact "
+    "percentile is in the compared output: DuckDB's quantile_cont "
+    "independently verifies Spark's exact anchor (round-4 hash match, "
+    "same pairing as agg_percentile), and the booleans bound-check the "
+    "sketch against that verified anchor within 2%.",
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     def within(approx, exact, tol=0.02):
@@ -336,12 +341,14 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.percentile_approx("o_totalprice", 0.5, 1000).alias("p50_approx"),
             F.percentile_approx("o_totalprice", 0.9, 1000).alias("p90_approx"),
-            F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
-            F.expr("percentile(o_totalprice, 0.9)").alias("p90_exact"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50_raw"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90_raw"),
         )
         .select(
             "o_orderpriority",
-            within(F.col("p50_approx"), F.col("p50_exact")).alias("p50_within_2pct"),
-            within(F.col("p90_approx"), F.col("p90_exact")).alias("p90_within_2pct"),
+            F.round("p50_raw", 4).alias("p50_exact"),
+            F.round("p90_raw", 4).alias("p90_exact"),
+            within(F.col("p50_approx"), F.col("p50_raw")).alias("p50_within_2pct"),
+            within(F.col("p90_approx"), F.col("p90_raw")).alias("p90_within_2pct"),
         )
     )

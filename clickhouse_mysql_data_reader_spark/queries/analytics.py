@@ -109,15 +109,18 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_approx_distinct",
     """
-    SELECT l_returnflag, TRUE AS within_5pct
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_5pct
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="approx_count_distinct (HyperLogLog++). The 100 TB path: constant "
     "memory per group vs exact distinct's shuffle of all keys. Sketch "
-    "values are engine-specific, so the ORACLE is a bounded check: the "
-    "Spark side computes approx AND exact and returns whether the "
-    "sketch landed within 5% (rsd=0.01 gives ~1% typical error); the "
-    "oracle asserts TRUE per group.",
+    "values are engine-specific, so the ORACLE is a bounded check — but "
+    "the exact distinct count is in the compared output: DuckDB computes "
+    "it independently, the hash verifies Spark's exact anchor, and "
+    "within_5pct bound-checks the sketch against that verified anchor "
+    "(rsd=0.01 gives ~1% typical error; 5%% is the gate).",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -129,6 +132,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "l_returnflag",
+            "exact_parts",
             (
                 F.abs(F.col("approx_parts") - F.col("exact_parts"))
                 <= 0.05 * F.col("exact_parts")
