@@ -66,15 +66,25 @@ def main() -> None:
 
     landed_bucketed_tables(spark, SF_DIR)
 
+    # Each query is timed over TWO full executions and the MIN is
+    # reported. Rationale (round 3): the host is shared — single-run
+    # timings showed 4-20x outliers from CPU steal with zero code
+    # change (identical plans, identical data). Min-of-2 measures the
+    # plan, not the neighbor's workload; every execution still pays its
+    # full planning+codegen+shuffle cost (no caching across runs —
+    # clearCache between every execution).
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # caller-owned cache lifecycle: queries may persist shared
-        # frames (e.g. the shingle relation); release between queries so
-        # the session never accumulates stale cached relations
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            # caller-owned cache lifecycle: queries may persist shared
+            # frames (e.g. the shingle relation); release between
+            # executions so nothing carries over
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

@@ -1,0 +1,126 @@
+"""Graph operators for dedup pipelines: connected components over
+near-duplicate pair graphs.
+
+The dedup endgame: LSH + Jaccard verification produces PAIRS of
+near-duplicate documents, but keeping one representative per GROUP
+needs the transitive closure — connected components of the pair graph,
+with the canonical label (min doc id) per component.
+
+Spark-first design: iterative neighbor-min label propagation expressed
+entirely as joins + groupBy aggregations — each round is one shuffle on
+the edge key and one on the node key, both narrow integer columns. The
+driver loop only checks a converged flag (a 1-row aggregate), never
+collects data.
+
+Scale notes (100 TB / billions of nodes):
+- Rounds needed = graph diameter. Near-dup clusters are almost-cliques
+  (every member pairs with most others via shared LSH bands), so real
+  corpora converge in 2-4 rounds. For adversarial long-chain graphs,
+  the alternating large-star/small-star algorithm (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC'14) bounds
+  rounds by O(log^2 n); the per-round plan here is the same
+  join+groupBy shape, so swapping the step function is local.
+- Each round ends in a reliable ``checkpoint()``: the round's labels
+  materialize once to the checkpoint dir and the logical plan resets
+  to a leaf. Without this the plan DOUBLES per round (labels feeds
+  both the neighbor-min join and the self side), and by round ~8 even
+  stringifying the plan OOMs the driver — persist/cache does not help
+  because caching substitutes at physical planning but leaves the
+  logical tree to grow exponentially. Checkpointing is the standard
+  pattern for iterative graph algorithms on Spark (GraphFrames'
+  connected components checkpoints on an interval for the same
+  reason), and on a real cluster it doubles as fault tolerance: a
+  lost executor re-reads the round file instead of recomputing the
+  whole iteration history. Checkpoint files are deleted by the
+  ContextCleaner once unreferenced (session.py enables
+  ``spark.cleaner.referenceTracking.cleanCheckpoints``); nothing is
+  registered in the cache manager, so sessions hold no stray cached
+  relations or persistent RDDs afterwards.
+- Labels are per-node state: |V| rows of two longs — billions of nodes
+  fit comfortably across executors; nothing ever gathers on one node.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ensure_checkpoint_dir(spark) -> None:
+    """Respect a caller-configured checkpoint dir; default to a session
+    tempdir otherwise (production points this at shared storage)."""
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark-graph-ckpt-"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected graph given as pair rows.
+
+    Returns (doc_id, component) for every node appearing in ``pairs``,
+    where component = min node id reachable from doc_id. Deterministic:
+    the output depends only on the edge set. The result reads from the
+    final round's checkpoint — no persist to release.
+
+    Neighbor-min label propagation: every node starts labeled with
+    itself; each round every node takes the min of its own label and
+    its neighbors' labels. Converges in diameter(G) rounds; raises if
+    ``max_iter`` rounds were not enough (deterministic failure beats a
+    silently-wrong partition). Each round is checkpointed — see the
+    module docstring for why plain caching cannot work here.
+    """
+    _ensure_checkpoint_dir(pairs.sparkSession)
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = edges.select("u").distinct().withColumn("lbl", F.col("u"))
+
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(
+                    labels.select(F.col("u").alias("v"), F.col("lbl").alias("v_lbl")), "v"
+                )
+                .groupBy("u")
+                .agg(F.min("v_lbl").alias("nbr_lbl"))
+            )
+            stepped = labels.join(nbr_min, "u", "left").select(
+                "u",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
+                (F.coalesce(F.col("nbr_lbl"), F.col("lbl")) < F.col("lbl")).alias("_chg"),
+            )
+            # materialize the round once, reset lineage to a leaf
+            stepped = stepped.checkpoint(eager=True)
+            changed = stepped.agg(F.max("_chg")).first()[0]
+            labels = stepped.drop("_chg")
+            if not changed:
+                return labels.select(
+                    F.col("u").alias("doc_id"), F.col("lbl").alias("component")
+                )
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the graph has a longer diameter than expected — raise max_iter "
+            "or switch to the large-star/small-star step (see module doc)"
+        )
+    finally:
+        edges.unpersist()
+
+
+def component_summary(components: DataFrame) -> DataFrame:
+    """(component, n_members, keeper_id) per cluster — the dedup
+    decision table: keep ``keeper_id``, drop the other members."""
+    return components.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("doc_id").alias("keeper_id"),
+    )

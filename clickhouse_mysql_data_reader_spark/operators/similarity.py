@@ -201,3 +201,31 @@ def assign_cells(
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell")
     )
+
+
+def quantize_int8(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max(|v|)/127,
+    q_i = floor(v_i/scale + 0.5) in [-127, 127] (zero vectors get
+    scale 1 so they quantize to zeros, not NaNs).
+
+    The 4x shrink (float32 -> int8) is the standard pre-ANN compression
+    step for 100 TB embedding stores; per-row expression work only, so
+    it rides the scan with zero shuffles. Every arithmetic step (float
+    to double widening, max, IEEE division, floor) is bit-deterministic
+    across engines, which is what lets the SQL oracle verify the exact
+    quantized codes. Codes are emitted as a comma-joined string (array
+    columns compare engine-specifically; see oracle notes).
+    """
+    base = vectors.select(F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v"))
+    m = F.array_max(F.transform("v", F.abs))
+    with_scale = base.select(
+        "vec_id",
+        "v",
+        F.when(m == 0, F.lit(1.0)).otherwise(m / F.lit(127.0)).alias("scale"),
+    )
+    q = F.transform("v", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("bigint"))
+    return with_scale.select("vec_id", "scale", F.array_join(q, ",").alias("q8"))

@@ -9,6 +9,7 @@ every function has an exact SQL equivalent for the DuckDB oracle.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from clickhouse_mysql_data_reader_spark.operators.dedup import content_fingerprint, normalize_text
@@ -97,6 +98,75 @@ def fingerprint_documents(df: DataFrame, text_col: str, id_col: str) -> DataFram
     the join key for cross-corpus exact dedup."""
     return df.select(
         F.col(id_col), content_fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+
+
+# PII patterns: deliberately simple character-class regexes that parse
+# identically under Java regex (Spark) and RE2 (DuckDB). Real pipelines
+# swap in richer recognizers; the operator shape (regexp_extract_all
+# count + regexp_replace scrub, zero shuffles) stays the same.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_redact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Scrub emails and phone numbers from a text column; report per-row
+    match counts alongside the redacted text.
+
+    Per-row expression work only — at 100 TB this rides the scan stage
+    (no shuffle, no Python). Redaction order is fixed (emails first,
+    then phones) so the output is deterministic and oracle-portable.
+    """
+    t = F.lower(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        t.alias("lt"),
+        # group 0 = the whole match (the patterns define no capture groups)
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)).alias("n_phones"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("lt"), EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return base.select(id_col, "n_emails", "n_phones", redacted.alias("redacted"))
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str, top_k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    The idf factor is the SCALED-INTEGER form ``(N * 1000) div df`` —
+    floor division of bigints, bit-identical across engines, unlike
+    ``ln(N/df)`` whose libm implementations can differ in the last ulp
+    and flip near-tie rankings. Ordering is (score desc, term asc), so
+    the output is fully deterministic.
+
+    Plan shape at 100 TB: one explode + two hash aggregations (tf on
+    (doc, term), df on term) + a broadcast of the 1-row corpus count +
+    a per-doc window. The tf-to-df join keys on ``term`` — left to AQE,
+    which broadcasts when the vocabulary is small and shuffle-joins the
+    long-tail vocabularies (web-scale corpora) where a forced broadcast
+    would OOM.
+    """
+    from clickhouse_mysql_data_reader_spark.util import fan_out
+
+    toks = (
+        fan_out(df)
+        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tk"))
+        .select("doc_id", F.explode("tk").alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.expr("tf * ((n_docs * 1000) div df)"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
     )
 
 

@@ -491,3 +491,272 @@ def dedup_lsh_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shared shingle frame feeds signatures AND the verify join;
     # caller-owned persist (bench.py clearCache releases it)
     return jaccard_pairs(sh, candidates=cands, storage=StorageLevel.MEMORY_AND_DISK)
+
+
+# --- dedup clustering, sampling, PII, tf-idf, quantization (round 3) -------
+
+_CC_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_cluster_components",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    mh AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+    bands AS (
+    {_BAND_SELECTS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.sh_h = a.sh_h
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= {_CC_THRESHOLD}
+    ),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(u, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+    )
+    SELECT u AS doc_id, min(lbl) AS component FROM reach GROUP BY u
+    """,
+    doc="The dedup ENDGAME: near-dup pairs (LSH -> Jaccard >= 0.5) "
+    "folded into connected components, labeling every document with its "
+    "cluster's min doc_id — the transitive closure that turns pairwise "
+    "similarity into keep/drop groups. Spark side is iterative "
+    "neighbor-min label propagation (joins + groupBy per round, "
+    "converges in graph-diameter rounds — 2-4 for near-dup cliques); "
+    "the oracle is DuckDB's recursive CTE over the identical pair set.",
+)
+def dedup_cluster_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, "text", "doc_id", k=3)
+    sigs = minhash_signatures(sh, NUM_HASHES)
+    cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
+    pairs = jaccard_pairs(sh, candidates=cands, min_jaccard=_CC_THRESHOLD)
+    return connected_components(pairs)
+
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_STRATA_RATES = {"click": 0.5, "view": 0.1, "purchase": 1.0}
+_DEFAULT_RATE = 0.1
+
+
+def _sql_hash(salt: str, key_sql: str) -> str:
+    return f"substr(md5('{salt}:' || CAST({key_sql} AS VARCHAR)), 1, 8)"
+
+
+def _sql_sample_cond(key_sql: str, rate: float, salt: str = "sample") -> str:
+    from clickhouse_mysql_data_reader_spark.operators.sampling import _hex_threshold
+
+    if rate >= 1.0:
+        return "TRUE"
+    if rate <= 0.0:
+        return "FALSE"
+    return f"{_sql_hash(salt, key_sql)} < '{_hex_threshold(rate)}'"
+
+
+def _sql_split_case(key_sql: str) -> str:
+    from clickhouse_mysql_data_reader_spark.operators.sampling import _hex_threshold
+
+    branches, cum = [], 0.0
+    names = list(_SPLITS)
+    for name in names[:-1]:
+        cum += _SPLITS[name]
+        branches.append(f"WHEN {_sql_hash('split', key_sql)} < '{_hex_threshold(cum)}' THEN '{name}'")
+    return "CASE " + " ".join(branches) + f" ELSE '{names[-1]}' END"
+
+
+def _sql_strat_cond(key_sql: str, strata_sql: str) -> str:
+    whens = " ".join(
+        f"WHEN {strata_sql} = '{v}' THEN {_sql_sample_cond(key_sql, r)}"
+        for v, r in sorted(_STRATA_RATES.items())
+    )
+    return f"CASE {whens} ELSE {_sql_sample_cond(key_sql, _DEFAULT_RATE)} END"
+
+
+@register(
+    "sample_stratified_split",
+    f"""
+    WITH tagged AS (
+      SELECT event_type,
+             {_sql_split_case('event_id')} AS split,
+             {_sql_strat_cond('event_id', 'event_type')} AS keep
+      FROM events
+    )
+    SELECT event_type, split,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM tagged GROUP BY event_type, split
+    """,
+    doc="Deterministic hash sampling + dataset splitting in one pass: "
+    "80/10/10 train/val/test assignment AND per-stratum downsampling "
+    "(click 50%, view 10%, purchase 100%), both keyed on "
+    "md5(salt || event_id) so membership is identical across runs, "
+    "stage retries, and engines — unlike df.sample, whose per-partition "
+    "seed changes with the physical layout. Different salts decorrelate "
+    "the split from the sample. Zero shuffles before the final count.",
+)
+def sample_stratified_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.sampling import (
+        hash_split,
+        stratified_sample_condition,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type",
+        hash_split(F.col("event_id"), _SPLITS).alias("split"),
+        stratified_sample_condition(
+            F.col("event_id"), F.col("event_type"), _STRATA_RATES, _DEFAULT_RATE
+        ).alias("keep"),
+    )
+    return tagged.groupBy("event_type", "split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_sampled"),
+    )
+
+
+@register(
+    "text_pii_redact",
+    """
+    WITH prof AS (
+      SELECT c_custkey,
+             lower(concat_ws(' ', c_name, c_mktsegment,
+               CASE WHEN c_custkey % 2 = 0
+                    THEN replace(lower(c_name), '#', '.') || '@example.com'
+                    ELSE 'no email on file' END,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' ||
+                         lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+                         lpad(CAST((c_custkey * 13) % 1000 AS VARCHAR), 3, '0') || '-' ||
+                         lpad(CAST((c_custkey * 31) % 10000 AS VARCHAR), 4, '0')
+                    ELSE 'unlisted' END)) AS lt
+      FROM customer
+    )
+    SELECT c_custkey,
+           len(regexp_extract_all(lt, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(lt, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+           regexp_replace(regexp_replace(lt,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'),
+             '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted
+    FROM prof
+    """,
+    doc="PII scrub over contact-profile text: count emails/phones via "
+    "regexp_extract_all, redact via ordered regexp_replace (emails then "
+    "phones). Patterns are chosen to parse identically under Java regex "
+    "and RE2. The profile text is synthesized deterministically from "
+    "customer keys (the test tables carry no organic PII), with ~1/2 of "
+    "rows getting an email and ~1/3 a phone so counts actually vary. "
+    "Per-row expression work — rides the scan at any scale.",
+)
+def text_pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.text import pii_redact
+
+    cust = load_table(spark, sf_dir, "customer")
+
+    def _pad(expr, n):
+        return F.lpad(expr.cast("string"), n, "0")
+
+    email = F.concat(
+        F.regexp_replace(F.lower("c_name"), "#", "."), F.lit("@example.com")
+    )
+    phone = F.concat_ws(
+        "-",
+        _pad(F.col("c_custkey") % 100, 2),
+        _pad((F.col("c_custkey") * 7) % 1000, 3),
+        _pad((F.col("c_custkey") * 13) % 1000, 3),
+        _pad((F.col("c_custkey") * 31) % 10000, 4),
+    )
+    prof = cust.select(
+        "c_custkey",
+        F.concat_ws(
+            " ",
+            F.col("c_name"),
+            F.col("c_mktsegment"),
+            F.when(F.col("c_custkey") % 2 == 0, email).otherwise(F.lit("no email on file")),
+            F.when(F.col("c_custkey") % 3 == 0, phone).otherwise(F.lit("unlisted")),
+        ).alias("profile"),
+    )
+    return pii_redact(prof, "profile", "c_custkey")
+
+
+@register(
+    "text_tfidf_top_terms",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+    toks AS (SELECT doc_id, t.term
+             FROM norm, UNNEST(string_split(nt, ' ')) AS t(term)),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, d.df,
+             tf.tf * ((n.n_docs * 1000) // d.df) AS score
+      FROM tf JOIN dfreq d USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term ASC) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+    doc="Top-3 characteristic terms per document by tf-idf with a "
+    "scaled-integer idf ((N*1000) div df): floor division of bigints is "
+    "bit-identical across engines, unlike ln(N/df) whose libm ulps can "
+    "flip near-tie rankings. Deterministic (score desc, term asc) "
+    "ordering. Plan: explode + two hash aggs + broadcast 1-row count + "
+    "per-doc window — the df join is AQE's choice of broadcast vs "
+    "shuffle depending on vocabulary size.",
+)
+def text_tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "text", "doc_id", top_k=3)
+
+
+@register(
+    "embed_quantize_int8",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+    s AS (SELECT vec_id, v,
+                 CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS scale
+          FROM m)
+    SELECT vec_id, scale,
+           array_to_string(list_transform(v,
+             x -> CAST(floor(x / scale + 0.5) AS BIGINT)), ',') AS q8
+    FROM s
+    """,
+    doc="Symmetric per-vector int8 quantization (scale = max|v|/127, "
+    "codes = floor(v/scale + 0.5)) — the standard 4x compression step "
+    "before ANN indexing at 100 TB. Every step (float->double widening, "
+    "max, IEEE divide, floor) is bit-deterministic, so the oracle "
+    "verifies the EXACT codes, emitted as comma-joined strings (array "
+    "columns compare engine-specifically).",
+)
+def embed_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8(emb, "vec_id", "embedding")

@@ -1,0 +1,184 @@
+"""Unit tests for the round-3 training-data operators: connected
+components, deterministic hash sampling, PII redaction, tf-idf,
+int8 quantization — the properties the SQL oracle can't see
+(convergence, partition-independence, edge cases)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_mysql_data_reader_spark.operators.graph import (
+    component_summary,
+    connected_components,
+)
+from clickhouse_mysql_data_reader_spark.operators.sampling import (
+    _hex_threshold,
+    hash_split,
+    sample_condition,
+    stratified_sample_condition,
+)
+from clickhouse_mysql_data_reader_spark.operators.similarity import quantize_int8
+from clickhouse_mysql_data_reader_spark.operators.text import pii_redact, tfidf_top_terms
+
+
+# --- connected components ---------------------------------------------------
+
+
+def _cc_dict(df):
+    return {r["doc_id"]: r["component"] for r in df.collect()}
+
+
+def test_cc_two_components_and_chain(spark):
+    # component {1,2,3,4} is a 3-hop chain (worst case per round),
+    # component {10,11} a single edge; 20-21-22 triangle shares a node
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = _cc_dict(connected_components(pairs))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_cc_partition_independence(spark):
+    pairs = [(i, i + 1) for i in range(1, 8)] + [(100, 101), (101, 102)]
+    a = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    b = spark.createDataFrame(pairs, "doc_a long, doc_b long").repartition(7, "doc_b")
+    assert _cc_dict(connected_components(a)) == _cc_dict(connected_components(b))
+
+
+def test_cc_empty_and_nonconvergence(spark):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty).count() == 0
+    chain = spark.createDataFrame([(i, i + 1) for i in range(1, 6)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+
+
+def test_cc_component_summary(spark):
+    pairs = spark.createDataFrame([(5, 3), (3, 9), (40, 41)], "doc_a long, doc_b long")
+    rows = {
+        r["component"]: (r["n_members"], r["keeper_id"])
+        for r in component_summary(connected_components(pairs)).collect()
+    }
+    assert rows == {3: (3, 3), 40: (2, 40)}
+
+
+# --- hash sampling ----------------------------------------------------------
+
+
+def test_hex_threshold_bounds():
+    assert _hex_threshold(0.0) == "00000000"
+    assert _hex_threshold(0.5) == "80000000"
+    with pytest.raises(ValueError):
+        _hex_threshold(1.5)
+
+
+def test_sample_rate_and_determinism(spark):
+    df = spark.range(0, 20000).withColumnRenamed("id", "k")
+    kept = df.filter(sample_condition(F.col("k"), 0.3)).count()
+    assert abs(kept / 20000 - 0.3) < 0.02  # hash uniformity
+    # same keys, different partitioning -> identical membership
+    a = df.filter(sample_condition(F.col("k"), 0.3)).collect()
+    b = df.repartition(13).filter(sample_condition(F.col("k"), 0.3)).collect()
+    assert sorted(r["k"] for r in a) == sorted(r["k"] for r in b)
+
+
+def test_sample_salts_decorrelate(spark):
+    df = spark.range(0, 10000).withColumnRenamed("id", "k")
+    both = df.filter(
+        sample_condition(F.col("k"), 0.5, salt="a") & sample_condition(F.col("k"), 0.5, salt="b")
+    ).count()
+    # independent halves intersect in ~25%
+    assert abs(both / 10000 - 0.25) < 0.03
+
+
+def test_hash_split_fractions_and_exclusivity(spark):
+    df = spark.range(0, 20000).withColumnRenamed("id", "k")
+    out = (
+        df.select(hash_split(F.col("k"), {"train": 0.8, "val": 0.1, "test": 0.1}).alias("s"))
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    got = {r["s"]: r["count"] for r in out}
+    assert set(got) == {"train", "val", "test"}
+    assert sum(got.values()) == 20000  # total preserved, splits exclusive
+    assert abs(got["train"] / 20000 - 0.8) < 0.02
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(F.col("k"), {"a": 0.5, "b": 0.4})
+
+
+def test_stratified_rates_per_stratum(spark):
+    df = spark.range(0, 30000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    cond = stratified_sample_condition(
+        F.col("k"), F.col("g"), {"0": 1.0, "1": 0.2}, default_rate=0.0
+    )
+    got = {
+        r["g"]: r["n"]
+        for r in df.filter(cond).groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    assert got.get("0") == 10000  # rate 1.0 keeps all
+    assert "2" not in got  # default 0.0 drops stratum
+    assert abs(got["1"] / 10000 - 0.2) < 0.03
+
+
+# --- PII redaction ----------------------------------------------------------
+
+
+def test_pii_redact_counts_and_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "reach Bob.Smith+x@mail-hub.io or 12-345-678-9012 now"),
+            (2, "no contact info here"),
+            (3, "two mails a@b.co c@d.org one phone 99-111-222-3333"),
+        ],
+        "id long, txt string",
+    )
+    rows = {r["id"]: r for r in pii_redact(df, "txt", "id").collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_phones"]) == (1, 1)
+    assert rows[1]["redacted"] == "reach [EMAIL] or [PHONE] now"
+    assert (rows[2]["n_emails"], rows[2]["n_phones"]) == (0, 0)
+    assert (rows[3]["n_emails"], rows[3]["n_phones"]) == (2, 1)
+    assert "[EMAIL]" in rows[3]["redacted"] and "[PHONE]" in rows[3]["redacted"]
+    assert "@" not in rows[3]["redacted"]
+
+
+# --- tf-idf -----------------------------------------------------------------
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha alpha zebra common common"),
+            (2, "common beta beta"),
+            (3, "common gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, "text", "doc_id", top_k=2).collect()
+    top1 = {r["doc_id"]: r["term"] for r in out if r["rnk"] == 1}
+    # 'common' appears in every doc (df=3) -> idf floor; doc-specific
+    # terms win rank 1 everywhere
+    assert top1 == {1: "alpha", 2: "beta", 3: "gamma"}
+    by_doc1 = sorted((r["rnk"], r["term"]) for r in out if r["doc_id"] == 1)
+    assert by_doc1 == [(1, "alpha"), (2, "zebra")]  # tf=1 rare beats tf=2 ubiquitous
+
+
+# --- int8 quantization ------------------------------------------------------
+
+
+def test_quantize_int8_codes_and_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -3.0, 2.0]), (2, [0.0, 0.0, 0.0]), (3, [127.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert rows[1]["q8"] == "42,-127,85"  # scale = 3/127
+    assert rows[2]["q8"] == "0,0,0" and rows[2]["scale"] == 1.0  # no NaNs
+    assert rows[3]["q8"] == "127" and rows[3]["scale"] == 1.0
+    # codes bounded by construction
+    for r in rows.values():
+        assert all(-127 <= int(c) <= 127 for c in r["q8"].split(","))

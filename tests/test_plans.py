@@ -81,6 +81,9 @@ def test_no_cached_relations_leak_after_jaccard_queries(spark, sf_dir):
     q = entrymod.queries()
     q["dedup_ngram_jaccard"](spark, sf_dir).count()
     q["dedup_lsh_jaccard"](spark, sf_dir).count()
+    # cluster components iterates via reliable checkpoints (leaf plans,
+    # nothing in the cache manager) and unpersists its edge cache itself
+    q["dedup_cluster_components"](spark, sf_dir).count()
     spark.catalog.clearCache()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
 
@@ -108,3 +111,26 @@ def test_bucketed_join_has_no_exchange(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {lname}")
         spark.sql(f"DROP TABLE IF EXISTS {rname}")
+
+
+def test_sampling_and_quantize_ride_the_scan(spark, sf_correct):
+    """The round-3 per-row operators promise zero pre-aggregation
+    shuffles: sampling/splitting is expression work on the scan (the
+    only exchange is the final groupBy), and quantization has no
+    exchange at all."""
+    q = entrymod.queries()
+    plan = _formatted(q["sample_stratified_split"](spark, sf_correct))
+    assert _n_exchanges(plan) == 1, plan
+    plan = _formatted(q["embed_quantize_int8"](spark, sf_correct))
+    assert _n_exchanges(plan) == 0, plan
+    plan = _formatted(q["text_pii_redact"](spark, sf_correct))
+    assert _n_exchanges(plan) == 0, plan
+
+
+def test_tfidf_prunes_document_columns(spark, sf_correct):
+    """tfidf reads only (doc_id, text) from documents' 5 columns, in
+    both the tf branch and the corpus-count branch."""
+    plan = _formatted(entrymod.queries()["text_tfidf_top_terms"](spark, sf_correct))
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert line.count(":") - 1 <= 2, line

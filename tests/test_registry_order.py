@@ -10,9 +10,12 @@ from clickhouse_mysql_data_reader_spark.queries.registry import DEPRIORITIZED
 DRIVER_CAP = 50
 
 # one representative per operator family that MUST land a driver row
+# agg_count_distinct, window_sliding_counts, join_theta,
+# text_token_stats, embed_cell_assign were deprioritized in round 3 to
+# admit the five new unique capabilities below — each has a checked
+# sibling carrying its semantics (see registry.DEPRIORITIZED rationale).
 MUST_BE_CHECKED = {
     "q1_pricing_summary",
-    "agg_count_distinct",
     "agg_approx_distinct",
     "agg_grouping_sets",
     "agg_pivot",
@@ -23,7 +26,6 @@ MUST_BE_CHECKED = {
     "join_shuffle_fact_fact",
     "join_semi",
     "join_anti",
-    "join_theta",
     "join_outer_coalesce",
     "join_range_bands",
     "join_asof_attrib",
@@ -32,7 +34,6 @@ MUST_BE_CHECKED = {
     "window_rank_dense",
     "window_tumbling_hourly",
     "window_session_gaps",
-    "window_sliding_counts",
     "topk_global",
     "set_intersect",
     "scalar_string_funcs",
@@ -55,10 +56,13 @@ MUST_BE_CHECKED = {
     "doc_winnow_fingerprint",
     "embed_cosine_topk",
     "embed_ivf_topk",
-    "embed_cell_assign",
-    "text_token_stats",
     "text_lang_id",
     "text_quality_score",
+    "dedup_cluster_components",
+    "sample_stratified_split",
+    "text_pii_redact",
+    "text_tfidf_top_terms",
+    "embed_quantize_int8",
     "multimodal_features",
     "multimodal_frame_plan",
 }
