@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_lsh_jaccard",
     "embed_cosine_topk",
     "text_quality_score",
+    "text_repetition_stats",
 ]
 
 

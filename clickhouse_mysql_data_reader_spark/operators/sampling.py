@@ -22,7 +22,8 @@ shuffles, trivially pushed into the first stage.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 HEX_SPAN = 16**8  # 8-hex-digit space
@@ -87,3 +88,48 @@ def hash_split(key: Column, fractions: dict[str, float], salt: str = "split") ->
         expr = F.when(branch, F.lit(name)) if expr is None else expr.when(branch, F.lit(name))
     last = F.lit(names[-1])
     return last if expr is None else expr.otherwise(last)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_count_col: Column,
+    id_col: str,
+    budget: int = 128,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget context windows — the
+    concat-and-chunk packing step of LLM pretraining prep. Documents are
+    laid end-to-end in ``id_col`` order; each gets the pack id and
+    intra-pack offset where it STARTS (docs may straddle pack
+    boundaries, exactly like the byte-stream chunking trainers do).
+
+    The layout is computed as a running token sum, which on a naive
+    global ORDER BY would serialize onto one task at 100 TB. Instead the
+    corpus is pre-sharded by ``id % n_shards`` and packed independently
+    per shard: the window's partition is the shard, so each of the
+    n_shards running sums is a separate task, and pack identity is the
+    composite (shard, pack_id). Deterministic: shard, order, and cumsum
+    are pure functions of (id, n_tokens) — identical across runs,
+    retries, and engines.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), token_count_col.cast("bigint").alias("n_tokens")
+    ).withColumn("shard", (F.col("doc_id") % n_shards).cast("int"))
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint")
+    return base.select(
+        "shard", "doc_id", "n_tokens", start.alias("start_token")
+    ).select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        "start_token",
+        F.expr(f"start_token div {budget}").cast("bigint").alias("pack_id"),
+        (F.col("start_token") % budget).cast("bigint").alias("pack_offset"),
+    )

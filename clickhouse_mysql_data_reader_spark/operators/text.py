@@ -170,6 +170,70 @@ def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str, top_k: int = 3) -
     )
 
 
+def _longest_equal_run(arr: Column) -> Column:
+    """Length of the longest run of equal elements in the SORTED array —
+    i.e. the multiplicity of the most frequent element. A single
+    ``aggregate`` fold over ``array_sort``: O(n log n) per row, zero
+    shuffles, so the whole computation rides the scan stage."""
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                acc["best"],
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    the fraction of tokens taken up by the single most frequent unigram
+    and bigram, plus the duplicate-token fraction, folded into a
+    repetitive-document flag (top-unigram > 0.20 or top-bigram > 0.18,
+    the published thresholds).
+
+    Unlike the textbook explode -> groupBy(doc, term) -> window-max
+    formulation (two shuffles keyed on doc_id), every statistic here is
+    a higher-order array fold PER ROW: sort the token array, take the
+    longest equal run. At 100 TB this is embarrassingly parallel map
+    work on the scan — no shuffle, no skew sensitivity to viral
+    repetitive documents, output one row per input row.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tk")
+    ).select(
+        "doc_id",
+        "tk",
+        F.size("tk").alias("n_tokens"),
+        # bigrams via length-2 slices, mirrored by tk[i:i+1] (inclusive)
+        # in the DuckDB oracle; the greatest() guard keeps sequence()
+        # non-empty for 1-token docs identically on both sides
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("tk") - 1, F.lit(1))),
+            lambda i: F.array_join(F.slice("tk", i, 2), " "),
+        ).alias("bg"),
+    )
+    n = F.col("n_tokens")
+    n_bi = F.greatest(n - 1, F.lit(1))
+    top_uni = _longest_equal_run(F.col("tk"))
+    top_bi = _longest_equal_run(F.col("bg"))
+    return base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (top_uni / n).alias("top_unigram_frac"),
+        (top_bi / n_bi).alias("top_bigram_frac"),
+        ((n - F.size(F.array_distinct("tk"))) / n).alias("dup_token_frac"),
+        ((top_uni / n > 0.20) | (top_bi / n_bi > 0.18)).alias("flag_repetitive"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame, text_col: str, id_col: str, k: int = 3, w: int = 4
 ) -> DataFrame:

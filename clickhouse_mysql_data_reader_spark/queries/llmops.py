@@ -760,3 +760,73 @@ def embed_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantize_int8(emb, "vec_id", "embedding")
+
+
+@register(
+    "text_repetition_stats",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+    base AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM norm),
+    sized AS (SELECT doc_id, tk, len(tk) AS n FROM base),
+    uni AS (SELECT doc_id, t.term, count(*) AS c
+            FROM sized, UNNEST(tk) AS t(term) GROUP BY doc_id, t.term),
+    unitop AS (SELECT doc_id, max(c) AS top_uni FROM uni GROUP BY doc_id),
+    bi AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS bg, count(*) AS c
+           FROM sized, UNNEST(range(1, greatest(n - 1, 1) + 1)) AS u(i)
+           GROUP BY doc_id, bg),
+    bitop AS (SELECT doc_id, max(c) AS top_bi FROM bi GROUP BY doc_id)
+    SELECT s.doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           top_uni / n AS top_unigram_frac,
+           top_bi / greatest(n - 1, 1) AS top_bigram_frac,
+           (n - len(list_distinct(tk))) / n AS dup_token_frac,
+           (top_uni / n > 0.20 OR top_bi / greatest(n - 1, 1) > 0.18)
+             AS flag_repetitive
+    FROM sized s JOIN unitop USING (doc_id) JOIN bitop USING (doc_id)
+    """,
+    doc="Gopher-style repetition quality rules (top-unigram/top-bigram "
+    "token fractions, duplicate-token fraction, published 0.20/0.18 "
+    "flag thresholds). Spark side is a per-row array_sort + aggregate "
+    "fold (longest equal run = top multiplicity): ZERO shuffles vs the "
+    "oracle's textbook explode+groupBy+max formulation — same numbers, "
+    "scan-stage-only plan.",
+)
+def text_repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "text", "doc_id")
+
+
+@register(
+    "doc_pack_sequences",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+    base AS (SELECT doc_id,
+                    CAST(len(string_split(nt, ' ')) AS BIGINT) AS n_tokens,
+                    CAST(doc_id % 8 AS INT) AS shard
+             FROM norm),
+    c AS (SELECT shard, doc_id, n_tokens,
+                 CAST(sum(n_tokens) OVER (
+                        PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n_tokens AS BIGINT) AS start_token
+          FROM base)
+    SELECT shard, doc_id, n_tokens, start_token,
+           CAST(start_token // 128 AS BIGINT) AS pack_id,
+           CAST(start_token % 128 AS BIGINT) AS pack_offset
+    FROM c
+    """,
+    doc="Sequence packing for pretraining: documents laid end-to-end in "
+    "doc_id order, each assigned the 128-token context window (pack) "
+    "and offset where it starts. Sharded by doc_id % 8 so the running "
+    "sum is n_shards independent window partitions instead of one "
+    "global ORDER BY task — the difference between parallel and "
+    "serialized at 100 TB.",
+)
+def doc_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.sampling import pack_sequences
+    from clickhouse_mysql_data_reader_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, token_count(F.col("text")), "doc_id", budget=128, n_shards=8)

@@ -62,6 +62,11 @@ QUERIES: dict[str, QueryDef] = {}
 #     text_quality_score (n_tokens column) and text_tfidf_top_terms
 #   - embed_cell_assign: identical quantizer+assignment pipeline is
 #     re-run INSIDE the checked embed_ivf_topk
+# ...and two more to admit repetition stats + sequence packing:
+#   - join_anti: left-anti dual of the checked join_semi (same
+#     ExistenceJoin plan family, negated condition)
+#   - dedup_ngram_jaccard: the identical shingle-intersection Jaccard
+#     arithmetic runs INSIDE the checked dedup_lsh_jaccard verify stage
 # All registered queries stay green under pytest; the ordering only
 # decides which 50 the external driver re-verifies.
 DEPRIORITIZED = (
@@ -79,6 +84,8 @@ DEPRIORITIZED = (
     "join_theta",
     "text_token_stats",
     "embed_cell_assign",
+    "join_anti",
+    "dedup_ngram_jaccard",
 )
 
 

@@ -182,3 +182,88 @@ def test_quantize_int8_codes_and_zero_vector(spark):
     # codes bounded by construction
     for r in rows.values():
         assert all(-127 <= int(c) <= 127 for c in r["q8"].split(","))
+
+
+# --- repetition stats / sequence packing ------------------------------------
+
+
+def test_repetition_stats_known_values(spark):
+    from clickhouse_mysql_data_reader_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # all-same: uni 4/4, bi 3/3
+            (2, "a b c d e f g h i j"),           # all-distinct: uni 1/10, bi 1/9
+            (3, "go go stop go stop go"),         # uni go=4/6; bigram 'go stop' 2/5
+            (4, "one"),                           # 1 token: guards kick in
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs, "text", "doc_id").collect()}
+    assert got[1]["top_unigram_frac"] == 1.0
+    assert got[1]["top_bigram_frac"] == 1.0
+    assert got[1]["dup_token_frac"] == 0.75  # 4 tokens, 1 distinct
+    assert got[1]["flag_repetitive"] is True
+    assert got[2]["top_unigram_frac"] == 0.1
+    assert got[2]["top_bigram_frac"] == pytest.approx(1 / 9)
+    assert got[2]["dup_token_frac"] == 0.0
+    assert got[2]["flag_repetitive"] is False
+    assert got[3]["top_unigram_frac"] == pytest.approx(4 / 6)
+    assert got[3]["top_bigram_frac"] == pytest.approx(2 / 5)
+    # single token: bigram degenerates to the token itself (guarded
+    # sequence), denominators clamp to 1 — no div-by-zero, no ANSI error
+    assert got[4]["n_tokens"] == 1
+    assert got[4]["top_unigram_frac"] == 1.0
+    assert got[4]["top_bigram_frac"] == 1.0
+
+
+def test_pack_sequences_layout_properties(spark):
+    from clickhouse_mysql_data_reader_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (10 + (i * 7) % 40))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    from clickhouse_mysql_data_reader_spark.operators.text import token_count
+
+    out = pack_sequences(docs, token_count(F.col("text")), "doc_id",
+                         budget=64, n_shards=4).collect()
+    assert len(out) == 40
+    by_shard: dict = {}
+    for r in out:
+        assert r["shard"] == r["doc_id"] % 4
+        assert 0 <= r["pack_offset"] < 64
+        assert r["pack_id"] == r["start_token"] // 64
+        assert r["pack_offset"] == r["start_token"] % 64
+        by_shard.setdefault(r["shard"], []).append(r)
+    # within each shard, docs laid end-to-end in doc_id order: each
+    # start_token equals the previous doc's start + its token count
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        expect = 0
+        for r in rows:
+            assert r["start_token"] == expect
+            expect += r["n_tokens"]
+
+
+def test_pack_sequences_partition_independence(spark):
+    from clickhouse_mysql_data_reader_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (5 + i % 9))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    from clickhouse_mysql_data_reader_spark.operators.text import token_count
+
+    a = pack_sequences(docs.repartition(1), token_count(F.col("text")), "doc_id").collect()
+    b = pack_sequences(docs.repartition(13), token_count(F.col("text")), "doc_id").collect()
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(a) == key(b)
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    from clickhouse_mysql_data_reader_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(docs, F.lit(2), "doc_id", budget=0)

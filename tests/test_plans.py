@@ -134,3 +134,24 @@ def test_tfidf_prunes_document_columns(spark, sf_correct):
     for line in plan.splitlines():
         if "ReadSchema" in line:
             assert line.count(":") - 1 <= 2, line
+
+
+def test_repetition_stats_is_shuffle_free(spark, sf_correct):
+    """The Gopher repetition stats are per-row array folds, not the
+    textbook explode+groupBy — the plan must contain no Exchange and no
+    Python, so at scale the whole thing rides the scan stage."""
+    plan = _formatted(entrymod.queries()["text_repetition_stats"](spark, sf_correct))
+    assert _n_exchanges(plan) == 0, plan
+    assert "Generate" not in plan  # no explode either
+    assert "Python" not in plan
+
+
+def test_pack_sequences_single_sharded_exchange(spark, sf_correct):
+    """Sequence packing shuffles exactly once, keyed on the shard column
+    — a global ORDER BY running sum (single-partition window) would show
+    an Exchange SinglePartition / rangepartitioning instead."""
+    plan = _formatted(entrymod.queries()["doc_pack_sequences"](spark, sf_correct))
+    assert _n_exchanges(plan) == 1, plan
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert re.search(r"hashpartitioning\(shard", plan), plan

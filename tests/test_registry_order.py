@@ -11,9 +11,10 @@ DRIVER_CAP = 50
 
 # one representative per operator family that MUST land a driver row
 # agg_count_distinct, window_sliding_counts, join_theta,
-# text_token_stats, embed_cell_assign were deprioritized in round 3 to
-# admit the five new unique capabilities below — each has a checked
-# sibling carrying its semantics (see registry.DEPRIORITIZED rationale).
+# text_token_stats, embed_cell_assign, join_anti, dedup_ngram_jaccard
+# were deprioritized in round 3 to admit the seven new unique
+# capabilities below — each has a checked sibling carrying its
+# semantics (see registry.DEPRIORITIZED rationale).
 MUST_BE_CHECKED = {
     "q1_pricing_summary",
     "agg_approx_distinct",
@@ -25,7 +26,6 @@ MUST_BE_CHECKED = {
     "join_broadcast_dim",
     "join_shuffle_fact_fact",
     "join_semi",
-    "join_anti",
     "join_outer_coalesce",
     "join_range_bands",
     "join_asof_attrib",
@@ -49,7 +49,6 @@ MUST_BE_CHECKED = {
     "csv_roundtrip_nation",
     "dedup_exact_groups",
     "dedup_minhash_signatures",
-    "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_lsh_jaccard",
     "dedup_embed_near",
@@ -63,6 +62,8 @@ MUST_BE_CHECKED = {
     "text_pii_redact",
     "text_tfidf_top_terms",
     "embed_quantize_int8",
+    "text_repetition_stats",
+    "doc_pack_sequences",
     "multimodal_features",
     "multimodal_frame_plan",
 }
