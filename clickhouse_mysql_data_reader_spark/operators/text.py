@@ -203,10 +203,14 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     formulation (two shuffles keyed on doc_id), every statistic here is
     a higher-order array fold PER ROW: sort the token array, take the
     longest equal run. At 100 TB this is embarrassingly parallel map
-    work on the scan — no shuffle, no skew sensitivity to viral
-    repetitive documents, output one row per input row.
+    work on the scan — no semantic shuffle, no skew sensitivity to viral
+    repetitive documents, output one row per input row. (The folds are
+    interpreted expressions, so an under-split small local input is
+    fanned out for core parallelism — a no-op on well-split inputs.)
     """
-    base = df.select(
+    from clickhouse_mysql_data_reader_spark.util import fan_out
+
+    base = fan_out(df).select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tk")
     ).select(
         "doc_id",
@@ -220,16 +224,27 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             lambda i: F.array_join(F.slice("tk", i, 2), " "),
         ).alias("bg"),
     )
+    # the folds are interpreted (higher-order fns don't codegen) and
+    # each is referenced by TWO output columns — materialize them once
+    # behind a projection boundary (CollapseProject keeps non-cheap
+    # multiply-referenced aliases), or the sort+fold runs per reference
+    mid = base.select(
+        "doc_id",
+        "n_tokens",
+        _longest_equal_run(F.col("tk")).alias("top_uni"),
+        _longest_equal_run(F.col("bg")).alias("top_bi"),
+        F.size(F.array_distinct("tk")).alias("n_distinct"),
+    )
     n = F.col("n_tokens")
     n_bi = F.greatest(n - 1, F.lit(1))
-    top_uni = _longest_equal_run(F.col("tk"))
-    top_bi = _longest_equal_run(F.col("bg"))
-    return base.select(
+    top_uni = F.col("top_uni")
+    top_bi = F.col("top_bi")
+    return mid.select(
         "doc_id",
         n.alias("n_tokens"),
         (top_uni / n).alias("top_unigram_frac"),
         (top_bi / n_bi).alias("top_bigram_frac"),
-        ((n - F.size(F.array_distinct("tk"))) / n).alias("dup_token_frac"),
+        ((n - F.col("n_distinct")) / n).alias("dup_token_frac"),
         ((top_uni / n > 0.20) | (top_bi / n_bi > 0.18)).alias("flag_repetitive"),
     )
 
