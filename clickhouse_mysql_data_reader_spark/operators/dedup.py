@@ -244,6 +244,56 @@ def jaccard_pairs(
     ).select("doc_a", "doc_b", "n_inter", "jaccard")
 
 
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    flag_threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: for each benchmark/eval document, the
+    fraction of its k-gram shingles found ANYWHERE in the training
+    corpus — the standard check that eval data didn't leak into
+    pretraining (and the gate for dropping contaminated eval items).
+
+    Plan is built for |corpus| >> |benchmark| (the real-world shape):
+    the benchmark's distinct shingle hashes are BROADCAST into a
+    left-semi join against the corpus shingle stream, so the 100 TB
+    corpus side is never shuffled — it is scanned once, map-side
+    filtered to the (tiny, <= |benchmark shingles|) hit set, and only
+    that survivor set is deduplicated and joined back to per-doc
+    counts. The corpus shingle table skips its distinct (semi-join
+    existence is duplicate-insensitive), saving that shuffle too.
+    """
+    ben = shingle_table(benchmark, text_col, id_col, k)  # distinct per doc
+    ben_ids = ben.select("sh_h").distinct()
+    corp = shingle_table(corpus, text_col, id_col, k, distinct=False)
+    hit_ids = (
+        corp.join(F.broadcast(ben_ids), "sh_h", "left_semi").select("sh_h").distinct()
+    )
+    n_sh = ben.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    n_hit = (
+        ben.join(F.broadcast(hit_ids), "sh_h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    out = (
+        n_sh.join(n_hit, "doc_id", "left")
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+        .withColumn(
+            "contamination_frac", F.col("n_contaminated") / F.col("n_shingles")
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        "contamination_frac",
+        (F.col("contamination_frac") >= flag_threshold).alias("flag_contaminated"),
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """SimHash over word tokens: each token votes its 32-bit md5-derived
     hash bitwise; the sign of each bit-sum forms the fingerprint.

@@ -830,3 +830,39 @@ def doc_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences(docs, token_count(F.col("text")), "doc_id", budget=128, n_shards=8)
+
+
+@register(
+    "doc_contamination_check",
+    f"""
+    WITH
+    {_SHINGLE_CTE},
+    ben AS (SELECT doc_id, sh_h FROM sh WHERE doc_id % 25 = 0),
+    corp AS (SELECT DISTINCT sh_h FROM sh WHERE doc_id % 25 <> 0),
+    agg AS (
+      SELECT b.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN c.sh_h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated
+      FROM ben b LEFT JOIN corp c USING (sh_h)
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_shingles, n_contaminated,
+           n_contaminated / n_shingles AS contamination_frac,
+           (n_contaminated / n_shingles) >= 0.5 AS flag_contaminated
+    FROM agg
+    """,
+    doc="Benchmark decontamination: per eval-document fraction of "
+    "3-gram shingles found anywhere in the training corpus (eval set = "
+    "doc_id % 25 = 0 here). The Spark plan broadcasts the benchmark's "
+    "shingle ids into a left-semi join against the corpus shingle "
+    "stream, so the 100 TB corpus side is scanned once and never "
+    "shuffled; only the tiny hit set is deduplicated and joined back.",
+)
+def doc_contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.dedup import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    return contamination_check(corpus, bench, "text", "doc_id", flag_threshold=0.5)

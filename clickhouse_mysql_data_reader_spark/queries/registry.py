@@ -67,6 +67,10 @@ QUERIES: dict[str, QueryDef] = {}
 #     ExistenceJoin plan family, negated condition)
 #   - dedup_ngram_jaccard: the identical shingle-intersection Jaccard
 #     arithmetic runs INSIDE the checked dedup_lsh_jaccard verify stage
+# ...and one more to admit the contamination check:
+#   - window_rank_dense: rank/dense_rank sibling of the checked
+#     window_topn_per_group (same WindowExec plan, different rank fn;
+#     lag/tumbling/session keep the analytic family covered)
 # All registered queries stay green under pytest; the ordering only
 # decides which 50 the external driver re-verifies.
 DEPRIORITIZED = (
@@ -86,6 +90,7 @@ DEPRIORITIZED = (
     "embed_cell_assign",
     "join_anti",
     "dedup_ngram_jaccard",
+    "window_rank_dense",
 )
 
 

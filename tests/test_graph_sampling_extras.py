@@ -267,3 +267,39 @@ def test_pack_sequences_rejects_bad_budget(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(docs, F.lit(2), "doc_id", budget=0)
+
+
+def test_contamination_check_known_overlap(spark):
+    from clickhouse_mysql_data_reader_spark.operators.dedup import contamination_check
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated corpus content here today"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over a sleeping cat"),  # partial leak
+            (101, "the quick brown fox jumps over the lazy dog"),    # full leak
+            (102, "nothing in common with training data at all"),    # clean
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in contamination_check(corpus, bench, "text", "doc_id").collect()
+    }
+    # doc 101 is verbatim in corpus: every shingle contaminated
+    assert got[101]["contamination_frac"] == 1.0
+    assert got[101]["flag_contaminated"] is True
+    # doc 100 shares the 'the quick brown / quick brown fox / brown fox
+    # jumps / fox jumps over' prefix shingles: 4 of its 7 3-gram shingles
+    assert got[100]["n_shingles"] == 7
+    assert got[100]["n_contaminated"] == 4
+    assert got[100]["flag_contaminated"] is True  # 4/7 >= 0.5
+    # doc 102 shares nothing
+    assert got[102]["n_contaminated"] == 0
+    assert got[102]["contamination_frac"] == 0.0
+    assert got[102]["flag_contaminated"] is False

@@ -158,3 +158,13 @@ def test_pack_sequences_single_sharded_exchange(spark, sf_correct):
     assert "SinglePartition" not in plan
     assert "rangepartitioning" not in plan
     assert re.search(r"hashpartitioning\(shard", plan), plan
+
+
+def test_contamination_corpus_never_shuffles(spark, sf_correct):
+    """Decontamination is built for |corpus| >> |benchmark|: the corpus
+    shingle stream must be consumed by a broadcast LEFT-SEMI join
+    (map-side filter), never sort-merge-joined or hash-repartitioned in
+    full."""
+    plan = _formatted(entrymod.queries()["doc_contamination_check"](spark, sf_correct))
+    assert "SortMergeJoin" not in plan, plan
+    assert len(re.findall(r"BroadcastHashJoin.*LeftSemi", plan)) >= 2, plan

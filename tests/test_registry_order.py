@@ -31,7 +31,6 @@ MUST_BE_CHECKED = {
     "join_asof_attrib",
     "window_topn_per_group",
     "window_lag_delta",
-    "window_rank_dense",
     "window_tumbling_hourly",
     "window_session_gaps",
     "topk_global",
@@ -64,6 +63,7 @@ MUST_BE_CHECKED = {
     "embed_quantize_int8",
     "text_repetition_stats",
     "doc_pack_sequences",
+    "doc_contamination_check",
     "multimodal_features",
     "multimodal_frame_plan",
 }
