@@ -90,6 +90,76 @@ def hash_split(key: Column, fractions: dict[str, float], salt: str = "split") ->
     return last if expr is None else expr.otherwise(last)
 
 
+def hex_threshold_expr(rate: Column) -> Column:
+    """Runtime analogue of ``_hex_threshold`` for DATA-DEPENDENT rates
+    (e.g. computed from per-source token totals): the exclusive 8-hex
+    upper bound as an expression. Callers must short-circuit rate >= 1
+    (16^8 would need 9 hex digits); floor/hex/lpad/lower all have exact
+    DuckDB equivalents, so oracle parity holds for computed rates too."""
+    return F.lower(
+        F.lpad(F.hex(F.floor(rate * F.lit(float(HEX_SPAN))).cast("bigint")), 8, "0")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    token_count_col: Column,
+    key_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+    default_weight: float = 0.0,
+    salt: str = "mixture",
+) -> DataFrame:
+    """Build a pretraining data mixture: given target mixture weights
+    per source and a total token budget, compute each source's keep-rate
+    ``min(1, budget*weight / source_tokens)`` and apply deterministic
+    hash sampling at that rate, reporting per-source docs/tokens before
+    and after. Sources over-represented vs their weight are downsampled;
+    under-represented ones are kept whole (rate caps at 1 — this
+    operator never upsamples).
+
+    Plan at 100 TB: one partial+final agg for per-source token totals (a
+    few-row result), broadcast back onto the scan, then a second agg for
+    the report — the corpus is scanned, never cached, and the only
+    per-row work is one md5. Membership is a pure function of
+    (key, salt, totals): identical across runs, retries, and engines.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    base = df.select(
+        F.col(source_col).alias("source"),
+        F.col(key_col).alias("_k"),
+        token_count_col.cast("bigint").alias("n_tokens"),
+    )
+    totals = base.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    # per-branch targets are PYTHON-evaluated literals (budget * weight),
+    # so both engines divide the identical constant by src_tokens
+    target = F.lit(float(token_budget * default_weight))
+    for s, w in sorted(weights.items()):
+        target = F.when(F.col("source") == F.lit(s), F.lit(float(token_budget * w))).otherwise(
+            target
+        )
+    rates = totals.withColumn("rate", F.least(F.lit(1.0), target / F.col("src_tokens")))
+    joined = base.join(F.broadcast(rates), "source")
+    keep = (F.col("rate") >= 1.0) | (
+        hash_bucket(F.col("_k"), salt) < hex_threshold_expr(F.col("rate"))
+    )
+    return (
+        joined.withColumn("keep", keep)
+        .groupBy("source")
+        .agg(
+            F.max("rate").alias("rate"),  # constant within a source
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_docs_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0)).alias(
+                "n_tokens_kept"
+            ),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_count_col: Column,

@@ -866,3 +866,72 @@ def doc_contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 25 == 0)
     corpus = docs.filter(F.col("doc_id") % 25 != 0)
     return contamination_check(corpus, bench, "text", "doc_id", flag_threshold=0.5)
+
+
+# mixture weights shared verbatim by the Spark builder and the SQL
+# oracle below — per-branch targets are Python-evaluated literals so
+# both engines divide the identical constant by src_tokens
+_MIX_WEIGHTS = {"src1": 0.2, "src2": 0.1, "src3": 0.05}
+_MIX_BUDGET = 10_000
+_MIX_DEFAULT_W = 0.02
+
+
+def _sql_mixture_target() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {float(_MIX_BUDGET * w)}"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"CASE source {whens} ELSE {float(_MIX_BUDGET * _MIX_DEFAULT_W)} END"
+
+
+@register(
+    "sample_mixture_weights",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    t AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+          FROM d GROUP BY source),
+    r AS (SELECT source,
+                 least(1.0, ({_sql_mixture_target()}) / src_tokens) AS rate
+          FROM t),
+    k AS (
+      SELECT d.source, d.n_tokens, r.rate,
+             (r.rate >= 1.0 OR
+              {_sql_hash('mixture', 'doc_id')} <
+              lower(lpad(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT)), 8, '0')))
+               AS keep
+      FROM d JOIN r USING (source)
+    )
+    SELECT source,
+           max(rate) AS rate,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+           CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS n_tokens_kept
+    FROM k GROUP BY source
+    """,
+    doc="Pretraining mixture construction: per-source keep-rate "
+    "min(1, budget*weight / source_tokens) applied as deterministic "
+    "md5 hash sampling (data-dependent rates -> runtime hex threshold). "
+    "Over-represented sources are downsampled toward their mixture "
+    "weight; under-represented ones kept whole. Two aggs + a broadcast "
+    "of the few-row rate table — the corpus is scanned, never cached.",
+)
+def sample_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.sampling import mixture_sample
+    from clickhouse_mysql_data_reader_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs,
+        token_count(F.col("text")),
+        "doc_id",
+        "source",
+        _MIX_WEIGHTS,
+        _MIX_BUDGET,
+        default_weight=_MIX_DEFAULT_W,
+    )

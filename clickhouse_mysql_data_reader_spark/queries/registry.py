@@ -71,6 +71,10 @@ QUERIES: dict[str, QueryDef] = {}
 #   - window_rank_dense: rank/dense_rank sibling of the checked
 #     window_topn_per_group (same WindowExec plan, different rank fn;
 #     lag/tumbling/session keep the analytic family covered)
+# ...and one more to admit mixture-weight sampling:
+#   - multimodal_frame_plan: JVM-side explode sibling of the checked
+#     multimodal_features (which carries the harder mapInPandas/Arrow
+#     seam the frame plan feeds)
 # All registered queries stay green under pytest; the ordering only
 # decides which 50 the external driver re-verifies.
 DEPRIORITIZED = (
@@ -91,6 +95,7 @@ DEPRIORITIZED = (
     "join_anti",
     "dedup_ngram_jaccard",
     "window_rank_dense",
+    "multimodal_frame_plan",
 )
 
 

@@ -303,3 +303,40 @@ def test_contamination_check_known_overlap(spark):
     assert got[102]["n_contaminated"] == 0
     assert got[102]["contamination_frac"] == 0.0
     assert got[102]["flag_contaminated"] is False
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from clickhouse_mysql_data_reader_spark.operators.sampling import mixture_sample
+
+    # 3 sources x 200 docs x 10 tokens = 2000 tokens each
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", " ".join(["w"] * 10)) for i in range(600)],
+        "doc_id long, source string, text string",
+    )
+    from clickhouse_mysql_data_reader_spark.operators.text import token_count
+
+    out = mixture_sample(
+        docs, token_count(F.col("text")), "doc_id", "source",
+        {"s0": 0.5, "s1": 0.1}, token_budget=4000, default_weight=0.0,
+    )
+    rows = {r["source"]: r for r in out.collect()}
+    # s0 target 2000 = its total -> rate 1, kept whole
+    assert rows["s0"]["rate"] == 1.0
+    assert rows["s0"]["n_docs_kept"] == 200
+    assert rows["s0"]["n_tokens_kept"] == 2000
+    # s1 target 400 of 2000 -> rate 0.2, kept ~20% (hash variance)
+    assert rows["s1"]["rate"] == pytest.approx(0.2)
+    assert 20 <= rows["s1"]["n_docs_kept"] <= 60
+    # s2 has no weight and default 0 -> nothing kept
+    assert rows["s2"]["rate"] == 0.0
+    assert rows["s2"]["n_docs_kept"] == 0
+    # deterministic under repartitioning
+    again = mixture_sample(
+        docs.repartition(17), token_count(F.col("text")), "doc_id", "source",
+        {"s0": 0.5, "s1": 0.1}, token_budget=4000, default_weight=0.0,
+    ).collect()
+    assert {r["source"]: r["n_docs_kept"] for r in again} == {
+        s: r["n_docs_kept"] for s, r in rows.items()
+    }
+    with pytest.raises(ValueError, match="token_budget"):
+        mixture_sample(docs, F.lit(1), "doc_id", "source", {}, token_budget=0)

@@ -64,8 +64,8 @@ MUST_BE_CHECKED = {
     "text_repetition_stats",
     "doc_pack_sequences",
     "doc_contamination_check",
+    "sample_mixture_weights",
     "multimodal_features",
-    "multimodal_frame_plan",
 }
 
 
