@@ -196,8 +196,11 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
     the fraction of tokens taken up by the single most frequent unigram
     and bigram, plus the duplicate-token fraction, folded into a
-    repetitive-document flag (top-unigram > 0.20 or top-bigram > 0.18,
-    the published thresholds).
+    repetitive-document flag. The bigram rule uses Gopher's published
+    0.18 threshold; the unigram rule flags above 0.30 — Gopher has no
+    unigram rule, and ordinary English prose routinely spends 0.2+ of
+    its tokens on one stopword, so 0.30 marks only genuinely
+    pathological single-token repetition.
 
     Unlike the textbook explode -> groupBy(doc, term) -> window-max
     formulation (two shuffles keyed on doc_id), every statistic here is
@@ -245,7 +248,7 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         (top_uni / n).alias("top_unigram_frac"),
         (top_bi / n_bi).alias("top_bigram_frac"),
         ((n - F.col("n_distinct")) / n).alias("dup_token_frac"),
-        ((top_uni / n > 0.20) | (top_bi / n_bi > 0.18)).alias("flag_repetitive"),
+        ((top_uni / n > 0.30) | (top_bi / n_bi > 0.18)).alias("flag_repetitive"),
     )
 
 

@@ -780,13 +780,14 @@ def embed_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            top_uni / n AS top_unigram_frac,
            top_bi / greatest(n - 1, 1) AS top_bigram_frac,
            (n - len(list_distinct(tk))) / n AS dup_token_frac,
-           (top_uni / n > 0.20 OR top_bi / greatest(n - 1, 1) > 0.18)
+           (top_uni / n > 0.30 OR top_bi / greatest(n - 1, 1) > 0.18)
              AS flag_repetitive
     FROM sized s JOIN unitop USING (doc_id) JOIN bitop USING (doc_id)
     """,
     doc="Gopher-style repetition quality rules (top-unigram/top-bigram "
-    "token fractions, duplicate-token fraction, published 0.20/0.18 "
-    "flag thresholds). Spark side is a per-row array_sort + aggregate "
+    "token fractions, duplicate-token fraction; bigram flag at the "
+    "published 0.18, unigram at 0.30 since prose spends 0.2+ on one "
+    "stopword). Spark side is a per-row array_sort + aggregate "
     "fold (longest equal run = top multiplicity): ZERO shuffles vs the "
     "oracle's textbook explode+groupBy+max formulation — same numbers, "
     "scan-stage-only plan.",

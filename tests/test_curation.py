@@ -1,0 +1,101 @@
+"""Integration tests for the end-to-end curation pipeline: the staged
+composition of quality gate, PII scrub, exact + near dedup,
+decontamination, mixture shaping, and sequence packing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_mysql_data_reader_spark.curation import CurationConfig, curate
+from clickhouse_mysql_data_reader_spark.sources.parquet import load_table
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then it runs far "
+    "away to find a place for the long sleep it wanted all day"
+)
+
+
+def test_curate_synthetic_stages(spark):
+    docs = _mk_docs(
+        spark,
+        [
+            (1, "web", GOOD),
+            (2, "web", GOOD),  # exact duplicate of 1 -> dropped
+            (3, "web", GOOD + " with one tiny extra suffix appended here"),  # near-dup of 1
+            (4, "web", "spam spam spam spam spam spam spam spam spam spam"),  # repetitive
+            (5, "web", "zz qq xx vv kk jj ww yy pp mm nn bb"),  # no stopwords -> low quality
+            (6, "web", "you can reach the editor at bob@example.com for the story "
+                       "which is about the way the old town got its name long ago"),
+            (7, "books", "call it what you want but the story of the sea is the "
+                         "story of the men who sailed it for the love of the wind"),
+        ],
+    )
+    res = curate(docs, cfg=CurationConfig(near_dup_jaccard=0.5))
+    counts = res.stage_counts()
+    assert counts["input"] == 7
+    # 4 (repetitive) and 5 (low quality) fail the per-row gates
+    assert counts["quality_gated"] == 5
+    # 2 is an exact copy of 1
+    assert counts["after_exact_dedup"] == 4
+    # 3 is a near-dup of 1 (same long prefix)
+    assert counts["after_near_dedup"] == 3
+    kept_ids = {r["doc_id"] for r in res.after_near_dedup.select("doc_id").collect()}
+    assert kept_ids == {1, 6, 7}
+    # PII was scrubbed before landing
+    texts = {r["doc_id"]: r["text"] for r in res.after_near_dedup.collect()}
+    assert "[EMAIL]" in texts[6] and "@" not in texts[6]
+    # packing covers every survivor exactly once with valid offsets
+    packed = res.packed.collect()
+    assert {r["doc_id"] for r in packed} == kept_ids
+    assert all(0 <= r["pack_offset"] < 128 for r in packed)
+
+
+def test_curate_decontamination_direction(spark):
+    corpus = _mk_docs(
+        spark,
+        [
+            (1, "web", GOOD),  # verbatim benchmark item -> must be dropped
+            (2, "web", "completely different content about the state of the "
+                       "harvest in the north for the year of the flood"),
+        ],
+    )
+    bench = _mk_docs(spark, [(100, "eval", GOOD)])
+    res = curate(corpus, benchmark=bench, cfg=CurationConfig())
+    kept = {r["doc_id"] for r in res.after_decontamination.select("doc_id").collect()}
+    assert kept == {2}
+
+
+def test_curate_mixture_and_testdata_end_to_end(spark, sf_correct):
+    docs = load_table(spark, sf_correct, "documents")
+    cfg = CurationConfig(
+        min_quality_score=0.1,
+        mixture_weights={"src1": 0.2, "src2": 0.1},
+        mixture_token_budget=5_000,
+        mixture_default_weight=0.05,
+    )
+    res = curate(docs, cfg=cfg)
+    counts = res.stage_counts()
+    # monotone non-increasing survivor counts through the drop stages
+    order = [
+        "input",
+        "quality_gated",
+        "after_exact_dedup",
+        "after_near_dedup",
+        "after_decontamination",
+        "after_mixture",
+    ]
+    for a, b in zip(order, order[1:]):
+        assert counts[a] >= counts[b], (a, counts[a], b, counts[b])
+    assert counts["after_mixture"] > 0
+    assert counts["packed"] == counts["after_mixture"]
+    # deterministic: a second run reproduces identical survivors
+    again = curate(docs, cfg=cfg)
+    a = sorted(r["doc_id"] for r in res.after_mixture.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in again.after_mixture.select("doc_id").collect())
+    assert a == b
