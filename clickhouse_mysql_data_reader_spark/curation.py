@@ -42,9 +42,7 @@ from clickhouse_mysql_data_reader_spark.operators.sampling import (
     pack_sequences,
 )
 from clickhouse_mysql_data_reader_spark.operators.text import (
-    pii_redact,
-    quality_features,
-    repetition_stats,
+    gate_columns,
     token_count,
 )
 
@@ -107,35 +105,41 @@ def curate(
     removed so eval answers don't leak into training.
     """
     # --- stage 1: per-row quality + repetition gates (scan-stage) -----
-    quality = quality_features(docs, text_col, id_col).select(
-        id_col, "quality_score"
-    )
-    rep = repetition_stats(docs, text_col, id_col).select(
-        F.col("doc_id").alias(id_col), "flag_repetitive"
-    )
-    gated = (
-        docs.join(quality, id_col)
-        .join(rep, id_col)
-        .filter(F.col("quality_score") >= cfg.min_quality_score)
-    )
+    # gate_columns attaches both gates inline (shared expression
+    # helpers with the oracle-checked operators): one scan, zero
+    # shuffles — not a join of the frame-level operators back on id,
+    # which would shuffle the full corpus once per gate
+    gate = gate_columns(docs, text_col)
+    gated = gate.filter(F.col("quality_score") >= cfg.min_quality_score)
     if cfg.drop_repetitive:
         gated = gated.filter(~F.col("flag_repetitive"))
     gated = gated.select(*docs.columns)
 
-    # --- stage 2: PII scrub (replaces the text column) ----------------
+    # --- stage 2: PII scrub (replaces the text column, inline) --------
     if cfg.redact_pii:
-        red = pii_redact(gated, text_col, id_col).select(
-            id_col, F.col("redacted").alias(text_col)
+        from clickhouse_mysql_data_reader_spark.operators.text import (
+            EMAIL_RE,
+            PHONE_RE,
         )
-        gated = gated.drop(text_col).join(red, id_col)
+
+        scrubbed = F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), EMAIL_RE, "[EMAIL]"),
+            PHONE_RE,
+            "[PHONE]",
+        )
+        gated = gated.withColumn(text_col, scrubbed)
 
     # --- stage 3: exact dedup (keeper = min id per fingerprint) -------
-    with_fp = gated.withColumn("_fp", content_fingerprint(F.col(text_col)))
-    keepers = with_fp.groupBy("_fp").agg(F.min(id_col).alias("_keep_id"))
+    # windowed keeper election: ONE shuffle on the fingerprint, vs the
+    # groupBy-then-join-back formulation that shuffles the corpus twice
+    from pyspark.sql import Window as W
+
+    w_fp = W.partitionBy("_fp").orderBy(F.col(id_col).asc())
     exact = (
-        with_fp.join(keepers, "_fp")
-        .filter(F.col(id_col) == F.col("_keep_id"))
-        .drop("_fp", "_keep_id")
+        gated.withColumn("_fp", content_fingerprint(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w_fp))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
     )
 
     # --- stage 4: near-dup merge (LSH -> Jaccard -> components) ------

@@ -51,6 +51,21 @@ def lang_id(col: Column, threshold: float = 0.05) -> Column:
     return F.when(stopword_ratio(col) >= threshold, F.lit("en")).otherwise(F.lit("unk"))
 
 
+def quality_score_expr(tk: Column) -> Column:
+    """Composite quality score from a MATERIALIZED token-array column
+    (stopword-density and length terms, clamped to [0,1]). Shared by
+    ``quality_features`` and the curation gate so the two can't drift."""
+    n_tok = F.size(tk)
+    sw_hits = F.size(F.filter(tk, lambda t: t.isin(*EN_STOPWORDS)))
+    return F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(0.0),
+            (sw_hits / n_tok) * 4 + F.least(n_tok / 100.0, F.lit(1.0)) * 0.5,
+        ),
+    )
+
+
 def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document quality features + a composite score:
     - n_tokens, mean token length (verbosity/garbage detector)
@@ -71,13 +86,7 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     n_tok = F.size("tk")
     sw_hits = F.size(F.filter(F.col("tk"), lambda t: t.isin(*EN_STOPWORDS)))
     sw_ratio = sw_hits / n_tok
-    score = F.least(
-        F.lit(1.0),
-        F.greatest(
-            F.lit(0.0),
-            sw_ratio * 4 + F.least(n_tok / 100.0, F.lit(1.0)) * 0.5,
-        ),
-    )
+    score = quality_score_expr(F.col("tk"))
     # ratios stay raw doubles: int/int lowers to the same IEEE division
     # in any engine, so values are bit-deterministic without round()'s
     # cross-engine half-way hazards.
@@ -192,6 +201,26 @@ def _longest_equal_run(arr: Column) -> Column:
     )
 
 
+def bigram_array(tk: Column) -> Column:
+    """Length-2-slice bigram strings of a MATERIALIZED token array,
+    mirrored by ``tk[i:i+1]`` (inclusive) in the DuckDB oracle; the
+    greatest() guard keeps sequence() non-empty for 1-token docs
+    identically on both sides."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(tk, i, 2), " "),
+    )
+
+
+def repetition_flag_expr(n: Column, top_uni: Column, top_bi: Column) -> Column:
+    """Gopher-style repetitive-document flag from materialized counts:
+    bigram rule at the published 0.18; unigram at 0.30 (Gopher has no
+    unigram rule, and prose spends 0.2+ of tokens on one stopword).
+    Shared by ``repetition_stats`` and the curation gate."""
+    n_bi = F.greatest(n - 1, F.lit(1))
+    return (top_uni / n > 0.30) | (top_bi / n_bi > 0.18)
+
+
 def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
     the fraction of tokens taken up by the single most frequent unigram
@@ -219,13 +248,7 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         "doc_id",
         "tk",
         F.size("tk").alias("n_tokens"),
-        # bigrams via length-2 slices, mirrored by tk[i:i+1] (inclusive)
-        # in the DuckDB oracle; the greatest() guard keeps sequence()
-        # non-empty for 1-token docs identically on both sides
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("tk") - 1, F.lit(1))),
-            lambda i: F.array_join(F.slice("tk", i, 2), " "),
-        ).alias("bg"),
+        bigram_array(F.col("tk")).alias("bg"),
     )
     # the folds are interpreted (higher-order fns don't codegen) and
     # each is referenced by TWO output columns — materialize them once
@@ -248,7 +271,37 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         (top_uni / n).alias("top_unigram_frac"),
         (top_bi / n_bi).alias("top_bigram_frac"),
         ((n - F.col("n_distinct")) / n).alias("dup_token_frac"),
-        ((top_uni / n > 0.30) | (top_bi / n_bi > 0.18)).alias("flag_repetitive"),
+        repetition_flag_expr(n, top_uni, top_bi).alias("flag_repetitive"),
+    )
+
+
+def gate_columns(df: DataFrame, text_col: str) -> DataFrame:
+    """Attach ``quality_score`` and ``flag_repetitive`` to every row of
+    ``df`` (all original columns preserved) in ONE scan with ZERO
+    shuffles — the curation pipeline's per-row gate stage. Joining the
+    frame-level operators back on id would shuffle the full corpus once
+    per gate; this computes the identical expressions inline (shared
+    helpers, so semantics can't drift from the oracle-checked queries).
+    """
+    from clickhouse_mysql_data_reader_spark.util import fan_out
+
+    staged = (
+        fan_out(df)
+        .select("*", F.split(normalize_text(F.col(text_col)), " ").alias("_tk"))
+        .select("*", bigram_array(F.col("_tk")).alias("_bg"))
+        .select(
+            "*",
+            quality_score_expr(F.col("_tk")).alias("quality_score"),
+            _longest_equal_run(F.col("_tk")).alias("_top_uni"),
+            _longest_equal_run(F.col("_bg")).alias("_top_bi"),
+        )
+    )
+    return staged.select(
+        *df.columns,
+        "quality_score",
+        repetition_flag_expr(
+            F.size("_tk"), F.col("_top_uni"), F.col("_top_bi")
+        ).alias("flag_repetitive"),
     )
 
 

@@ -99,3 +99,21 @@ def test_curate_mixture_and_testdata_end_to_end(spark, sf_correct):
     a = sorted(r["doc_id"] for r in res.after_mixture.select("doc_id").collect())
     b = sorted(r["doc_id"] for r in again.after_mixture.select("doc_id").collect())
     assert a == b
+
+
+def test_curate_gate_and_exact_dedup_plan_shape(spark, sf_correct):
+    """The per-row gates ride the scan (no join-back-on-id shuffles) and
+    exact dedup is a single fingerprint-keyed window — so up to the
+    exact-dedup stage the plan holds exactly one keyed exchange (plus
+    fan_out's round-robin spread of the small local test file)."""
+    docs = load_table(spark, sf_correct, "documents")
+    res = curate(docs, cfg=CurationConfig())
+    plan = res.after_exact_dedup._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re
+
+    keyed = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert keyed == ["_fp"], plan  # one keyed exchange, on the fingerprint
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan  # gates are inline, not joins
