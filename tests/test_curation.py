@@ -117,3 +117,41 @@ def test_curate_gate_and_exact_dedup_plan_shape(spark, sf_correct):
     assert keyed == ["_fp"], plan  # one keyed exchange, on the fingerprint
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" not in plan  # gates are inline, not joins
+
+
+def test_gate_columns_streaming_compatible(spark, tmp_path):
+    """The per-row gates are stateless projections, so they apply
+    unchanged to a readStream source (streaming ingest can pre-filter
+    before landing); fan_out degrades to a no-op on streaming frames."""
+    from clickhouse_mysql_data_reader_spark.operators.text import gate_columns
+
+    docs = _mk_docs(
+        spark,
+        [
+            (1, "web", GOOD),
+            (2, "web", "spam spam spam spam spam spam spam spam spam spam"),
+        ],
+    )
+    p = str(tmp_path / "docs_stream")
+    docs.write.mode("overwrite").parquet(p)
+    stream = spark.readStream.schema(docs.schema).parquet(p)
+    gated = gate_columns(stream, "text").filter(~F.col("flag_repetitive"))
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("gate_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select doc_id from gate_stream").collect()
+    assert {r["doc_id"] for r in rows} == {1}
+
+
+def test_curate_null_text_rows_are_dropped(spark):
+    """NULL text: every gate expression evaluates to NULL, so the row is
+    filtered out at stage 1 — documented drop-don't-crash semantics."""
+    docs = _mk_docs(spark, [(1, "web", GOOD), (2, "web", None)])
+    res = curate(docs, cfg=CurationConfig())
+    assert {r["doc_id"] for r in res.quality_gated.collect()} == {1}
