@@ -87,6 +87,50 @@ class CurationResult:
         return {name: df.count() for name, df in self.stage_frames.items()}
 
 
+def _row_stages(
+    docs: DataFrame, cfg: CurationConfig, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Stages 1-3 (shared by full and incremental curation):
+
+    1. per-row quality + repetition gates — gate_columns attaches both
+       inline (shared expression helpers with the oracle-checked
+       queries): one scan, zero shuffles, not a join of the frame-level
+       operators back on id (which would shuffle the corpus per gate);
+    2. PII scrub, inline on the text column;
+    3. exact dedup via a fingerprint-keyed window (keeper = min id):
+       ONE shuffle, vs groupBy-then-join-back's two.
+    """
+    gate = gate_columns(docs, text_col)
+    gated = gate.filter(F.col("quality_score") >= cfg.min_quality_score)
+    if cfg.drop_repetitive:
+        gated = gated.filter(~F.col("flag_repetitive"))
+    gated = gated.select(*docs.columns)
+
+    if cfg.redact_pii:
+        from clickhouse_mysql_data_reader_spark.operators.text import (
+            EMAIL_RE,
+            PHONE_RE,
+        )
+
+        scrubbed = F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), EMAIL_RE, "[EMAIL]"),
+            PHONE_RE,
+            "[PHONE]",
+        )
+        gated = gated.withColumn(text_col, scrubbed)
+
+    from pyspark.sql import Window as W
+
+    w_fp = W.partitionBy("_fp").orderBy(F.col(id_col).asc())
+    exact = (
+        gated.withColumn("_fp", content_fingerprint(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w_fp))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+    return gated, exact
+
+
 def curate(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
@@ -104,43 +148,7 @@ def curate(
     corpus doc that is a near-verbatim copy of a benchmark doc is
     removed so eval answers don't leak into training.
     """
-    # --- stage 1: per-row quality + repetition gates (scan-stage) -----
-    # gate_columns attaches both gates inline (shared expression
-    # helpers with the oracle-checked operators): one scan, zero
-    # shuffles — not a join of the frame-level operators back on id,
-    # which would shuffle the full corpus once per gate
-    gate = gate_columns(docs, text_col)
-    gated = gate.filter(F.col("quality_score") >= cfg.min_quality_score)
-    if cfg.drop_repetitive:
-        gated = gated.filter(~F.col("flag_repetitive"))
-    gated = gated.select(*docs.columns)
-
-    # --- stage 2: PII scrub (replaces the text column, inline) --------
-    if cfg.redact_pii:
-        from clickhouse_mysql_data_reader_spark.operators.text import (
-            EMAIL_RE,
-            PHONE_RE,
-        )
-
-        scrubbed = F.regexp_replace(
-            F.regexp_replace(F.lower(F.col(text_col)), EMAIL_RE, "[EMAIL]"),
-            PHONE_RE,
-            "[PHONE]",
-        )
-        gated = gated.withColumn(text_col, scrubbed)
-
-    # --- stage 3: exact dedup (keeper = min id per fingerprint) -------
-    # windowed keeper election: ONE shuffle on the fingerprint, vs the
-    # groupBy-then-join-back formulation that shuffles the corpus twice
-    from pyspark.sql import Window as W
-
-    w_fp = W.partitionBy("_fp").orderBy(F.col(id_col).asc())
-    exact = (
-        gated.withColumn("_fp", content_fingerprint(F.col(text_col)))
-        .withColumn("_rn", F.row_number().over(w_fp))
-        .filter(F.col("_rn") == 1)
-        .drop("_fp", "_rn")
-    )
+    gated, exact = _row_stages(docs, cfg, text_col, id_col)
 
     # --- stage 4: near-dup merge (LSH -> Jaccard -> components) ------
     sh = shingle_table(exact, text_col, id_col)
@@ -228,3 +236,177 @@ def curate(
             "packed": packed,
         },
     )
+
+
+class CurationState:
+    """Landed dedup state of the already-curated corpus — the sidecar
+    tables an incremental (daily-batch) pipeline needs to dedup NEW
+    documents against everything kept so far WITHOUT recomputing the
+    historical corpus:
+
+    - ``fingerprints``: (doc_id, fp) md5 content fingerprints (exact dedup)
+    - ``bands``:        (doc_id, band_id, band_hash) LSH buckets (near-dup
+      candidate generation)
+    - ``shingles``:     (doc_id, sh_h) shingle hashes (Jaccard verify)
+
+    All three are plain parquet — partition/bucket them by their join
+    key at real scale. ``append`` adds a new batch's rows; state grows
+    with the KEPT corpus only (dropped docs contribute nothing).
+    """
+
+    def __init__(self, state_dir: str, minhash_k: int = 16, lsh_bands: int = 4):
+        self.state_dir = str(state_dir)
+        self.minhash_k = minhash_k
+        self.lsh_bands = lsh_bands
+
+    def _path(self, name: str) -> str:
+        return f"{self.state_dir}/{name}"
+
+    def exists(self, spark) -> bool:
+        """True once a first batch has landed — checked through the
+        Hadoop FileSystem API so any Spark-supported store works."""
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self._path("fingerprints"))
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(path))
+
+    def _derive(self, kept: DataFrame, text_col: str, id_col: str):
+        from clickhouse_mysql_data_reader_spark.operators.dedup import band_table
+
+        fp = kept.select(
+            F.col(id_col).alias("doc_id"),
+            content_fingerprint(F.col(text_col)).alias("fp"),
+        )
+        sh = shingle_table(kept, text_col, id_col)
+        bands = band_table(
+            minhash_signatures(sh, num_hashes=self.minhash_k),
+            num_hashes=self.minhash_k,
+            bands=self.lsh_bands,
+        )
+        return fp, sh, bands
+
+    def write(self, kept: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              mode: str = "append") -> None:
+        fp, sh, bands = self._derive(kept, text_col, id_col)
+        fp.write.mode(mode).parquet(self._path("fingerprints"))
+        sh.write.mode(mode).parquet(self._path("shingles"))
+        bands.write.mode(mode).parquet(self._path("bands"))
+
+    def fingerprints(self, spark) -> DataFrame:
+        return spark.read.parquet(self._path("fingerprints"))
+
+    def shingles(self, spark) -> DataFrame:
+        return spark.read.parquet(self._path("shingles"))
+
+    def bands(self, spark) -> DataFrame:
+        return spark.read.parquet(self._path("bands"))
+
+
+def curate_increment(
+    new_docs: DataFrame,
+    state: CurationState,
+    cfg: CurationConfig = CurationConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    update_state: bool = True,
+) -> DataFrame:
+    """Curate a NEW batch against the landed state of everything kept so
+    far — the production shape of the pipeline (daily increments over a
+    growing 100 TB corpus; re-curating from scratch each day is not an
+    option).
+
+    Within-batch: the same gates + exact dedup + LSH near-dup merge as
+    ``curate``. Against history: exact dups leave via an anti-join on
+    the fingerprint; near-dups leave via LSH bucket collisions with the
+    state's band table, Jaccard-verified against the state's shingles —
+    history always wins (the kept corpus is immutable), so cross dups
+    drop the NEW doc. The state tables are joined on their keys only —
+    the historical corpus text is never re-read, and the per-batch cost
+    scales with |batch| + |state rows touched by its join keys|, not
+    with |corpus|.
+
+    Returns the kept new documents; with ``update_state`` their derived
+    rows are appended to the state first (new ids must not collide with
+    state ids — enforce upstream).
+    """
+    spark = new_docs.sparkSession
+    _, exact = _row_stages(new_docs, cfg, text_col, id_col)
+
+    if not state.exists(spark):
+        # bootstrap: no history yet — within-batch curation only
+        sh0 = shingle_table(exact, text_col, id_col)
+        sigs0 = minhash_signatures(sh0, num_hashes=cfg.minhash_k)
+        cands0 = lsh_candidate_pairs(
+            sigs0, num_hashes=cfg.minhash_k, bands=cfg.lsh_bands
+        )
+        pairs0 = jaccard_pairs(
+            sh0, candidates=cands0, min_jaccard=cfg.near_dup_jaccard
+        )
+        comps0 = connected_components(pairs0.select("doc_a", "doc_b"))
+        drop0 = (
+            comps0.join(component_summary(comps0), "component")
+            .filter(F.col("doc_id") != F.col("keeper_id"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        kept = exact.join(drop0, id_col, "left_anti")
+        if update_state:
+            state.write(kept, text_col=text_col, id_col=id_col, mode="append")
+        return kept
+
+    # --- exact dedup vs history (anti-join on fingerprint) ------------
+    with_fp = exact.withColumn("_fp", content_fingerprint(F.col(text_col)))
+    vs_hist = with_fp.join(
+        state.fingerprints(spark).select(F.col("fp").alias("_fp")),
+        "_fp",
+        "left_anti",
+    ).drop("_fp")
+
+    # --- near-dup within batch AND vs history -------------------------
+    from clickhouse_mysql_data_reader_spark.operators.dedup import band_table
+
+    sh_new = shingle_table(vs_hist, text_col, id_col)
+    sigs_new = minhash_signatures(sh_new, num_hashes=cfg.minhash_k)
+    bands_new = band_table(sigs_new, num_hashes=cfg.minhash_k, bands=cfg.lsh_bands)
+
+    # within batch: standard LSH self-join -> Jaccard -> components
+    cands_in = lsh_candidate_pairs(sigs_new, num_hashes=cfg.minhash_k, bands=cfg.lsh_bands)
+    pairs_in = jaccard_pairs(sh_new, candidates=cands_in, min_jaccard=cfg.near_dup_jaccard)
+    comps = connected_components(pairs_in.select("doc_a", "doc_b"))
+    drop_in = (
+        comps.join(component_summary(comps), "component")
+        .filter(F.col("doc_id") != F.col("keeper_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+
+    # vs history: bucket-join new bands against state bands (keyed on
+    # (band_id, band_hash) — only colliding buckets move), then verify
+    # with Jaccard over new + state shingles of the candidate docs only
+    cands_hist = (
+        bands_new.alias("n")
+        .join(
+            state.bands(spark).alias("h"),
+            (F.col("n.band_id") == F.col("h.band_id"))
+            & (F.col("n.band_hash") == F.col("h.band_hash")),
+        )
+        .select(F.col("n.doc_id").alias("doc_a"), F.col("h.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_hist = state.shingles(spark).join(
+        cands_hist.select(F.col("doc_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    pairs_hist = jaccard_pairs(
+        sh_new.unionByName(sh_hist),
+        candidates=cands_hist,
+        min_jaccard=cfg.near_dup_jaccard,
+    )
+    drop_hist = pairs_hist.select(F.col("doc_a").alias(id_col)).distinct()
+
+    kept = (
+        vs_hist.join(drop_in, id_col, "left_anti")
+        .join(drop_hist, id_col, "left_anti")
+    )
+    if update_state:
+        state.write(kept, text_col=text_col, id_col=id_col, mode="append")
+    return kept

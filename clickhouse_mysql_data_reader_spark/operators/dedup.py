@@ -148,6 +148,25 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
     return base.groupBy("doc_id").agg(*aggs)
 
 
+def band_table(
+    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) rows from MinHash signatures — the
+    bucketing relation of LSH. Exposed separately so incremental
+    pipelines can land it as state and bucket NEW documents against it
+    without recomputing the historical corpus."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *parts)).alias("band_hash"))
+        )
+    return signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
@@ -158,16 +177,7 @@ def lsh_candidate_pairs(
     narrow keys, and bucket sizes are the only skew concern (AQE's
     skew-join split handles pathological clusters).
     """
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *parts)).alias("band_hash"))
-        )
-    banded = signatures.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+    banded = band_table(signatures, num_hashes=num_hashes, bands=bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

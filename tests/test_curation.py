@@ -155,3 +155,47 @@ def test_curate_null_text_rows_are_dropped(spark):
     docs = _mk_docs(spark, [(1, "web", GOOD), (2, "web", None)])
     res = curate(docs, cfg=CurationConfig())
     assert {r["doc_id"] for r in res.quality_gated.collect()} == {1}
+
+
+def test_curate_increment_against_state(spark, tmp_path):
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curate_increment,
+    )
+
+    state = CurationState(str(tmp_path / "state"))
+    cfg = CurationConfig(near_dup_jaccard=0.5)
+
+    batch1 = _mk_docs(
+        spark,
+        [
+            (1, "web", GOOD),
+            (2, "web", "you can reach the editor for the story which is about "
+                       "the way the old town got its name long ago in the west"),
+        ],
+    )
+    kept1 = curate_increment(batch1, state, cfg=cfg)
+    assert {r["doc_id"] for r in kept1.collect()} == {1, 2}
+
+    batch2 = _mk_docs(
+        spark,
+        [
+            (10, "web", GOOD),  # exact dup of state doc 1 -> dropped
+            (11, "web", GOOD + " with one tiny extra suffix appended here"),  # near-dup of 1
+            (12, "web", "a fresh account of the harvest feast held in the "
+                        "village square when the rains finally came to the valley"),
+            (13, "web", "a fresh account of the harvest feast held in the "
+                        "village square when the rains finally came to the valley"),  # in-batch dup of 12
+        ],
+    )
+    kept2 = curate_increment(batch2, state, cfg=cfg)
+    assert {r["doc_id"] for r in kept2.collect()} == {12}
+
+    # state grew by exactly the kept docs of both batches
+    fps = {r["doc_id"] for r in state.fingerprints(spark).collect()}
+    assert fps == {1, 2, 12}
+
+    # a third batch re-sending doc 12's content is now deduped vs state
+    batch3 = _mk_docs(spark, [(20, "web", batch2.collect()[2]["text"])])
+    kept3 = curate_increment(batch3, state, cfg=cfg, update_state=False)
+    assert kept3.count() == 0
