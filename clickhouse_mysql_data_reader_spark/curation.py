@@ -6,9 +6,10 @@ verified semantics and their 100 TB plan shapes.
 
 Stage order follows the usual cost/selectivity logic — cheap per-row
 gates first (quality, repetition: scan-stage expression work), then the
-keyed stages (exact dedup: one groupBy; near-dup: LSH-bucketed, never
-all-pairs; decontamination: broadcast semi-join, corpus never shuffled),
-then mixture shaping and sequence packing on the survivors. Every
+keyed stages (exact dedup: one fingerprint-keyed window; near-dup:
+LSH-bucketed, never all-pairs; decontamination: broadcast semi-join,
+corpus never shuffled), then mixture shaping and sequence packing on
+the survivors. Every
 decision is a pure function of document content/ids: re-running the
 pipeline — or retrying any stage — reproduces byte-identical output.
 
