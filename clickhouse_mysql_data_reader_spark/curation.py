@@ -411,3 +411,43 @@ def curate_increment(
     if update_state:
         state.write(kept, text_col=text_col, id_col=id_col, mode="append")
     return kept
+
+
+def curate_stream(
+    stream_docs: DataFrame,
+    state: CurationState,
+    out_dir: str,
+    cfg: CurationConfig = CurationConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Continuous curation: each micro-batch of a streaming document
+    source is curated incrementally against the landed state (gates,
+    exact + near dedup within the batch AND vs everything kept so far),
+    the survivors land under ``out_dir/epoch=<id>``, and the state grows
+    by exactly the kept docs — the streaming twin of daily-batch
+    ``curate_increment``, built on foreachBatch like the CDC pump
+    (streaming/pump.py).
+
+    Failure semantics: survivors are written per-epoch with overwrite
+    (a replayed epoch overwrites its own output — idempotent), and
+    duplicate state rows from a replayed append are harmless by
+    construction (the state is only ever consumed through anti-/semi-
+    joins on its keys, which are multiplicity-insensitive).
+
+    Returns the DataStreamWriter — caller picks trigger, checkpoint
+    location, and calls start().
+    """
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        kept = curate_increment(
+            batch_df,
+            state,
+            cfg=cfg,
+            text_col=text_col,
+            id_col=id_col,
+            update_state=True,
+        )
+        kept.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    return stream_docs.writeStream.foreachBatch(_apply)

@@ -199,3 +199,64 @@ def test_curate_increment_against_state(spark, tmp_path):
     batch3 = _mk_docs(spark, [(20, "web", batch2.collect()[2]["text"])])
     kept3 = curate_increment(batch3, state, cfg=cfg, update_state=False)
     assert kept3.count() == 0
+
+
+def test_curate_stream_two_batches(spark, tmp_path):
+    """Streaming curation: batch 2 arrives after batch 1's survivors are
+    in the state, so its cross-batch duplicates are dropped even though
+    the two batches never coexist in one micro-batch."""
+    import os
+    import time as _time
+
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curate_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = CurationState(str(tmp_path / "state"))
+    out = str(tmp_path / "out")
+    cfg = CurationConfig(near_dup_jaccard=0.5)
+    schema = "doc_id long, source string, text string"
+
+    def _land(name, rows, mtime):
+        p = str(src / name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    def _run_available():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "16"
+        ).parquet(str(src) + "/*")
+        q = (
+            curate_stream(stream, state, out, cfg=cfg)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    now = _time.time()
+    _land("b1", [(1, "web", GOOD)], now - 100)
+    _run_available()
+    assert {r["doc_id"] for r in state.fingerprints(spark).collect()} == {1}
+
+    _land(
+        "b2",
+        [
+            (10, "web", GOOD),  # exact dup of state doc 1 -> dropped
+            (11, "web", "a fresh account of the harvest feast held in the "
+                        "village square when the rains finally came down"),
+        ],
+        now - 50,
+    )
+    _run_available()
+    assert {r["doc_id"] for r in state.fingerprints(spark).collect()} == {1, 11}
+    kept_out = spark.read.parquet(out)
+    assert {r["doc_id"] for r in kept_out.collect()} == {1, 11}
