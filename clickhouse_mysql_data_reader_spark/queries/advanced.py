@@ -352,3 +352,82 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             within(F.col("p90_approx"), F.col("p90_raw")).alias("p90_within_2pct"),
         )
     )
+
+
+@register(
+    "funnel_window_3step",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_type
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts_us) AS t2
+           FROM e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click'
+             AND e.ts_us > s1.t1 AND e.ts_us <= s1.t1 + 259200000000
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts_us) AS t3
+           FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase'
+             AND e.ts_us > s2.t2 AND e.ts_us <= s1.t1 + 259200000000
+           GROUP BY e.user_id),
+    lvl AS (
+      SELECT u.user_id,
+             CASE WHEN t3 IS NOT NULL THEN 3
+                  WHEN t2 IS NOT NULL THEN 2
+                  WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_level
+      FROM (SELECT DISTINCT user_id FROM e) u
+      LEFT JOIN s1 USING (user_id)
+      LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id)
+    )
+    SELECT CAST(funnel_level AS INT) AS funnel_level,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM lvl GROUP BY funnel_level
+    """,
+    doc="ClickHouse-windowFunnel-style analysis: per-user depth through "
+    "the view->click->purchase chain, each step after the previous and "
+    "within 3 days of the chain start (greedy earliest-start semantics). "
+    "Spark computes it in ONE shuffle — per-user sorted-array fold over "
+    "integer-microsecond timestamps — where the oracle's staged-CTE "
+    "formulation rejoins the events table once per funnel step.",
+)
+def funnel_window_3step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.funnel import funnel_histogram
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_histogram(ev, ["view", "click", "purchase"], window_seconds=259200)
+
+
+@register(
+    "retention_cohorts",
+    """
+    SELECT user_id,
+           CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS INT)
+             AS r0,
+           CAST((max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) = 1
+                 AND max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1)
+                AS INT) AS r1,
+           CAST((max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) = 1
+                 AND max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1)
+                AS INT) AS r2
+    FROM events GROUP BY user_id
+    """,
+    doc="ClickHouse-retention-style flags: r0 = user signed up, "
+    "r_i = r0 AND condition_i matched (clicked / purchased). One "
+    "conditional aggregation, one shuffle on the user key.",
+)
+def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.funnel import retention_flags
+
+    ev = load_table(spark, sf_dir, "events")
+    return retention_flags(
+        ev,
+        [
+            F.col("event_type") == "signup",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+    )

@@ -42,7 +42,6 @@ MUST_BE_CHECKED = {
     "type_coercion_parity",
     "null_policy",
     "rename_fanin_union",
-    "partition_month_key",
     "dedup_latest_wins",
     "cdc_apply_final_state",
     "csv_roundtrip_nation",
@@ -65,6 +64,7 @@ MUST_BE_CHECKED = {
     "doc_pack_sequences",
     "doc_contamination_check",
     "sample_mixture_weights",
+    "funnel_window_3step",
     "multimodal_features",
 }
 
