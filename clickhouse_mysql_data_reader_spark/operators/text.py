@@ -51,12 +51,12 @@ def lang_id(col: Column, threshold: float = 0.05) -> Column:
     return F.when(stopword_ratio(col) >= threshold, F.lit("en")).otherwise(F.lit("unk"))
 
 
-def quality_score_expr(tk: Column) -> Column:
-    """Composite quality score from a MATERIALIZED token-array column
-    (stopword-density and length terms, clamped to [0,1]). Shared by
-    ``quality_features`` and the curation gate so the two can't drift."""
-    n_tok = F.size(tk)
-    sw_hits = F.size(F.filter(tk, lambda t: t.isin(*EN_STOPWORDS)))
+def quality_score_from_counts(n_tok: Column, sw_hits: Column) -> Column:
+    """Composite quality score from pre-computed token/stopword COUNTS
+    (stopword-density and length terms, clamped to [0,1]). The counts
+    seam lets callers that already materialized the counts (e.g.
+    ``quality_features``, which also reports the ratio) reuse them
+    instead of re-traversing the token array."""
     return F.least(
         F.lit(1.0),
         F.greatest(
@@ -66,6 +66,14 @@ def quality_score_expr(tk: Column) -> Column:
     )
 
 
+def quality_score_expr(tk: Column) -> Column:
+    """Composite quality score from a MATERIALIZED token-array column.
+    Shared by ``quality_features`` and the curation gate so the two
+    can't drift."""
+    sw_hits = F.size(F.filter(tk, lambda t: t.isin(*EN_STOPWORDS)))
+    return quality_score_from_counts(F.size(tk), sw_hits)
+
+
 def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document quality features + a composite score:
     - n_tokens, mean token length (verbosity/garbage detector)
@@ -73,20 +81,28 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     - alnum ratio (boilerplate/punctuation-soup detector)
     Score = stopword and length terms, clamped to [0,1], rounded for
     hash stability."""
-    # normalize + tokenize ONCE behind projection boundaries — every
-    # feature references them repeatedly, and inlining would re-run the
-    # regex per reference (same hazard as shingles_from_tokens).
-    base = df.select(
-        F.col(id_col), normalize_text(F.col(text_col)).alias("nt")
-    ).select(
-        id_col,
-        "nt",
-        F.split(F.col("nt"), " ").alias("tk"),
+    from clickhouse_mysql_data_reader_spark.util import fan_out
+
+    # normalize + tokenize + count ONCE behind projection boundaries —
+    # every feature references them repeatedly, and inlining would re-run
+    # the regex / the stopword array-filter per reference (same hazard as
+    # shingles_from_tokens; the score AND the ratio both need sw_hits).
+    base = (
+        fan_out(df, bytes_per_task=128 * 1024)
+        .select(F.col(id_col), normalize_text(F.col(text_col)).alias("nt"))
+        .select(id_col, "nt", F.split(F.col("nt"), " ").alias("tk"))
+        .select(
+            id_col,
+            "nt",
+            F.size("tk").alias("_n_tok"),
+            F.size(
+                F.filter(F.col("tk"), lambda t: t.isin(*EN_STOPWORDS))
+            ).alias("_sw_hits"),
+        )
     )
-    n_tok = F.size("tk")
-    sw_hits = F.size(F.filter(F.col("tk"), lambda t: t.isin(*EN_STOPWORDS)))
-    sw_ratio = sw_hits / n_tok
-    score = quality_score_expr(F.col("tk"))
+    n_tok = F.col("_n_tok")
+    sw_ratio = F.col("_sw_hits") / n_tok
+    score = quality_score_from_counts(n_tok, F.col("_sw_hits"))
     # ratios stay raw doubles: int/int lowers to the same IEEE division
     # in any engine, so values are bit-deterministic without round()'s
     # cross-engine half-way hazards.

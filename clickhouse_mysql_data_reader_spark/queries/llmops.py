@@ -292,10 +292,12 @@ def text_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count,
     )
 
+    from clickhouse_mysql_data_reader_spark.util import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     n_tok = token_count(t)
-    return docs.select(
+    return fan_out(docs, bytes_per_task=128 * 1024).select(
         "doc_id",
         n_tok.alias("n_tokens"),
         bpe_token_estimate(t).alias("bpe_est"),
@@ -322,9 +324,11 @@ def text_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "real classifier (pandas UDF) without changing the pipeline shape.",
 )
 def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.util import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    return docs.select(
+    return fan_out(docs, bytes_per_task=128 * 1024).select(
         "doc_id",
         "lang",
         stopword_ratio(t).alias("sw_ratio"),

@@ -12,7 +12,11 @@ from pyspark.sql import DataFrame
 _SMALL_INPUT_BYTES_PER_SLOT = 32 * 1024 * 1024
 
 
-def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def fan_out(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    bytes_per_task: int | None = None,
+) -> DataFrame:
     """Repartition ONLY when the input is a genuinely small, under-split
     file set (e.g. one small parquet file -> one task), which would run
     CPU-heavy per-row transforms (shingling, hashing, decode UDFs) on a
@@ -22,6 +26,14 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     reflects the conversion, not the file splits). On a well-partitioned
     100 TB input — many files, or few huge splittable files — the
     condition is false and NO shuffle is added.
+
+    ``bytes_per_task`` tunes the fan WIDTH to the downstream work:
+    consumers whose per-row cost explodes the input (shingle/bit
+    explosion -> 30-50x the scanned bytes) want every core regardless
+    of input size (leave it None); plain per-row projections (quality
+    features, token stats) on a tiny input would pay more in task
+    scheduling than they win in parallelism at full width, so they cap
+    the fan at ~one task per ``bytes_per_task`` of input.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     try:
@@ -39,6 +51,10 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
             total += os.path.getsize(p.path)
         except OSError:
             return df
-    if total < target * _SMALL_INPUT_BYTES_PER_SLOT:
-        return df.repartition(target)
-    return df
+    if total >= target * _SMALL_INPUT_BYTES_PER_SLOT:
+        return df
+    if bytes_per_task is not None:
+        target = max(2, min(target, -(-total // bytes_per_task)))
+        if len(files) >= target:
+            return df
+    return df.repartition(target)
