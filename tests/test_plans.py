@@ -168,3 +168,32 @@ def test_contamination_corpus_never_shuffles(spark, sf_correct):
     plan = _formatted(entrymod.queries()["doc_contamination_check"](spark, sf_correct))
     assert "SortMergeJoin" not in plan, plan
     assert len(re.findall(r"BroadcastHashJoin.*LeftSemi", plan)) >= 2, plan
+
+
+def test_fan_out_bytes_per_task_width(spark, tmp_path):
+    """fan_out's width contract: full parallelism by default (explode-
+    amplified consumers), ~one task per bytes_per_task when capped
+    (light per-row transforms), and a no-op on well-split inputs."""
+    from clickhouse_mysql_data_reader_spark.util import fan_out
+
+    p = str(tmp_path / "small.parquet")
+    spark.range(2000).withColumn("pad", F.repeat(F.lit("x"), 200)).coalesce(
+        1
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    total = sum(
+        f.stat().st_size for f in (tmp_path / "small.parquet").glob("*.parquet")
+    )
+    dp = spark.sparkContext.defaultParallelism
+
+    full = fan_out(df)
+    assert f"RoundRobinPartitioning({dp})" in _formatted(full)
+
+    capped = fan_out(df, bytes_per_task=64 * 1024)
+    want = max(2, min(dp, -(-total // (64 * 1024))))
+    assert f"RoundRobinPartitioning({want})" in _formatted(capped)
+    assert want < dp  # the cap actually narrowed the fan for this input
+
+    # a huge bytes_per_task still fans out (floor of 2), never 1
+    wide_floor = fan_out(df, bytes_per_task=1 << 30)
+    assert "RoundRobinPartitioning(2)" in _formatted(wide_floor)
