@@ -19,6 +19,14 @@ Both are computed in ONE shuffle on the user key:
 
 Timestamps fold as epoch MICROSECONDS (integer compares — no float
 drift), matching the DuckDB oracle via unix_micros/epoch_us.
+
+Scale bound: the fold buffers ONE user's step-relevant events as an
+array (8+overhead bytes per event after the isin pre-filter projects
+away everything but ts+type) — the same per-user buffering contract as
+ClickHouse's windowFunnel. A pathological user with ~10^8 step events
+would need ~GBs on one executor; mitigate upstream by bounding the
+funnel window at ingest (filter events to the analysis time range)
+before grouping. Normal users (<=10^5 events) are a few MB at worst.
 """
 
 from __future__ import annotations
