@@ -25,8 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from clickhouse_mysql_data_reader_spark.operators.dedup import (
-    contamination_check,
     content_fingerprint,
+    corpus_contamination,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -113,8 +113,11 @@ def _row_stages(
             PHONE_RE,
         )
 
+        # case-insensitive match on the ORIGINAL-case text: redaction
+        # must not mutate surviving content beyond the redacted spans
+        # (lowercasing here would propagate into the packed output)
         scrubbed = F.regexp_replace(
-            F.regexp_replace(F.lower(F.col(text_col)), EMAIL_RE, "[EMAIL]"),
+            F.regexp_replace(F.col(text_col), "(?i)" + EMAIL_RE, "[EMAIL]"),
             PHONE_RE,
             "[PHONE]",
         )
@@ -166,10 +169,12 @@ def curate(
 
     # --- stage 5: decontamination vs the benchmark --------------------
     if benchmark is not None:
-        # direction: corpus docs contaminated BY benchmark content leave
-        contam = contamination_check(
-            corpus=benchmark,
-            benchmark=deduped,
+        # corpus docs contaminated BY benchmark content leave; the
+        # corpus-side operator broadcasts the BENCHMARK's shingles (the
+        # small side) — the corpus is scanned, never broadcast/shuffled
+        contam = corpus_contamination(
+            corpus=deduped,
+            benchmark=benchmark,
             text_col=text_col,
             id_col=id_col,
             flag_threshold=cfg.contamination_threshold,
@@ -253,6 +258,12 @@ class CurationState:
     All three are plain parquet — partition/bucket them by their join
     key at real scale. ``append`` adds a new batch's rows; state grows
     with the KEPT corpus only (dropped docs contribute nothing).
+
+    Every row carries an ``_epoch`` tag (-1 for plain batch appends,
+    the foreachBatch epoch id for streaming appends). Readers can
+    exclude one epoch's rows — that is what makes a REPLAYED streaming
+    epoch see exactly the pre-epoch history instead of its own first
+    attempt's appends (see ``curate_stream``).
     """
 
     def __init__(self, state_dir: str, minhash_k: int = 16, lsh_bands: int = 4):
@@ -287,20 +298,53 @@ class CurationState:
         return fp, sh, bands
 
     def write(self, kept: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-              mode: str = "append") -> None:
-        fp, sh, bands = self._derive(kept, text_col, id_col)
-        fp.write.mode(mode).parquet(self._path("fingerprints"))
-        sh.write.mode(mode).parquet(self._path("shingles"))
-        bands.write.mode(mode).parquet(self._path("bands"))
+              mode: str = "append", epoch_id: int | None = None) -> None:
+        """Derive and append the three state tables for a kept batch.
 
-    def fingerprints(self, spark) -> DataFrame:
-        return spark.read.parquet(self._path("fingerprints"))
+        ``kept`` (and its shingle relation, which both the shingles and
+        the bands tables derive from) is persisted for the duration of
+        the three writes and unpersisted before returning — without
+        that, each write re-executes the caller's full curation plan
+        (gates + dedup + LSH), tripling the per-batch cost.
+        """
+        from pyspark import StorageLevel
 
-    def shingles(self, spark) -> DataFrame:
-        return spark.read.parquet(self._path("shingles"))
+        kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+        tag = F.lit(-1 if epoch_id is None else int(epoch_id)).alias("_epoch")
+        try:
+            fp, sh, bands = self._derive(kept, text_col, id_col)
+            sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                fp.withColumn("_epoch", tag).write.mode(mode).parquet(
+                    self._path("fingerprints")
+                )
+                sh.withColumn("_epoch", tag).write.mode(mode).parquet(
+                    self._path("shingles")
+                )
+                bands.withColumn("_epoch", tag).write.mode(mode).parquet(
+                    self._path("bands")
+                )
+            finally:
+                sh.unpersist()
+        finally:
+            kept.unpersist()
 
-    def bands(self, spark) -> DataFrame:
-        return spark.read.parquet(self._path("bands"))
+    def _read(self, spark, name: str, exclude_epoch: int | None) -> DataFrame:
+        df = spark.read.parquet(self._path(name))
+        if "_epoch" in df.columns:
+            if exclude_epoch is not None:
+                df = df.filter(F.col("_epoch") != int(exclude_epoch))
+            df = df.drop("_epoch")
+        return df
+
+    def fingerprints(self, spark, exclude_epoch: int | None = None) -> DataFrame:
+        return self._read(spark, "fingerprints", exclude_epoch)
+
+    def shingles(self, spark, exclude_epoch: int | None = None) -> DataFrame:
+        return self._read(spark, "shingles", exclude_epoch)
+
+    def bands(self, spark, exclude_epoch: int | None = None) -> DataFrame:
+        return self._read(spark, "bands", exclude_epoch)
 
 
 def curate_increment(
@@ -310,6 +354,7 @@ def curate_increment(
     text_col: str = "text",
     id_col: str = "doc_id",
     update_state: bool = True,
+    epoch_id: int | None = None,
 ) -> DataFrame:
     """Curate a NEW batch against the landed state of everything kept so
     far — the production shape of the pipeline (daily increments over a
@@ -328,8 +373,21 @@ def curate_increment(
 
     Returns the kept new documents; with ``update_state`` their derived
     rows are appended to the state first (new ids must not collide with
-    state ids — enforce upstream).
+    state ids — enforce upstream). ``epoch_id`` (streaming replays)
+    excludes that epoch's own prior state appends from every history
+    join and tags this batch's appends — see ``curate_stream``.
     """
+    if (cfg.minhash_k, cfg.lsh_bands) != (state.minhash_k, state.lsh_bands):
+        # a mismatch is silent data corruption, not an error state the
+        # joins would surface: band hashes derived with different k or
+        # band count can never match the landed ones, so cross-history
+        # near-dup detection would simply find nothing
+        raise ValueError(
+            f"curation config (minhash_k={cfg.minhash_k}, "
+            f"lsh_bands={cfg.lsh_bands}) does not match the landed state "
+            f"(minhash_k={state.minhash_k}, lsh_bands={state.lsh_bands}); "
+            "derive the batch's signatures with the state's parameters"
+        )
     spark = new_docs.sparkSession
     _, exact = _row_stages(new_docs, cfg, text_col, id_col)
 
@@ -351,13 +409,15 @@ def curate_increment(
         )
         kept = exact.join(drop0, id_col, "left_anti")
         if update_state:
-            state.write(kept, text_col=text_col, id_col=id_col, mode="append")
+            state.write(kept, text_col=text_col, id_col=id_col, mode="append",
+                        epoch_id=epoch_id)
         return kept
 
     # --- exact dedup vs history (anti-join on fingerprint) ------------
     with_fp = exact.withColumn("_fp", content_fingerprint(F.col(text_col)))
     vs_hist = with_fp.join(
-        state.fingerprints(spark).select(F.col("fp").alias("_fp")),
+        state.fingerprints(spark, exclude_epoch=epoch_id)
+        .select(F.col("fp").alias("_fp")),
         "_fp",
         "left_anti",
     ).drop("_fp")
@@ -385,17 +445,25 @@ def curate_increment(
     cands_hist = (
         bands_new.alias("n")
         .join(
-            state.bands(spark).alias("h"),
+            state.bands(spark, exclude_epoch=epoch_id).alias("h"),
             (F.col("n.band_id") == F.col("h.band_id"))
             & (F.col("n.band_hash") == F.col("h.band_hash")),
         )
         .select(F.col("n.doc_id").alias("doc_a"), F.col("h.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh_hist = state.shingles(spark).join(
-        cands_hist.select(F.col("doc_b").alias("doc_id")).distinct(),
-        "doc_id",
-        "left_semi",
+    # dropDuplicates AFTER the semi-join cut (candidate docs only — tiny):
+    # a replayed epoch's double-append leaves duplicate state shingle
+    # rows, which are harmless for the anti/semi joins but would inflate
+    # Jaccard's per-doc counts
+    sh_hist = (
+        state.shingles(spark, exclude_epoch=epoch_id)
+        .join(
+            cands_hist.select(F.col("doc_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        .dropDuplicates(["doc_id", "sh_h"])
     )
     pairs_hist = jaccard_pairs(
         sh_new.unionByName(sh_hist),
@@ -409,7 +477,8 @@ def curate_increment(
         .join(drop_hist, id_col, "left_anti")
     )
     if update_state:
-        state.write(kept, text_col=text_col, id_col=id_col, mode="append")
+        state.write(kept, text_col=text_col, id_col=id_col, mode="append",
+                    epoch_id=epoch_id)
     return kept
 
 
@@ -429,25 +498,63 @@ def curate_stream(
     ``curate_increment``, built on foreachBatch like the CDC pump
     (streaming/pump.py).
 
-    Failure semantics: survivors are written per-epoch with overwrite
-    (a replayed epoch overwrites its own output — idempotent), and
-    duplicate state rows from a replayed append are harmless by
-    construction (the state is only ever consumed through anti-/semi-
-    joins on its keys, which are multiplicity-insensitive).
+    Failure semantics (foreachBatch is at-least-once, so an epoch can
+    REPLAY after a crash anywhere between its first side effect and the
+    commit-log write — replays must be idempotent):
+
+    - every history join excludes the current epoch's own state rows
+      (``exclude_epoch``), so a replay sees exactly the pre-epoch
+      history even when the first attempt already appended state —
+      without this, the batch anti-joins against its own fingerprints,
+      ``kept`` collapses to empty, and the overwrite silently erases
+      the previously-written survivors;
+    - the epoch OUTPUT is written first (overwrite — a replay rewrites
+      the identical survivor set, curation being a pure function of
+      content and pre-epoch history), and the state append derives from
+      the LANDED output files, so the full curation plan executes once
+      per epoch (the three state writes re-scan the small landed
+      parquet, not the plan) and a crash before the state append leaves
+      an output the replay reproduces byte-identically;
+    - a replayed state append leaves duplicate rows for the epoch —
+      harmless: its own epoch excludes them, later epochs consume the
+      state through anti-/semi-joins (multiplicity-insensitive) and a
+      post-semi-join dropDuplicates on the Jaccard path.
 
     Returns the DataStreamWriter — caller picks trigger, checkpoint
     location, and calls start().
     """
+    apply_fn = curation_epoch_apply(
+        state, out_dir, cfg=cfg, text_col=text_col, id_col=id_col
+    )
+    return stream_docs.writeStream.foreachBatch(apply_fn)
+
+
+def curation_epoch_apply(
+    state: CurationState,
+    out_dir: str,
+    cfg: CurationConfig = CurationConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """The per-epoch body of ``curate_stream``, exposed so the replay
+    contract is directly testable (call it twice with the same
+    epoch_id) — see ``curate_stream`` for the ordering rationale."""
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
         kept = curate_increment(
             batch_df,
             state,
             cfg=cfg,
             text_col=text_col,
             id_col=id_col,
-            update_state=True,
+            update_state=False,
+            epoch_id=epoch_id,
         )
-        kept.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+        epoch_path = f"{out_dir}/epoch={epoch_id}"
+        kept.write.mode("overwrite").parquet(epoch_path)
+        landed = spark.read.parquet(epoch_path)
+        state.write(landed, text_col=text_col, id_col=id_col, mode="append",
+                    epoch_id=epoch_id)
 
-    return stream_docs.writeStream.foreachBatch(_apply)
+    return _apply

@@ -304,6 +304,61 @@ def contamination_check(
     )
 
 
+def corpus_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    flag_threshold: float = 0.5,
+) -> DataFrame:
+    """Corpus-side decontamination: for each CORPUS document, the
+    fraction of its k-gram shingles found anywhere in the benchmark —
+    the direction used to DROP training docs that are near-verbatim
+    copies of eval items (``contamination_check`` is the dual: it
+    scores benchmark docs to drop leaked EVAL items).
+
+    Same |corpus| >> |benchmark| plan discipline as
+    ``contamination_check``, from the other side: the benchmark's
+    distinct shingle hashes are BROADCAST onto the corpus shingle
+    stream (map-side hash join — the corpus side is never broadcast),
+    and the corpus crosses the wire exactly once, inside the per-doc
+    distinct-count aggregate: the two ``count_distinct`` columns plan
+    as one Expand(x2) + partial-dedup HashAggregate BEFORE the
+    exchange, so the shuffled volume is bounded by 2x the per-doc
+    DISTINCT shingle pairs as 8-byte hashed keys — strictly less state
+    than a corpus-wide ``distinct()`` followed by a second count
+    shuffle, and the same single-pass cost shape as MinHash signatures.
+    """
+    ben_ids = (
+        shingle_table(benchmark, text_col, id_col, k, distinct=False)
+        .select("sh_h")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corp = shingle_table(corpus, text_col, id_col, k, distinct=False)
+    out = (
+        corp.join(F.broadcast(ben_ids), "sh_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct(F.col("sh_h")).alias("n_shingles"),
+            F.count_distinct(
+                F.when(F.col("_hit") == 1, F.col("sh_h"))
+            ).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_frac", F.col("n_contaminated") / F.col("n_shingles")
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        "contamination_frac",
+        (F.col("contamination_frac") >= flag_threshold).alias("flag_contaminated"),
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """SimHash over word tokens: each token votes its 32-bit md5-derived
     hash bitwise; the sign of each bit-sum forms the fingerprint.

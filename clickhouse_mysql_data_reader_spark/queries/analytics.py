@@ -151,15 +151,28 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
-    doc="ROLLUP hierarchy totals; Catalyst Expand keeps it one pass.",
+    doc="ROLLUP hierarchy totals. Two-phase: the fact table is first "
+    "aggregated at the FINEST key granularity (plain map-side partial "
+    "agg — no Expand touches a raw row), and the rollup's Expand runs "
+    "over the tiny per-(flag,status) aggregate. Legal because both "
+    "measures are algebraic (sum of sums, sum of counts); at 100 TB "
+    "this is the difference between scanning 3x the fact table and "
+    "expanding ~6 rows.",
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    base = (
         load_table(spark, sf_dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("l_quantity")).alias("_sq"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    return (
+        base.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("_sq").cast("double").alias("sum_qty"),
+            F.sum("_n").alias("n_rows"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -180,15 +193,24 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
-    doc="CUBE over two low-cardinality dims — single Expand pass.",
+    doc="CUBE over two low-cardinality dims. Same two-phase shape as "
+    "agg_rollup: finest-granularity partial agg first, cube's Expand(x4) "
+    "over the small aggregate only.",
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    base = (
         load_table(spark, sf_dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
+        .groupBy("o_orderstatus", "o_orderpriority")
         .agg(
-            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
-            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("_sp"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    return (
+        base.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum("_sp").cast("double").alias("sum_price"),
+            F.sum("_n").alias("n_orders"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),

@@ -873,6 +873,43 @@ def doc_contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(corpus, bench, "text", "doc_id", flag_threshold=0.5)
 
 
+@register(
+    "doc_corpus_contamination",
+    f"""
+    WITH
+    {_SHINGLE_CTE},
+    ben AS (SELECT DISTINCT sh_h FROM sh WHERE doc_id % 25 = 0),
+    corp AS (SELECT doc_id, sh_h FROM sh WHERE doc_id % 25 <> 0),
+    agg AS (
+      SELECT c.doc_id,
+             CAST(count(DISTINCT c.sh_h) AS BIGINT) AS n_shingles,
+             CAST(count(DISTINCT CASE WHEN b.sh_h IS NOT NULL THEN c.sh_h END)
+                  AS BIGINT) AS n_contaminated
+      FROM corp c LEFT JOIN ben b USING (sh_h)
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_shingles, n_contaminated,
+           n_contaminated / n_shingles AS contamination_frac,
+           (n_contaminated / n_shingles) >= 0.5 AS flag_contaminated
+    FROM agg
+    """,
+    doc="Corpus-side decontamination (the dual of doc_contamination_check, "
+    "and the direction curate() drops training docs with): per CORPUS "
+    "document, the fraction of its 3-gram shingles found anywhere in the "
+    "benchmark (eval set = doc_id % 25 = 0). The Spark plan broadcasts the "
+    "benchmark's distinct shingle hashes onto the corpus shingle stream; "
+    "the corpus crosses the wire once, inside the partial-deduped per-doc "
+    "distinct-count aggregate — never broadcast, never shuffled twice.",
+)
+def doc_corpus_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.dedup import corpus_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    return corpus_contamination(corpus, bench, "text", "doc_id", flag_threshold=0.5)
+
+
 # mixture weights shared verbatim by the Spark builder and the SQL
 # oracle below — per-branch targets are Python-evaluated literals so
 # both engines divide the identical constant by src_tokens

@@ -75,6 +75,12 @@ QUERIES: dict[str, QueryDef] = {}
 #   - multimodal_frame_plan: JVM-side explode sibling of the checked
 #     multimodal_features (which carries the harder mapInPandas/Arrow
 #     seam the frame plan feeds)
+# Round 4 displaced one more to admit the corpus-side contamination
+# check (the direction curate() uses to DROP training docs):
+#   - window_lag_delta: lag() analytic sibling of the checked
+#     window_session_gaps, whose gap detection runs the identical
+#     lag-over-(user, ts-ordered)-partition plan before its session
+#     fold; topn/tumbling/session keep the window family covered
 # ...and two more around the funnel family:
 #   - partition_month_key: the month-key derivation is scalar date
 #     arithmetic (scalar_date family, deprioritized above) and the
@@ -106,6 +112,7 @@ DEPRIORITIZED = (
     "multimodal_frame_plan",
     "partition_month_key",
     "retention_cohorts",
+    "window_lag_delta",
 )
 
 

@@ -59,6 +59,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in ns_cols:
         # integer `div` (not `/`): epoch-nanos exceed double's 2^53 mantissa
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Parquet TIMESTAMP(isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ
+    # under Spark 4 (test data has shipped both flavors across rounds).
+    # Normalize to TIMESTAMP: with the session zone pinned UTC above,
+    # the cast is value-preserving (naive wall clock == UTC instant) and
+    # keeps chrono functions (unix_micros, window, ...) and the DuckDB
+    # oracle's naive-UTC reading on identical values.
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

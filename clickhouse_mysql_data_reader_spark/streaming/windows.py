@@ -65,6 +65,47 @@ def sliding_counts(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "2 hours",
+    within: str = "1 hour",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: each left event pairs with
+    same-key right events whose timestamp falls in
+    ``[left_ts, left_ts + within]`` — the attribution/enrichment join
+    (impression -> click, order -> payment) as a true streaming
+    operator rather than a batch twin.
+
+    Right-side columns come back prefixed (``r_``) so both sides'
+    payloads survive without ambiguity. Both sides get the watermark
+    (when streaming): with an equality key AND a bounded event-time
+    range, Spark can expire buffered state on both sides —
+    watermark + ``within`` bound exactly how long a row waits for a
+    match, which is what keeps an infinite join's state finite. Works
+    unchanged on batch frames (unified semantics), so the same
+    composition is oracle-checkable as a plain range join.
+    """
+    r = right.select(
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
+    )
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(f"{right_prefix}{right_ts}", watermark)
+    rts = F.col(f"{right_prefix}{right_ts}")
+    cond = (
+        (F.col(key) == F.col(f"{right_prefix}{key}"))
+        & (rts >= F.col(left_ts))
+        & (rts <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return left.join(r, cond, "inner")
+
+
 def session_counts(
     df: DataFrame,
     ts_col: str = "ts",

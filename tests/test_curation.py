@@ -201,6 +201,159 @@ def test_curate_increment_against_state(spark, tmp_path):
     assert kept3.count() == 0
 
 
+def test_curate_pii_redaction_preserves_case(spark):
+    """Redaction mutates ONLY the redacted spans: original-case text
+    survives, and mixed-case emails are still caught (case-insensitive
+    match, not lowercased input)."""
+    docs = _mk_docs(
+        spark,
+        [
+            (1, "web", "You can reach the Editor at Bob@Example.COM for the story "
+                       "which is about the way the Old Town got its name long ago"),
+        ],
+    )
+    res = curate(docs, cfg=CurationConfig())
+    [row] = res.after_exact_dedup.collect()
+    assert "[EMAIL]" in row["text"] and "@" not in row["text"]
+    assert "Editor" in row["text"] and "Old Town" in row["text"]
+
+
+def test_corpus_contamination_values_and_plan(spark):
+    from clickhouse_mysql_data_reader_spark.operators.dedup import (
+        corpus_contamination,
+    )
+
+    corpus = _mk_docs(
+        spark,
+        [
+            (1, "web", GOOD),  # fully covered by the benchmark
+            (2, "web", "completely different content about the state of the "
+                       "harvest in the north for the year of the flood"),
+        ],
+    )
+    bench = _mk_docs(spark, [(100, "eval", GOOD)])
+    out = corpus_contamination(corpus, bench, "text", "doc_id")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["contamination_frac"] == 1.0 and rows[1]["flag_contaminated"]
+    assert rows[2]["n_contaminated"] == 0 and not rows[2]["flag_contaminated"]
+    # plan shape: the benchmark side is broadcast; the corpus is never
+    # shuffled by shingle — the only keyed exchange is the per-doc agg
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # AQE's formatted output repeats the tree under "Initial Plan" —
+    # assert over the final plan only
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    import re
+
+    keyed = [
+        tuple(k.split(", "))
+        for k in re.findall(r"hashpartitioning\(([^)]+), \d+\)", plan)
+    ]
+    first_cols = {k[0].split("#")[0] for k in keyed}
+    # three exchanges total: the BENCHMARK side's distinct on sh_h
+    # (small by contract, feeds its broadcast), the corpus per-doc
+    # distinct-count (Expand keys led by doc_id, partial-deduped
+    # map-side), and the final per-doc agg on doc_id
+    assert first_cols <= {"doc_id", "sh_h"}, plan
+    assert sum(1 for k in keyed if k[0].startswith("sh_h")) <= 1, plan
+
+
+def test_curate_increment_rejects_state_param_mismatch(spark, tmp_path):
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curate_increment,
+    )
+
+    state = CurationState(str(tmp_path / "state"), minhash_k=16, lsh_bands=4)
+    docs = _mk_docs(spark, [(1, "web", GOOD)])
+    with pytest.raises(ValueError, match="minhash_k"):
+        curate_increment(docs, state, cfg=CurationConfig(minhash_k=8, lsh_bands=4))
+    with pytest.raises(ValueError, match="lsh_bands"):
+        curate_increment(docs, state, cfg=CurationConfig(lsh_bands=2))
+
+
+def test_curate_stream_replayed_epoch_is_idempotent(spark, tmp_path):
+    """The at-least-once contract: re-running an epoch after its first
+    attempt already appended state must reproduce the SAME survivors —
+    not anti-join the batch against its own fingerprints and overwrite
+    the epoch output with an empty frame (silent data loss)."""
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curation_epoch_apply,
+    )
+
+    state = CurationState(str(tmp_path / "state"))
+    out = str(tmp_path / "out")
+    cfg = CurationConfig(near_dup_jaccard=0.5)
+    apply_fn = curation_epoch_apply(state, out, cfg=cfg)
+
+    b1 = _mk_docs(spark, [(1, "web", GOOD)])
+    apply_fn(b1, 0)
+    first = {r["doc_id"] for r in spark.read.parquet(f"{out}/epoch=0").collect()}
+    assert first == {1}
+
+    # full replay of epoch 0 (crash after state append, before commit)
+    apply_fn(b1, 0)
+    replay = {r["doc_id"] for r in spark.read.parquet(f"{out}/epoch=0").collect()}
+    assert replay == {1}, "replayed epoch erased its own survivors"
+
+    # the double-append left duplicate state rows for epoch 0; a later
+    # epoch must still dedup correctly against them: exact dup via the
+    # anti-join, near-dup via the Jaccard verify (whose counts the
+    # post-semi-join dropDuplicates protects from the multiplicity)
+    b2 = _mk_docs(
+        spark,
+        [
+            (10, "web", GOOD),  # exact dup of epoch-0 doc 1
+            (11, "web", GOOD + " with one tiny extra suffix appended here"),  # near-dup
+            (12, "web", "a fresh account of the harvest feast held in the "
+                        "village square when the rains finally came down"),
+        ],
+    )
+    apply_fn(b2, 1)
+    kept2 = {r["doc_id"] for r in spark.read.parquet(f"{out}/epoch=1").collect()}
+    assert kept2 == {12}
+    fps = [r["doc_id"] for r in state.fingerprints(spark).collect()]
+    assert set(fps) == {1, 12}
+
+
+def test_curate_stream_crash_before_state_append_replays_clean(spark, tmp_path):
+    """Crash window: epoch output landed, state append never ran. The
+    replay recomputes against the unchanged pre-epoch history and lands
+    the identical output + the missing state rows."""
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curate_increment,
+        curation_epoch_apply,
+    )
+
+    state = CurationState(str(tmp_path / "state"))
+    out = str(tmp_path / "out")
+    cfg = CurationConfig(near_dup_jaccard=0.5)
+
+    # epoch 0 lands normally so the state exists
+    apply_fn = curation_epoch_apply(state, out, cfg=cfg)
+    apply_fn(_mk_docs(spark, [(1, "web", GOOD)]), 0)
+
+    # epoch 1 first attempt: output write succeeds, "crash" before state
+    b2 = _mk_docs(
+        spark,
+        [(12, "web", "a fresh account of the harvest feast held in the "
+                     "village square when the rains finally came down")],
+    )
+    kept = curate_increment(b2, state, cfg=cfg, update_state=False, epoch_id=1)
+    kept.write.mode("overwrite").parquet(f"{out}/epoch=1")
+    assert {r["doc_id"] for r in state.fingerprints(spark).collect()} == {1}
+
+    # replay epoch 1 end-to-end
+    apply_fn(b2, 1)
+    assert {r["doc_id"] for r in spark.read.parquet(f"{out}/epoch=1").collect()} == {12}
+    assert {r["doc_id"] for r in state.fingerprints(spark).collect()} == {1, 12}
+
+
 def test_curate_stream_two_batches(spark, tmp_path):
     """Streaming curation: batch 2 arrives after batch 1's survivors are
     in the state, so its cross-batch duplicates are dropped even though

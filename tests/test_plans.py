@@ -170,6 +170,25 @@ def test_contamination_corpus_never_shuffles(spark, sf_correct):
     assert len(re.findall(r"BroadcastHashJoin.*LeftSemi", plan)) >= 2, plan
 
 
+def test_agg_rollup_expands_aggregate_not_scan(spark, sf_correct):
+    """agg_rollup is two-phase: the finest-granularity aggregate runs
+    first (no Expand touches a raw fact row) and the rollup's Expand
+    consumes that tiny aggregate — its child in the plan tree must be a
+    HashAggregate, never the scan/fact side."""
+    plan = _formatted(entrymod.queries()["agg_rollup"](spark, sf_correct))
+    tree = plan.split("== Initial Plan ==")[0].splitlines()
+    expand_lines = [i for i, l in enumerate(tree) if "Expand" in l and "(" in l]
+    assert expand_lines, plan
+    i = expand_lines[0]
+    # the next tree line is Expand's only child
+    child = tree[i + 1]
+    assert "HashAggregate" in child, plan
+    # and the pre-agg exchange is keyed on the plain columns (no
+    # grouping id), proving the heavy shuffle happens before Expand
+    keys = re.findall(r"hashpartitioning\(([^)]*)\), ", plan)
+    assert any("spark_grouping_id" not in k for k in keys), plan
+
+
 def test_fan_out_bytes_per_task_width(spark, tmp_path):
     """fan_out's width contract: full parallelism by default (explode-
     amplified consumers), ~one task per bytes_per_task when capped

@@ -30,7 +30,6 @@ MUST_BE_CHECKED = {
     "join_range_bands",
     "join_asof_attrib",
     "window_topn_per_group",
-    "window_lag_delta",
     "window_tumbling_hourly",
     "window_session_gaps",
     "topk_global",
@@ -63,6 +62,7 @@ MUST_BE_CHECKED = {
     "text_repetition_stats",
     "doc_pack_sequences",
     "doc_contamination_check",
+    "doc_corpus_contamination",
     "sample_mixture_weights",
     "funnel_window_3step",
     "multimodal_features",

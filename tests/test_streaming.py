@@ -169,6 +169,56 @@ def test_session_window_gap_split(spark, tmp_path):
     assert {r["n_events"] for r in sessions_u1} == {2, 1}
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """True stream-stream join (both sides streaming, watermarked,
+    bounded event-time range): results equal the batch twin of the same
+    composition — unified semantics, and the bounded range is what lets
+    Spark expire both sides' buffered state."""
+    from clickhouse_mysql_data_reader_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    clicks = _ts_events_df(spark)  # left: (ts, user_id, value)
+    buys_rows = [
+        ("2024-01-01 00:15:00", 1, 10.0),  # in [00:05, 00:35] of the 00:05 click
+        ("2024-01-01 00:45:00", 2, 20.0),  # BEFORE the 00:50 click -> no match
+        ("2024-01-01 01:05:00", 2, 30.0),  # in [00:50, 01:20] of the 00:50 click
+        ("2024-01-01 03:40:00", 2, 40.0),  # 60m after the 02:40 click -> outside
+    ]
+    buys = spark.createDataFrame(
+        buys_rows, "ts_s string, user_id long, amount double"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "amount")
+
+    expected = {
+        (str(r["ts"]), r["user_id"], str(r["r_ts"]), r["r_amount"])
+        for r in stream_stream_interval_join(
+            clicks, buys, within="30 minutes"
+        ).collect()
+    }
+    assert expected == {
+        ("2024-01-01 00:05:00", 1, "2024-01-01 00:15:00", 10.0),
+        ("2024-01-01 00:50:00", 2, "2024-01-01 01:05:00", 30.0),
+    }
+
+    ls = _stream_from(spark, clicks, tmp_path, "ssj_l")
+    rs = _stream_from(spark, buys, tmp_path, "ssj_r")
+    joined = stream_stream_interval_join(ls, rs, within="30 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (str(r["ts"]), r["user_id"], str(r["r_ts"]), r["r_amount"])
+        for r in spark.sql("select * from ssj_t").collect()
+    }
+    assert got == expected
+
+
 def test_streaming_tumbling_with_watermark_runs(spark, tmp_path):
     df = _ts_events_df(spark)
     stream = _stream_from(spark, df, tmp_path, "ev2")
