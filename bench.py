@@ -5,6 +5,15 @@ ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
 Queries are fully materialized through the noop sink (forces every
 exchange/agg to execute without driver-collect overhead).
+
+Cross-round comparability caveat (round 4): /root/testdata was
+REGENERATED between rounds 3 and 4 (naive-micros timestamps, and e.g.
+lineitem sf0.1 now lands in a single parquet row group, which
+serializes scan-bound queries like q1 into one reader task). Round-4+
+numbers are comparable to each other, not byte-for-byte to r03 and
+earlier; two solo r04 runs agreed within ~3% while individual
+scan-heavy queries moved up to +40% vs the old files with identical
+plans.
 """
 
 from __future__ import annotations

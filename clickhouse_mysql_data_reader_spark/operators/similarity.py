@@ -150,6 +150,84 @@ def near_dup_pairs(
     )
 
 
+def assign_cells_probes(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe quantizer assignment: each vector's ``n_probe``
+    nearest centroids (squared L2) -> (vec_id, cell, probe_rank).
+    ``n_probe=1`` degenerates to ``assign_cells``. Same broadcast-
+    score-argmin plan; the window keeps ``n_probe`` rows instead of 1.
+    """
+    c = F.broadcast(centroids.select("cell", F.col("centroid").alias("ce")))
+    v = vectors.select(F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("ve"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("ve"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = v.crossJoin(c).select("vec_id", "cell", d2.alias("d2"))
+    w = W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("vec_id", "cell", "probe_rank")
+    )
+
+
+def near_dup_pairs_multiprobe(
+    corpus: DataFrame,
+    threshold: float,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """``near_dup_pairs`` with multi-probe recall: every vector probes
+    its ``n_probe`` nearest per-cell-mean centroids, so a pair split
+    across a cell border is still compared when either vector's second
+    probe lands in the other's cell — the standard IVF answer to the
+    single-probe recall caveat.
+
+    Plan shape for 100 TB: the probe table is (id, cell) pairs only —
+    ``n_probe`` narrow rows per vector. Candidate pairs come from the
+    probes' cell self-join (bucketed by cell, never all-pairs) and are
+    DISTINCT'd before any vector is touched, so each surviving pair is
+    scored exactly once, via two id-keyed joins back to the vector
+    table — the candidates-drive-the-join discipline the LSH verify
+    stage uses (operators/dedup.py). Scoring in the cell join instead
+    would re-score a pair up to n_probe^2 times and ship full vectors
+    through the cell shuffle.
+    """
+    cents = centroids_by_cell(corpus, cell_col, vec_col)
+    probes = assign_cells_probes(corpus, cents, n_probe, id_col, vec_col)
+    cand = (
+        probes.alias("a")
+        .join(
+            probes.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("vec_a"), as_double_array(vec_col).alias("v_a"))
+    vb = corpus.select(F.col(id_col).alias("vec_b"), as_double_array(vec_col).alias("v_b"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def centroids_by_cell(
     corpus: DataFrame,
     cell_col: str = "label",

@@ -385,6 +385,53 @@ def dedup_embed_near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embed_near_multiprobe",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (
+      SELECT label, i, avg(v[i]) AS m
+      FROM e, UNNEST(range(1, len(v) + 1)) AS t(i)
+      GROUP BY label, i
+    ),
+    cent AS (SELECT label AS cell, list(m ORDER BY i) AS c FROM dims GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, cent.cell, list_distance(e.v, cent.c) AS d
+      FROM e CROSS JOIN cent
+    ),
+    probes AS (
+      SELECT vec_id, cell
+      FROM (SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM scored)
+      WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM probes a JOIN probes b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.vec_a
+    JOIN e eb ON eb.vec_id = c.vec_b
+    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
+    """,
+    doc="dedup_embed_near with multi-probe recall: each vector probes "
+    "its 2 nearest per-cell-mean centroids, restoring near-dup pairs "
+    "split across a cell border (the single-probe caveat). Candidate "
+    "pairs are DISTINCT id pairs from the probes' cell self-join; each "
+    "pair is scored once via two id-keyed joins back to the vectors.",
+)
+def dedup_embed_near_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.similarity import (
+        near_dup_pairs_multiprobe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return near_dup_pairs_multiprobe(emb, threshold=0.35, n_probe=2, cell_col="label")
+
+
+@register(
     "doc_winnow_fingerprint",
     f"""
     WITH

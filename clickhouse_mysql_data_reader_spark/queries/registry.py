@@ -81,6 +81,11 @@ QUERIES: dict[str, QueryDef] = {}
 #     window_session_gaps, whose gap detection runs the identical
 #     lag-over-(user, ts-ordered)-partition plan before its session
 #     fold; topn/tumbling/session keep the window family covered
+# Round-4 additions born deprioritized (pytest-oracle-checked; their
+# checked siblings keep the driver slots):
+#   - dedup_embed_near_multiprobe: recall-path variant of the checked
+#     dedup_embed_near (same cell-blocked self-join family, plus the
+#     probe expansion embed_cell_assign's plan already covers)
 # ...and two more around the funnel family:
 #   - partition_month_key: the month-key derivation is scalar date
 #     arithmetic (scalar_date family, deprioritized above) and the
@@ -113,6 +118,7 @@ DEPRIORITIZED = (
     "partition_month_key",
     "retention_cohorts",
     "window_lag_delta",
+    "dedup_embed_near_multiprobe",
 )
 
 
