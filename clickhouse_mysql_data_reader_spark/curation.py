@@ -275,12 +275,18 @@ class CurationState:
         return f"{self.state_dir}/{name}"
 
     def exists(self, spark) -> bool:
-        """True once a first batch has landed — checked through the
-        Hadoop FileSystem API so any Spark-supported store works."""
+        """True once a first batch has FULLY landed (all three tables —
+        a crash mid-``write`` leaves a partial subset, which must read
+        as not-landed). Checked through the Hadoop FileSystem API so
+        any Spark-supported store works."""
         jvm = spark._jvm
-        path = jvm.org.apache.hadoop.fs.Path(self._path("fingerprints"))
-        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(path))
+        fs = jvm.org.apache.hadoop.fs.Path(self._path("fingerprints")).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        return all(
+            bool(fs.exists(jvm.org.apache.hadoop.fs.Path(self._path(n))))
+            for n in ("fingerprints", "shingles", "bands")
+        )
 
     def _derive(self, kept: DataFrame, text_col: str, id_col: str):
         from clickhouse_mysql_data_reader_spark.operators.dedup import band_table
@@ -298,36 +304,57 @@ class CurationState:
         return fp, sh, bands
 
     def write(self, kept: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-              mode: str = "append", epoch_id: int | None = None) -> None:
-        """Derive and append the three state tables for a kept batch.
+              mode: str = "append", epoch_id: int | None = None) -> DataFrame:
+        """Derive and append the three state tables for a kept batch;
+        returns the CHECKPOINTED ``kept`` — callers must act on the
+        returned frame, not the original lazy plan, whose state reads
+        are a stale snapshot once this append lands (a re-list under
+        stage retry or cache eviction would see this batch's own rows
+        and anti-join it to empty).
 
-        ``kept`` (and its shingle relation, which both the shingles and
-        the bands tables derive from) is persisted for the duration of
-        the three writes and unpersisted before returning — without
-        that, each write re-executes the caller's full curation plan
-        (gates + dedup + LSH), tripling the per-batch cost.
+        ``kept`` is materialized ONCE via ``localCheckpoint`` before
+        deriving: (a) the three writes then read the checkpointed
+        blocks instead of re-executing the caller's full curation plan
+        (gates + dedup + LSH) three times, and (b) — the critical part
+        — the writes are SELF-REFERENTIAL when ``kept`` came from
+        ``curate_increment`` (its lineage READS these state paths, and
+        an append's per-task commits become visible mid-job, so an
+        un-truncated plan can observe its own partial output: observed
+        as duplicate state shingle rows driving a degenerate
+        divide-by-zero in the Jaccard verify). Lineage truncation
+        removes the state reads from the write jobs entirely. On a
+        real cluster prefer the ``curate_stream`` shape (state derived
+        from the durably landed epoch output) where executor loss
+        during the write must be survivable — localCheckpoint blocks
+        are executor-local.
+
+        Write order is fingerprints -> shingles -> bands on purpose: a
+        crash between writes can orphan rows only in tables AFTER the
+        fingerprint landing, and orphan shingle/band rows always belong
+        to fingerprint-landed docs, which the exact-dedup anti-join
+        removes before any near-dup join can meet them. ``exists``
+        additionally requires all three dirs, so a partial FIRST write
+        reads as not-landed and the next attempt bootstraps.
         """
         from pyspark import StorageLevel
 
-        kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+        kept = kept.localCheckpoint()
         tag = F.lit(-1 if epoch_id is None else int(epoch_id)).alias("_epoch")
+        fp, sh, bands = self._derive(kept, text_col, id_col)
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            fp, sh, bands = self._derive(kept, text_col, id_col)
-            sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-            try:
-                fp.withColumn("_epoch", tag).write.mode(mode).parquet(
-                    self._path("fingerprints")
-                )
-                sh.withColumn("_epoch", tag).write.mode(mode).parquet(
-                    self._path("shingles")
-                )
-                bands.withColumn("_epoch", tag).write.mode(mode).parquet(
-                    self._path("bands")
-                )
-            finally:
-                sh.unpersist()
+            fp.withColumn("_epoch", tag).write.mode(mode).parquet(
+                self._path("fingerprints")
+            )
+            sh.withColumn("_epoch", tag).write.mode(mode).parquet(
+                self._path("shingles")
+            )
+            bands.withColumn("_epoch", tag).write.mode(mode).parquet(
+                self._path("bands")
+            )
         finally:
-            kept.unpersist()
+            sh.unpersist()
+        return kept
 
     def _read(self, spark, name: str, exclude_epoch: int | None) -> DataFrame:
         df = spark.read.parquet(self._path(name))
@@ -372,8 +399,9 @@ def curate_increment(
     with |corpus|.
 
     Returns the kept new documents; with ``update_state`` their derived
-    rows are appended to the state first (new ids must not collide with
-    state ids — enforce upstream). ``epoch_id`` (streaming replays)
+    rows are appended to the state first and the returned frame is the
+    checkpointed batch ``CurationState.write`` materialized (new ids
+    must not collide with state ids — enforce upstream). ``epoch_id`` (streaming replays)
     excludes that epoch's own prior state appends from every history
     join and tags this batch's appends — see ``curate_stream``.
     """
@@ -409,8 +437,8 @@ def curate_increment(
         )
         kept = exact.join(drop0, id_col, "left_anti")
         if update_state:
-            state.write(kept, text_col=text_col, id_col=id_col, mode="append",
-                        epoch_id=epoch_id)
+            kept = state.write(kept, text_col=text_col, id_col=id_col,
+                               mode="append", epoch_id=epoch_id)
         return kept
 
     # --- exact dedup vs history (anti-join on fingerprint) ------------
@@ -477,8 +505,10 @@ def curate_increment(
         .join(drop_hist, id_col, "left_anti")
     )
     if update_state:
-        state.write(kept, text_col=text_col, id_col=id_col, mode="append",
-                    epoch_id=epoch_id)
+        # act on the frame write() returns: it is checkpointed, so the
+        # result cannot re-read the state this call just appended to
+        kept = state.write(kept, text_col=text_col, id_col=id_col,
+                           mode="append", epoch_id=epoch_id)
     return kept
 
 

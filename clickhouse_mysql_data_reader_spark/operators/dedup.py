@@ -228,7 +228,10 @@ def jaccard_pairs(
         # candidates DRIVE the join (not a post-hoc semi-join filter):
         # the intermediate is |candidates| x shingles-per-doc, never the
         # all-pairs co-shingle explosion — this is what makes
-        # LSH-then-verify linear-ish at 100 TB.
+        # LSH-then-verify linear-ish at 100 TB. Self-pairs are never
+        # meaningful and (with any duplicate shingle rows) degenerate
+        # the union size to zero, so they're excluded up front.
+        candidates = candidates.filter(F.col("doc_a") != F.col("doc_b"))
         sa = shingles.select(F.col("doc_id").alias("doc_a"), F.col("sh_h").alias("_h"))
         sb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("sh_h").alias("_h"))
         inter = (
@@ -244,9 +247,19 @@ def jaccard_pairs(
             # raw double division, NOT rounded: both engines lower
             # int/int to the identical IEEE double op, so the value is
             # bit-deterministic — unlike round(), whose half-way
-            # behavior differs across engines.
+            # behavior differs across engines. The when() guard keeps
+            # ANSI mode from throwing on a degenerate |A u B| = 0 row
+            # (only reachable via duplicate shingle rows, e.g. a
+            # replayed state append): NULL jaccard fails every >=
+            # threshold filter, so degenerate rows drop out instead of
+            # killing the job. With distinct shingles and doc_a !=
+            # doc_b the union size is provably >= 1 and the guard
+            # never fires.
             "jaccard",
-            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            F.when(
+                (F.col("n_a") + F.col("n_b") - F.col("n_inter")) > 0,
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            ),
         )
     )
     return out.filter(

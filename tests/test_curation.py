@@ -354,6 +354,29 @@ def test_curate_stream_crash_before_state_append_replays_clean(spark, tmp_path):
     assert {r["doc_id"] for r in state.fingerprints(spark).collect()} == {1, 12}
 
 
+def test_state_partial_write_is_not_landed(spark, tmp_path):
+    """fingerprints is written LAST and is what ``exists`` probes, so a
+    crash mid-``write`` (shingles/bands on disk, no fingerprints) reads
+    as NOT landed — the next attempt bootstraps instead of joining
+    against a state missing its tables."""
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curate_increment,
+    )
+
+    state = CurationState(str(tmp_path / "state"))
+    # simulate the crash window: shingles + bands landed, no marker
+    spark.createDataFrame(
+        [(99, 12345, -1)], "doc_id long, sh_h long, _epoch long"
+    ).write.parquet(state._path("shingles"))
+    assert not state.exists(spark)
+    kept = curate_increment(
+        _mk_docs(spark, [(1, "web", GOOD)]), state, cfg=CurationConfig()
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {1}
+    assert state.exists(spark)
+
+
 def test_curate_stream_two_batches(spark, tmp_path):
     """Streaming curation: batch 2 arrives after batch 1's survivors are
     in the state, so its cross-batch duplicates are dropped even though
