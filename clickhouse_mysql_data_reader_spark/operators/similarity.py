@@ -281,6 +281,49 @@ def assign_cells(
     )
 
 
+def kmeans_iterate(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train an IVF coarse quantizer: ``n_iter`` Lloyd iterations of
+    assign (broadcast-argmin over k centroids) + re-center (per-(cell,
+    dim) mean), returning the final (cell, centroid) table for
+    ``assign_cells`` / ``assign_cells_probes``.
+
+    Initialization is deterministic content hashing (``xxhash64(id) %
+    k``), so the whole training run is reproducible under retries —
+    no sampling, no RNG state. Each iteration's centroid table is tiny
+    (k x dim) and is ``localCheckpoint``-ed: the lineage would
+    otherwise grow by one assign+aggregate per round and re-execute
+    every prior round on each action (the same truncation discipline
+    as operators/graph.connected_components). The corpus is scanned
+    once per iteration and only (id, cell) pairs plus per-(cell, dim)
+    partial means ever shuffle — no executor materializes a cell.
+    """
+    cells = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        as_double_array(vec_col).alias("embedding"),
+        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(k))).cast("int").alias("cell"),
+    )
+    cents = centroids_by_cell(cells, cell_col="cell", vec_col="embedding")
+    cents = cents.localCheckpoint()
+    for _ in range(n_iter):
+        assigned = assign_cells(vectors, cents, id_col=id_col, vec_col=vec_col)
+        with_cells = (
+            vectors.select(
+                F.col(id_col).alias("vec_id"),
+                as_double_array(vec_col).alias("embedding"),
+            )
+            .join(assigned, "vec_id")
+        )
+        cents = centroids_by_cell(with_cells, cell_col="cell", vec_col="embedding")
+        cents = cents.localCheckpoint()
+    return cents
+
+
 def quantize_int8(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -43,6 +43,34 @@ def test_multiprobe_restores_cross_border_pair(spark):
     assert multi == single | {(1, 5), (2, 5)}
 
 
+def test_kmeans_iterate_recovers_planted_clusters(spark):
+    """Three well-separated planted clusters in 2D: after a few Lloyd
+    iterations from the deterministic hash init, every cluster's points
+    share a cell and no cell mixes clusters."""
+    from clickhouse_mysql_data_reader_spark.operators.similarity import (
+        assign_cells,
+        kmeans_iterate,
+    )
+
+    pts = []
+    for i, (cx, cy) in enumerate([(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)]):
+        for j in range(6):
+            pts.append((i * 10 + j, [cx + 0.1 * j, cy - 0.1 * j]))
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    cents = kmeans_iterate(df, k=3, n_iter=4)
+    assign = {
+        r["vec_id"]: r["cell"] for r in assign_cells(df, cents).collect()
+    }
+    clusters = [{assign[i * 10 + j] for j in range(6)} for i in range(3)]
+    assert all(len(c) == 1 for c in clusters), clusters
+    assert len(set().union(*clusters)) == 3, clusters
+    # deterministic: a second run lands identical centroids
+    again = kmeans_iterate(df, k=3, n_iter=4)
+    a = sorted(map(str, cents.collect()))
+    b = sorted(map(str, again.collect()))
+    assert a == b
+
+
 def test_multiprobe_scores_each_pair_once(spark):
     """The DISTINCT before scoring: both vectors of a pair can share
     BOTH probed cells, which without dedup would emit the pair twice."""
