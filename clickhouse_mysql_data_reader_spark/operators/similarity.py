@@ -295,13 +295,19 @@ def kmeans_iterate(
 
     Initialization is deterministic content hashing (``xxhash64(id) %
     k``), so the whole training run is reproducible under retries —
-    no sampling, no RNG state. Each iteration's centroid table is tiny
-    (k x dim) and is ``localCheckpoint``-ed: the lineage would
-    otherwise grow by one assign+aggregate per round and re-execute
-    every prior round on each action (the same truncation discipline
-    as operators/graph.connected_components). The corpus is scanned
-    once per iteration and only (id, cell) pairs plus per-(cell, dim)
-    partial means ever shuffle — no executor materializes a cell.
+    no sampling, no RNG state.
+
+    Per-iteration plan: the round's centroids (k x dim doubles —
+    bounded driver-side metadata, the same class as a broadcast dim)
+    are collected and inlined as LITERAL structs, so the assignment is
+    a pure scan-stage argmin — ``array_min`` over k (d2, cell) structs
+    (struct ordering = lexicographic, i.e. exactly the (distance,
+    cell) tie rule ``assign_cells`` uses) — with ZERO shuffle, no k-row
+    explosion, no window, no join-back. The only shuffle per round is
+    the per-(cell, dim) partial-mean re-center, and no executor ever
+    materializes a cell. Compare ``assign_cells``, which keeps the
+    centroids as a DataFrame for composability; for the hot iterate
+    loop the literal form is strictly cheaper.
     """
     cells = vectors.select(
         F.col(id_col).alias("vec_id"),
@@ -309,18 +315,34 @@ def kmeans_iterate(
         (F.pmod(F.xxhash64(F.col(id_col)), F.lit(k))).cast("int").alias("cell"),
     )
     cents = centroids_by_cell(cells, cell_col="cell", vec_col="embedding")
-    cents = cents.localCheckpoint()
     for _ in range(n_iter):
-        assigned = assign_cells(vectors, cents, id_col=id_col, vec_col=vec_col)
-        with_cells = (
-            vectors.select(
-                F.col(id_col).alias("vec_id"),
-                as_double_array(vec_col).alias("embedding"),
+        # k x dim doubles to the driver: bounded quantizer metadata
+        rows = sorted(
+            ((r["cell"], list(r["centroid"])) for r in cents.collect()),
+            key=lambda t: t[0],
+        )
+        v = as_double_array(vec_col)
+        scored = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                ).alias("d2"),
+                F.lit(cell).alias("cell"),
             )
-            .join(assigned, "vec_id")
+            for cell, c in rows
+        ]
+        with_cells = vectors.select(
+            F.col(id_col).alias("vec_id"),
+            v.alias("embedding"),
+            F.array_min(F.array(*scored))["cell"].alias("cell"),
         )
         cents = centroids_by_cell(with_cells, cell_col="cell", vec_col="embedding")
-        cents = cents.localCheckpoint()
     return cents
 
 
