@@ -200,7 +200,10 @@ def near_dup_pairs_multiprobe(
     table — the candidates-drive-the-join discipline the LSH verify
     stage uses (operators/dedup.py). Scoring in the cell join instead
     would re-score a pair up to n_probe^2 times and ship full vectors
-    through the cell shuffle.
+    through the cell shuffle. The id-keyed verify joins are the only
+    places the vector table crosses the wire; at 100 TB, land it
+    bucketed by id (sinks/batch.write_bucketed) and both become
+    exchange-free on the corpus side.
     """
     cents = centroids_by_cell(corpus, cell_col, vec_col)
     probes = assign_cells_probes(corpus, cents, n_probe, id_col, vec_col)

@@ -319,6 +319,13 @@ def test_curate_stream_replayed_epoch_is_idempotent(spark, tmp_path):
     fps = [r["doc_id"] for r in state.fingerprints(spark).collect()]
     assert set(fps) == {1, 12}
 
+    # an epoch where NOTHING survives: empty output lands (readable,
+    # schema'd), state is structurally unchanged
+    b3 = _mk_docs(spark, [(30, "web", GOOD)])  # exact dup of doc 1
+    apply_fn(b3, 2)
+    assert spark.read.parquet(f"{out}/epoch=2").count() == 0
+    assert {r["doc_id"] for r in state.fingerprints(spark).collect()} == {1, 12}
+
 
 def test_curate_stream_crash_before_state_append_replays_clean(spark, tmp_path):
     """Crash window: epoch output landed, state append never ran. The
