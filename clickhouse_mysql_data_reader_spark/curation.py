@@ -259,11 +259,21 @@ class CurationState:
     key at real scale. ``append`` adds a new batch's rows; state grows
     with the KEPT corpus only (dropped docs contribute nothing).
 
-    Every row carries an ``_epoch`` tag (-1 for plain batch appends,
-    the foreachBatch epoch id for streaming appends). Readers can
-    exclude one epoch's rows — that is what makes a REPLAYED streaming
-    epoch see exactly the pre-epoch history instead of its own first
-    attempt's appends (see ``curate_stream``).
+    Every row carries an ``(_run, _epoch)`` tag (``("", -1)`` for plain
+    batch appends; the stream's run id + foreachBatch epoch id for
+    streaming appends). Readers can exclude one (run, epoch)'s rows —
+    that is what makes a REPLAYED streaming epoch see exactly the
+    pre-epoch history instead of its own first attempt's appends (see
+    ``curate_stream``). Epoch ids alone are CHECKPOINT-scoped (a
+    restarted stream with a fresh checkpoint restarts at 0), so the
+    run id is what keeps one run's exclusion from hiding another run's
+    genuine history.
+
+    The MinHash/LSH parameters the landed tables were derived with are
+    persisted in ``_params.json`` at first write and validated on
+    every subsequent write and incremental read-path — a session that
+    reconstructs ``CurationState`` with different parameters would
+    otherwise silently find zero cross-history near-dups.
     """
 
     def __init__(self, state_dir: str, minhash_k: int = 16, lsh_bands: int = 4):
@@ -274,19 +284,69 @@ class CurationState:
     def _path(self, name: str) -> str:
         return f"{self.state_dir}/{name}"
 
-    def exists(self, spark) -> bool:
-        """True once a first batch has FULLY landed (all three tables —
-        a crash mid-``write`` leaves a partial subset, which must read
-        as not-landed). Checked through the Hadoop FileSystem API so
-        any Spark-supported store works."""
+    def _fs(self, spark):
         jvm = spark._jvm
-        fs = jvm.org.apache.hadoop.fs.Path(self._path("fingerprints")).getFileSystem(
-            spark._jsc.hadoopConfiguration()
-        )
+        path = jvm.org.apache.hadoop.fs.Path(self.state_dir)
+        return jvm, path.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def exists(self, spark) -> bool:
+        """True once a first batch has FULLY landed: all three tables
+        must hold a COMMITTED write (``_SUCCESS`` marker), not just an
+        output directory — the committer creates the dir (with only
+        ``_temporary``) before any data commits, so a bare-dir probe
+        would call a crashed first write 'landed' and every later batch
+        would die reading a schemaless table. Checked through the
+        Hadoop FileSystem API so any Spark-supported store works."""
+        jvm, fs = self._fs(spark)
         return all(
-            bool(fs.exists(jvm.org.apache.hadoop.fs.Path(self._path(n))))
+            bool(
+                fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(self._path(n) + "/_SUCCESS")
+                )
+            )
             for n in ("fingerprints", "shingles", "bands")
         )
+
+    def sync_params(self, spark) -> None:
+        """Land ``_params.json`` on first write; on every later call,
+        raise if this instance's parameters differ from the landed
+        ones (the guard ``curate_increment`` performs against cfg only
+        covers in-memory consistency — this covers the on-disk truth).
+        """
+        import json
+
+        jvm, fs = self._fs(spark)
+        path = jvm.org.apache.hadoop.fs.Path(f"{self.state_dir}/_params.json")
+        if fs.exists(path):
+            stream = fs.open(path)
+            try:
+                landed = json.loads(
+                    jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+                )
+            finally:
+                stream.close()
+            if (landed.get("minhash_k"), landed.get("lsh_bands")) != (
+                self.minhash_k,
+                self.lsh_bands,
+            ):
+                raise ValueError(
+                    f"CurationState({self.state_dir}) constructed with "
+                    f"minhash_k={self.minhash_k}, lsh_bands={self.lsh_bands} "
+                    f"but the landed state was derived with {landed}; "
+                    "band hashes would never match — use the landed parameters"
+                )
+        else:
+            out = fs.create(path, True)
+            try:
+                out.write(
+                    bytearray(
+                        json.dumps(
+                            {"minhash_k": self.minhash_k, "lsh_bands": self.lsh_bands}
+                        ).encode("utf-8")
+                    )
+                )
+            finally:
+                out.close()
 
     def _derive(self, kept: DataFrame, text_col: str, id_col: str):
         from clickhouse_mysql_data_reader_spark.operators.dedup import band_table
@@ -304,7 +364,8 @@ class CurationState:
         return fp, sh, bands
 
     def write(self, kept: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-              mode: str = "append", epoch_id: int | None = None) -> DataFrame:
+              mode: str = "append", epoch_id: int | None = None,
+              run_id: str | None = None) -> DataFrame:
         """Derive and append the three state tables for a kept batch;
         returns the CHECKPOINTED ``kept`` — callers must act on the
         returned frame, not the original lazy plan, whose state reads
@@ -333,45 +394,70 @@ class CurationState:
         fingerprint landing, and orphan shingle/band rows always belong
         to fingerprint-landed docs, which the exact-dedup anti-join
         removes before any near-dup join can meet them. ``exists``
-        additionally requires all three dirs, so a partial FIRST write
-        reads as not-landed and the next attempt bootstraps.
+        additionally requires a committed ``_SUCCESS`` in all three
+        dirs, so a partial FIRST write reads as not-landed and the
+        next attempt bootstraps.
         """
         from pyspark import StorageLevel
 
+        self.sync_params(kept.sparkSession)
         kept = kept.localCheckpoint()
-        tag = F.lit(-1 if epoch_id is None else int(epoch_id)).alias("_epoch")
+        etag = F.lit(-1 if epoch_id is None else int(epoch_id)).alias("_epoch")
+        rtag = F.lit(run_id or "").alias("_run")
         fp, sh, bands = self._derive(kept, text_col, id_col)
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            fp.withColumn("_epoch", tag).write.mode(mode).parquet(
+            fp.withColumns({"_epoch": etag, "_run": rtag}).write.mode(mode).parquet(
                 self._path("fingerprints")
             )
-            sh.withColumn("_epoch", tag).write.mode(mode).parquet(
+            sh.withColumns({"_epoch": etag, "_run": rtag}).write.mode(mode).parquet(
                 self._path("shingles")
             )
-            bands.withColumn("_epoch", tag).write.mode(mode).parquet(
+            bands.withColumns({"_epoch": etag, "_run": rtag}).write.mode(mode).parquet(
                 self._path("bands")
             )
         finally:
             sh.unpersist()
         return kept
 
-    def _read(self, spark, name: str, exclude_epoch: int | None) -> DataFrame:
-        df = spark.read.parquet(self._path(name))
-        if "_epoch" in df.columns:
-            if exclude_epoch is not None:
-                df = df.filter(F.col("_epoch") != int(exclude_epoch))
-            df = df.drop("_epoch")
-        return df
+    def _read(
+        self,
+        spark,
+        name: str,
+        exclude_epoch: int | None,
+        run_id: str | None,
+    ) -> DataFrame:
+        # mergeSchema: a dir can mix tag-bearing files with files from
+        # an older layout; without it the picked footer decides whether
+        # the tag columns even surface
+        df = spark.read.option("mergeSchema", "true").parquet(self._path(name))
+        if exclude_epoch is not None and "_epoch" in df.columns:
+            # eqNullSafe: rows from tag-less files surface as NULL under
+            # the merged schema — a null-hostile `!=` would silently
+            # drop that entire history from every dedup join
+            cond = F.col("_epoch").eqNullSafe(int(exclude_epoch))
+            if "_run" in df.columns:
+                cond = cond & F.col("_run").eqNullSafe(run_id or "")
+            elif run_id:
+                # legacy rows can never belong to a named run
+                cond = F.lit(False)
+            df = df.filter(~cond)
+        return df.drop("_epoch", "_run")
 
-    def fingerprints(self, spark, exclude_epoch: int | None = None) -> DataFrame:
-        return self._read(spark, "fingerprints", exclude_epoch)
+    def fingerprints(
+        self, spark, exclude_epoch: int | None = None, run_id: str | None = None
+    ) -> DataFrame:
+        return self._read(spark, "fingerprints", exclude_epoch, run_id)
 
-    def shingles(self, spark, exclude_epoch: int | None = None) -> DataFrame:
-        return self._read(spark, "shingles", exclude_epoch)
+    def shingles(
+        self, spark, exclude_epoch: int | None = None, run_id: str | None = None
+    ) -> DataFrame:
+        return self._read(spark, "shingles", exclude_epoch, run_id)
 
-    def bands(self, spark, exclude_epoch: int | None = None) -> DataFrame:
-        return self._read(spark, "bands", exclude_epoch)
+    def bands(
+        self, spark, exclude_epoch: int | None = None, run_id: str | None = None
+    ) -> DataFrame:
+        return self._read(spark, "bands", exclude_epoch, run_id)
 
 
 def curate_increment(
@@ -382,6 +468,7 @@ def curate_increment(
     id_col: str = "doc_id",
     update_state: bool = True,
     epoch_id: int | None = None,
+    run_id: str | None = None,
 ) -> DataFrame:
     """Curate a NEW batch against the landed state of everything kept so
     far — the production shape of the pipeline (daily increments over a
@@ -401,9 +488,10 @@ def curate_increment(
     Returns the kept new documents; with ``update_state`` their derived
     rows are appended to the state first and the returned frame is the
     checkpointed batch ``CurationState.write`` materialized (new ids
-    must not collide with state ids — enforce upstream). ``epoch_id`` (streaming replays)
-    excludes that epoch's own prior state appends from every history
-    join and tags this batch's appends — see ``curate_stream``.
+    must not collide with state ids — enforce upstream). ``(run_id,
+    epoch_id)`` (streaming replays) excludes that epoch's own prior
+    state appends from every history join and tags this batch's
+    appends — see ``curate_stream``.
     """
     if (cfg.minhash_k, cfg.lsh_bands) != (state.minhash_k, state.lsh_bands):
         # a mismatch is silent data corruption, not an error state the
@@ -417,6 +505,11 @@ def curate_increment(
             "derive the batch's signatures with the state's parameters"
         )
     spark = new_docs.sparkSession
+    if state.exists(spark):
+        # also validate against the ON-DISK parameters: the ctor-vs-cfg
+        # check above cannot catch a session that reconstructs the
+        # state handle with the wrong values
+        state.sync_params(spark)
     _, exact = _row_stages(new_docs, cfg, text_col, id_col)
 
     if not state.exists(spark):
@@ -438,13 +531,13 @@ def curate_increment(
         kept = exact.join(drop0, id_col, "left_anti")
         if update_state:
             kept = state.write(kept, text_col=text_col, id_col=id_col,
-                               mode="append", epoch_id=epoch_id)
+                               mode="append", epoch_id=epoch_id, run_id=run_id)
         return kept
 
     # --- exact dedup vs history (anti-join on fingerprint) ------------
     with_fp = exact.withColumn("_fp", content_fingerprint(F.col(text_col)))
     vs_hist = with_fp.join(
-        state.fingerprints(spark, exclude_epoch=epoch_id)
+        state.fingerprints(spark, exclude_epoch=epoch_id, run_id=run_id)
         .select(F.col("fp").alias("_fp")),
         "_fp",
         "left_anti",
@@ -473,7 +566,7 @@ def curate_increment(
     cands_hist = (
         bands_new.alias("n")
         .join(
-            state.bands(spark, exclude_epoch=epoch_id).alias("h"),
+            state.bands(spark, exclude_epoch=epoch_id, run_id=run_id).alias("h"),
             (F.col("n.band_id") == F.col("h.band_id"))
             & (F.col("n.band_hash") == F.col("h.band_hash")),
         )
@@ -485,7 +578,7 @@ def curate_increment(
     # rows, which are harmless for the anti/semi joins but would inflate
     # Jaccard's per-doc counts
     sh_hist = (
-        state.shingles(spark, exclude_epoch=epoch_id)
+        state.shingles(spark, exclude_epoch=epoch_id, run_id=run_id)
         .join(
             cands_hist.select(F.col("doc_b").alias("doc_id")).distinct(),
             "doc_id",
@@ -508,7 +601,7 @@ def curate_increment(
         # act on the frame write() returns: it is checkpointed, so the
         # result cannot re-read the state this call just appended to
         kept = state.write(kept, text_col=text_col, id_col=id_col,
-                           mode="append", epoch_id=epoch_id)
+                           mode="append", epoch_id=epoch_id, run_id=run_id)
     return kept
 
 
@@ -519,6 +612,7 @@ def curate_stream(
     cfg: CurationConfig = CurationConfig(),
     text_col: str = "text",
     id_col: str = "doc_id",
+    run_id: str | None = None,
 ):
     """Continuous curation: each micro-batch of a streaming document
     source is curated incrementally against the landed state (gates,
@@ -548,13 +642,20 @@ def curate_stream(
     - a replayed state append leaves duplicate rows for the epoch —
       harmless: its own epoch excludes them, later epochs consume the
       state through anti-/semi-joins (multiplicity-insensitive) and a
-      post-semi-join dropDuplicates on the Jaccard path.
+      post-semi-join dropDuplicates on the Jaccard path;
+    - ``run_id`` scopes the epoch tags: foreachBatch epoch ids are
+      CHECKPOINT-scoped (a fresh checkpoint restarts at 0), so pass a
+      stable identity of the logical stream — the checkpoint location
+      is the natural choice (stable across driver restarts of the same
+      stream, distinct for a re-started-from-scratch one). Without it,
+      a second run's epoch 0 would exclude the first run's epoch-0
+      history from dedup and re-admit its duplicates.
 
     Returns the DataStreamWriter — caller picks trigger, checkpoint
     location, and calls start().
     """
     apply_fn = curation_epoch_apply(
-        state, out_dir, cfg=cfg, text_col=text_col, id_col=id_col
+        state, out_dir, cfg=cfg, text_col=text_col, id_col=id_col, run_id=run_id
     )
     return stream_docs.writeStream.foreachBatch(apply_fn)
 
@@ -565,10 +666,13 @@ def curation_epoch_apply(
     cfg: CurationConfig = CurationConfig(),
     text_col: str = "text",
     id_col: str = "doc_id",
+    run_id: str | None = None,
 ):
     """The per-epoch body of ``curate_stream``, exposed so the replay
     contract is directly testable (call it twice with the same
-    epoch_id) — see ``curate_stream`` for the ordering rationale."""
+    epoch_id) — see ``curate_stream`` for the ordering rationale and
+    the ``run_id`` contract. Output paths are run-scoped too (a fresh
+    run's epoch 0 must not overwrite a prior run's epoch-0 output)."""
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -580,11 +684,20 @@ def curation_epoch_apply(
             id_col=id_col,
             update_state=False,
             epoch_id=epoch_id,
+            run_id=run_id,
         )
-        epoch_path = f"{out_dir}/epoch={epoch_id}"
+        if run_id:
+            # run ids are free-form (often a checkpoint PATH) — hash
+            # for the directory component, keep the raw id in the tags
+            import hashlib
+
+            sub = f"run={hashlib.md5(run_id.encode()).hexdigest()[:12]}/"
+        else:
+            sub = ""
+        epoch_path = f"{out_dir}/{sub}epoch={epoch_id}"
         kept.write.mode("overwrite").parquet(epoch_path)
         landed = spark.read.parquet(epoch_path)
         state.write(landed, text_col=text_col, id_col=id_col, mode="append",
-                    epoch_id=epoch_id)
+                    epoch_id=epoch_id, run_id=run_id)
 
     return _apply

@@ -187,10 +187,14 @@ def near_dup_pairs_multiprobe(
     cell_col: str = "label",
 ) -> DataFrame:
     """``near_dup_pairs`` with multi-probe recall: every vector probes
-    its ``n_probe`` nearest per-cell-mean centroids, so a pair split
-    across a cell border is still compared when either vector's second
-    probe lands in the other's cell — the standard IVF answer to the
-    single-probe recall caveat.
+    its ``n_probe`` nearest per-cell-mean centroids PLUS its own
+    labeled cell, so a pair split across a cell border is still
+    compared when either vector's second probe lands in the other's
+    cell — the standard IVF answer to the single-probe recall caveat.
+    Always probing the labeled cell makes the candidate set a strict
+    superset of ``near_dup_pairs``' (without it, a vector whose own
+    cell's mean is dragged away by the rest of the cell could probe two
+    OTHER cells and lose same-label pairs the single-probe path finds).
 
     Plan shape for 100 TB: the probe table is (id, cell) pairs only —
     ``n_probe`` narrow rows per vector. Candidate pairs come from the
@@ -206,7 +210,16 @@ def near_dup_pairs_multiprobe(
     exchange-free on the corpus side.
     """
     cents = centroids_by_cell(corpus, cell_col, vec_col)
-    probes = assign_cells_probes(corpus, cents, n_probe, id_col, vec_col)
+    probes = (
+        assign_cells_probes(corpus, cents, n_probe, id_col, vec_col)
+        .select("vec_id", "cell")
+        .unionByName(
+            corpus.select(
+                F.col(id_col).alias("vec_id"), F.col(cell_col).alias("cell")
+            )
+        )
+        .distinct()
+    )
     cand = (
         probes.alias("a")
         .join(
@@ -264,24 +277,13 @@ def assign_cells(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Coarse-quantizer assignment: nearest centroid (squared L2) per
-    vector -> (vec_id, cell). The centroid table is tiny and broadcast;
-    each vector is scored against all k cells in its scan task, then a
-    per-vector argmin (row_number over k rows) picks the cell. Ties
-    break on cell id so the assignment is deterministic."""
-    c = F.broadcast(centroids.select("cell", F.col("centroid").alias("ce")))
-    v = vectors.select(F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("ve"))
-    d2 = F.aggregate(
-        F.zip_with(F.col("ve"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    scored = v.crossJoin(c).select("vec_id", "cell", d2.alias("d2"))
-    w = W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
-    )
+    vector -> (vec_id, cell). The degenerate ``n_probe=1`` case of
+    ``assign_cells_probes`` (same broadcast-score-argmin plan, same
+    (distance, cell) tie rule), kept as the named operator the checked
+    queries compose."""
+    return assign_cells_probes(
+        vectors, centroids, n_probe=1, id_col=id_col, vec_col=vec_col
+    ).select("vec_id", "cell")
 
 
 def kmeans_iterate(
@@ -311,6 +313,12 @@ def kmeans_iterate(
     materializes a cell. Compare ``assign_cells``, which keeps the
     centroids as a DataFrame for composability; for the hot iterate
     loop the literal form is strictly cheaper.
+
+    Empty cells (hash-init collisions when |vectors| is near k, or a
+    cell losing every member mid-run) keep their PREVIOUS centroid
+    instead of silently shrinking k — the standard carry-forward
+    answer; a cell empty at init simply has no centroid to carry and k
+    degrades to the populated init cells (data smaller than k).
     """
     cells = vectors.select(
         F.col(id_col).alias("vec_id"),
@@ -318,12 +326,11 @@ def kmeans_iterate(
         (F.pmod(F.xxhash64(F.col(id_col)), F.lit(k))).cast("int").alias("cell"),
     )
     cents = centroids_by_cell(cells, cell_col="cell", vec_col="embedding")
+    prev: dict = {}
     for _ in range(n_iter):
         # k x dim doubles to the driver: bounded quantizer metadata
-        rows = sorted(
-            ((r["cell"], list(r["centroid"])) for r in cents.collect()),
-            key=lambda t: t[0],
-        )
+        prev.update({r["cell"]: list(r["centroid"]) for r in cents.collect()})
+        rows = sorted(prev.items(), key=lambda t: t[0])
         v = as_double_array(vec_col)
         scored = [
             F.struct(

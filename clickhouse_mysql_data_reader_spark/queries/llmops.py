@@ -404,6 +404,8 @@ def dedup_embed_near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
             FROM scored)
       WHERE rn <= 2
+      UNION
+      SELECT vec_id, label AS cell FROM e
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -417,8 +419,9 @@ def dedup_embed_near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
     """,
     doc="dedup_embed_near with multi-probe recall: each vector probes "
-    "its 2 nearest per-cell-mean centroids, restoring near-dup pairs "
-    "split across a cell border (the single-probe caveat). Candidate "
+    "its 2 nearest per-cell-mean centroids PLUS its labeled cell "
+    "(candidates are a strict superset of the single-probe blocking), "
+    "restoring near-dup pairs split across a cell border. Candidate "
     "pairs are DISTINCT id pairs from the probes' cell self-join; each "
     "pair is scored once via two id-keyed joins back to the vectors.",
 )

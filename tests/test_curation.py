@@ -362,26 +362,112 @@ def test_curate_stream_crash_before_state_append_replays_clean(spark, tmp_path):
 
 
 def test_state_partial_write_is_not_landed(spark, tmp_path):
-    """fingerprints is written LAST and is what ``exists`` probes, so a
-    crash mid-``write`` (shingles/bands on disk, no fingerprints) reads
-    as NOT landed — the next attempt bootstraps instead of joining
-    against a state missing its tables."""
+    """``exists`` requires a committed _SUCCESS in ALL three tables, so
+    the reachable crash windows of the fingerprints->shingles->bands
+    write order (fingerprints landed, later tables missing — or a
+    table's dir created by the committer with no committed files) read
+    as NOT landed and the next attempt bootstraps."""
+    import os
+
     from clickhouse_mysql_data_reader_spark.curation import (
         CurationState,
         curate_increment,
     )
 
     state = CurationState(str(tmp_path / "state"))
-    # simulate the crash window: shingles + bands landed, no marker
+    # crash window A: fingerprints committed, shingles/bands never ran
     spark.createDataFrame(
-        [(99, 12345, -1)], "doc_id long, sh_h long, _epoch long"
-    ).write.parquet(state._path("shingles"))
+        [(99, "ff", -1, "")], "doc_id long, fp string, _epoch long, _run string"
+    ).write.parquet(state._path("fingerprints"))
+    assert not state.exists(spark)
+    # crash window B: a later table's dir exists but holds no commit
+    # (the committer creates the dir with only _temporary before data)
+    os.makedirs(state._path("shingles") + "/_temporary", exist_ok=True)
+    os.makedirs(state._path("bands"), exist_ok=True)
     assert not state.exists(spark)
     kept = curate_increment(
         _mk_docs(spark, [(1, "web", GOOD)]), state, cfg=CurationConfig()
     )
     assert {r["doc_id"] for r in kept.collect()} == {1}
     assert state.exists(spark)
+
+
+def test_state_run_scoped_epoch_exclusion(spark, tmp_path):
+    """Epoch ids are checkpoint-scoped: a restarted stream (fresh
+    checkpoint, new run_id) reuses epoch 0, and its exclusion must NOT
+    hide the previous run's epoch-0 history — without run scoping, run
+    2 would re-admit run 1's duplicates."""
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curation_epoch_apply,
+    )
+
+    state = CurationState(str(tmp_path / "state"))
+    out = str(tmp_path / "out")
+    cfg = CurationConfig(near_dup_jaccard=0.5)
+
+    run1 = curation_epoch_apply(state, out, cfg=cfg, run_id="ckpt-A")
+    run1(_mk_docs(spark, [(1, "web", GOOD)]), 0)
+
+    run2 = curation_epoch_apply(state, out, cfg=cfg, run_id="ckpt-B")
+    run2(_mk_docs(spark, [(10, "web", GOOD)]), 0)  # dup of run-1 doc 1
+
+    assert {r["doc_id"] for r in state.fingerprints(spark).collect()} == {1}
+    # and run 2's OWN replay still excludes only its own rows
+    run2(_mk_docs(spark, [(10, "web", GOOD)]), 0)
+    assert {r["doc_id"] for r in state.fingerprints(spark).collect()} == {1}
+
+
+def test_state_legacy_untagged_rows_survive_exclusion(spark, tmp_path):
+    """A state dir mixing tag-less legacy files with tagged appends:
+    mergeSchema surfaces the tag columns, legacy rows read as NULL
+    tags, and the null-safe exclusion keeps them — a null-hostile `!=`
+    would silently drop the whole legacy history from dedup."""
+    from clickhouse_mysql_data_reader_spark.curation import CurationState
+
+    state = CurationState(str(tmp_path / "state"))
+    spark.createDataFrame(
+        [(1, "legacy-fp")], "doc_id long, fp string"
+    ).write.parquet(state._path("fingerprints"))
+    spark.createDataFrame(
+        [(2, "tagged-fp", 5, "run-x")],
+        "doc_id long, fp string, _epoch long, _run string",
+    ).write.mode("append").parquet(state._path("fingerprints"))
+
+    # excluding (run-x, 5) keeps the legacy row and drops the tagged one
+    got = {
+        r["doc_id"]
+        for r in state.fingerprints(spark, exclude_epoch=5, run_id="run-x").collect()
+    }
+    assert got == {1}
+    # no exclusion: both visible, tags never leak into the schema
+    df = state.fingerprints(spark)
+    assert {r["doc_id"] for r in df.collect()} == {1, 2}
+    assert set(df.columns) == {"doc_id", "fp"}
+
+
+def test_state_params_manifest_guards_reconstruction(spark, tmp_path):
+    """The landed _params.json is the on-disk truth: a session that
+    reconstructs CurationState with different parameters (and a cfg
+    consistent with THOSE, so the in-memory guard passes) must fail
+    loudly instead of silently finding zero cross-history near-dups."""
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curate_increment,
+    )
+
+    state = CurationState(str(tmp_path / "state"), minhash_k=16, lsh_bands=4)
+    curate_increment(
+        _mk_docs(spark, [(1, "web", GOOD)]), state, cfg=CurationConfig()
+    ).collect()
+
+    wrong = CurationState(str(tmp_path / "state"), minhash_k=8, lsh_bands=4)
+    with pytest.raises(ValueError, match="landed state was derived"):
+        curate_increment(
+            _mk_docs(spark, [(2, "web", GOOD + " more")]),
+            wrong,
+            cfg=CurationConfig(minhash_k=8, lsh_bands=4),
+        )
 
 
 def test_curate_stream_two_batches(spark, tmp_path):
