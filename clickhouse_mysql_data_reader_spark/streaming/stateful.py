@@ -89,6 +89,82 @@ def stateful_latest_wins(
     )
 
 
+def stateful_latest_wins_tws(
+    changes: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    output_schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """``stateful_latest_wins`` on the ``transformWithStateInPandas``
+    API (Spark 4's successor to ``applyInPandasWithState``): identical
+    last-write-wins contract, expressed as a ``StatefulProcessor`` with
+    one named ``ValueState`` per key.
+
+    Why both exist: the legacy operator is battle-tested and its API is
+    frozen; the processor form is where new state features land
+    (multiple named state variables, TTL, timers in event OR processing
+    time, and state schema evolution) — a real CDC deployment that
+    needs, say, per-key TTL to bound state on churning keys should
+    start here. Semantics and per-key state size (one long) are
+    identical, so the two are drop-in interchangeable and the tests
+    assert the same contract over both.
+
+    Runtime requirement: transformWithState's state protocol speaks
+    protobuf between the JVM and the Python worker, so ``protobuf``
+    must be importable on driver AND workers (the legacy operator has
+    no such dependency). Checked eagerly here — without it the query
+    dies at start with an opaque 'driver worker crashed'.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "stateful_latest_wins_tws requires the 'protobuf' package "
+            "(transformWithState's JVM<->Python state protocol); it is "
+            "not importable here — use stateful_latest_wins (identical "
+            "contract, no protobuf dependency) or install protobuf"
+        ) from e
+
+    _self_contained_pickle()
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = output_schema or changes.schema
+    vcol = version_col
+
+    class _LatestWins(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._max_ver = handle.getValueState("max_ver", "max_ver long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            best: pd.DataFrame | None = None
+            for pdf in rows:
+                if pdf.empty:
+                    continue
+                idx = pdf[pdf[vcol] == pdf[vcol].max()].index[-1]
+                row = pdf.loc[[idx]]
+                if best is None or row[vcol].iloc[0] >= best[vcol].iloc[0]:
+                    best = row
+            if best is not None:
+                ver = int(best[vcol].iloc[0])
+                prev = self._max_ver.get() if self._max_ver.exists() else None
+                if prev is None or ver > prev[0]:
+                    self._max_ver.update((ver,))
+                    yield best
+
+        def close(self) -> None:
+            pass
+
+    return changes.groupBy(*key_cols).transformWithStateInPandas(
+        statefulProcessor=_LatestWins(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 FLUSH_SCHEMA = T.StructType(
     [
         T.StructField("pool_key", T.StringType(), False),

@@ -14,6 +14,7 @@ from pyspark.sql import types as T
 from clickhouse_mysql_data_reader_spark.streaming.stateful import (
     pooled_flush_signals,
     stateful_latest_wins,
+    stateful_latest_wins_tws,
 )
 
 CHANGE_SCHEMA = T.StructType(
@@ -79,6 +80,48 @@ def test_latest_wins_suppresses_stale_across_batches(spark, tmp_path):
     _run_to_memory(out, "lw_out")
     rows = {(r["pk"], r["ver"]): r["val"] for r in spark.sql("SELECT * FROM lw_out").collect()}
     # accepted: (1,5) from batch 0, (2,1) from batch 0, (2,2) from batch 1
+    assert rows == {(1, 5): "b", (2, 1): "x", (2, 2): "y"}
+
+
+def test_latest_wins_tws_same_contract(spark, tmp_path):
+    """The transformWithStateInPandas twin upholds the identical
+    cross-batch last-write-wins contract as the legacy operator (same
+    fixture, same expected acceptances). Skips where protobuf (the
+    transformWithState state protocol's dependency) is unavailable —
+    the operator itself raises a clear error there, asserted below."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        stream = spark.readStream.schema(CHANGE_SCHEMA).json(str(tmp_path))
+        with pytest.raises(RuntimeError, match="protobuf"):
+            stateful_latest_wins_tws(stream, ["pk"], "ver")
+        pytest.skip("protobuf not available: transformWithState gated off")
+    src = tmp_path / "lwt_src"
+    _write_jsonl(
+        src,
+        [
+            [
+                {"pk": 1, "ver": 3, "val": "a"},
+                {"pk": 1, "ver": 5, "val": "b"},
+                {"pk": 2, "ver": 1, "val": "x"},
+            ],
+            [
+                {"pk": 1, "ver": 4, "val": "stale"},
+                {"pk": 2, "ver": 1, "val": "dup"},
+                {"pk": 2, "ver": 2, "val": "y"},
+            ],
+        ],
+    )
+    stream = (
+        spark.readStream.schema(CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = stateful_latest_wins_tws(stream, ["pk"], "ver")
+    _run_to_memory(out, "lwt_out")
+    rows = {(r["pk"], r["ver"]): r["val"] for r in spark.sql("SELECT * FROM lwt_out").collect()}
     assert rows == {(1, 5): "b", (2, 1): "x", (2, 2): "y"}
 
 
