@@ -498,13 +498,16 @@ def test_curate_stream_two_batches(spark, tmp_path):
             for f in files:
                 os.utime(os.path.join(root, f), (mtime, mtime))
 
+    ckpt = str(tmp_path / "ckpt")
+
     def _run_available():
         stream = spark.readStream.schema(schema).option(
             "maxFilesPerTrigger", "16"
         ).parquet(str(src) + "/*")
+        # run_id = the checkpoint location, per the documented contract
         q = (
-            curate_stream(stream, state, out, cfg=cfg)
-            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            curate_stream(stream, state, out, cfg=cfg, run_id=ckpt)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -527,5 +530,7 @@ def test_curate_stream_two_batches(spark, tmp_path):
     )
     _run_available()
     assert {r["doc_id"] for r in state.fingerprints(spark).collect()} == {1, 11}
+    # outputs land under out/run=<hash>/epoch=<id>; partition discovery
+    # reads the whole run transparently
     kept_out = spark.read.parquet(out)
     assert {r["doc_id"] for r in kept_out.collect()} == {1, 11}
