@@ -290,34 +290,56 @@ class CurationState:
         return jvm, path.getFileSystem(spark._jsc.hadoopConfiguration())
 
     def exists(self, spark) -> bool:
-        """True once a first batch has FULLY landed: all three tables
-        must hold a COMMITTED write (``_SUCCESS`` marker), not just an
-        output directory — the committer creates the dir (with only
-        ``_temporary``) before any data commits, so a bare-dir probe
-        would call a crashed first write 'landed' and every later batch
-        would die reading a schemaless table. Checked through the
-        Hadoop FileSystem API so any Spark-supported store works."""
+        """True once a first batch has FULLY landed in all three tables.
+
+        Primary probe is the committed-write marker (``_SUCCESS``): the
+        committer creates the dir (with only ``_temporary``) before any
+        data commits, so a bare-DIR probe would call a crashed first
+        write 'landed' and every later batch would die reading a
+        schemaless table. But success markers are commonly DISABLED
+        (``mapreduce.fileoutputcommitter.marksuccessfuljobs=false`` is
+        typical on object-store committers), so when the marker is
+        absent we fall back to probing for committed top-level data
+        files (anything not named ``_*``/``.*`` — crashed v1 writes
+        leave only ``_temporary``, which the fallback ignores). Without
+        the fallback, every increment would silently take the bootstrap
+        path forever: history dedup stops and duplicate docs are
+        re-admitted with no error. Checked through the Hadoop
+        FileSystem API so any Spark-supported store works."""
         jvm, fs = self._fs(spark)
-        return all(
-            bool(
-                fs.exists(
-                    jvm.org.apache.hadoop.fs.Path(self._path(n) + "/_SUCCESS")
-                )
-            )
-            for n in ("fingerprints", "shingles", "bands")
-        )
+
+        def landed(name: str) -> bool:
+            dir_path = jvm.org.apache.hadoop.fs.Path(self._path(name))
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(self._path(name) + "/_SUCCESS")):
+                return True
+            if not fs.exists(dir_path):
+                return False
+            for st in fs.listStatus(dir_path):
+                base = st.getPath().getName()
+                if not base.startswith("_") and not base.startswith("."):
+                    return True
+            return False
+
+        return all(landed(n) for n in ("fingerprints", "shingles", "bands"))
 
     def sync_params(self, spark) -> None:
         """Land ``_params.json`` on first write; on every later call,
         raise if this instance's parameters differ from the landed
         ones (the guard ``curate_increment`` performs against cfg only
         covers in-memory consistency — this covers the on-disk truth).
+
+        The first write uses ``create(overwrite=false)`` — atomic on
+        HDFS-like stores — so two concurrent first writers (e.g. two
+        streams sharing a state dir) cannot both land different params
+        unseen: the loser's create fails, and it re-reads and validates
+        against the winner's manifest like any later caller.
         """
         import json
 
         jvm, fs = self._fs(spark)
         path = jvm.org.apache.hadoop.fs.Path(f"{self.state_dir}/_params.json")
-        if fs.exists(path):
+
+        def validate_landed() -> None:
             stream = fs.open(path)
             try:
                 landed = json.loads(
@@ -335,8 +357,12 @@ class CurationState:
                     f"but the landed state was derived with {landed}; "
                     "band hashes would never match — use the landed parameters"
                 )
-        else:
-            out = fs.create(path, True)
+
+        if fs.exists(path):
+            validate_landed()
+            return
+        try:
+            out = fs.create(path, False)  # no-overwrite: atomic first-writer-wins
             try:
                 out.write(
                     bytearray(
@@ -347,6 +373,12 @@ class CurationState:
                 )
             finally:
                 out.close()
+        except Exception:
+            # Lost the create race (FileAlreadyExistsException through
+            # py4j) — converge on the winner's manifest.
+            if not fs.exists(path):
+                raise
+            validate_landed()
 
     def _derive(self, kept: DataFrame, text_col: str, id_col: str):
         from clickhouse_mysql_data_reader_spark.operators.dedup import band_table
@@ -389,14 +421,21 @@ class CurationState:
         during the write must be survivable — localCheckpoint blocks
         are executor-local.
 
-        Write order is fingerprints -> shingles -> bands on purpose: a
-        crash between writes can orphan rows only in tables AFTER the
-        fingerprint landing, and orphan shingle/band rows always belong
-        to fingerprint-landed docs, which the exact-dedup anti-join
-        removes before any near-dup join can meet them. ``exists``
-        additionally requires a committed ``_SUCCESS`` in all three
-        dirs, so a partial FIRST write reads as not-landed and the
-        next attempt bootstraps.
+        Write order is fingerprints -> shingles -> bands on purpose,
+        but note what a mid-sequence crash actually orphans: rows in
+        the tables ALREADY written — i.e. a crash after the
+        fingerprints commit leaves docs with fingerprints but no
+        shingles/bands. Those orphans make the exact-dedup anti-join
+        STRICTER (the docs are known), never looser, so no duplicate is
+        admitted — but a plain batch retry of that same batch
+        (``epoch_id=None``) anti-joins against its own partial
+        fingerprint append and silently drops the whole batch. For
+        retryable batch appends, pass ``epoch_id``/``run_id`` (a batch
+        tag) so the replay can EXCLUDE its own crashed append's rows,
+        exactly as ``curate_stream`` does per epoch. ``exists``
+        additionally requires a committed write in all three dirs, so
+        a partial FIRST write reads as not-landed and the next attempt
+        bootstraps.
         """
         from pyspark import StorageLevel
 
@@ -420,6 +459,82 @@ class CurationState:
             sh.unpersist()
         return kept
 
+    # One parquet file-set lands per epoch append; a long-running stream
+    # therefore grows thousands of small files per state table, and the
+    # mergeSchema read pays a footer read per file. compact() is the
+    # maintenance remedy — ClickHouse merges parts for exactly this
+    # reason (the reference's server does it implicitly; here it is an
+    # explicit offline op).
+    _HOMOGENEOUS_MARKER = "_tags_homogeneous"
+
+    def compact(self, spark, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Rewrite each state table into size-targeted files, preserving
+        every row INCLUDING its ``(_run, _epoch)`` tags (NULL tags from
+        legacy layouts stay NULL — normalizing them to the batch tag
+        ``("", -1)`` would make them excludable by a replay that never
+        wrote them). Replayed-epoch exclusion therefore works unchanged
+        post-compact.
+
+        OFFLINE op: quiesce writers first. The swap is
+        rename(table -> table__gc) / rename(tmp -> table) /
+        delete(table__gc); a crash mid-swap leaves either the original
+        dir or a complete compacted dir plus a ``__gc`` leftover —
+        never a half-written table — and a leftover ``__tmp``/``__gc``
+        from a crashed run is deleted on the next compact().
+
+        Also drops the mergeSchema cost from ``_read``: compacted files
+        are schema-homogeneous (tags present everywhere), recorded with
+        a ``_tags_homogeneous`` marker that ``_read`` checks —
+        subsequent ``write()`` appends always carry the tag columns, so
+        homogeneity persists once established.
+
+        Returns {table: {"files_before": n, "files_after": m}}.
+        """
+        jvm, fs = self._fs(spark)
+
+        def hpath(p: str):
+            return jvm.org.apache.hadoop.fs.Path(p)
+
+        def data_files(dir_path: str) -> list:
+            if not fs.exists(hpath(dir_path)):
+                return []
+            return [
+                st
+                for st in fs.listStatus(hpath(dir_path))
+                if not st.getPath().getName().startswith(("_", "."))
+            ]
+
+        report: dict = {}
+        for name in ("fingerprints", "shingles", "bands"):
+            table = self._path(name)
+            tmp, gc = table + "__tmp", table + "__gc"
+            for leftover in (tmp, gc):
+                if fs.exists(hpath(leftover)):
+                    fs.delete(hpath(leftover), True)
+            before = data_files(table)
+            if not before:
+                continue
+            total_bytes = sum(st.getLen() for st in before)
+            n_out = max(1, -(-total_bytes // int(target_file_bytes)))
+            df = spark.read.option("mergeSchema", "true").parquet(table)
+            for tag, typ in (("_epoch", "long"), ("_run", "string")):
+                if tag not in df.columns:
+                    df = df.withColumn(tag, F.lit(None).cast(typ))
+            df.repartition(int(n_out)).write.mode("error").parquet(tmp)
+            if not fs.rename(hpath(table), hpath(gc)):
+                raise IOError(f"compact: rename {table} -> {gc} failed")
+            if not fs.rename(hpath(tmp), hpath(table)):
+                # roll the original back so the table never vanishes
+                fs.rename(hpath(gc), hpath(table))
+                raise IOError(f"compact: rename {tmp} -> {table} failed")
+            fs.delete(hpath(gc), True)
+            fs.create(hpath(f"{table}/{self._HOMOGENEOUS_MARKER}"), True).close()
+            report[name] = {
+                "files_before": len(before),
+                "files_after": len(data_files(table)),
+            }
+        return report
+
     def _read(
         self,
         spark,
@@ -429,8 +544,18 @@ class CurationState:
     ) -> DataFrame:
         # mergeSchema: a dir can mix tag-bearing files with files from
         # an older layout; without it the picked footer decides whether
-        # the tag columns even surface
-        df = spark.read.option("mergeSchema", "true").parquet(self._path(name))
+        # the tag columns even surface. Post-compact the dir is marked
+        # schema-homogeneous and the per-file footer reads are skipped.
+        jvm, fs = self._fs(spark)
+        homogeneous = fs.exists(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{self._path(name)}/{self._HOMOGENEOUS_MARKER}"
+            )
+        )
+        reader = spark.read
+        if not homogeneous:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(self._path(name))
         if exclude_epoch is not None and "_epoch" in df.columns:
             # eqNullSafe: rows from tag-less files surface as NULL under
             # the merged schema — a null-hostile `!=` would silently
@@ -488,7 +613,12 @@ def curate_increment(
     Returns the kept new documents; with ``update_state`` their derived
     rows are appended to the state first and the returned frame is the
     checkpointed batch ``CurationState.write`` materialized (new ids
-    must not collide with state ids — enforce upstream). ``(run_id,
+    must not collide with state ids — enforce upstream). With
+    ``update_state=False`` the returned frame is a LAZY plan: every
+    action re-executes the full gates + LSH + history joins, so a
+    caller that acts on it more than once should ``persist``/
+    ``localCheckpoint`` it first (the update_state=True path gets this
+    for free from ``CurationState.write``'s checkpoint). ``(run_id,
     epoch_id)`` (streaming replays) excludes that epoch's own prior
     state appends from every history join and tags this batch's
     appends — see ``curate_stream``.

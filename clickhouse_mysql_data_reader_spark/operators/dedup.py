@@ -168,16 +168,44 @@ def band_table(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_docs: int | None = None,
 ) -> DataFrame:
     """Band the signature, bucket by band hash, self-join buckets.
 
     The standard LSH trick: docs sharing ANY band bucket become a
     candidate pair. The self-join is keyed on (band_id, band_hash) —
-    narrow keys, and bucket sizes are the only skew concern (AQE's
-    skew-join split handles pathological clusters).
+    narrow keys, and bucket sizes are the only skew concern: a bucket
+    of n docs emits C(n, 2) pairs, so one boilerplate/template cluster
+    (every near-identical copy lands the same hash in every band) can
+    put ~|cluster|^2 of the work on one shuffle partition.
+
+    Two guardrails for that at scale:
+
+    - AQE's skew-join split handles pathological partitions once they
+      cross its bar (default: >256MB and >5x the median partition) —
+      verified live on this join shape in tests/test_skew.py. Note the
+      quadratic OUTPUT still exists; AQE only distributes it.
+    - ``max_bucket_docs``: buckets holding more docs than the cap are
+      EXCLUDED from the self-join (one extra aggregate on the narrow
+      band keys — cheap). This is the production answer for template
+      clusters: their members are near-identical copies that exact/
+      fingerprint dedup already collapses, and C(n, 2) pairs of the
+      survivors add no information worth the quadratic cost. Opt-in
+      (default None = every bucket joins) because it trades recall on
+      genuinely-distinct-but-clustered docs for bounded work.
     """
     banded = band_table(signatures, num_hashes=num_hashes, bands=bands)
+    if max_bucket_docs is not None:
+        small = (
+            banded.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= int(max_bucket_docs))
+            .drop("_n")
+        )
+        banded = banded.join(small, ["band_id", "band_hash"])
     a = banded.alias("a")
     b = banded.alias("b")
     return (

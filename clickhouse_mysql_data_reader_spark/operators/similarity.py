@@ -317,8 +317,11 @@ def kmeans_iterate(
     Empty cells (hash-init collisions when |vectors| is near k, or a
     cell losing every member mid-run) keep their PREVIOUS centroid
     instead of silently shrinking k — the standard carry-forward
-    answer; a cell empty at init simply has no centroid to carry and k
-    degrades to the populated init cells (data smaller than k).
+    answer, applied to the RETURNED table too: the final result is the
+    carry-forward dict merged with the last re-center, so a cell empty
+    only in the terminal iteration still appears with its last known
+    centroid. A cell empty at init simply has no centroid to carry and
+    k degrades to the populated init cells (data smaller than k).
     """
     cells = vectors.select(
         F.col(id_col).alias("vec_id"),
@@ -353,7 +356,17 @@ def kmeans_iterate(
             F.array_min(F.array(*scored))["cell"].alias("cell"),
         )
         cents = centroids_by_cell(with_cells, cell_col="cell", vec_col="embedding")
-    return cents
+    # Merge the carry-forward dict with the terminal re-center so cells
+    # empty in the LAST iteration keep their previous centroid instead
+    # of vanishing from the returned quantizer (k x dim rows — the same
+    # bounded driver metadata the per-iteration collect already moves).
+    prev.update({r["cell"]: list(r["centroid"]) for r in cents.collect()})
+    final_rows = [
+        (int(cell), [float(x) for x in c]) for cell, c in sorted(prev.items())
+    ]
+    return vectors.sparkSession.createDataFrame(
+        final_rows, "cell int, centroid array<double>"
+    )
 
 
 def quantize_int8(

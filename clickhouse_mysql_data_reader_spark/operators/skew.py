@@ -21,9 +21,13 @@ def _row_salt(df: DataFrame, num_salts: int) -> Column:
     offset). The position term spreads a hot key made of IDENTICAL rows
     (common in event/CDC data) across salts — a pure content hash maps
     all duplicates to one reducer, recreating the skew it was meant to
-    break. Stable where it matters: a retried map task re-reads the
-    same partition in the same order, so rows re-salt identically; and
-    since partials merge across all salts, the salt value never leaks
+    break. Retry stability is BEST-EFFORT, and that is enough: when the
+    upstream is a deterministic file scan, a retried map task re-reads
+    the same partition in the same order and rows re-salt identically;
+    above an arbitrary shuffle, ``monotonically_increasing_id`` may
+    renumber under retry and rows can land on different salts — which
+    changes WHERE partials compute, never WHAT they sum to, because
+    partials merge across all salts and the salt value never leaks
     into results."""
     return F.pmod(
         F.xxhash64(

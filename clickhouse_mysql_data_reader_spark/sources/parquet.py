@@ -37,13 +37,31 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "customer", "part"
 def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark rejects these
     outright (PARQUET_TYPE_ILLEGAL), so we read them as raw int64 nanos
-    (legacy conf) and rebuild microsecond timestamps ourselves."""
-    schema = pq.read_schema(path)
-    return tuple(
-        name
-        for name, typ in zip(schema.names, schema.types)
-        if str(typ).startswith("timestamp[ns")
-    )
+    (legacy conf) and rebuild microsecond timestamps ourselves.
+
+    ``path`` may be a single parquet file OR a directory of part files
+    (a re-landed/partitioned table): for a directory the first part
+    file's footer speaks for the set — one writer landed them all."""
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if not parts:
+            return ()
+        path = parts[0]
+    # Probe the PARQUET schema, not the arrow view: pyarrow surfaces
+    # both INT64/TIMESTAMP(NANOS) and legacy INT96 timestamps as
+    # timestamp[ns], but Spark reads INT96 natively — only the INT64
+    # nanos annotation trips PARQUET_TYPE_ILLEGAL and needs the rebuild.
+    pf_schema = pq.ParquetFile(path).schema
+    nanos = []
+    for i in range(len(pf_schema)):
+        col = pf_schema.column(i)
+        if col.physical_type == "INT64" and "nanoseconds" in str(col.logical_type):
+            nanos.append(col.name)
+    return tuple(nanos)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

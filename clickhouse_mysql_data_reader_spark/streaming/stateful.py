@@ -45,6 +45,24 @@ def _self_contained_pickle() -> None:
         pass
 
 
+def _newest_row(pdfs: Iterable[pd.DataFrame], vcol: str) -> pd.DataFrame | None:
+    """The shared selection kernel of both latest-wins operators: the
+    single newest row across an iterable of pandas chunks. Ties within
+    a chunk -> LAST occurrence (binlog order within a batch, mirroring
+    the reference's strictly-ordered replay, mysqlreader.py:362-448);
+    ties ACROSS chunks -> the later chunk (>= comparison), same rule.
+    """
+    best: pd.DataFrame | None = None
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        idx = pdf[pdf[vcol] == pdf[vcol].max()].index[-1]
+        row = pdf.loc[[idx]]
+        if best is None or row[vcol].iloc[0] >= best[vcol].iloc[0]:
+            best = row
+    return best
+
+
 def stateful_latest_wins(
     changes: DataFrame,
     key_cols: list[str],
@@ -68,16 +86,7 @@ def stateful_latest_wins(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         (prev,) = state.get if state.exists else (None,)
-        best: pd.DataFrame | None = None
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            # newest row in this chunk; ties -> last occurrence (binlog
-            # order within a batch, mirroring the reference's replay)
-            idx = pdf[pdf[vcol] == pdf[vcol].max()].index[-1]
-            row = pdf.loc[[idx]]
-            if best is None or row[vcol].iloc[0] >= best[vcol].iloc[0]:
-                best = row
+        best = _newest_row(pdfs, vcol)
         if best is not None:
             ver = int(best[vcol].iloc[0])
             if prev is None or ver > prev:
@@ -87,6 +96,38 @@ def stateful_latest_wins(
     return changes.groupBy(*key_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def _make_latest_wins_processor(vcol: str):
+    """Build the ``StatefulProcessor`` class for ``_LatestWins`` at
+    module level (not closed over inside ``stateful_latest_wins_tws``)
+    so its logic is directly drivable in unit tests with a stubbed
+    handle/ValueState — no protobuf or streaming query needed to cover
+    the selection + compare-and-update path. ``StatefulProcessor``
+    itself imports without protobuf; only the live JVM<->Python state
+    protocol needs it."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _LatestWins(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._max_ver = handle.getValueState("max_ver", "max_ver long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            best = _newest_row(rows, vcol)
+            if best is not None:
+                ver = int(best[vcol].iloc[0])
+                prev = self._max_ver.get() if self._max_ver.exists() else None
+                if prev is None or ver > prev[0]:
+                    self._max_ver.update((ver,))
+                    yield best
+
+        def close(self) -> None:
+            pass
+
+    return _LatestWins
 
 
 def stateful_latest_wins_tws(
@@ -126,39 +167,10 @@ def stateful_latest_wins_tws(
         ) from e
 
     _self_contained_pickle()
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
     out_schema = output_schema or changes.schema
-    vcol = version_col
-
-    class _LatestWins(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._max_ver = handle.getValueState("max_ver", "max_ver long")
-
-        def handleInputRows(self, key, rows, timerValues):
-            best: pd.DataFrame | None = None
-            for pdf in rows:
-                if pdf.empty:
-                    continue
-                idx = pdf[pdf[vcol] == pdf[vcol].max()].index[-1]
-                row = pdf.loc[[idx]]
-                if best is None or row[vcol].iloc[0] >= best[vcol].iloc[0]:
-                    best = row
-            if best is not None:
-                ver = int(best[vcol].iloc[0])
-                prev = self._max_ver.get() if self._max_ver.exists() else None
-                if prev is None or ver > prev[0]:
-                    self._max_ver.update((ver,))
-                    yield best
-
-        def close(self) -> None:
-            pass
 
     return changes.groupBy(*key_cols).transformWithStateInPandas(
-        statefulProcessor=_LatestWins(),
+        statefulProcessor=_make_latest_wins_processor(version_col)(),
         outputStructType=out_schema,
         outputMode="Update",
         timeMode="None",

@@ -446,6 +446,92 @@ def test_state_legacy_untagged_rows_survive_exclusion(spark, tmp_path):
     assert set(df.columns) == {"doc_id", "fp"}
 
 
+def test_state_compact_shrinks_files_preserves_rows_and_exclusion(spark, tmp_path):
+    """compact() rewrites each state table into few size-targeted files
+    while preserving every row WITH its (_run, _epoch) tags — including
+    NULL tags on legacy-layout rows — so a replayed-epoch exclusion
+    returns the identical result post-compact, and the homogeneous
+    marker drops the mergeSchema footer reads."""
+    import os
+
+    from clickhouse_mysql_data_reader_spark.curation import CurationState
+
+    state = CurationState(str(tmp_path / "state"))
+    # a legacy tag-less file-set plus several tagged epoch appends ->
+    # worst-case heterogeneous dir
+    spark.createDataFrame(
+        [(100, "legacy-fp")], "doc_id long, fp string"
+    ).write.parquet(state._path("fingerprints"))
+    for epoch in range(3):
+        state.write(
+            _mk_docs(spark, [(epoch * 10 + j, "web", GOOD + f" epoch{epoch} doc{j}") for j in range(2)]),
+            epoch_id=epoch,
+            run_id="run-a",
+        )
+
+    def raw(name):
+        df = spark.read.option("mergeSchema", "true").parquet(state._path(name))
+        rows = (tuple(r) for r in df.select(sorted(df.columns)).collect())
+        # legacy rows carry NULL tags; None doesn't order against values
+        return sorted(rows, key=lambda t: tuple((v is None, v) for v in t))
+
+    def files(name):
+        return [
+            f
+            for f in os.listdir(state._path(name))
+            if not f.startswith(("_", "."))
+        ]
+
+    before_rows = {n: raw(n) for n in ("fingerprints", "shingles", "bands")}
+    before_files = {n: len(files(n)) for n in ("fingerprints", "shingles", "bands")}
+    excl_before = sorted(
+        r["doc_id"]
+        for r in state.fingerprints(spark, exclude_epoch=1, run_id="run-a").collect()
+    )
+
+    rep = state.compact(spark)
+
+    for n in ("fingerprints", "shingles", "bands"):
+        assert rep[n]["files_after"] < rep[n]["files_before"], rep
+        assert len(files(n)) == rep[n]["files_after"]
+        assert len(files(n)) < before_files[n]
+        assert raw(n) == before_rows[n], f"{n} content changed under compaction"
+    # replayed-epoch exclusion unchanged: epoch 1's docs gone, legacy
+    # NULL-tag row and other epochs kept
+    excl_after = sorted(
+        r["doc_id"]
+        for r in state.fingerprints(spark, exclude_epoch=1, run_id="run-a").collect()
+    )
+    assert excl_after == excl_before
+    assert 100 in excl_after and not {10, 11} & set(excl_after)
+    # appends after compaction stay visible (homogeneous marker only
+    # skips mergeSchema; tagged appends keep the schema uniform)
+    state.write(_mk_docs(spark, [(55, "web", GOOD + " post-compact")]), epoch_id=9, run_id="run-a")
+    assert 55 in {r["doc_id"] for r in state.fingerprints(spark).collect()}
+
+
+def test_state_exists_without_success_markers(spark, tmp_path):
+    """Success markers are commonly disabled on object-store committers;
+    exists() must fall back to probing committed data files — otherwise
+    every increment silently bootstraps and history dedup stops."""
+    import os
+
+    from clickhouse_mysql_data_reader_spark.curation import CurationState
+
+    state = CurationState(str(tmp_path / "state"))
+    state.write(_mk_docs(spark, [(1, "web", GOOD)]))
+    assert state.exists(spark)
+    for n in ("fingerprints", "shingles", "bands"):
+        os.remove(os.path.join(state._path(n), "_SUCCESS"))
+    assert state.exists(spark), "data files present must read as landed"
+
+    # a crashed v1 first write leaves only _temporary: NOT landed
+    crashed = CurationState(str(tmp_path / "crashed"))
+    for n in ("fingerprints", "shingles", "bands"):
+        os.makedirs(os.path.join(crashed._path(n), "_temporary"))
+    assert not crashed.exists(spark)
+
+
 def test_state_params_manifest_guards_reconstruction(spark, tmp_path):
     """The landed _params.json is the on-disk truth: a session that
     reconstructs CurationState with different parameters (and a cfg

@@ -15,17 +15,22 @@ DRIVER_CAP = 50
 # were deprioritized in round 3 to admit the seven new unique
 # capabilities below — each has a checked sibling carrying its
 # semantics (see registry.DEPRIORITIZED rationale).
+# Round 5 rotated in the round-4-reworked agg_rollup/agg_cube and the
+# new dedup_embed_near_multiprobe, displacing set_intersect/join_semi
+# (unchanged duals with four rounds of driver history) and
+# agg_percentile (exact arithmetic hash-verified inside the checked
+# agg_approx_percentile).
 MUST_BE_CHECKED = {
     "q1_pricing_summary",
     "agg_approx_distinct",
     "agg_grouping_sets",
     "agg_pivot",
-    "agg_percentile",
+    "agg_rollup",
+    "agg_cube",
     "agg_approx_percentile",
     "agg_salted_skew",
     "join_broadcast_dim",
     "join_shuffle_fact_fact",
-    "join_semi",
     "join_outer_coalesce",
     "join_range_bands",
     "join_asof_attrib",
@@ -33,7 +38,7 @@ MUST_BE_CHECKED = {
     "window_tumbling_hourly",
     "window_session_gaps",
     "topk_global",
-    "set_intersect",
+    "dedup_embed_near_multiprobe",
     "scalar_string_funcs",
     "scalar_json_funcs",
     "scan_prune_filter",

@@ -1,6 +1,10 @@
-"""Skew operators: salted aggregate/join semantics guards."""
+"""Skew operators: salted aggregate/join semantics guards, plus the
+adversarial LSH hot-bucket fixtures (AQE skew detection + the
+bucket-cap guardrail)."""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -70,3 +74,186 @@ def test_salted_join_rejects_outer_shapes(spark):
         salted_join(df, df, ["k"], how="full")
     with pytest.raises(ValueError, match="duplicate unmatched rows"):
         salted_join(df, df, ["k"], how="right_outer")
+
+
+def _hot_bucket_signatures(spark, n_docs=1000, hot=200):
+    """One band bucket holding 20% of the corpus (a boilerplate/
+    template cluster — every near-identical doc lands the same
+    (band_id, band_hash) in every band); the rest unique."""
+    sig_cols = ", ".join(f"mh_{i} long" for i in range(16))
+    rows = []
+    for d in range(n_docs):
+        if d < hot:  # identical signature -> same bucket in all bands
+            sig = [7] * 16
+        else:
+            sig = [d * 131 + i * 17 for i in range(16)]
+        rows.append((d, *sig))
+    return spark.createDataFrame(rows, f"doc_id long, {sig_cols}")
+
+
+def test_lsh_hot_band_bucket_is_aqe_skew_detectable(spark):
+    """Adversarial LSH skew: the candidate self-join keys on the hot
+    bucket, so one shuffle partition carries ~|cluster|^2 of the work.
+
+    This asserts AQE's skew DETECTION INPUTS on the executed stage —
+    the hot partition's shuffle bytes dominate the median by more than
+    the skewedPartitionFactor (5x default) — i.e. at production scale,
+    where the absolute bytes also cross skewedPartitionThresholdSize
+    (256MB default), OptimizeSkewedJoin splits this exact shape (see
+    test_aqe_skew_split_engages_at_default_bar for the live proof).
+
+    Environment finding (pyspark 4.1.2, verified by direct probes):
+    the AQE stage-optimizer rules (OptimizeSkewedJoin,
+    CoalesceShufflePartitions) read DEFAULT values for
+    skewedPartitionThresholdSize / skewedPartitionFactor /
+    advisoryPartitionSizeInBytes — session-set overrides (runtime AND
+    builder-time; even 1GB/100x, or 2KB/1x) do not change their
+    behavior, so a small fixture cannot be coaxed across the bar and
+    the engagement test below needs a >256MB hot partition. If a
+    cluster disables AQE entirely, operators/skew.salted_join (work
+    distribution) or lsh_candidate_pairs(max_bucket_docs=...)
+    (boilerplate-bucket cap) are the documented manual fallbacks."""
+    from clickhouse_mysql_data_reader_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    # 1000 near-identical template copies vs 100 organic docs: the
+    # hot bucket must dominate in BYTES, and identical band hashes
+    # lz4-compress ~10x harder than the organic buckets' random
+    # hashes, so byte-based skew detection needs a genuinely dominant
+    # cluster — itself a finding worth this fixture: mild key-skew
+    # hides below AQE's byte-based detector under columnar-friendly
+    # compression.
+    sigs = _hot_bucket_signatures(spark, n_docs=1100, hot=1000)
+    conf = spark.conf
+    saved = conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    saved_parts = conf.get("spark.sql.shuffle.partitions")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # spread the base load thin so the hot bucket's partition
+        # stands out the way it does across a real cluster's thousands
+        # of reducers (shuffle.partitions IS honored at plan time; only
+        # the AQE stage-rule confs are not — see docstring)
+        conf.set("spark.sql.shuffle.partitions", "32")
+        cand = lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+        counted = cand.groupBy().count()
+        # C(1000, 2) hot pairs; the 100 organic docs pair with no one
+        assert counted.collect()[0]["count"] == 1000 * 999 // 2
+        # walk the final adaptive plan; collect the band-table shuffle
+        # stage's per-partition map sizes
+        stack = [counted._jdf.queryExecution().executedPlan()]
+        stage_sizes = []
+        while stack:
+            node = stack.pop()
+            cname = node.getClass().getSimpleName()
+            if "AdaptiveSparkPlan" in cname:
+                stack.append(node.executedPlan())
+                continue
+            if "QueryStage" in cname:
+                if "ShuffleQueryStage" in cname and node.mapStats().isDefined():
+                    stage_sizes.append(
+                        sorted(node.mapStats().get().bytesByPartitionId())
+                    )
+                stack.append(node.plan())
+                continue
+            it = node.children().iterator()
+            while it.hasNext():
+                stack.append(it.next())
+        assert stage_sizes, "no materialized shuffle stage found"
+        # the band-table shuffle is the stage with the most skewed
+        # partition profile (the distinct-exchange above the join is
+        # uniform on (doc_a, doc_b))
+        band_stage = max(
+            stage_sizes, key=lambda s: s[-1] / max(s[len(s) // 2], 1)
+        )
+        median = band_stage[len(band_stage) // 2]
+        hot_partition = band_stage[-1]
+        # the exact bar OptimizeSkewedJoin applies (relative part):
+        # size > skewedPartitionFactor * median, default factor 5
+        assert hot_partition > 5 * max(median, 1), (hot_partition, median)
+    finally:
+        if saved is None:
+            conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        conf.set("spark.sql.shuffle.partitions", saved_parts)
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_HEAVY_TESTS") != "1",
+    reason="needs a >256MB hot shuffle partition (default AQE skew bar); "
+    "~2 min — set SPARK_GRAFT_HEAVY_TESTS=1 to run",
+)
+def test_aqe_skew_split_engages_at_default_bar(spark):
+    """Live proof that OptimizeSkewedJoin splits a hot partition in
+    this build once the DEFAULT bar (256MB and 5x median) is crossed —
+    verified green manually during round 5: SortMergeJoin(skew=true) +
+    'AQEShuffleRead coalesced and skewed' appear in the final plan."""
+    from pyspark.sql import functions as F2
+
+    conf = spark.conf
+    saved = conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = (
+            spark.range(0, 9_000_000)
+            .withColumn(
+                "k",
+                F2.when(F2.col("id") < 8_900_000, F2.lit(0)).otherwise(
+                    F2.col("id") % 100
+                ),
+            )
+            .withColumn(
+                "pad",
+                F2.concat(
+                    F2.md5(F2.col("id").cast("string")),
+                    F2.md5((F2.col("id") + 1).cast("string")),
+                ),
+            )
+        )
+        right = spark.range(0, 100).withColumn("k", F2.col("id"))
+        j = left.join(right.withColumnRenamed("id", "rid"), "k")
+        # max(pad) keeps the wide column IN the join shuffle (a bare
+        # count() prunes it and the hot partition compresses to KBs)
+        agg = j.select(F2.max("pad").alias("m"), F2.count(F2.lit(1)).alias("n"))
+        agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        if saved is None:
+            conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_lsh_candidates_bucket_cap_drops_only_hot_bucket(spark):
+    """max_bucket_docs: the production guardrail for boilerplate/
+    template buckets — a bucket with more docs than the cap is excluded
+    from the candidate self-join (its members are near-identical
+    template copies better handled by exact dedup), every other
+    bucket's pairs are untouched."""
+    from clickhouse_mysql_data_reader_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    sigs = _hot_bucket_signatures(spark, n_docs=60, hot=20)
+    # plant one NORMAL near-dup pair outside the hot cluster: same sig
+    sigs = sigs.union(
+        spark.createDataFrame(
+            [(1000, *[999] * 16), (1001, *[999] * 16)], sigs.schema
+        )
+    )
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sigs, num_hashes=16, bands=4).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(
+            sigs, num_hashes=16, bands=4, max_bucket_docs=10
+        ).collect()
+    }
+    hot_pairs = {(a, b) for a, b in uncapped if a < 20 and b < 20}
+    assert len(hot_pairs) == 20 * 19 // 2
+    assert capped == uncapped - hot_pairs
+    assert (1000, 1001) in capped  # small buckets unaffected

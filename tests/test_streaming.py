@@ -81,6 +81,33 @@ def test_cdc_pump_end_to_end(spark, tmp_path):
     assert {r["id"]: r["str"] for r in b.collect()} == {10: "ten-v2"}
 
 
+def test_cdc_pump_many_tables_parallel_apply(spark, tmp_path):
+    """A micro-batch touching many tables drives start_pump's driver-
+    side thread pool (independent tables apply concurrently instead of
+    as N serial Spark jobs); every table's snapshot lands its final
+    state and a same-batch update still beats its insert per table."""
+    src = tmp_path / "many_src"
+    _write_events(
+        src,
+        [
+            [_ev("insert", 10 * t + 1, 1, f"t{t}-a", table=f"log_{t}") for t in range(6)]
+            + [_ev("update", 10 * t + 2, 1, f"t{t}-b", table=f"log_{t}") for t in range(6)]
+        ],
+    )
+    store = SnapshotStore(root=str(tmp_path / "snap"), key_cols=["id"])
+    q = start_pump(
+        read_cdc_stream(spark, str(src), PAYLOAD),
+        store,
+        str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+        max_parallel_tables=4,
+    )
+    _await_done(q)
+    for t in range(6):
+        got = {r["id"]: r["str"] for r in store.read(spark, "db", f"log_{t}").collect()}
+        assert got == {1: f"t{t}-b"}, f"table log_{t}: {got}"
+
+
 def test_cdc_pump_resume_from_checkpoint(spark, tmp_path):
     """New files after restart are picked up; old ones not reapplied —
     the binlog-position-file contract (O5) via checkpointLocation."""
