@@ -643,8 +643,12 @@ def curate_increment(
     _, exact = _row_stages(new_docs, cfg, text_col, id_col)
 
     if not state.exists(spark):
-        # bootstrap: no history yet — within-batch curation only
-        sh0 = shingle_table(exact, text_col, id_col)
+        # bootstrap: no history yet — within-batch curation only.
+        # localCheckpoint: the shingle table feeds signatures, the
+        # Jaccard verify AND (via components' edge materialization)
+        # runs eagerly anyway — without truncation each consumer
+        # re-executes the gates+shingling chain from the scan
+        sh0 = shingle_table(exact, text_col, id_col).localCheckpoint()
         sigs0 = minhash_signatures(sh0, num_hashes=cfg.minhash_k)
         cands0 = lsh_candidate_pairs(
             sigs0, num_hashes=cfg.minhash_k, bands=cfg.lsh_bands
@@ -676,7 +680,15 @@ def curate_increment(
     # --- near-dup within batch AND vs history -------------------------
     from clickhouse_mysql_data_reader_spark.operators.dedup import band_table
 
-    sh_new = shingle_table(vs_hist, text_col, id_col)
+    # localCheckpoint: sh_new has THREE consumers (signatures/bands,
+    # the within-batch Jaccard verify, and the union feeding the
+    # history Jaccard), and connected_components executes eagerly
+    # below — truncating here makes the expensive gates+shingling
+    # chain run once instead of once per consumer. This also freezes
+    # the state-fingerprint anti-join snapshot the shingles derive
+    # from, the same mid-increment-consistency argument as
+    # CurationState.write's checkpoint.
+    sh_new = shingle_table(vs_hist, text_col, id_col).localCheckpoint()
     sigs_new = minhash_signatures(sh_new, num_hashes=cfg.minhash_k)
     bands_new = band_table(sigs_new, num_hashes=cfg.minhash_k, bands=cfg.lsh_bands)
 

@@ -100,8 +100,17 @@ def connected_components(
                 F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
                 (F.coalesce(F.col("nbr_lbl"), F.col("lbl")) < F.col("lbl")).alias("_chg"),
             )
-            # materialize the round once, reset lineage to a leaf
-            stepped = stepped.checkpoint(eager=True)
+            # materialize the round once, reset lineage to a leaf.
+            # persist BEFORE checkpointing: a reliable checkpoint
+            # otherwise recomputes the frame from lineage a second
+            # time when the checkpoint job writes (the documented
+            # RDD-checkpoint double-compute), which here means paying
+            # the round's join+agg twice per iteration
+            pre = stepped.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                stepped = pre.checkpoint(eager=True)
+            finally:
+                pre.unpersist()
             changed = stepped.agg(F.max("_chg")).first()[0]
             labels = stepped.drop("_chg")
             if not changed:
