@@ -108,10 +108,17 @@ QUERIES: dict[str, QueryDef] = {}
 #     p90_exact columns — DuckDB quantile_cont vs Spark percentile)
 # All registered queries stay green under pytest; the ordering only
 # decides which 50 the external driver re-verifies.
+# ...and round 5 displaced one more to admit the Bloom-prefiltered
+# history anti-join (dedup_bloom_prefilter, the incremental-dedup hot
+# path):
+#   - agg_grouping_sets: the general form of the now-checked agg_rollup
+#     AND agg_cube (identical two-phase Expand machinery, same agg
+#     exprs; driver-verified unchanged in r1-r4)
 DEPRIORITIZED = (
     "set_intersect",
     "join_semi",
     "agg_percentile",
+    "agg_grouping_sets",
     "set_except",
     "scalar_date_funcs",
     "scalar_math_funcs",

@@ -23,7 +23,7 @@ DRIVER_CAP = 50
 MUST_BE_CHECKED = {
     "q1_pricing_summary",
     "agg_approx_distinct",
-    "agg_grouping_sets",
+    "dedup_bloom_prefilter",
     "agg_pivot",
     "agg_rollup",
     "agg_cube",
