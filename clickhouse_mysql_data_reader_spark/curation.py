@@ -276,10 +276,27 @@ class CurationState:
     otherwise silently find zero cross-history near-dups.
     """
 
-    def __init__(self, state_dir: str, minhash_k: int = 16, lsh_bands: int = 4):
+    def __init__(
+        self,
+        state_dir: str,
+        minhash_k: int = 16,
+        lsh_bands: int = 4,
+        bloom_bits: int | None = None,
+        bloom_hashes: int = 7,
+    ):
         self.state_dir = str(state_dir)
         self.minhash_k = minhash_k
         self.lsh_bands = lsh_bands
+        # Opt-in incremental Bloom filter over landed fingerprints
+        # (operators/membership.py): maintained ON WRITE so
+        # curate_increment's history anti-join can route definite-miss
+        # rows around the shuffle join without re-scanning history.
+        # Size for the EVENTUAL corpus cardinality — the bit width is
+        # fixed for the state's lifetime (recorded in _params.json) and
+        # an over-full filter degrades to all-maybe (correct, just no
+        # speedup). bloom_bits=None disables the filter entirely.
+        self.bloom_bits = int(bloom_bits) if bloom_bits else None
+        self.bloom_hashes = int(bloom_hashes)
 
     def _path(self, name: str) -> str:
         return f"{self.state_dir}/{name}"
@@ -380,6 +397,133 @@ class CurationState:
                 raise
             validate_landed()
 
+    # ---- incremental Bloom filter over landed fingerprints ----------
+    # Correctness invariant: the filter is a SUPERSET of the landed
+    # fingerprint set at all times. Guaranteed by (a) updating the
+    # bloom BEFORE the fingerprints append in write() — a crash
+    # between the two leaves extra bits (false positives, removed by
+    # the exact join), never missing ones; (b) bits only ever being
+    # added; (c) bootstrap from the full landed history when the file
+    # is absent (legacy states, or a crashed atomic replace).
+
+    def _bloom_file(self) -> str:
+        return f"{self.state_dir}/_bloom.bin"
+
+    def _sync_bloom_params(self, spark) -> None:
+        """Mirror of sync_params for the bloom sizing: first user lands
+        `_bloom_params.json` atomically; later instances must match —
+        probing with a different bit width or hash count than the bits
+        were built with produces FALSE NEGATIVES, i.e. silently
+        readmitted duplicates. A separate manifest (not _params.json)
+        because the filter can be enabled later in a state's life."""
+        import json
+
+        jvm, fs = self._fs(spark)
+        path = jvm.org.apache.hadoop.fs.Path(f"{self.state_dir}/_bloom_params.json")
+
+        def validate() -> None:
+            stream = fs.open(path)
+            try:
+                landed = json.loads(
+                    jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+                )
+            finally:
+                stream.close()
+            if self.bloom_bits is None:
+                raise ValueError(
+                    f"CurationState({self.state_dir}) has a landed Bloom "
+                    f"filter ({landed}) but this instance was constructed "
+                    "without bloom_bits — writes that skip the bloom update "
+                    "would create false negatives (readmitted duplicates) "
+                    "for every later bloom-enabled reader"
+                )
+            if (landed.get("bloom_bits"), landed.get("bloom_hashes")) != (
+                self.bloom_bits,
+                self.bloom_hashes,
+            ):
+                raise ValueError(
+                    f"CurationState({self.state_dir}) constructed with "
+                    f"bloom_bits={self.bloom_bits}, bloom_hashes="
+                    f"{self.bloom_hashes} but the landed filter was built "
+                    f"with {landed}; probes would miss landed keys — use "
+                    "the landed sizing"
+                )
+
+        if fs.exists(path):
+            validate()
+            return
+        if self.bloom_bits is None:
+            return
+        try:
+            out = fs.create(path, False)
+            try:
+                out.write(
+                    bytearray(
+                        json.dumps(
+                            {
+                                "bloom_bits": self.bloom_bits,
+                                "bloom_hashes": self.bloom_hashes,
+                            }
+                        ).encode("utf-8")
+                    )
+                )
+            finally:
+                out.close()
+        except Exception:
+            if not fs.exists(path):
+                raise
+            validate()
+
+    def read_bloom(self, spark) -> bytes | None:
+        """The landed filter bytes, or None if never written."""
+        jvm, fs = self._fs(spark)
+        path = jvm.org.apache.hadoop.fs.Path(self._bloom_file())
+        if not fs.exists(path):
+            return None
+        stream = fs.open(path)
+        try:
+            return bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+
+    def _write_bloom(self, spark, payload: bytes) -> None:
+        # tmp + rename: a crash window can at worst DELETE the file
+        # (between delete and rename), and an absent file bootstraps
+        # from full history on next use — superset invariant holds
+        jvm, fs = self._fs(spark)
+        tmp = jvm.org.apache.hadoop.fs.Path(self._bloom_file() + ".tmp")
+        final = jvm.org.apache.hadoop.fs.Path(self._bloom_file())
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(payload))
+        finally:
+            out.close()
+        if fs.exists(final):
+            fs.delete(final, False)
+        if not fs.rename(tmp, final):
+            raise IOError(f"bloom filter rename failed: {self._bloom_file()}")
+
+    def ensure_bloom(self, spark) -> None:
+        """Bootstrap the filter from the FULL landed fingerprint
+        history when enabled but absent (a pre-bloom state being
+        upgraded, or a crashed replace). One pass over the fingerprint
+        table — paid once, not per increment."""
+        from clickhouse_mysql_data_reader_spark.operators.membership import (
+            build_bloom,
+        )
+
+        if self.bloom_bits is None:
+            return
+        self._sync_bloom_params(spark)
+        if self.read_bloom(spark) is not None or not self.exists(spark):
+            return
+        payload = build_bloom(
+            self.fingerprints(spark), "fp", self.bloom_bits, self.bloom_hashes
+        )
+        self._write_bloom(spark, payload)
+
     def _derive(self, kept: DataFrame, text_col: str, id_col: str):
         from clickhouse_mysql_data_reader_spark.operators.dedup import band_table
 
@@ -440,10 +584,32 @@ class CurationState:
         from pyspark import StorageLevel
 
         self.sync_params(kept.sparkSession)
+        self._sync_bloom_params(kept.sparkSession)
         kept = kept.localCheckpoint()
         etag = F.lit(-1 if epoch_id is None else int(epoch_id)).alias("_epoch")
         rtag = F.lit(run_id or "").alias("_run")
         fp, sh, bands = self._derive(kept, text_col, id_col)
+        if self.bloom_bits is not None:
+            # BEFORE the fingerprints append (see the bloom invariant
+            # note above): a crash between bloom and fingerprints adds
+            # false positives only. ensure_bloom first so a pre-bloom
+            # history is folded in before this batch's bits.
+            from clickhouse_mysql_data_reader_spark.operators.membership import (
+                build_bloom,
+            )
+
+            self.ensure_bloom(kept.sparkSession)
+            batch_bits = build_bloom(fp, "fp", self.bloom_bits, self.bloom_hashes)
+            if mode == "append":
+                prior = self.read_bloom(kept.sparkSession)
+                if prior is not None:
+                    import numpy as _np
+
+                    batch_bits = bytes(
+                        _np.frombuffer(batch_bits, dtype=_np.uint8)
+                        | _np.frombuffer(prior, dtype=_np.uint8)
+                    )
+            self._write_bloom(kept.sparkSession, batch_bits)
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             fp.withColumns({"_epoch": etag, "_run": rtag}).write.mode(mode).parquet(
@@ -670,12 +836,41 @@ def curate_increment(
 
     # --- exact dedup vs history (anti-join on fingerprint) ------------
     with_fp = exact.withColumn("_fp", content_fingerprint(F.col(text_col)))
-    vs_hist = with_fp.join(
-        state.fingerprints(spark, exclude_epoch=epoch_id, run_id=run_id)
-        .select(F.col("fp").alias("_fp")),
-        "_fp",
-        "left_anti",
-    ).drop("_fp")
+    hist_fp = state.fingerprints(spark, exclude_epoch=epoch_id, run_id=run_id).select(
+        F.col("fp").alias("_fp")
+    )
+    if state.bloom_bits is not None:
+        # Bloom prefilter (state-maintained, see CurationState): rows
+        # that are definite filter misses are definitely not in the
+        # landed history — they skip the shuffle anti-join. Maybe-rows
+        # (true hits + false positives, including any excluded-epoch
+        # keys whose bits are in the filter) pay the exact join, which
+        # settles them — exactness holds for any fill level.
+        from clickhouse_mysql_data_reader_spark.operators.membership import (
+            might_contain,
+        )
+
+        state.ensure_bloom(spark)
+        bloom = state.read_bloom(spark)
+    else:
+        bloom = None
+    if bloom is not None:
+        tagged = with_fp.withColumn(
+            "_maybe",
+            might_contain(bloom, state.bloom_bits, state.bloom_hashes, F.col("_fp")),
+        )
+        vs_hist = (
+            tagged.filter(~F.col("_maybe"))
+            .drop("_maybe")
+            .unionByName(
+                tagged.filter(F.col("_maybe"))
+                .drop("_maybe")
+                .join(hist_fp, "_fp", "left_anti")
+            )
+            .drop("_fp")
+        )
+    else:
+        vs_hist = with_fp.join(hist_fp, "_fp", "left_anti").drop("_fp")
 
     # --- near-dup within batch AND vs history -------------------------
     from clickhouse_mysql_data_reader_spark.operators.dedup import band_table

@@ -532,6 +532,97 @@ def test_state_exists_without_success_markers(spark, tmp_path):
     assert not crashed.exists(spark)
 
 
+def test_state_bloom_prefilter_matches_plain_path(spark, tmp_path):
+    """Opt-in incremental Bloom filter: identical kept sets with and
+    without the prefilter (exactness for any fill level), cross-batch
+    exact duplicates still dropped, and the filter file is maintained
+    across writes."""
+    import os
+
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curate_increment,
+    )
+
+    cfg = CurationConfig(near_dup_jaccard=0.5)
+    plain = CurationState(str(tmp_path / "plain"))
+    bloomy = CurationState(str(tmp_path / "bloomy"), bloom_bits=1 << 14)
+
+    b1 = _mk_docs(spark, [(1, "web", GOOD), (2, "web", GOOD + " unrelated tail " * 3)])
+    b2 = _mk_docs(
+        spark,
+        [
+            (10, "web", GOOD),  # exact dup of landed doc 1 -> dropped
+            (
+                11,
+                "web",
+                "a completely different second document about rivers and "
+                "mountains where the morning light settles slowly over the "
+                "quiet valley and nobody repeats anything of note today",
+            ),
+        ],
+    )
+    for st in (plain, bloomy):
+        curate_increment(b1, st, cfg)
+    kept_plain = sorted(
+        r["doc_id"] for r in curate_increment(b2, plain, cfg).collect()
+    )
+    kept_bloom = sorted(
+        r["doc_id"] for r in curate_increment(b2, bloomy, cfg).collect()
+    )
+    assert kept_bloom == kept_plain == [11]
+    assert os.path.exists(os.path.join(str(tmp_path / "bloomy"), "_bloom.bin"))
+    # the filter genuinely contains the landed fingerprints
+    from pyspark.sql import functions as F2
+
+    from clickhouse_mysql_data_reader_spark.operators.membership import (
+        might_contain,
+    )
+
+    bloom = bloomy.read_bloom(spark)
+    hits = (
+        bloomy.fingerprints(spark)
+        .withColumn(
+            "hit",
+            might_contain(bloom, bloomy.bloom_bits, bloomy.bloom_hashes, F2.col("fp")),
+        )
+        .collect()
+    )
+    assert hits and all(r["hit"] for r in hits), "bloom missed a landed key"
+
+
+def test_state_bloom_bootstrap_and_sizing_guards(spark, tmp_path):
+    """A pre-bloom state upgraded in place: ensure_bloom folds the full
+    landed history into the new filter (no false negatives for old
+    docs), and the sizing manifest rejects mismatched or disabled
+    reconstructions — both would silently readmit duplicates."""
+    import pytest
+
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curate_increment,
+    )
+
+    cfg = CurationConfig(near_dup_jaccard=0.5)
+    legacy = CurationState(str(tmp_path / "st"))
+    curate_increment(_mk_docs(spark, [(1, "web", GOOD)]), legacy, cfg)
+
+    upgraded = CurationState(str(tmp_path / "st"), bloom_bits=1 << 14)
+    # duplicate of the PRE-bloom history must still be dropped (the
+    # bootstrap builds the filter from landed fingerprints)
+    kept = curate_increment(_mk_docs(spark, [(9, "web", GOOD)]), upgraded, cfg)
+    assert kept.count() == 0
+
+    with pytest.raises(ValueError, match="landed sizing"):
+        CurationState(str(tmp_path / "st"), bloom_bits=1 << 10)._sync_bloom_params(
+            spark
+        )
+    with pytest.raises(ValueError, match="without bloom_bits"):
+        CurationState(str(tmp_path / "st")).write(
+            _mk_docs(spark, [(5, "web", "whatever text here")])
+        )
+
+
 def test_state_params_manifest_guards_reconstruction(spark, tmp_path):
     """The landed _params.json is the on-disk truth: a session that
     reconstructs CurationState with different parameters (and a cfg
