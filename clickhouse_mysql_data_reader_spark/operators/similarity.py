@@ -395,3 +395,164 @@ def quantize_int8(
     )
     q = F.transform("v", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("bigint"))
     return with_scale.select("vec_id", "scale", F.array_join(q, ",").alias("q8"))
+
+
+# --- product quantization (PQ) ---------------------------------------
+# The canonical companion of the IVF coarse quantizer (faiss's IVF-PQ):
+# split each vector into S contiguous subvectors, k-means each subspace
+# independently (reusing kmeans_iterate's deterministic Lloyd loop),
+# and store each vector as S small codes. At 100 TB a 64-dim float32
+# corpus (256 B/vector) compresses to S bytes/vector (S=4-8), and
+# query scoring never touches the original vectors: an S x k lookup
+# table per query (asymmetric distance computation, ADC) turns each
+# distance into S table lookups — all of it below as pure Catalyst
+# expressions, zero Python in the scoring path.
+
+
+def _subspace_bounds(dim: int, n_subspaces: int) -> list[tuple[int, int]]:
+    """1-based (start, length) slices covering the vector; dims must
+    split evenly so codebooks align across the corpus."""
+    if dim % n_subspaces != 0:
+        raise ValueError(
+            f"vector dim {dim} is not divisible by n_subspaces={n_subspaces}"
+        )
+    d = dim // n_subspaces
+    return [(s * d + 1, d) for s in range(n_subspaces)]
+
+
+def pq_train(
+    vectors: DataFrame,
+    dim: int,
+    n_subspaces: int = 4,
+    k: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train PQ codebooks: (subspace, cell, centroid) with one
+    kmeans_iterate run per subspace over the sliced subvectors.
+    Deterministic end-to-end (hash init, carry-forward empties); the
+    returned table is S x k rows of short centroids — broadcast-class
+    metadata, exactly like the IVF centroid table."""
+    out = None
+    for s, (start, length) in enumerate(_subspace_bounds(dim, n_subspaces)):
+        sub = vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(as_double_array(vec_col), start, length).alias("embedding"),
+        )
+        cb = kmeans_iterate(sub, k=k, n_iter=n_iter).select(
+            F.lit(s).alias("subspace"), "cell", "centroid"
+        )
+        out = cb if out is None else out.unionByName(cb)
+    return out
+
+
+def _collect_codebooks(codebooks: DataFrame) -> dict[int, list[tuple[int, list[float]]]]:
+    """codebooks -> {subspace: [(cell, centroid), ...] sorted} — S x k
+    short rows, the same bounded-driver-metadata class kmeans_iterate
+    already collects."""
+    by_s: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in codebooks.collect():
+        by_s.setdefault(int(r["subspace"]), []).append(
+            (int(r["cell"]), [float(x) for x in r["centroid"]])
+        )
+    return {s: sorted(cells) for s, cells in by_s.items()}
+
+
+def _sq_dist(vec_col: Column, centroid: list[float]) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            vec_col,
+            F.array(*[F.lit(float(x)) for x in centroid]),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    n_subspaces: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<int>): per subspace, the nearest codebook
+    cell for that subvector. Codebooks are inlined as literals (the
+    kmeans_iterate trick), so encoding is a zero-shuffle scan-stage
+    argmin — the struct array_min carries the (d2, cell) tie rule."""
+    cbs = _collect_codebooks(codebooks)
+    bounds = _subspace_bounds(dim, n_subspaces)
+    v = as_double_array(vec_col)
+    code_cols = []
+    for s, (start, length) in enumerate(bounds):
+        sub = F.slice(v, start, length)
+        scored = [
+            F.struct(_sq_dist(sub, c).alias("d2"), F.lit(cell).alias("cell"))
+            for cell, c in cbs[s]
+        ]
+        code_cols.append(F.array_min(F.array(*scored))["cell"])
+    return vectors.select(
+        F.col(id_col).alias("vec_id"), F.array(*code_cols).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    corpus_codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_subspaces: int = 4,
+    k: int = 3,
+    query_id_col: str = "qid",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance: per query, an S x k
+    lookup table of squared distances from each query SUBVECTOR to each
+    codebook centroid, then every corpus distance is just
+    sum_s LUT[s][code_s].
+
+    Plan shape: the LUT is computed as a column ON THE QUERY FRAME
+    (|queries| rows of S*k doubles) which is then broadcast; the corpus
+    side streams its (vec_id, codes) rows through a zip_with +
+    element_at fold — never the original vectors, never a shuffle of
+    the corpus. Returned: (qid, vec_id, adc_dist, rn) with the
+    deterministic (dist, vec_id) tie-break the exact searchers use.
+    """
+    cbs = _collect_codebooks(codebooks)
+    bounds = _subspace_bounds(dim, n_subspaces)
+    qv = as_double_array(vec_col)
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    _sq_dist(F.slice(qv, start, length), c)
+                    for _cell, c in cbs[s]
+                ]
+            )
+            for s, (start, length) in enumerate(bounds)
+        ]
+    )
+    q = F.broadcast(
+        queries.select(F.col(query_id_col).alias("qid"), lut.alias("_lut"))
+    )
+    scored = corpus_codes.crossJoin(q).select(
+        "qid",
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("_lut"),
+                    F.col("codes"),
+                    lambda l, c: F.element_at(l, c + F.lit(1)),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("adc_dist"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -1,0 +1,123 @@
+"""Product quantization (similarity.py PQ family): codebook shape,
+code determinism/range, and ADC retrieval quality on planted clusters.
+No SQL oracle applies (Lloyd iterations are not practically expressible
+in DuckDB), so this is the operator's verification surface."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from clickhouse_mysql_data_reader_spark.operators.similarity import (
+    _subspace_bounds,
+    pq_adc_topk,
+    pq_encode,
+    pq_train,
+)
+
+DIM, S, K = 8, 2, 4
+
+
+def _clustered(spark, per_cluster=12, centers=((0, 0), (40, 0), (0, 40))):
+    """Well-separated planted clusters in R^8: the first two dims carry
+    the cluster center, the rest a small deterministic jitter."""
+    rows = []
+    vid = 0
+    for ci, (cx, cy) in enumerate(centers):
+        for j in range(per_cluster):
+            vec = [cx + 0.1 * j, cy - 0.1 * j] + [
+                0.01 * ((vid * 7 + d) % 5) for d in range(DIM - 2)
+            ]
+            rows.append((vid, ci, vec))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, cluster int, embedding array<double>")
+
+
+def test_subspace_bounds_cover_and_reject():
+    assert _subspace_bounds(8, 2) == [(1, 4), (5, 4)]
+    assert _subspace_bounds(64, 4) == [(1, 16), (17, 16), (33, 16), (49, 16)]
+    with pytest.raises(ValueError, match="not divisible"):
+        _subspace_bounds(10, 4)
+
+
+def test_pq_train_codebook_shape_and_determinism(spark):
+    corpus = _clustered(spark)
+    cb = pq_train(corpus, dim=DIM, n_subspaces=S, k=K, n_iter=3)
+    rows = cb.collect()
+    by_s = {}
+    for r in rows:
+        by_s.setdefault(r["subspace"], []).append(r)
+        assert len(r["centroid"]) == DIM // S
+    assert set(by_s) == set(range(S))
+    assert all(1 <= len(v) <= K for v in by_s.values())
+    again = sorted(map(str, pq_train(corpus, dim=DIM, n_subspaces=S, k=K, n_iter=3).collect()))
+    assert sorted(map(str, rows)) == again
+
+
+def test_pq_encode_codes_in_range_and_deterministic(spark):
+    corpus = _clustered(spark)
+    cb = pq_train(corpus, dim=DIM, n_subspaces=S, k=K, n_iter=3)
+    codes = pq_encode(corpus, cb, dim=DIM, n_subspaces=S).collect()
+    valid_cells = {
+        s: {r["cell"] for r in cb.collect() if r["subspace"] == s} for s in range(S)
+    }
+    assert len(codes) == corpus.count()
+    for r in codes:
+        assert len(r["codes"]) == S
+        for s, c in enumerate(r["codes"]):
+            assert c in valid_cells[s], (s, c)
+    again = {r["vec_id"]: list(r["codes"]) for r in pq_encode(corpus, cb, dim=DIM, n_subspaces=S).collect()}
+    assert {r["vec_id"]: list(r["codes"]) for r in codes} == again
+
+
+def test_pq_adc_topk_recovers_planted_clusters(spark):
+    """Held-out queries (perturbed cluster members NOT in the corpus):
+    the ADC top-1 must come from the query's own planted cluster for
+    every query — the clusters are separated by ~40 units while PQ
+    quantization error is sub-unit. Also: deterministic rn sequence and
+    adc distances are non-decreasing within each query's top-k."""
+    corpus = _clustered(spark)
+    cb = pq_train(corpus, dim=DIM, n_subspaces=S, k=K, n_iter=3)
+    codes = pq_encode(corpus, cb, dim=DIM, n_subspaces=S)
+    centers = ((0, 0), (40, 0), (0, 40))
+    qrows = []
+    for qi, (cx, cy) in enumerate(centers):
+        vec = [cx + 0.55, cy + 0.55] + [0.02] * (DIM - 2)
+        qrows.append((qi, vec))
+    queries = spark.createDataFrame(qrows, "qid long, embedding array<double>")
+    top = pq_adc_topk(codes, cb, queries, dim=DIM, n_subspaces=S, k=3).collect()
+    cluster_of = {r["vec_id"]: r["cluster"] for r in corpus.collect()}
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rn"])
+        assert [r["rn"] for r in rows] == [1, 2, 3]
+        dists = [r["adc_dist"] for r in rows]
+        assert dists == sorted(dists)
+        # every returned neighbor is from the query's own cluster
+        assert all(cluster_of[r["vec_id"]] == qid for r in rows), rows
+
+
+def test_pq_adc_distance_tracks_true_distance(spark):
+    """ADC is an approximation of the true squared L2: for a query at
+    cluster 0's center, the ADC distance to every cluster-0 member must
+    be far below the ADC distance to every other-cluster member (the
+    inter-cluster gap is ~1600 in squared units)."""
+    corpus = _clustered(spark)
+    cb = pq_train(corpus, dim=DIM, n_subspaces=S, k=K, n_iter=3)
+    codes = pq_encode(corpus, cb, dim=DIM, n_subspaces=S)
+    queries = spark.createDataFrame(
+        [(0, [0.5, -0.5] + [0.02] * (DIM - 2))], "qid long, embedding array<double>"
+    )
+    all_ranked = pq_adc_topk(
+        codes, cb, queries, dim=DIM, n_subspaces=S, k=corpus.count()
+    ).collect()
+    cluster_of = {r["vec_id"]: r["cluster"] for r in corpus.collect()}
+    same = [r["adc_dist"] for r in all_ranked if cluster_of[r["vec_id"]] == 0]
+    other = [r["adc_dist"] for r in all_ranked if cluster_of[r["vec_id"]] != 0]
+    assert same and other
+    assert max(same) < min(other)
+    assert max(same) < 100 < 400 < min(other)
