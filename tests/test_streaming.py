@@ -108,6 +108,39 @@ def test_cdc_pump_many_tables_parallel_apply(spark, tmp_path):
         assert got == {1: f"t{t}-b"}, f"table log_{t}: {got}"
 
 
+def test_cdc_pump_parallel_apply_failure_fails_the_batch(spark, tmp_path):
+    """Exactly-once depends on a failed table apply FAILING the whole
+    micro-batch (so the trigger retries it): the thread-pool drain in
+    start_pump must propagate the first per-table exception, not
+    swallow it, and sibling tables' successes must not mask it."""
+    import pytest
+
+    src = tmp_path / "fail_src"
+    _write_events(
+        src,
+        [[_ev("insert", 10 * t + 1, 1, f"t{t}-a", table=f"log_{t}") for t in range(4)]],
+    )
+
+    class PoisonedStore(SnapshotStore):
+        def apply(self, spark_, db, table, changes):
+            if table == "log_2":
+                raise RuntimeError("poisoned table apply")
+            return super().apply(spark_, db, table, changes)
+
+    store = PoisonedStore(root=str(tmp_path / "snap"), key_cols=["id"])
+    q = start_pump(
+        read_cdc_stream(spark, str(src), PAYLOAD),
+        store,
+        str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+        max_parallel_tables=4,
+    )
+    with pytest.raises(Exception, match="poisoned table apply"):
+        q.processAllAvailable()
+        q.awaitTermination(60)
+    q.stop()
+
+
 def test_cdc_pump_resume_from_checkpoint(spark, tmp_path):
     """New files after restart are picked up; old ones not reapplied —
     the binlog-position-file contract (O5) via checkpointLocation."""
