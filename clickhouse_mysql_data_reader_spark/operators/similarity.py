@@ -499,6 +499,30 @@ def pq_encode(
     )
 
 
+def _adc_lut(vec: Column, cbs: dict, bounds: list[tuple[int, int]]) -> Column:
+    """S x k lookup table (array<array<double>>) of squared distances
+    from each SUBVECTOR of ``vec`` to each codebook centroid — the ADC
+    table, as a pure expression over whatever column ``vec`` is (a raw
+    query vector, or a residual)."""
+    return F.array(
+        *[
+            F.array(
+                *[_sq_dist(F.slice(vec, start, length), c) for _cell, c in cbs[s]]
+            )
+            for s, (start, length) in enumerate(bounds)
+        ]
+    )
+
+
+def _adc_fold(lut: Column, codes: Column) -> Column:
+    """sum_s LUT[s][code_s] — one corpus distance from S table lookups."""
+    return F.aggregate(
+        F.zip_with(lut, codes, lambda l, c: F.element_at(l, c + F.lit(1))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def pq_adc_topk(
     corpus_codes: DataFrame,
     codebooks: DataFrame,
@@ -523,36 +547,144 @@ def pq_adc_topk(
     """
     cbs = _collect_codebooks(codebooks)
     bounds = _subspace_bounds(dim, n_subspaces)
-    qv = as_double_array(vec_col)
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    _sq_dist(F.slice(qv, start, length), c)
-                    for _cell, c in cbs[s]
-                ]
-            )
-            for s, (start, length) in enumerate(bounds)
-        ]
-    )
+    lut = _adc_lut(as_double_array(vec_col), cbs, bounds)
     q = F.broadcast(
         queries.select(F.col(query_id_col).alias("qid"), lut.alias("_lut"))
     )
     scored = corpus_codes.crossJoin(q).select(
         "qid",
         "vec_id",
-        F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.col("_lut"),
-                    F.col("codes"),
-                    lambda l, c: F.element_at(l, c + F.lit(1)),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        ).alias("adc_dist"),
+        F.round(_adc_fold(F.col("_lut"), F.col("codes")), 6).alias("adc_dist"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 8,
+    n_subspaces: int = 4,
+    k_codes: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the full IVF-PQ index (the faiss IVFPQ architecture):
+    coarse k-means cells + product-quantized RESIDUALS (vector minus
+    its cell centroid — residuals are centered near zero, so the same
+    codebook bit-budget buys far less quantization error than raw-PQ).
+
+    Returns (coarse_centroids, codebooks, corpus_codes):
+      coarse_centroids  (cell, centroid)       — n_cells rows
+      codebooks         (subspace, cell, centroid) — S x k_codes rows
+      corpus_codes      (vec_id, cell, codes)  — one row per vector
+
+    Plan shape: both quantizer trainings are the deterministic
+    literal-inlined Lloyd loop (kmeans_iterate); residual computation
+    and encoding are zero-shuffle scan expressions (the centroid table
+    is inlined as an element_at-indexed literal). corpus_codes is the
+    only corpus-sized output — S+ few bytes per vector — and at 100 TB
+    it lands partitioned/bucketed by cell so probes prune partitions.
+    """
+    cents = kmeans_iterate(
+        corpus, k=n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    cent_rows = sorted(
+        (int(r["cell"]), [float(x) for x in r["centroid"]]) for r in cents.collect()
+    )
+    # cell ids from hash-init may be sparse; build a dense lookup array
+    # indexed by position and remap cells to positions for element_at
+    cell_ids = [c for c, _ in cent_rows]
+    cent_lit = F.array(
+        *[F.array(*[F.lit(x) for x in vec]) for _c, vec in cent_rows]
+    )
+    v = as_double_array(vec_col)
+    scored = [
+        F.struct(_sq_dist(v, vec).alias("d2"), F.lit(pos).alias("pos"))
+        for pos, (_c, vec) in enumerate(cent_rows)
+    ]
+    with_res = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("_v"),
+        F.array_min(F.array(*scored))["pos"].alias("_pos"),
+    ).select(
+        "vec_id",
+        F.element_at(F.array(*[F.lit(c) for c in cell_ids]), F.col("_pos") + 1).alias(
+            "cell"
+        ),
+        F.zip_with(
+            F.col("_v"),
+            F.element_at(cent_lit, F.col("_pos") + 1),
+            lambda x, y: x - y,
+        ).alias("residual"),
+    )
+    codebooks = pq_train(
+        with_res,
+        dim=dim,
+        n_subspaces=n_subspaces,
+        k=k_codes,
+        n_iter=n_iter,
+        id_col="vec_id",
+        vec_col="residual",
+    )
+    codes = pq_encode(
+        with_res,
+        codebooks,
+        dim=dim,
+        n_subspaces=n_subspaces,
+        id_col="vec_id",
+        vec_col="residual",
+    )
+    corpus_codes = with_res.select("vec_id", "cell").join(codes, "vec_id")
+    return cents, codebooks, corpus_codes
+
+
+def ivfpq_topk(
+    corpus_codes: DataFrame,
+    coarse_centroids: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_subspaces: int = 4,
+    n_probe: int = 2,
+    k: int = 3,
+    query_id_col: str = "qid",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search: each query probes its ``n_probe`` nearest coarse
+    cells; within a probed cell, distances are ADC over the RESIDUAL
+    (query minus that cell's centroid) against the stored residual
+    codes.
+
+    Plan shape: the probe frame is (qid, cell, residual-LUT) —
+    |queries| x n_probe rows of S x k doubles, broadcast — and the
+    corpus side is an EQUI-join on cell (never a cross join): only the
+    probed cells' code rows are scanned, which with cell-partitioned
+    codes is the partition-pruned 1/n_cells read that makes IVF the
+    scale path. Returned: (qid, vec_id, adc_dist, rn), deterministic
+    (dist, vec_id) tie-break."""
+    cbs = _collect_codebooks(codebooks)
+    bounds = _subspace_bounds(dim, n_subspaces)
+    probes = assign_cells_probes(
+        queries, coarse_centroids, n_probe, id_col=query_id_col, vec_col=vec_col
+    ).select(F.col("vec_id").alias("qid"), "cell")
+    cent = coarse_centroids.select(
+        "cell", as_double_array("centroid").alias("_cent")
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("qid"), as_double_array(vec_col).alias("_qv")
+    )
+    q_res = F.zip_with(F.col("_qv"), F.col("_cent"), lambda x, y: x - y)
+    probe_lut = F.broadcast(
+        probes.join(qv, "qid")
+        .join(cent, "cell")
+        .select("qid", "cell", _adc_lut(q_res, cbs, bounds).alias("_lut"))
+    )
+    scored = corpus_codes.join(probe_lut, "cell").select(
+        "qid",
+        "vec_id",
+        F.round(_adc_fold(F.col("_lut"), F.col("codes")), 6).alias("adc_dist"),
     )
     w = W.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -121,3 +121,53 @@ def test_pq_adc_distance_tracks_true_distance(spark):
     assert same and other
     assert max(same) < min(other)
     assert max(same) < 100 < 400 < min(other)
+
+
+def test_ivfpq_index_and_search_planted_clusters(spark):
+    """The full IVF-PQ composition: coarse cells + residual PQ + probe
+    search. Held-out queries must retrieve only own-cluster members,
+    the equi-join on cell must keep the scan to the probed cells, and
+    the true nearest neighbor (exact L2, computed in Python) must
+    appear in the ADC top-3 — residuals are small enough that the
+    codebooks rank tight-cluster members nearly exactly."""
+    from clickhouse_mysql_data_reader_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_topk,
+    )
+
+    corpus = _clustered(spark)
+    cents, cbs, codes = ivfpq_index(
+        corpus, dim=DIM, n_cells=3, n_subspaces=S, k_codes=K, n_iter=3
+    )
+    assert codes.count() == corpus.count()
+    assert {len(r["codes"]) for r in codes.collect()} == {S}
+
+    centers = ((0, 0), (40, 0), (0, 40))
+    qrows = [
+        (qi, [cx + 0.37, cy - 0.21] + [0.015] * (DIM - 2))
+        for qi, (cx, cy) in enumerate(centers)
+    ]
+    queries = spark.createDataFrame(qrows, "qid long, embedding array<double>")
+    top = ivfpq_topk(
+        codes, cents, cbs, queries, dim=DIM, n_subspaces=S, n_probe=2, k=3
+    ).collect()
+
+    corpus_rows = {r["vec_id"]: (r["cluster"], list(r["embedding"])) for r in corpus.collect()}
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rn"])
+        assert [r["rn"] for r in rows] == [1, 2, 3]
+        assert all(corpus_rows[r["vec_id"]][0] == qid for r in rows), rows
+        # exact nearest (python L2) is inside the ADC top-3
+        qvec = qrows[qid][1]
+        true_nn = min(
+            corpus_rows,
+            key=lambda vid: (
+                sum((a - b) ** 2 for a, b in zip(corpus_rows[vid][1], qvec)),
+                vid,
+            ),
+        )
+        assert true_nn in {r["vec_id"] for r in rows}, (qid, true_nn, rows)
