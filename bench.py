@@ -149,6 +149,39 @@ def main() -> None:
 
     qmap["curate_increment_batch2"] = _curate_increment_batch2
 
+    # IVF-PQ probe search (round 5): the index (coarse cells + residual
+    # codebooks + codes) is BUILT AND LANDED during warmup — production
+    # pays training once — and the measured query is the search: read
+    # cell-keyed codes, broadcast the per-(query, cell) residual LUTs,
+    # equi-join + ADC fold + per-query top-k.
+    from clickhouse_mysql_data_reader_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, bench_dir, "embeddings")
+    emb_dim = len(emb.select("embedding").first()["embedding"])
+    pq_cents, pq_cbs, pq_codes = ivfpq_index(
+        emb, dim=emb_dim, n_cells=8, n_subspaces=4, k_codes=16
+    )
+    pq_dir = tempfile.mkdtemp(prefix="bench_ivfpq_")
+    pq_codes.write.parquet(f"{pq_dir}/codes")
+    pq_cents.write.parquet(f"{pq_dir}/cents")
+    pq_cbs.write.parquet(f"{pq_dir}/codebooks")
+
+    def _ivfpq_probe_search(spark, d):
+        codes = spark.read.parquet(f"{pq_dir}/codes")
+        cents = spark.read.parquet(f"{pq_dir}/cents")
+        cbs = spark.read.parquet(f"{pq_dir}/codebooks")
+        qs = load_table(spark, d, "embeddings").filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        return ivfpq_topk(
+            codes, cents, cbs, qs, dim=emb_dim, n_subspaces=4, n_probe=2, k=10
+        )
+
+    qmap["ivfpq_probe_search"] = _ivfpq_probe_search
+
     # Each query is timed over TWO full executions and the MIN is
     # reported. Rationale (round 3): the host is shared — single-run
     # timings showed 4-20x outliers from CPU steal with zero code
@@ -174,7 +207,10 @@ def main() -> None:
     # totals compare like-for-like; extras are whole-pipeline
     # compositions (dozens of chained stages), an order of magnitude
     # above any single headline query.
-    extras = {"curate_increment_batch2": time_query("curate_increment_batch2")}
+    extras = {
+        "curate_increment_batch2": time_query("curate_increment_batch2"),
+        "ivfpq_probe_search": time_query("ivfpq_probe_search"),
+    }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

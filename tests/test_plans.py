@@ -216,3 +216,52 @@ def test_fan_out_bytes_per_task_width(spark, tmp_path):
     # a huge bytes_per_task still fans out (floor of 2), never 1
     wide_floor = fan_out(df, bytes_per_task=1 << 30)
     assert "RoundRobinPartitioning(2)" in _formatted(wide_floor)
+
+
+def test_ivfpq_search_broadcasts_probes_no_cartesian(spark):
+    """IVF-PQ search plan guard: the probe side (qid, cell, LUT rows)
+    broadcasts and joins the cell-keyed codes as an equi
+    BroadcastHashJoin — never a CartesianProduct/BroadcastNestedLoop
+    over the corpus, which is the difference between 1/n_cells reads
+    and a full-corpus scan per query at 100 TB."""
+    from clickhouse_mysql_data_reader_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 7), float(i % 3), float(i % 2)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    cents, cbs, codes = ivfpq_index(corpus, dim=4, n_cells=3, n_subspaces=2, k_codes=4)
+    queries = spark.createDataFrame(
+        [(0, [0.0, 1.0, 2.0, 1.0])], "qid long, embedding array<double>"
+    )
+    plan = _formatted(
+        ivfpq_topk(codes, cents, cbs, queries, dim=4, n_subspaces=2, n_probe=2, k=3)
+    )
+    # exactly ONE nested-loop/cartesian node is allowed: the probe
+    # ASSIGNMENT of queries against the n_cells centroid rows (bounded
+    # broadcast metadata). The corpus codes must join via equi hash
+    # joins only — a second cartesian would mean codes are being
+    # crossed with queries.
+    n_cart = len(
+        re.findall(r"^\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin)", plan, re.M)
+    )
+    assert n_cart <= 1, plan[:1500]
+    # the corpus-side codes join is the broadcast hash join (the inner
+    # qid/cell assembly joins may plan as SMJ pre-AQE — they are
+    # query-sized, not corpus-sized)
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) >= 1
+
+
+def test_bloom_prefilter_definite_branch_is_scan_only(spark, sf_correct):
+    """Bloom-prefilter plan guard: the union's definite-miss branch is
+    a scan + filter with NO join below it — only the maybe branch
+    carries the anti-join. A regression that routes every row through
+    the join would silently erase the operator's whole point."""
+    plan = _formatted(entrymod.queries()["dedup_bloom_prefilter"](spark, sf_correct))
+    # one join total (the maybe-side anti join), inside a Union
+    joins = len(re.findall(r"^\(\d+\) \w*(BroadcastHashJoin|SortMergeJoin)", plan, re.M))
+    assert joins == 1, plan[:1500]
+    assert re.search(r"^\(\d+\) Union", plan, re.M), plan[:800]
