@@ -428,3 +428,70 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
             F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit_i)")).otherwise(0)
         ).alias("simhash")
     )
+
+
+def simhash_near_pairs(
+    sigs: DataFrame,
+    bits: int = 32,
+    hamming_max: int = 3,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, without the
+    all-pairs cross product.
+
+    Pigeonhole banding (Manku et al., WWW'07 "Detecting Near-Duplicates
+    for Web Crawling"): split the ``bits``-bit fingerprint into
+    ``hamming_max + 1`` contiguous chunks — any pair within Hamming
+    distance ``hamming_max`` must agree EXACTLY on at least one chunk.
+    Candidates come from an equi-self-join on ``(chunk_i, chunk_val)``
+    (narrow 2-int key, AQE-splittable like the MinHash band join); the
+    exact Hamming verify is one ``bit_count(a XOR b)`` expression.
+
+    At 100 TB this is the same plan family as ``lsh_candidate_pairs``:
+    the corpus crosses the wire as (id, chunk, fingerprint) triples —
+    ``hamming_max + 1`` rows of three longs per doc, independent of
+    document size — and only same-chunk buckets are joined. Random
+    fingerprints collide on a chunk with p ~= 2^-(bits/(d+1)), so bucket
+    sizes stay near-uniform unless the corpus genuinely clusters.
+
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b, one row per
+    verified pair.
+    """
+    n_chunks = hamming_max + 1
+    if bits % n_chunks:
+        raise ValueError(f"bits={bits} not divisible into {n_chunks} chunks")
+    cb = bits // n_chunks
+    mask = (1 << cb) - 1
+    chunks = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).alias("_sig"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("chunk_i"),
+    ).withColumn(
+        "chunk_val",
+        F.expr(f"shiftright(_sig, chunk_i * {cb}) & {mask}"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_i") == F.col("b.chunk_i"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        # a pair sharing >1 chunk appears once per shared chunk: dedup on
+        # the pair (fingerprints are functionally dependent on the ids)
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            F.col("a._sig").alias("_sa"),
+            F.col("b._sig").alias("_sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.expr("_sa ^ _sb")))
+        .filter(F.col("hamming") <= hamming_max)
+        .select("doc_a", "doc_b", "hamming")
+    )

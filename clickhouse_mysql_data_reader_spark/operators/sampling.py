@@ -203,3 +203,40 @@ def pack_sequences(
         F.expr(f"start_token div {budget}").cast("bigint").alias("pack_id"),
         (F.col("start_token") % budget).cast("bigint").alias("pack_offset"),
     )
+
+
+def source_quota_cap(
+    df: DataFrame,
+    source_col: str,
+    key: Column | str,
+    quota: int,
+    salt: str = "srccap",
+) -> DataFrame:
+    """Cap the number of rows admitted per source/domain (Common-Crawl
+    style domain capping: no single site may dominate the mixture).
+
+    Which rows survive must be a REPRODUCIBLE, unbiased draw — not
+    "whatever arrived first", which over-represents early crawl
+    segments. So rows are ranked per source by the same salted-md5
+    uniform draw the samplers use (``hash_bucket``; doc_id tie-break is
+    unreachable for distinct keys but pins determinism), and rank >
+    ``quota`` is dropped.
+
+    Scale: one shuffle, keyed on ``source_col``. A mega-domain (the
+    classic skew case) concentrates its rows in one reducer, but the
+    per-row state of ``row_number`` is O(1) and sort spills — no OOM
+    cliff. When a corpus has a handful of domains holding >30% of rows,
+    pre-filter them by count first (one cheap groupBy) and only window
+    the survivors; ``salted_aggregate`` shows the pattern.
+
+    Returns the input rows (original columns) with ``src_rank`` for the
+    survivors, rank <= quota.
+    """
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    keyc = F.col(key) if isinstance(key, str) else key
+    w = W.partitionBy(source_col).orderBy(hash_bucket(keyc, salt), keyc.cast("string"))
+    return (
+        df.withColumn("src_rank", F.row_number().over(w))
+        .filter(F.col("src_rank") <= quota)
+    )

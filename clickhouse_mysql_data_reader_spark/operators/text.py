@@ -361,3 +361,34 @@ def winnow_fingerprints(
         F.transform(idx, lambda j: F.array_min(F.slice(F.col("hs"), j, w)))
     )
     return base.select("doc_id", F.explode(fps).alias("fp_hash"))
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str,
+    top_n: int = 100,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-wide token frequency table, top ``top_n`` by count — the
+    first pass of tokenizer/vocab training and the input to Zipf-fit
+    corpus diagnostics.
+
+    Plan shape at 100 TB: explode tokens -> partial count per partition
+    (map-side combine collapses each partition to its distinct tokens
+    BEFORE the exchange — natural-language dedup factor ~1000x) -> final
+    count -> TakeOrderedAndProject for the global top-k (per-partition
+    heaps of ``top_n`` rows, never a full sort). Hot tokens ("the")
+    are exactly the rows map-side combine flattens, so token skew never
+    reaches the shuffle.
+
+    Deterministic tie-break: equal counts order by token ascending.
+    """
+    from clickhouse_mysql_data_reader_spark.util import fan_out
+
+    toks = fan_out(df).select(
+        F.explode(tokens(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    if min_count > 1:
+        counts = counts.filter(F.col("n") >= min_count)
+    return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(top_n)

@@ -1067,3 +1067,105 @@ def dedup_bloom_prefilter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("fp")
     )
     return bloom_prefiltered_anti_join(new_b, hist, "fp", fpp=0.05)
+
+
+# --- round-5 additions: simhash near-dup join, domain capping, vocab -------
+
+_SIMHASH_CTE = f"""
+    norm2 AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+    tok2 AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM norm2),
+    th2 AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS th FROM tok2),
+    bits2 AS (
+      SELECT doc_id, i AS bit_i,
+             sum(CASE WHEN (th >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th2, UNNEST(range(0, 32)) AS u(i)
+      GROUP BY doc_id, i
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit_i) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bits2 GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "dedup_simhash_near",
+    f"""
+    WITH {_SIMHASH_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash near-duplicate pairs via pigeonhole banding (Manku "
+    "WWW'07): the 32-bit fingerprint splits into 4 chunks; Hamming<=3 "
+    "forces agreement on >=1 chunk, so candidates come from an "
+    "equi-self-join on (chunk_i, chunk_val) — never the all-pairs "
+    "product the oracle brute-forces — and one bit_count(XOR) verifies. "
+    "Checks the full simhash computation end-to-end (fingerprint bits "
+    "drive both bucketing and the hamming values).",
+)
+def dedup_simhash_near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.dedup import simhash_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash(docs, "text", "doc_id", bits=32)
+    return simhash_near_pairs(sigs, bits=32, hamming_max=3).withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )
+
+
+@register(
+    "sample_source_cap",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substr(md5('srccap:' || CAST(doc_id AS VARCHAR)), 1, 8),
+                        CAST(doc_id AS VARCHAR)
+             ) AS src_rank
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank
+    FROM ranked WHERE src_rank <= 15
+    """,
+    doc="Per-source quota cap (Common-Crawl style domain capping): at "
+    "most N docs admitted per source, chosen by a salted-md5 uniform "
+    "draw so the survivors are an unbiased, retry-stable sample rather "
+    "than crawl-order-biased 'first N'. One shuffle keyed on source; "
+    "row_number state is O(1) per reducer and sorts spill, so a "
+    "mega-domain skews time, not memory.",
+)
+def sample_source_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.sampling import source_quota_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_quota_cap(docs, "source", "doc_id", quota=15).select(
+        "doc_id", "source", F.col("src_rank").cast("long").alias("src_rank")
+    )
+
+
+@register(
+    "text_vocab_topk",
+    f"""
+    WITH norm3 AS (SELECT {_NORM} AS nt FROM documents),
+    tok3 AS (SELECT unnest(string_split(nt, ' ')) AS token FROM norm3)
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM tok3 WHERE token <> ''
+    GROUP BY token ORDER BY n DESC, token ASC LIMIT 100
+    """,
+    doc="Corpus vocab top-100 by token frequency — the first pass of "
+    "tokenizer/vocab training. Map-side combine collapses each "
+    "partition to its distinct tokens before the exchange (hot tokens "
+    "ARE the combined rows, so token skew never ships), and the global "
+    "top-k plans as TakeOrderedAndProject per-partition heaps, never a "
+    "full sort. Deterministic (count desc, token asc) tie-break.",
+)
+def text_vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.text import vocab_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_topk(docs, "text", top_n=100)

@@ -114,7 +114,25 @@ QUERIES: dict[str, QueryDef] = {}
 #   - agg_grouping_sets: the general form of the now-checked agg_rollup
 #     AND agg_cube (identical two-phase Expand machinery, same agg
 #     exprs; driver-verified unchanged in r1-r4)
+# ...and three more round-5 displacements to admit the new first-class
+# curation operators (simhash near-dup join, per-source domain capping,
+# vocab top-k) into the checked 50:
+#   - dedup_simhash: its exact fingerprint pipeline now runs INSIDE the
+#     checked dedup_simhash_near (the near query composes simhash() and
+#     the hamming values hash-verify the fingerprint bits end-to-end) —
+#     same containment pattern as embed_cell_assign/embed_ivf_topk
+#   - topk_global: its global TakeOrderedAndProject plan is the final
+#     stage of the now-checked text_vocab_topk (same sort+limit
+#     physical op, plus the aggregation upstream); driver-verified
+#     unchanged r1-r4
+#   - scalar_string_funcs: scalar family keeps scalar_json_funcs (the
+#     harder parse/extract path); the string-expression surface is
+#     constant-foldable Catalyst expressions, driver-verified unchanged
+#     r1-r4, pytest-oracle-checked every round
 DEPRIORITIZED = (
+    "dedup_simhash",
+    "topk_global",
+    "scalar_string_funcs",
     "set_intersect",
     "join_semi",
     "agg_percentile",

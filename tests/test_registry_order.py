@@ -19,7 +19,11 @@ DRIVER_CAP = 50
 # new dedup_embed_near_multiprobe, displacing set_intersect/join_semi
 # (unchanged duals with four rounds of driver history) and
 # agg_percentile (exact arithmetic hash-verified inside the checked
-# agg_approx_percentile).
+# agg_approx_percentile). Later in round 5 the three new curation
+# operators (dedup_simhash_near / sample_source_cap / text_vocab_topk)
+# displaced dedup_simhash (pipeline runs inside the checked near
+# query), topk_global (TakeOrderedAndProject is text_vocab_topk's
+# final stage) and scalar_string_funcs (family keeps scalar_json).
 MUST_BE_CHECKED = {
     "q1_pricing_summary",
     "agg_approx_distinct",
@@ -37,9 +41,10 @@ MUST_BE_CHECKED = {
     "window_topn_per_group",
     "window_tumbling_hourly",
     "window_session_gaps",
-    "topk_global",
     "dedup_embed_near_multiprobe",
-    "scalar_string_funcs",
+    "dedup_simhash_near",
+    "sample_source_cap",
+    "text_vocab_topk",
     "scalar_json_funcs",
     "scan_prune_filter",
     "table_name_filter",
@@ -51,7 +56,6 @@ MUST_BE_CHECKED = {
     "csv_roundtrip_nation",
     "dedup_exact_groups",
     "dedup_minhash_signatures",
-    "dedup_simhash",
     "dedup_lsh_jaccard",
     "dedup_embed_near",
     "doc_winnow_fingerprint",

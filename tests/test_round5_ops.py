@@ -1,0 +1,123 @@
+"""Round-5 curation operators: SimHash hamming near-dup join (pigeonhole
+banding), per-source quota capping, vocab top-k."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_mysql_data_reader_spark.operators.dedup import simhash_near_pairs
+from clickhouse_mysql_data_reader_spark.operators.sampling import source_quota_cap
+from clickhouse_mysql_data_reader_spark.operators.text import vocab_topk
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+# --- simhash near pairs ----------------------------------------------------
+
+
+def test_simhash_near_matches_brute_force(spark):
+    # planted 32-bit fingerprints covering hamming 0..5 relations plus
+    # pairs that share a chunk but exceed the hamming bound
+    base = 0b1010_1100_0011_0101_1001_0110_1111_0000
+    sigs = {
+        1: base,
+        2: base,                       # d=0
+        3: base ^ 0b1,                 # d=1
+        4: base ^ 0b111,               # d=3 (all flips in chunk 0)
+        5: base ^ (1 << 0) ^ (1 << 9) ^ (1 << 18),   # d=3 spread across 3 chunks
+        6: base ^ (1 << 0) ^ (1 << 9) ^ (1 << 18) ^ (1 << 27),  # d=4 from base
+        7: 0b0101_0011_1100_1010_0110_1001_0000_1111,  # ~inverse, far
+        8: base ^ 0b1111_1111,         # d=8 but chunks 1-3 all equal to base
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in sigs.items()], "doc_id long, simhash long"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_pairs(df, bits=32, hamming_max=3).collect()
+    }
+    want = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(sigs[a] ^ sigs[b]).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 0
+    assert (1, 5) in got and got[(1, 5)] == 3  # flips spread across chunks
+    assert (1, 6) not in got and (1, 8) not in got  # shares chunks, d>3
+
+
+def test_simhash_near_rejects_indivisible_bits(spark):
+    df = spark.createDataFrame([(1, 0)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="not divisible"):
+        simhash_near_pairs(df, bits=32, hamming_max=4)  # 5 chunks
+
+
+def test_simhash_near_plan_no_cartesian(spark, sf_correct):
+    import __spark_entry__ as entrymod
+
+    plan = _formatted(entrymod.queries()["dedup_simhash_near"](spark, sf_correct))
+    assert not re.findall(
+        r"^\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin)", plan, re.M
+    ), "candidate generation must be the chunk equi-join, not all-pairs"
+
+
+# --- source quota cap ------------------------------------------------------
+
+
+def test_source_quota_cap_caps_and_is_stable(spark):
+    rows = [(i, "big" if i < 50 else ("mid" if i < 60 else "tiny")) for i in range(63)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = source_quota_cap(df, "source", "doc_id", quota=8)
+    per_src = {r.source: r.cnt for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert per_src == {"big": 8, "mid": 8, "tiny": 3}  # min(quota, n) each
+    # survivor SET is partitioning-independent (hash-ordered, not arrival-ordered)
+    again = source_quota_cap(df.repartition(7), "source", "doc_id", quota=8)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    # ranks are 1..cap with no gaps
+    ranks = sorted(r.src_rank for r in out.filter(F.col("source") == "big").collect())
+    assert ranks == list(range(1, 9))
+
+
+def test_source_quota_cap_validates_quota(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="quota"):
+        source_quota_cap(df, "source", "doc_id", quota=0)
+
+
+# --- vocab top-k -----------------------------------------------------------
+
+
+def test_vocab_topk_counts_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "b b b A a"), (2, "c c  b\tA"), (3, "")], "doc_id long, text string"
+    )
+    out = vocab_topk(df, "text", top_n=3)
+    rows = [(r.token, r.n) for r in out.collect()]
+    # normalized (lowercase, whitespace-collapsed): b=4, a=3, c=2
+    assert rows == [("b", 4), ("a", 3), ("c", 2)]
+    # equal counts order by token asc inside the limit
+    df2 = spark.createDataFrame([(1, "z y x")], "doc_id long, text string")
+    assert [r.token for r in vocab_topk(df2, "text", top_n=2).collect()] == ["x", "y"]
+
+
+def test_vocab_topk_plans_heap_topk(spark, sf_correct):
+    from clickhouse_mysql_data_reader_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_correct, "documents")
+    plan = _formatted(vocab_topk(docs, "text", top_n=100))
+    # global top-k must be per-partition heaps, never a full global sort
+    assert "TakeOrderedAndProject" in plan
+    assert not re.findall(r"^\(\d+\) Sort\b", plan, re.M)
