@@ -107,3 +107,36 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, key-sorted parquet landing — the min/max
+    skipping layout (the reference destination's MergeTree ``ORDER BY``
+    primary-key analog, tablesqlbuilder.py:393-398, done Spark-side).
+
+    ``repartitionByRange`` samples the key distribution and assigns
+    each output file a DISJOINT key range; ``sortWithinPartitions``
+    orders rows inside, so every parquet row group carries tight
+    min/max statistics on the sort keys. A selective key predicate then
+    prunes at two levels with zero index structures: Spark's parquet
+    reader (filterPushdown) drops whole row groups whose stats exclude
+    the predicate, and at 100 TB a time-range or key-range query reads
+    ~|selected range| instead of |table|. Same one-time-landing
+    discipline as ``write_bucketed``: pay the range shuffle once, every
+    subsequent scan benefits.
+
+    ``num_files`` sizes the layout (defaults to Spark's partition
+    heuristics); at scale pick |table| / target-file-size.
+    """
+    part = (
+        df.repartitionByRange(num_files, *keys)
+        if num_files
+        else df.repartitionByRange(*keys)
+    )
+    part.sortWithinPartitions(*keys).write.mode(mode).parquet(path)

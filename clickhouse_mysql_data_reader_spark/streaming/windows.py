@@ -127,3 +127,30 @@ def session_counts(
             "n_events",
         )
     )
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state — the streaming twin of
+    the batch content-hash dedup (at-least-once sources like the CDC
+    pump or a replayed Kafka offset range re-deliver rows; this drops
+    the re-deliveries).
+
+    ``dropDuplicates`` on a stream keeps every key seen FOREVER (state
+    grows without bound — the thing that kills a month-long query);
+    ``dropDuplicatesWithinWatermark`` expires a key's state once the
+    watermark passes it, so state is bounded by keys-per-horizon. The
+    contract: duplicates arriving within ``watermark`` of the first
+    occurrence are dropped, later re-occurrences are treated as new —
+    exactly the replay window an at-least-once source needs.
+
+    On a BATCH frame this falls back to plain ``dropDuplicates`` over
+    the same keys (unified semantics; batch has no late data).
+    """
+    if not df.isStreaming:
+        return df.dropDuplicates(key_cols)
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)

@@ -121,3 +121,50 @@ def test_vocab_topk_plans_heap_topk(spark, sf_correct):
     # global top-k must be per-partition heaps, never a full global sort
     assert "TakeOrderedAndProject" in plan
     assert not re.findall(r"^\(\d+\) Sort\b", plan, re.M)
+
+
+# --- range-sorted landing (min/max skipping layout) ------------------------
+
+
+def test_write_range_sorted_yields_disjoint_minmax(spark, sf_correct, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from clickhouse_mysql_data_reader_spark.sinks.batch import write_range_sorted
+    from clickhouse_mysql_data_reader_spark.sources.parquet import load_table
+
+    orders = load_table(spark, sf_correct, "orders")
+    out = str(tmp_path / "orders_sorted")
+    write_range_sorted(orders, out, ["o_orderkey"], num_files=8)
+
+    spans = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "o_orderkey"
+            )
+            assert col.statistics is not None, "sort key must carry stats"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    assert len(spans) == 8
+    # range partitioning => file key ranges are pairwise DISJOINT: the
+    # precondition for min/max file+row-group pruning
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {hi1} !< {lo2}"
+
+    # a selective key predicate intersects exactly one file's range...
+    probe = spans[3][0]
+    hits = [s for s in spans if s[0] <= probe <= s[1]]
+    assert len(hits) == 1
+    # ...and the predicate reaches the scan so the reader can use it
+    back = spark.read.parquet(out).filter(F.col("o_orderkey") == probe)
+    plan = _formatted(back)
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey" in plan
+    assert back.count() >= 1

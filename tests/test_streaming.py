@@ -296,3 +296,37 @@ def test_streaming_tumbling_with_watermark_runs(spark, tmp_path):
     # (max-ts) window stays open -> strictly fewer rows than complete mode
     n = spark.sql("select count(*) n from wm_t").collect()[0]["n"]
     assert n >= 1
+
+
+def test_dedup_within_watermark_drops_replays(spark, tmp_path):
+    from clickhouse_mysql_data_reader_spark.streaming.windows import (
+        dedup_within_watermark,
+    )
+
+    rows = [
+        ("2024-01-01 00:05:00", 1, 1.0),
+        ("2024-01-01 00:06:00", 1, 1.0),   # replay of key 1 within horizon
+        ("2024-01-01 00:10:00", 2, 2.0),
+        ("2024-01-01 00:12:00", 2, 9.0),   # same key, different value: still a dup by key
+        ("2024-01-01 00:30:00", 3, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, k long, v double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "k", "v"
+    )
+    stream = _stream_from(spark, df, tmp_path, "ddwm")
+    out = dedup_within_watermark(stream, ["k"], ts_col="ts", watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ddwm_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r["k"] for r in spark.sql("select * from ddwm_t").collect())
+    assert got == [1, 2, 3]  # one row per key within the horizon
+
+    # batch twin: unified semantics via plain dropDuplicates
+    batch = dedup_within_watermark(df, ["k"])
+    assert sorted(r["k"] for r in batch.collect()) == [1, 2, 3]
