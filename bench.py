@@ -182,16 +182,20 @@ def main() -> None:
 
     qmap["ivfpq_probe_search"] = _ivfpq_probe_search
 
-    # Each query is timed over TWO full executions and the MIN is
-    # reported. Rationale (round 3): the host is shared — single-run
-    # timings showed 4-20x outliers from CPU steal with zero code
-    # change (identical plans, identical data). Min-of-2 measures the
-    # plan, not the neighbor's workload; every execution still pays its
-    # full planning+codegen+shuffle cost (no caching across runs —
-    # clearCache between every execution).
+    # Each query is timed over THREE full executions and the MIN is
+    # reported. Rationale (round 3, tightened round 5): the host is
+    # shared — single-run timings showed 4-20x outliers from CPU steal
+    # with zero code change (identical plans, identical data), and
+    # round-5 back-to-back min-of-2 runs still swung individual queries
+    # 3-5x (embed_cosine_topk 0.39s vs 1.91s, same plan). Min-of-3
+    # measures the plan, not the neighbor's workload; every execution
+    # still pays its full planning+codegen+shuffle cost (no caching
+    # across runs — clearCache between every execution). The extra
+    # sample biases totals slightly LOW vs the r1-r4 min-of-2 numbers;
+    # noted here for cross-round comparison.
     def time_query(name: str) -> float:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             qmap[name](spark, bench_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -950,6 +950,7 @@ def curate_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     run_id: str | None = None,
+    compact_every: int | None = None,
 ):
     """Continuous curation: each micro-batch of a streaming document
     source is curated incrementally against the landed state (gates,
@@ -988,11 +989,21 @@ def curate_stream(
       a second run's epoch 0 would exclude the first run's epoch-0
       history from dedup and re-admit its duplicates.
 
+    ``compact_every=N`` runs ``state.compact()`` after every Nth epoch's
+    state append. compact() is documented offline-only, but inside
+    foreachBatch the constraint holds by construction: epoch bodies of
+    one query are serialized, so the stream is quiesced during its own
+    epoch — valid ONLY while this stream is the state's sole writer.
+    Without it a long-lived stream appends one file-set per epoch and
+    the state reads go footer-bound (the small-file explosion the
+    round-4 review flagged).
+
     Returns the DataStreamWriter — caller picks trigger, checkpoint
     location, and calls start().
     """
     apply_fn = curation_epoch_apply(
-        state, out_dir, cfg=cfg, text_col=text_col, id_col=id_col, run_id=run_id
+        state, out_dir, cfg=cfg, text_col=text_col, id_col=id_col, run_id=run_id,
+        compact_every=compact_every,
     )
     return stream_docs.writeStream.foreachBatch(apply_fn)
 
@@ -1004,6 +1015,7 @@ def curation_epoch_apply(
     text_col: str = "text",
     id_col: str = "doc_id",
     run_id: str | None = None,
+    compact_every: int | None = None,
 ):
     """The per-epoch body of ``curate_stream``, exposed so the replay
     contract is directly testable (call it twice with the same
@@ -1036,5 +1048,13 @@ def curation_epoch_apply(
         landed = spark.read.parquet(epoch_path)
         state.write(landed, text_col=text_col, id_col=id_col, mode="append",
                     epoch_id=epoch_id, run_id=run_id)
+        # post-append maintenance: epochs of one query are serialized,
+        # so no writer is active here. A crash mid-compact leaves a
+        # rename-recoverable state (compact()'s swap contract) and the
+        # epoch replay simply re-appends + re-compacts. (epoch + 1) so
+        # compact_every=N fires after epochs N-1, 2N-1, ... — i.e.
+        # every N epochs counting from the first.
+        if compact_every and (epoch_id + 1) % compact_every == 0:
+            state.compact(spark)
 
     return _apply

@@ -711,3 +711,65 @@ def test_curate_stream_two_batches(spark, tmp_path):
     # reads the whole run transparently
     kept_out = spark.read.parquet(out)
     assert {r["doc_id"] for r in kept_out.collect()} == {1, 11}
+
+
+def test_curate_stream_auto_compacts_and_dedup_survives(spark, tmp_path):
+    """compact_every=1: state is compacted after every epoch (inside the
+    serialized foreachBatch body), the homogeneous marker lands, and the
+    NEXT epoch's cross-batch dedup reads the compacted state correctly."""
+    import os
+    import time as _time
+
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curate_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = CurationState(str(tmp_path / "state"))
+    out = str(tmp_path / "out")
+    cfg = CurationConfig(near_dup_jaccard=0.5)
+    schema = "doc_id long, source string, text string"
+
+    def _land(name, rows, mtime):
+        p = str(src / name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run_available():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "16"
+        ).parquet(str(src) + "/*")
+        q = (
+            curate_stream(
+                stream, state, out, cfg=cfg, run_id=ckpt, compact_every=1
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    now = _time.time()
+    _land("b1", [(1, "web", GOOD)], now - 100)
+    _run_available()
+    # compaction ran: every state table carries the homogeneous marker
+    for tbl in ("fingerprints", "shingles", "bands"):
+        marker = os.path.join(
+            str(tmp_path / "state"), tbl, CurationState._HOMOGENEOUS_MARKER
+        )
+        assert os.path.exists(marker), f"missing marker for {tbl}"
+
+    _land("b2", [(10, "web", GOOD)], now - 50)  # exact dup of doc 1
+    _run_available()
+    # the dup was dropped against the COMPACTED state
+    assert {r["doc_id"] for r in state.fingerprints(spark).collect()} == {1}
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1}
