@@ -392,3 +392,64 @@ def vocab_topk(
     if min_count > 1:
         counts = counts.filter(F.col("n") >= min_count)
     return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(top_n)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document into fixed-size token chunks with overlap —
+    the context-window chunking step of RAG indexing and long-document
+    pretraining prep (the per-document complement of
+    ``sampling.pack_sequences``, which packs SHORT docs together).
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap, so consecutive chunks share
+    ``overlap`` tokens and no token is lost at a boundary. The final
+    partial chunk is kept (shorter than chunk_tokens); a chunk is only
+    emitted if it starts inside the document, so a doc of <= chunk
+    tokens yields exactly one chunk.
+
+    Zero shuffles: token split, per-row ``sequence`` of chunk starts,
+    explode, ``slice`` + ``array_join`` — all Catalyst expressions
+    riding the scan, the same embarrassingly-parallel shape as the
+    shingle explosion. At 100 TB the only knob that matters is input
+    split sizing (``fan_out``).
+
+    Returns (doc_id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"overlap must be in [0, chunk_tokens), got {overlap}")
+    from clickhouse_mysql_data_reader_spark.util import fan_out
+
+    stride = chunk_tokens - overlap
+    base = fan_out(df).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tk")
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        # ceil((n_tokens - overlap) / stride): last chunk may be partial
+        F.ceil((F.size(F.col("tk")) - F.lit(overlap)) / F.lit(stride)).cast("int"),
+    )
+    out = base.select(
+        "doc_id",
+        "tk",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.slice(
+            F.col("tk"), F.col("chunk_id") * stride + 1, F.lit(chunk_tokens)
+        ).alias("chunk_tk"),
+    )
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.size("chunk_tk").cast("long").alias("n_chunk_tokens"),
+        F.array_join("chunk_tk", " ").alias("chunk_text"),
+    )

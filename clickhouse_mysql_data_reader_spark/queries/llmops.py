@@ -1169,3 +1169,34 @@ def text_vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return vocab_topk(docs, "text", top_n=100)
+
+
+@register(
+    "doc_chunk_overlap",
+    f"""
+    WITH normc AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+    tokc AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM normc),
+    cn AS (
+      SELECT doc_id, tk,
+             greatest(1, CAST(ceil((len(tk) - 8) / 56.0) AS BIGINT)) AS n_chunks
+      FROM tokc
+    ),
+    ch AS (
+      SELECT doc_id, i AS chunk_id, tk[i*56+1 : i*56+64] AS chunk_tk
+      FROM cn, UNNEST(range(0, n_chunks)) AS u(i)
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(chunk_tk) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(chunk_tk, ' ') AS chunk_text
+    FROM ch
+    """,
+    doc="Context-window chunking with overlap (64-token chunks, 8-token "
+    "overlap): per-doc chunk starts via sequence+explode, slice + "
+    "array_join — zero shuffles, rides the scan. The per-document "
+    "complement of doc_pack_sequences.",
+)
+def doc_chunk_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", chunk_tokens=64, overlap=8)

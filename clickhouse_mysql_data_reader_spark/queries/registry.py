@@ -129,7 +129,13 @@ QUERIES: dict[str, QueryDef] = {}
 #     harder parse/extract path); the string-expression surface is
 #     constant-foldable Catalyst expressions, driver-verified unchanged
 #     r1-r4, pytest-oracle-checked every round
+# Born deprioritized in round 5 (pytest-oracle-checked, outside the
+# driver's 50 because the 50 slots hold the section-2 anchors):
+#   - doc_chunk_overlap: zero-shuffle explode+slice expression pipeline,
+#     the same plan family as the checked doc_winnow_fingerprint
+#     (sequence/explode/slice over token arrays riding the scan)
 DEPRIORITIZED = (
+    "doc_chunk_overlap",
     "dedup_simhash",
     "topk_global",
     "scalar_string_funcs",

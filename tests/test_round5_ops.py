@@ -168,3 +168,46 @@ def test_write_range_sorted_yields_disjoint_minmax(spark, sf_correct, tmp_path):
     plan = _formatted(back)
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey" in plan
     assert back.count() >= 1
+
+
+# --- document chunking -----------------------------------------------------
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from clickhouse_mysql_data_reader_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=10, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 25 tokens, stride 8 -> ceil((25-2)/8) = 3 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_id for r in c1] == [0, 1, 2]
+    assert c1[0].chunk_text.split() == [f"w{i}" for i in range(10)]
+    # overlap: chunk 1 starts at token 8, re-covering w8 w9
+    assert c1[1].chunk_text.split()[:2] == ["w8", "w9"]
+    # final partial chunk: tokens 16..24 (9 tokens)
+    assert c1[2].n_chunk_tokens == 9
+    assert c1[2].chunk_text.split()[-1] == "w24"
+    # every token covered, none lost
+    covered = set()
+    for r in c1:
+        covered.update(r.chunk_text.split())
+    assert covered == {f"w{i}" for i in range(25)}
+    # short and empty docs: exactly one chunk each
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "short doc"
+    assert len(by_doc[3]) == 1
+
+
+def test_chunk_documents_validates_params(spark):
+    from clickhouse_mysql_data_reader_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=0)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=8, overlap=8)
