@@ -211,3 +211,45 @@ def test_chunk_documents_validates_params(spark):
         chunk_documents(df, "text", "doc_id", chunk_tokens=0)
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, "text", "doc_id", chunk_tokens=8, overlap=8)
+
+
+def test_source_quota_cap_single_shuffle(spark, sf_correct):
+    import __spark_entry__ as entrymod
+
+    plan = _formatted(entrymod.queries()["sample_source_cap"](spark, sf_correct))
+    # one Exchange (hash by source into the window sort); the rank
+    # filter and hash ordering are computed inside the same stage
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_ex == 1, plan
+
+
+def test_chunk_documents_reconstruction_property(spark):
+    """For every doc size 0..40: chunks reconstruct the original token
+    stream exactly when each chunk's leading overlap (except chunk 0)
+    is dropped — no token lost, none duplicated beyond the overlap."""
+    from clickhouse_mysql_data_reader_spark.operators.text import chunk_documents
+
+    chunk_tokens, overlap = 10, 3
+    stride = chunk_tokens - overlap
+    rows = [
+        (n, " ".join(f"t{i}" for i in range(n)) if n else "")
+        for n in range(0, 41)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens, overlap).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r
+    for n in range(0, 41):
+        chunks = by_doc[n]
+        n_tok = max(n, 1)  # empty text normalizes to [""] (1 token)
+        expect_chunks = max(1, -(-(n_tok - overlap) // stride))
+        assert set(chunks) == set(range(expect_chunks)), f"doc {n}"
+        rebuilt = []
+        for cid in range(expect_chunks):
+            toks = chunks[cid].chunk_text.split(" ")
+            assert len(toks) <= chunk_tokens
+            assert chunks[cid].n_chunk_tokens == len(toks)
+            rebuilt.extend(toks if cid == 0 else toks[overlap:])
+        original = [f"t{i}" for i in range(n)] if n else [""]
+        assert rebuilt == original, f"doc {n}: {rebuilt}"
