@@ -214,6 +214,11 @@ def main() -> None:
     extras = {
         "curate_increment_batch2": time_query("curate_increment_batch2"),
         "ivfpq_probe_search": time_query("ivfpq_probe_search"),
+        # round-5 operator additions (kept out of the 16-query headline
+        # total for round-over-round comparability)
+        "dedup_simhash_near": time_query("dedup_simhash_near"),
+        "sample_source_cap": time_query("sample_source_cap"),
+        "text_vocab_topk": time_query("text_vocab_topk"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -72,6 +72,81 @@ def read_cdc_stream(
     return reader.load(path)
 
 
+def kafka_cdc_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Source options for the Kafka form of the CDC stream — the
+    production swap for ``read_cdc_stream``'s file source (a
+    Debezium/maxwell-style binlog topic; the reference's analogue is
+    tailing the binlog directly, mysqlreader.py). Kept as a plain dict
+    (like ``sources/jdbc.py`` scan_options) so the wiring is testable
+    without a broker in the container.
+
+    ``failOnDataLoss=false``: a compacted/expired offset range degrades
+    to a gap instead of killing the query — the pump's last-write-wins
+    apply tolerates replays and gaps are surfaced by telemetry, not by
+    crashing the stream.
+    """
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+    }
+    if max_offsets_per_trigger is not None:
+        # per-trigger batch bound — the backpressure knob (the
+        # reference's analogue: pool flush thresholds, bbpool.py)
+        opts["maxOffsetsPerTrigger"] = str(int(max_offsets_per_trigger))
+    return opts
+
+
+def parse_cdc_envelope(raw: DataFrame, payload: T.StructType) -> DataFrame:
+    """Decode Kafka-shaped rows (binary ``value`` holding the JSON CDC
+    event) into the flat envelope+payload frame every downstream
+    operator consumes. Works identically on streaming and batch frames
+    (unified semantics), so the decode is unit-tested without a broker
+    and the full pipeline is ``read_kafka -> parse -> start_pump``.
+
+    Corrupt events (JSON that doesn't parse) surface as all-NULL rows
+    rather than killing the stream; filter on ``op IS NOT NULL``
+    downstream if the topic can carry junk.
+    """
+    schema = cdc_event_schema(payload)
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("_e")
+    ).select("_e.*")
+
+
+def read_cdc_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    payload: T.StructType,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka CDC source: same downstream plan as ``read_cdc_stream``,
+    different transport. Requires the spark-sql-kafka package on the
+    cluster (not in this container — the option dict and the decode are
+    covered by unit tests; this composition is the one-liner)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .options(
+            **kafka_cdc_options(
+                bootstrap_servers,
+                topic,
+                starting_offsets=starting_offsets,
+                max_offsets_per_trigger=max_offsets_per_trigger,
+            )
+        )
+        .load()
+    )
+    return parse_cdc_envelope(raw, payload)
+
+
 PART_COL = "_part"
 MANIFEST = "MANIFEST.json"
 

@@ -330,3 +330,34 @@ def test_dedup_within_watermark_drops_replays(spark, tmp_path):
     # batch twin: unified semantics via plain dropDuplicates
     batch = dedup_within_watermark(df, ["k"])
     assert sorted(r["k"] for r in batch.collect()) == [1, 2, 3]
+
+
+def test_kafka_cdc_options_and_envelope_decode(spark):
+    """The Kafka swap of the CDC source, minus the broker: the option
+    dict carries the subscribe/backpressure knobs, and parse_cdc_envelope
+    decodes Kafka-shaped (binary value) rows into the exact frame
+    read_cdc_stream produces — corrupt payloads become NULL rows, not
+    stream death."""
+    from clickhouse_mysql_data_reader_spark.streaming.pump import (
+        kafka_cdc_options,
+        parse_cdc_envelope,
+    )
+
+    opts = kafka_cdc_options("b1:9092,b2:9092", "binlog.db", max_offsets_per_trigger=5000)
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "binlog.db"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["failOnDataLoss"] == "false"
+    assert opts["maxOffsetsPerTrigger"] == "5000"
+
+    good = json.dumps(_ev("insert", 7, 42, "hello"))
+    raw = spark.createDataFrame(
+        [(b"k1", good.encode()), (b"k2", b"{not json")],
+        "key binary, value binary",
+    )
+    out = parse_cdc_envelope(raw, PAYLOAD)
+    rows = {r["log_pos"]: r for r in out.collect()}
+    assert set(out.columns) == {"op", "log_file", "log_pos", "schema", "table", "id", "day", "str"}
+    assert rows[7]["op"] == "insert" and rows[7]["id"] == 42 and rows[7]["str"] == "hello"
+    # the corrupt event decodes to an all-NULL row (filterable), present
+    assert None in rows and rows[None]["op"] is None
