@@ -306,6 +306,38 @@ class CurationState:
         path = jvm.org.apache.hadoop.fs.Path(self.state_dir)
         return jvm, path.getFileSystem(spark._jsc.hadoopConfiguration())
 
+    _TABLES = ("fingerprints", "shingles", "bands")
+
+    def _recover_crashed_compact(self, spark, names=None) -> list[str]:
+        """Roll back a compact() interrupted between its two renames.
+
+        That crash window leaves ``table`` MISSING and ``table__gc``
+        holding the only copy of the state. Every state entry point
+        (``exists``/``_read``/``compact``) calls this first, because
+        each fails differently on the bare post-crash layout:
+        ``exists()`` would report no history (silently re-admitting
+        every duplicate via the bootstrap path), ``_read`` would die on
+        a missing dir, and ``compact()`` would DELETE ``__gc`` as a
+        crashed-run leftover — destroying the history permanently.
+        Idempotent, one existence probe per table on the happy path;
+        returns the recovered table names."""
+        jvm, fs = self._fs(spark)
+
+        def hpath(p: str):
+            return jvm.org.apache.hadoop.fs.Path(p)
+
+        recovered = []
+        for name in names or self._TABLES:
+            table, gc = self._path(name), self._path(name) + "__gc"
+            if not fs.exists(hpath(table)) and fs.exists(hpath(gc)):
+                if not fs.rename(hpath(gc), hpath(table)):
+                    raise IOError(
+                        f"recover: rename {gc} -> {table} failed; state "
+                        "is intact under __gc but unreadable until renamed"
+                    )
+                recovered.append(name)
+        return recovered
+
     def exists(self, spark) -> bool:
         """True once a first batch has FULLY landed in all three tables.
 
@@ -323,6 +355,7 @@ class CurationState:
         path forever: history dedup stops and duplicate docs are
         re-admitted with no error. Checked through the Hadoop
         FileSystem API so any Spark-supported store works."""
+        self._recover_crashed_compact(spark)
         jvm, fs = self._fs(spark)
 
         def landed(name: str) -> bool:
@@ -641,12 +674,19 @@ class CurationState:
         wrote them). Replayed-epoch exclusion therefore works unchanged
         post-compact.
 
-        OFFLINE op: quiesce writers first. The swap is
+        OFFLINE op: quiesce writers first (or run it from inside a
+        foreachBatch epoch body, where the stream quiesces itself —
+        ``curate_stream(compact_every=...)``). The swap is
         rename(table -> table__gc) / rename(tmp -> table) /
-        delete(table__gc); a crash mid-swap leaves either the original
-        dir or a complete compacted dir plus a ``__gc`` leftover —
-        never a half-written table — and a leftover ``__tmp``/``__gc``
-        from a crashed run is deleted on the next compact().
+        delete(table__gc); no state is ever half-written, but a crash
+        BETWEEN the two renames leaves the table dir missing with
+        ``__gc`` holding the only copy — every entry point
+        (``exists``/``_read``/``compact``) first rolls that back via
+        ``_recover_crashed_compact``, so the next read or compact sees
+        the original table again. A ``__tmp`` leftover is always
+        deletable (the pre-rename copy is still live); ``__gc`` is
+        deleted only when the table dir exists (i.e. the swap
+        completed and only the final delete was lost).
 
         Also drops the mergeSchema cost from ``_read``: compacted files
         are schema-homogeneous (tags present everywhere), recorded with
@@ -671,12 +711,17 @@ class CurationState:
             ]
 
         report: dict = {}
-        for name in ("fingerprints", "shingles", "bands"):
+        for name in self._TABLES:
             table = self._path(name)
             tmp, gc = table + "__tmp", table + "__gc"
-            for leftover in (tmp, gc):
-                if fs.exists(hpath(leftover)):
-                    fs.delete(hpath(leftover), True)
+            # crash-window rollback FIRST: if the table dir is missing,
+            # __gc is the only copy — deleting it would destroy the
+            # state permanently
+            self._recover_crashed_compact(spark, (name,))
+            if fs.exists(hpath(tmp)):
+                fs.delete(hpath(tmp), True)
+            if fs.exists(hpath(gc)) and fs.exists(hpath(table)):
+                fs.delete(hpath(gc), True)
             before = data_files(table)
             if not before:
                 continue
@@ -712,6 +757,7 @@ class CurationState:
         # an older layout; without it the picked footer decides whether
         # the tag columns even surface. Post-compact the dir is marked
         # schema-homogeneous and the per-file footer reads are skipped.
+        self._recover_crashed_compact(spark, (name,))
         jvm, fs = self._fs(spark)
         homogeneous = fs.exists(
             jvm.org.apache.hadoop.fs.Path(
@@ -1049,11 +1095,13 @@ def curation_epoch_apply(
         state.write(landed, text_col=text_col, id_col=id_col, mode="append",
                     epoch_id=epoch_id, run_id=run_id)
         # post-append maintenance: epochs of one query are serialized,
-        # so no writer is active here. A crash mid-compact leaves a
-        # rename-recoverable state (compact()'s swap contract) and the
-        # epoch replay simply re-appends + re-compacts. (epoch + 1) so
-        # compact_every=N fires after epochs N-1, 2N-1, ... — i.e.
-        # every N epochs counting from the first.
+        # so no writer is active here. A crash between compact()'s two
+        # renames leaves the table only under __gc; the replayed
+        # epoch's first state READ rolls it back
+        # (_recover_crashed_compact runs on every exists/_read/compact
+        # entry), then the replay re-appends + re-compacts normally.
+        # (epoch + 1) so compact_every=N fires after epochs N-1,
+        # 2N-1, ... — i.e. every N epochs counting from the first.
         if compact_every and (epoch_id + 1) % compact_every == 0:
             state.compact(spark)
 

@@ -480,18 +480,17 @@ def simhash_near_pairs(
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        # a pair sharing >1 chunk appears once per shared chunk: dedup on
-        # the pair (fingerprints are functionally dependent on the ids)
+        # verify BEFORE the pair-dedup: hamming is a pure function of
+        # the joined row, and most candidates fail it, so filtering
+        # first shrinks the distinct's exchange to verified near-pairs
+        # only (bit_count per duplicate row is free next to a shuffle)
         .select(
             F.col("a._id").alias("doc_a"),
             F.col("b._id").alias("doc_b"),
-            F.col("a._sig").alias("_sa"),
-            F.col("b._sig").alias("_sb"),
+            F.bit_count(F.expr("a._sig ^ b._sig")).alias("hamming"),
         )
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.expr("_sa ^ _sb")))
         .filter(F.col("hamming") <= hamming_max)
-        .select("doc_a", "doc_b", "hamming")
     )
+    # a pair sharing >1 chunk appears once per shared chunk: dedup on
+    # the pair (hamming is functionally dependent on the ids)
+    return cand.distinct()

@@ -149,7 +149,15 @@ def dedup_within_watermark(
     exactly the replay window an at-least-once source needs.
 
     On a BATCH frame this falls back to plain ``dropDuplicates`` over
-    the same keys (unified semantics; batch has no late data).
+    the same keys. The two paths agree only when every duplicate
+    arrives within the horizon of its first occurrence (the replay
+    case this operator targets); for a key RE-occurring beyond the
+    horizon they intentionally diverge — the stream re-admits it (its
+    state expired), the batch fallback still collapses it (a batch has
+    no arrival order, so "beyond the horizon" is undefined). A
+    kappa-style batch backfill of a streaming output therefore
+    under-counts re-occurring keys; if those matter, backfill with an
+    event-time-bucketed dedup instead.
     """
     if not df.isStreaming:
         return df.dropDuplicates(key_cols)

@@ -4,6 +4,8 @@ decontamination, mixture shaping, and sequence packing."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -773,3 +775,49 @@ def test_curate_stream_auto_compacts_and_dedup_survives(spark, tmp_path):
     # the dup was dropped against the COMPACTED state
     assert {r["doc_id"] for r in state.fingerprints(spark).collect()} == {1}
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1}
+
+
+def test_compact_crash_between_renames_recovers(spark, tmp_path):
+    """Simulate the compact() crash window: table dir renamed to __gc,
+    second rename never happened. Every entry point must roll the state
+    back instead of bootstrapping (exists), dying (read), or deleting
+    the only copy as a leftover (compact)."""
+    import shutil
+
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationConfig,
+        CurationState,
+        curate_increment,
+    )
+
+    state = CurationState(str(tmp_path / "state"))
+    docs = spark.createDataFrame(
+        [(1, "web", GOOD)], "doc_id long, source string, text string"
+    )
+    curate_increment(docs, state, CurationConfig(near_dup_jaccard=0.5))
+    state.compact(spark)
+    before = {r["doc_id"] for r in state.fingerprints(spark).collect()}
+    assert before == {1}
+
+    # crash window: first rename done, second never happened
+    fp_dir = str(tmp_path / "state" / "fingerprints")
+    shutil.move(fp_dir, fp_dir + "__gc")
+    assert not os.path.exists(fp_dir)
+
+    # exists() recovers instead of reporting no history
+    assert state.exists(spark)
+    assert os.path.exists(fp_dir) and not os.path.exists(fp_dir + "__gc")
+    assert {r["doc_id"] for r in state.fingerprints(spark).collect()} == before
+
+    # same for a compact() arriving first after the crash
+    shutil.move(fp_dir, fp_dir + "__gc")
+    report = state.compact(spark)
+    assert {r["doc_id"] for r in state.fingerprints(spark).collect()} == before
+    assert "fingerprints" in report
+
+    # completed-swap leftover (__gc AND table both present): the
+    # leftover is the stale copy and IS deleted
+    shutil.copytree(fp_dir, fp_dir + "__gc")
+    state.compact(spark)
+    assert not os.path.exists(fp_dir + "__gc")
+    assert {r["doc_id"] for r in state.fingerprints(spark).collect()} == before
