@@ -354,7 +354,17 @@ class CurationState:
         the fallback, every increment would silently take the bootstrap
         path forever: history dedup stops and duplicate docs are
         re-admitted with no error. Checked through the Hadoop
-        FileSystem API so any Spark-supported store works."""
+        FileSystem API so any Spark-supported store works.
+
+        Known limit of the fallback: on committers that make TASK
+        commits visible before job commit (some object-store
+        committers), a first write that crashes mid-job can leave
+        visible part files and read as 'landed' — later increments
+        then dedup against a partial history (duplicates of the
+        unlanded docs slip through; never data loss). If your
+        committer behaves that way, keep ``_SUCCESS`` markers enabled
+        (the primary probe is then authoritative) or clear the state
+        dirs before retrying a failed bootstrap."""
         self._recover_crashed_compact(spark)
         jvm, fs = self._fs(spark)
 
@@ -633,15 +643,24 @@ class CurationState:
 
             self.ensure_bloom(kept.sparkSession)
             batch_bits = build_bloom(fp, "fp", self.bloom_bits, self.bloom_hashes)
-            if mode == "append":
-                prior = self.read_bloom(kept.sparkSession)
-                if prior is not None:
-                    import numpy as _np
+            # prior bits are OR-ed in for EVERY mode, overwrite included:
+            # the bloom lands before the data, so during the crash window
+            # the landed fingerprints may still be the OLD corpus — a
+            # batch-only bloom would then report definite-miss for landed
+            # keys (false negatives, silent duplicate admission). Keeping
+            # the old bits preserves bloom ⊇ landed-fps across both crash
+            # outcomes; the cost is staleness-shaped false positives,
+            # which the exact join removes. An overwrite that wants a
+            # tight filter should delete the bloom file afterwards and
+            # let ensure_bloom rebuild from the landed table.
+            prior = self.read_bloom(kept.sparkSession)
+            if prior is not None:
+                import numpy as _np
 
-                    batch_bits = bytes(
-                        _np.frombuffer(batch_bits, dtype=_np.uint8)
-                        | _np.frombuffer(prior, dtype=_np.uint8)
-                    )
+                batch_bits = bytes(
+                    _np.frombuffer(batch_bits, dtype=_np.uint8)
+                    | _np.frombuffer(prior, dtype=_np.uint8)
+                )
             self._write_bloom(kept.sparkSession, batch_bits)
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
         try:
@@ -901,10 +920,16 @@ def curate_increment(
     else:
         bloom = None
     if bloom is not None:
+        # localCheckpoint: both union branches below consume `tagged`,
+        # and without truncation each branch re-executes the whole
+        # upstream plan (gates + PII scrub + exact-dedup window + the
+        # Arrow probe UDF) — doubling the scan-stage work of the very
+        # path the bloom exists to make cheap. Batch-sized frame, same
+        # discipline as sh_new below.
         tagged = with_fp.withColumn(
             "_maybe",
             might_contain(bloom, state.bloom_bits, state.bloom_hashes, F.col("_fp")),
-        )
+        ).localCheckpoint()
         vs_hist = (
             tagged.filter(~F.col("_maybe"))
             .drop("_maybe")

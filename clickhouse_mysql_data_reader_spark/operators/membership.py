@@ -47,13 +47,10 @@ _H2_MULT = 0x9E3779B97F4A7C15
 
 def _self_contained_pickle() -> None:
     """Ship this module by value inside pickled UDFs (workers may not
-    have the repo on PYTHONPATH; see multimodal.py)."""
-    try:
-        from pyspark import cloudpickle
+    have the repo on PYTHONPATH); shared logic in util.py."""
+    from clickhouse_mysql_data_reader_spark.util import self_contained_pickle
 
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    except Exception:
-        pass
+    self_contained_pickle(sys.modules[__name__])
 
 
 def bloom_sizing(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -127,17 +124,30 @@ def build_bloom(
 def might_contain(bloom: bytes, num_bits: int, num_hashes: int, key: Column) -> Column:
     """Boolean probe column: False means DEFINITELY not in the filter's
     key set; True means maybe. Arrow-batched pandas UDF over the same
-    JVM-side xxhash64 the build used; the filter bytes travel in the
-    UDF closure (broadcast once per executor)."""
+    JVM-side xxhash64 the build used.
+
+    The filter bytes ship as a ``SparkContext.broadcast`` — delivered
+    ONCE per executor via the torrent protocol — not as closure bytes,
+    which would be re-serialized into every task's python command (at
+    the module's 1e9-key sizing example that is ~1.2 GB per task).
+    The closure captures only the broadcast handle; the fallback to raw
+    bytes exists solely for the no-active-session case (unit code
+    building columns before a session exists)."""
     _self_contained_pickle()
+    from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 
     nbits = num_bits
     nhashes = num_hashes
+    spark = SparkSession.getActiveSession()
+    payload = (
+        spark.sparkContext.broadcast(bloom) if spark is not None else bloom
+    )
 
     @pandas_udf("boolean")
     def probe(h: pd.Series) -> pd.Series:
-        bits = np.frombuffer(bloom, dtype=np.uint8)
+        raw = payload.value if hasattr(payload, "value") else payload
+        bits = np.frombuffer(raw, dtype=np.uint8)
         hv = h.to_numpy(dtype=np.int64).view(np.uint64)
         hit = np.ones(len(hv), dtype=bool)
         for pos in _positions(hv, nbits, nhashes):
@@ -154,6 +164,7 @@ def bloom_prefiltered_anti_join(
     key_col: str,
     expected_items: int | None = None,
     fpp: float = 0.01,
+    storage=None,
 ) -> DataFrame:
     """``new_df`` rows whose ``key_col`` does NOT appear in
     ``history_df[key_col]`` — semantically identical to
@@ -167,13 +178,22 @@ def bloom_prefiltered_anti_join(
 
     ``expected_items`` sizes the filter (defaults to counting
     ``history_df`` — one cheap aggregate; pass the known history
-    cardinality to skip it)."""
+    cardinality to skip it).
+
+    Both output branches consume ``new_df``, so its upstream plan
+    executes twice per action. For a plain scan that is cheap; when
+    ``new_df`` is an expensive derivation, pass ``storage`` (e.g.
+    ``StorageLevel.MEMORY_AND_DISK``) to persist the tagged frame for
+    the duration — CALLER owns the lifecycle (unpersist/clearCache
+    after the action), same contract as ``dedup.jaccard_pairs``."""
     if expected_items is None:
         expected_items = history_df.count()
     num_bits, num_hashes = bloom_sizing(expected_items, fpp)
     bloom = build_bloom(history_df, key_col, num_bits, num_hashes)
     maybe_col = might_contain(bloom, num_bits, num_hashes, F.col(key_col))
     tagged = new_df.withColumn("_maybe", maybe_col)
+    if storage is not None:
+        tagged = tagged.persist(storage)
     definite_new = tagged.filter(~F.col("_maybe")).drop("_maybe")
     maybes = tagged.filter(F.col("_maybe")).drop("_maybe")
     survivors = maybes.join(

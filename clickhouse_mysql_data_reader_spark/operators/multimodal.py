@@ -90,12 +90,9 @@ def extract_features(
     # the driver may run from any cwd without the repo on the workers'
     # PYTHONPATH, and a by-reference pickle of decode_fn would make
     # every python worker try (and fail) to import the package.
-    try:
-        from pyspark import cloudpickle
+    from clickhouse_mysql_data_reader_spark.util import self_contained_pickle
 
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    except Exception:
-        pass
+    self_contained_pickle(sys.modules[__name__])
 
     # content hash + size are JVM expressions (codegen, no Python): the
     # bytes already cross into Arrow once for the decode, but hashing

@@ -303,15 +303,21 @@ def start_pump(
 
     Tables touched in one micro-batch are applied CONCURRENTLY from a
     driver-side thread pool (Spark's scheduler accepts jobs from many
-    driver threads): distinct tables write distinct snapshot dirs and
-    commit distinct manifests, so they are independent, and a serial
-    loop would turn a 500-table CDC topology into 500 small back-to-
-    back Spark jobs per trigger. The micro-batch frame is persisted
-    once so the per-table filters re-read cached blocks instead of
-    re-executing the source scan per table. Any table's failure fails
-    the whole batch (first exception propagates), so the trigger
-    retries with exactly-once semantics intact — the snapshot commit
-    protocol already tolerates replayed applies."""
+    driver threads) — a serial loop would turn a 500-table CDC topology
+    into 500 small back-to-back Spark jobs per trigger. Concurrency is
+    keyed on the DESTINATION snapshot dir, not the source table: the
+    store's NameResolver supports many-to-one fan-in (dst_table /
+    rename_map), and two threads applying into one dir would race the
+    gen-dir cleanup and the manifest os.replace, silently dropping one
+    table's changes — so source tables resolving to the same
+    destination apply serially inside one pool task, in sorted order
+    (deterministic), and only distinct destinations run in parallel.
+    The micro-batch frame is persisted once so the per-table filters
+    re-read cached blocks instead of re-executing the source scan per
+    table. Any table's failure fails the whole batch (first exception
+    propagates), so the trigger retries with exactly-once semantics
+    intact — the snapshot commit protocol already tolerates replayed
+    applies."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -321,6 +327,11 @@ def start_pump(
                 (r["schema"], r["table"])
                 for r in batch_df.select("schema", "table").distinct().collect()
             ]
+            # group by resolved destination: same-dir sources must not
+            # run concurrently (fan-in safety)
+            by_dest: dict[str, list[tuple[str, str]]] = {}
+            for db, table in sorted(tables):
+                by_dest.setdefault(store.path_for(db, table), []).append((db, table))
 
             def apply_one(db: str, table: str) -> None:
                 changes = batch_df.filter(
@@ -328,17 +339,22 @@ def start_pump(
                 ).drop("schema", "table")
                 store.apply(spark, db, table, changes)
 
-            if len(tables) <= 1:
-                for db, table in tables:
+            def apply_dest(group: list[tuple[str, str]]) -> None:
+                for db, table in group:
                     apply_one(db, table)
+
+            groups = list(by_dest.values())
+            if len(groups) <= 1:
+                for g in groups:
+                    apply_dest(g)
             else:
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(
-                    max_workers=min(max_parallel_tables, len(tables))
+                    max_workers=min(max_parallel_tables, len(groups))
                 ) as pool:
                     # list() drains the iterator -> first failure raises
-                    list(pool.map(lambda t: apply_one(*t), tables))
+                    list(pool.map(apply_dest, groups))
         finally:
             batch_df.unpersist()
 

@@ -36,13 +36,11 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 def _self_contained_pickle() -> None:
     """Ship this module's functions by value inside pickled UDFs (the
-    workers may not have the repo on PYTHONPATH; see multimodal.py)."""
-    try:
-        from pyspark import cloudpickle
+    workers may not have the repo on PYTHONPATH); shared logic in
+    util.py."""
+    from clickhouse_mysql_data_reader_spark.util import self_contained_pickle
 
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    except Exception:
-        pass
+    self_contained_pickle(sys.modules[__name__])
 
 
 def _newest_row(pdfs: Iterable[pd.DataFrame], vcol: str) -> pd.DataFrame | None:

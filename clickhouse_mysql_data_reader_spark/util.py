@@ -58,3 +58,23 @@ def fan_out(
         if len(files) >= target:
             return df
     return df.repartition(target)
+
+
+def self_contained_pickle(module) -> None:
+    """Register ``module`` for pickle-BY-VALUE inside UDF closures.
+
+    mapInPandas / applyInPandasWithState closures that reference
+    package functions pickle by REFERENCE to their defining module by
+    default — the driver may run from any cwd, and python workers
+    without the repo on PYTHONPATH then fail the import. Call
+    ``self_contained_pickle(sys.modules[__name__])`` before building
+    the UDF (one shared implementation; the per-module wrappers in
+    membership/stateful/multimodal delegate here so a cloudpickle API
+    change is fixed in one place).
+    """
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(module)
+    except Exception:
+        pass

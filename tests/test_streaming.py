@@ -361,3 +361,37 @@ def test_kafka_cdc_options_and_envelope_decode(spark):
     assert rows[7]["op"] == "insert" and rows[7]["id"] == 42 and rows[7]["str"] == "hello"
     # the corrupt event decodes to an all-NULL row (filterable), present
     assert None in rows and rows[None]["op"] is None
+
+
+def test_cdc_pump_fanin_tables_apply_serially_per_destination(spark, tmp_path):
+    """NameResolver fan-in (dst_table): many source tables land in ONE
+    snapshot dir. Those must not race each other in the thread pool —
+    the pool is keyed on the resolved destination, so same-dir sources
+    apply serially and no table's changes are lost."""
+    from clickhouse_mysql_data_reader_spark.catalog.names import NameResolver
+
+    src = tmp_path / "fanin_src"
+    _write_events(
+        src,
+        [
+            [
+                _ev("insert", 10 * t + 1, 100 + t, f"t{t}-v", table=f"log_{t}")
+                for t in range(6)
+            ]
+        ],
+    )
+    store = SnapshotStore(
+        root=str(tmp_path / "snap"),
+        key_cols=["id"],
+        resolver=NameResolver(dst_table="merged"),
+    )
+    q = start_pump(
+        read_cdc_stream(spark, str(src), PAYLOAD),
+        store,
+        str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+        max_parallel_tables=4,
+    )
+    _await_done(q)
+    got = {r["id"]: r["str"] for r in store.read(spark, "db", "merged").collect()}
+    assert got == {100 + t: f"t{t}-v" for t in range(6)}, got
