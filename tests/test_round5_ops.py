@@ -253,3 +253,46 @@ def test_chunk_documents_reconstruction_property(spark):
             rebuilt.extend(toks if cid == 0 else toks[overlap:])
         original = [f"t{i}" for i in range(n)] if n else [""]
         assert rebuilt == original, f"doc {n}: {rebuilt}"
+
+
+# --- weighted sampling -----------------------------------------------------
+
+
+def test_weighted_sample_topk_deterministic_and_biased(spark):
+    from clickhouse_mysql_data_reader_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    # 50 heavy docs (w=500) vs 150 light docs (w=5): a weighted top-50
+    # draw must be dominated by heavy docs, and be layout-independent
+    rows = [(i, 500.0 if i < 50 else 5.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    picked = sorted(r.doc_id for r in weighted_sample_topk(df, "w", "doc_id", k=50).collect())
+    assert len(picked) == 50
+    heavy = sum(1 for d in picked if d < 50)
+    assert heavy >= 40, f"expected heavy-weight dominance, got {heavy}/50"
+    again = sorted(
+        r.doc_id
+        for r in weighted_sample_topk(df.repartition(7), "w", "doc_id", k=50).collect()
+    )
+    assert picked == again
+    # a different salt draws a different (still deterministic) sample
+    other = sorted(
+        r.doc_id
+        for r in weighted_sample_topk(df, "w", "doc_id", k=50, salt="w2").collect()
+    )
+    assert other != picked
+
+
+def test_weighted_sample_topk_excludes_nonpositive_weights(spark):
+    from clickhouse_mysql_data_reader_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 0.0), (3, -4.0), (4, None)], "doc_id long, w double"
+    )
+    got = [r.doc_id for r in weighted_sample_topk(df, "w", "doc_id", k=10).collect()]
+    assert got == [1]
+    with pytest.raises(ValueError, match="k must"):
+        weighted_sample_topk(df, "w", "doc_id", k=0)
