@@ -268,8 +268,14 @@ def weighted_sample_topk(
 
     Plan shape: per-row expressions on the scan + TakeOrderedAndProject
     per-partition heaps — the same zero-shuffle-until-top-k shape as
-    ``vocab_topk``. Weights must be > 0 (rows with w <= 0 or NULL are
-    excluded; a zero-weight row has inclusion probability 0 in A-ES).
+    ``vocab_topk``. Weights must be > 0 (rows with w <= 0, NULL, or NaN
+    are excluded; a zero-weight row has inclusion probability 0 in
+    A-ES, and NaN would otherwise sort FIRST under Spark's total
+    ordering — a computed weight like 0.0/0.0 would silently hijack
+    the whole sample). Keys must be distinct: duplicate keys share one
+    hash draw, so a duplicated (key, weight) pair straddling the
+    k-boundary would be resolved arbitrarily — the same distinct-key
+    assumption every sampler in this module makes.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -277,9 +283,10 @@ def weighted_sample_topk(
     keyc = F.col(key) if isinstance(key, str) else key
     h = F.conv(hash_bucket(keyc, salt), 16, 10).cast("double")
     u = (h + F.lit(1.0)) / F.lit(float(HEX_SPAN))
-    score = F.log(u) / wcol.cast("double")
+    w = wcol.cast("double")
+    score = F.log(u) / w
     return (
-        df.filter(wcol.cast("double") > 0)
+        df.filter((w > 0) & ~F.isnan(w))
         .orderBy(score.desc(), keyc.cast("string"))
         .limit(k)
     )

@@ -290,8 +290,11 @@ def test_weighted_sample_topk_excludes_nonpositive_weights(spark):
     )
 
     df = spark.createDataFrame(
-        [(1, 10.0), (2, 0.0), (3, -4.0), (4, None)], "doc_id long, w double"
+        [(1, 10.0), (2, 0.0), (3, -4.0), (4, None), (5, float("nan"))],
+        "doc_id long, w double",
     )
+    # NaN must be excluded too: under Spark's total ordering NaN > 0 is
+    # TRUE and a NaN score sorts FIRST, which would hijack the sample
     got = [r.doc_id for r in weighted_sample_topk(df, "w", "doc_id", k=10).collect()]
     assert got == [1]
     with pytest.raises(ValueError, match="k must"):
