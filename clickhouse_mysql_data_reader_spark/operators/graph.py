@@ -57,11 +57,48 @@ def _ensure_checkpoint_dir(spark) -> None:
         sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark-graph-ckpt-"))
 
 
+# Below this many PAIR rows the component computation runs as a
+# driver-side union-find instead of the iterative label-propagation
+# loop: each distributed round costs a join + checkpoint + converged
+# probe (~1s of fixed job overhead at any data size), so a typical
+# per-batch near-dup graph (tens to thousands of edges) pays several
+# seconds of scheduling for milliseconds of actual work. 200k edge
+# rows collect to a few MB — the same bounded-driver-metadata class as
+# the k x dim centroid collect in similarity.py. Set to 0 to force the
+# distributed loop.
+SMALL_GRAPH_PAIRS = 200_000
+
+
+def _union_find_components(rows, src: str, dst: str) -> list[tuple]:
+    """Min-root union-find over collected pair rows: the root of every
+    tree is kept as the minimum member, so find(x) is exactly the
+    'min reachable id' label the distributed loop converges to."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        u, v = r[src], r[dst]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return [(x, find(x)) for x in parent]
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    small_graph_pairs: int = SMALL_GRAPH_PAIRS,
 ) -> DataFrame:
     """Connected components of the undirected graph given as pair rows.
 
@@ -70,6 +107,11 @@ def connected_components(
     the output depends only on the edge set. The result reads from the
     final round's checkpoint — no persist to release.
 
+    Pair sets at or under ``small_graph_pairs`` take a driver-side
+    union-find fast path (one count + one bounded collect instead of
+    diameter-many join/checkpoint rounds — identical output, see
+    ``SMALL_GRAPH_PAIRS``); larger graphs run the distributed loop:
+
     Neighbor-min label propagation: every node starts labeled with
     itself; each round every node takes the min of its own label and
     its neighbors' labels. Converges in diameter(G) rounds; raises if
@@ -77,8 +119,30 @@ def connected_components(
     silently-wrong partition). Each round is checkpointed — see the
     module docstring for why plain caching cannot work here.
     """
-    _ensure_checkpoint_dir(pairs.sparkSession)
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if small_graph_pairs:
+        # persist ONCE: the count probe materializes the (possibly
+        # expensive) upstream plan, and whichever path runs next —
+        # the driver collect or the symmetric edge build — reuses the
+        # cached rows instead of recomputing it
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
+        n_pairs = e.count()
+        if n_pairs <= small_graph_pairs:
+            try:
+                from pyspark.sql import types as T
+
+                labels = _union_find_components(e.collect(), "u", "v")
+                utype = e.schema["u"].dataType
+                schema = T.StructType(
+                    [
+                        T.StructField("doc_id", utype),
+                        T.StructField("component", utype),
+                    ]
+                )
+                return pairs.sparkSession.createDataFrame(labels, schema)
+            finally:
+                e.unpersist()
+    _ensure_checkpoint_dir(pairs.sparkSession)
     edges = (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
@@ -124,6 +188,7 @@ def connected_components(
         )
     finally:
         edges.unpersist()
+        e.unpersist()  # no-op when the small-graph probe didn't persist
 
 
 def component_summary(components: DataFrame) -> DataFrame:

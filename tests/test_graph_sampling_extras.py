@@ -51,8 +51,10 @@ def test_cc_empty_and_nonconvergence(spark):
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components(empty).count() == 0
     chain = spark.createDataFrame([(i, i + 1) for i in range(1, 6)], "doc_a long, doc_b long")
+    # force the distributed loop: the small-graph union-find fast path
+    # has no iteration bound to trip
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=2)
+        connected_components(chain, max_iter=2, small_graph_pairs=0)
 
 
 def test_cc_component_summary(spark):

@@ -299,3 +299,37 @@ def test_weighted_sample_topk_excludes_nonpositive_weights(spark):
     assert got == [1]
     with pytest.raises(ValueError, match="k must"):
         weighted_sample_topk(df, "w", "doc_id", k=0)
+
+
+# --- connected components small-graph fast path ----------------------------
+
+
+def test_connected_components_fast_path_matches_distributed(spark):
+    from clickhouse_mysql_data_reader_spark.operators.graph import (
+        connected_components,
+    )
+
+    # two chains, one triangle with a duplicate edge, isolated pair
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),         # chain -> component 1
+            (10, 11), (11, 12), (10, 12),   # triangle -> component 10
+            (10, 12),                       # duplicate edge
+            (20, 21),                       # pair -> component 20
+        ],
+        "doc_a long, doc_b long",
+    )
+    fast = {
+        (r.doc_id, r.component)
+        for r in connected_components(pairs).collect()
+    }
+    dist = {
+        (r.doc_id, r.component)
+        for r in connected_components(pairs, small_graph_pairs=0).collect()
+    }
+    assert fast == dist
+    assert fast == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
