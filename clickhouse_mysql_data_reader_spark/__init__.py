@@ -21,5 +21,12 @@ pandas UDFs).
 
 __version__ = "0.1.0"
 
+from clickhouse_mysql_data_reader_spark.curation import (  # noqa: F401
+    CurationConfig,
+    CurationState,
+    curate,
+    curate_increment,
+    curate_stream,
+)
 from clickhouse_mysql_data_reader_spark.session import get_spark  # noqa: F401
 from clickhouse_mysql_data_reader_spark.sources.parquet import load_tables  # noqa: F401
