@@ -560,6 +560,50 @@ def pq_adc_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def _assign_residuals(
+    vectors: DataFrame,
+    coarse_centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell, residual) for every vector: nearest coarse cell by
+    L2, residual = vector - that cell's centroid. The centroid table is
+    collected (bounded: n_cells x dim) and inlined as literals, so the
+    assignment+residual is a zero-shuffle scan expression — shared by
+    the initial ``ivfpq_index`` build and incremental ``ivfpq_append``
+    so the two paths cannot drift."""
+    cent_rows = sorted(
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in coarse_centroids.collect()
+    )
+    # cell ids from hash-init may be sparse; build a dense lookup array
+    # indexed by position and remap cells to positions for element_at
+    cell_ids = [c for c, _ in cent_rows]
+    cent_lit = F.array(
+        *[F.array(*[F.lit(x) for x in vec]) for _c, vec in cent_rows]
+    )
+    v = as_double_array(vec_col)
+    scored = [
+        F.struct(_sq_dist(v, vec).alias("d2"), F.lit(pos).alias("pos"))
+        for pos, (_c, vec) in enumerate(cent_rows)
+    ]
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("_v"),
+        F.array_min(F.array(*scored))["pos"].alias("_pos"),
+    ).select(
+        "vec_id",
+        F.element_at(F.array(*[F.lit(c) for c in cell_ids]), F.col("_pos") + 1).alias(
+            "cell"
+        ),
+        F.zip_with(
+            F.col("_v"),
+            F.element_at(cent_lit, F.col("_pos") + 1),
+            lambda x, y: x - y,
+        ).alias("residual"),
+    )
+
+
 def ivfpq_index(
     corpus: DataFrame,
     dim: int,
@@ -590,35 +634,7 @@ def ivfpq_index(
     cents = kmeans_iterate(
         corpus, k=n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     )
-    cent_rows = sorted(
-        (int(r["cell"]), [float(x) for x in r["centroid"]]) for r in cents.collect()
-    )
-    # cell ids from hash-init may be sparse; build a dense lookup array
-    # indexed by position and remap cells to positions for element_at
-    cell_ids = [c for c, _ in cent_rows]
-    cent_lit = F.array(
-        *[F.array(*[F.lit(x) for x in vec]) for _c, vec in cent_rows]
-    )
-    v = as_double_array(vec_col)
-    scored = [
-        F.struct(_sq_dist(v, vec).alias("d2"), F.lit(pos).alias("pos"))
-        for pos, (_c, vec) in enumerate(cent_rows)
-    ]
-    with_res = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        v.alias("_v"),
-        F.array_min(F.array(*scored))["pos"].alias("_pos"),
-    ).select(
-        "vec_id",
-        F.element_at(F.array(*[F.lit(c) for c in cell_ids]), F.col("_pos") + 1).alias(
-            "cell"
-        ),
-        F.zip_with(
-            F.col("_v"),
-            F.element_at(cent_lit, F.col("_pos") + 1),
-            lambda x, y: x - y,
-        ).alias("residual"),
-    )
+    with_res = _assign_residuals(corpus, cents, id_col=id_col, vec_col=vec_col)
     codebooks = pq_train(
         with_res,
         dim=dim,
@@ -688,3 +704,42 @@ def ivfpq_topk(
     )
     w = W.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def ivfpq_append(
+    new_vectors: DataFrame,
+    coarse_centroids: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    n_subspaces: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode NEW vectors against a FROZEN IVF-PQ index (the faiss
+    ``add()`` semantics): assign each to its nearest existing coarse
+    cell, quantize the residual with the existing codebooks, return
+    corpus_codes-shaped rows ``(vec_id, cell, codes)`` ready to append
+    to the landed codes table.
+
+    This is the production incremental path — the expensive part of the
+    index (two Lloyd trainings) is paid at build time; an append is the
+    same zero-shuffle assignment + encode expressions as the initial
+    build (shared via ``_assign_residuals``), so daily embedding
+    batches cost O(|batch|) with no retraining and the searcher sees
+    the union immediately. Quantizers are deliberately not updated:
+    distribution drift degrades quantization ERROR (recall), never
+    correctness — retrain via ``ivfpq_index`` and re-encode when recall
+    drops, exactly like rebuilding a faiss index.
+    """
+    with_res = _assign_residuals(
+        new_vectors, coarse_centroids, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(
+        with_res,
+        codebooks,
+        dim=dim,
+        n_subspaces=n_subspaces,
+        id_col="vec_id",
+        vec_col="residual",
+    )
+    return with_res.select("vec_id", "cell").join(codes, "vec_id")

@@ -8,6 +8,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from clickhouse_mysql_data_reader_spark.operators.similarity import (
     _subspace_bounds,
@@ -171,3 +172,47 @@ def test_ivfpq_index_and_search_planted_clusters(spark):
             ),
         )
         assert true_nn in {r["vec_id"] for r in rows}, (qid, true_nn, rows)
+
+
+def test_ivfpq_append_matches_build_encoding(spark, sf_dir):
+    """Incremental add: vectors encoded via ivfpq_append against the
+    frozen quantizers must be IDENTICAL to the rows the initial build
+    produced for them (same cells, same codes) — the append path shares
+    the assignment+encode machinery, and this pins that they cannot
+    drift. A search over base+appended codes then behaves as if the
+    index had been built over everything."""
+    from clickhouse_mysql_data_reader_spark.operators.similarity import (
+        ivfpq_append,
+        ivfpq_index,
+        ivfpq_topk,
+    )
+    from clickhouse_mysql_data_reader_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    cents, cbs, codes_full = ivfpq_index(
+        emb, dim=dim, n_cells=4, n_subspaces=4, k_codes=8
+    )
+    late = emb.filter(F.col("vec_id") % 5 == 0)
+    appended = ivfpq_append(late, cents, cbs, dim=dim, n_subspaces=4)
+    assert appended.columns == codes_full.columns
+    want = {
+        r["vec_id"]: (r["cell"], list(r["codes"]))
+        for r in codes_full.join(
+            late.select("vec_id"), "vec_id", "left_semi"
+        ).collect()
+    }
+    got = {r["vec_id"]: (r["cell"], list(r["codes"])) for r in appended.collect()}
+    assert got == want
+
+    # base (without the late vectors) + appended == full index for search
+    base = codes_full.join(late.select("vec_id"), "vec_id", "left_anti")
+    union_codes = base.unionByName(appended)
+    q = emb.filter(F.col("vec_id") == 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    hits = ivfpq_topk(
+        union_codes, cents, cbs, q, dim=dim, n_subspaces=4, n_probe=2, k=3
+    ).collect()
+    assert hits, "appended vector must be searchable"
+    assert any(r["vec_id"] == 5 for r in hits), "self should rank in top-3"
