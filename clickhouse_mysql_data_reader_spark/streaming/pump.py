@@ -226,12 +226,30 @@ class SnapshotStore:
         return {pv: os.path.join(tdir, rel) for pv, rel in m["partitions"].items()}
 
     # -- read/apply --------------------------------------------------------
-    def read(self, spark: SparkSession, db: str, table: str) -> DataFrame | None:
+    def read(
+        self,
+        spark: SparkSession,
+        db: str,
+        table: str,
+        partitions: list[str] | None = None,
+    ) -> DataFrame | None:
+        """Read the snapshot's current state; ``partitions`` restricts
+        the read to the named partition VALUES (as produced by
+        ``partition_expr``) — manifest-level pruning, the ClickHouse
+        partition-pruning analog: unselected partitions' files are
+        never listed, opened, or footer-read, which at a
+        month-partitioned 100 TB snapshot turns a one-month readback
+        into a 1/N scan. Unknown partition values are simply absent
+        (same semantics as a filter matching nothing)."""
         tdir = self.path_for(db, table)
         m = self._load_manifest(tdir)
         if m is None:
             return None
-        paths = [os.path.join(tdir, rel) for rel in m["partitions"].values()]
+        parts = m["partitions"]
+        if partitions is not None:
+            want = set(partitions)
+            parts = {pv: rel for pv, rel in parts.items() if pv in want}
+        paths = [os.path.join(tdir, rel) for rel in parts.values()]
         if not paths:  # every key deleted — empty frame with the landed schema
             return spark.createDataFrame([], T.StructType.fromJson(m["schema"]))
         return spark.read.parquet(*paths)
