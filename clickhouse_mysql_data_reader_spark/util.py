@@ -78,3 +78,46 @@ def self_contained_pickle(module) -> None:
         cloudpickle.register_pickle_by_value(module)
     except Exception:
         pass
+
+
+def plan_report(df: DataFrame) -> dict:
+    """Machine-readable summary of a DataFrame's physical plan — the
+    properties worth asserting in tests and checking before a 100 TB
+    run, without grepping explain output by hand:
+
+    - ``n_exchanges``: shuffle count (each is a full network pass);
+    - ``joins``: physical join operators used (a CartesianProduct or
+      BroadcastNestedLoopJoin here is almost always a missing equi-key);
+    - ``scans``: per-scan pushed filters and projected column count
+      (a scan reading 11 columns for a 2-column projection means
+      pruning failed);
+    - ``has_aqe``: AdaptiveSparkPlan present (runtime re-planning on).
+
+    Codegen spans are deliberately NOT reported: under AQE the codegen
+    ids are only assigned when stages actually execute, so any number
+    derived from the un-executed plan would be a misleading zero.
+
+    Introspection only — never executes the frame.
+    """
+    import re
+
+    jvm = df.sparkSession._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    nodes = re.findall(r"^\(\d+\) ([A-Za-z]+)", plan, re.M)
+    scans = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        scans.append({"pushed_filters": [f for f in m.group(1).split(", ") if f]})
+    for i, m in enumerate(re.finditer(r"ReadSchema: struct<([^>]*)>", plan)):
+        cols = [c for c in m.group(1).split(",") if c]
+        if i < len(scans):
+            scans[i]["n_read_columns"] = len(cols)
+        else:
+            scans.append({"pushed_filters": [], "n_read_columns": len(cols)})
+    return {
+        "n_exchanges": sum(1 for n in nodes if n == "Exchange"),
+        "joins": sorted({n for n in nodes if "Join" in n}),
+        "scans": scans,
+        "has_aqe": "AdaptiveSparkPlan" in plan,
+    }

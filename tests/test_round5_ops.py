@@ -333,3 +333,22 @@ def test_connected_components_fast_path_matches_distributed(spark):
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
+
+
+# --- plan_report -----------------------------------------------------------
+
+
+def test_plan_report_summarizes_known_plans(spark, sf_correct):
+    import __spark_entry__ as entrymod
+    from clickhouse_mysql_data_reader_spark.util import plan_report
+
+    rep = plan_report(entrymod.queries()["join_broadcast_dim"](spark, sf_correct))
+    assert "BroadcastHashJoin" in rep["joins"]
+    assert "SortMergeJoin" not in rep["joins"]
+    assert rep["has_aqe"]
+
+    rep2 = plan_report(entrymod.queries()["scan_prune_filter"](spark, sf_correct))
+    assert any(
+        any("l_shipdate" in f for f in s["pushed_filters"]) for s in rep2["scans"]
+    )
+    assert any(s.get("n_read_columns", 99) <= 4 for s in rep2["scans"])
