@@ -48,47 +48,80 @@ MAX_WORD_ROWS = 1_000_000
 
 def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
     """(word, n) corpus word-frequency table — the single corpus-scale
-    pass of BPE training. Map-side combine collapses each partition to
-    its distinct words before the exchange, so hot words never ship."""
-    return (
-        fan_out(df)
-        .select(F.explode(tokens(F.col(text_col))).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count("*").alias("n"))
-    )
+    pass of BPE training (shared ``text.token_counts`` core, so the
+    vocab_topk and BPE plans cannot drift)."""
+    from clickhouse_mysql_data_reader_spark.operators.text import token_counts
+
+    return token_counts(df, text_col, out_col="word")
 
 
 def _word_symbols(word: str) -> tuple[str, ...]:
+    if not word:
+        return ()
     return tuple(word[:-1]) + (word[-1] + EOW,)
+
+
+def _pairs_of(syms: tuple[str, ...]):
+    return zip(syms, syms[1:])
 
 
 def train_merges(word_freq: list[tuple[str, int]], n_merges: int) -> list[tuple[str, str]]:
     """Deterministic BPE merge training over a (word, count) table.
 
-    Pure Python on the vocab-sized table: each round counts adjacent
-    symbol pairs weighted by word frequency, merges the argmax pair
-    (ties: lexicographically smallest pair), rewrites the affected
-    words. Stops early when no pair occurs twice."""
-    words: dict[tuple[str, ...], int] = {}
+    Pure Python on the vocab-sized table, with the standard trainer
+    optimization: pair counts and a pair -> words index are maintained
+    INCREMENTALLY, so each round touches only the words containing the
+    merged pair instead of recounting the whole vocab (naive recounting
+    is O(n_merges x vocab) — hours of driver time at the 1M-word /
+    1000-merge envelope this module allows). Each round merges the
+    argmax pair (ties: lexicographically smallest pair); stops early
+    when no pair occurs twice."""
+    words: dict[int, tuple[str, ...]] = {}
+    counts_by_word: dict[int, int] = {}
+    seen: dict[tuple[str, ...], int] = {}
     for w, n in word_freq:
-        if w:
-            words[_word_symbols(w)] = words.get(_word_symbols(w), 0) + int(n)
+        syms = _word_symbols(w)
+        if not syms:
+            continue
+        if syms in seen:
+            counts_by_word[seen[syms]] += int(n)
+        else:
+            wid = len(words)
+            seen[syms] = wid
+            words[wid] = syms
+            counts_by_word[wid] = int(n)
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wid, syms in words.items():
+        n = counts_by_word[wid]
+        for p in _pairs_of(syms):
+            pair_counts[p] = pair_counts.get(p, 0) + n
+            pair_words.setdefault(p, set()).add(wid)
+
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        counts: dict[tuple[str, str], int] = {}
-        for syms, n in words.items():
-            for a, b in zip(syms, syms[1:]):
-                counts[(a, b)] = counts.get((a, b), 0) + n
-        if not counts:
+        if not pair_counts:
             break
-        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if counts[best] < 2:
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] < 2:
             break
         merges.append(best)
         merged = best[0] + best[1]
-        new_words: dict[tuple[str, ...], int] = {}
-        for syms, n in words.items():
+        for wid in list(pair_words.get(best, ())):
+            syms = words[wid]
+            n = counts_by_word[wid]
+            # retract the old word's pair contributions...
+            for p in _pairs_of(syms):
+                pair_counts[p] -= n
+                if pair_counts[p] <= 0:
+                    pair_counts.pop(p, None)
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(wid)
+                    if not ws:
+                        pair_words.pop(p, None)
+            # ...rewrite it with the merge applied...
             out = []
             i = 0
             while i < len(syms):
@@ -98,9 +131,12 @@ def train_merges(word_freq: list[tuple[str, int]], n_merges: int) -> list[tuple[
                 else:
                     out.append(syms[i])
                     i += 1
-            t = tuple(out)
-            new_words[t] = new_words.get(t, 0) + n
-        words = new_words
+            new_syms = tuple(out)
+            words[wid] = new_syms
+            # ...and add the new form's contributions back
+            for p in _pairs_of(new_syms):
+                pair_counts[p] = pair_counts.get(p, 0) + n
+                pair_words.setdefault(p, set()).add(wid)
     return merges
 
 
@@ -116,16 +152,20 @@ def bpe_train(
     loop runs driver-side on the collected vocab table behind a size
     guard — raise ``max_word_rows`` deliberately (with the memory
     math) or pre-filter rare words (``HAVING n >= k``, the standard
-    trainer trick) when a corpus's vocab exceeds it."""
-    wf = word_frequencies(df, text_col)
-    n_rows = wf.count()
-    if n_rows > max_word_rows:
+    trainer trick) when a corpus's vocab exceeds it.
+
+    The guard is applied by collecting at most ``max_word_rows + 1``
+    rows (one job; driver memory stays bounded by the cap even on an
+    over-limit corpus) — a separate count() would re-execute the
+    corpus-scale aggregation a second time just to check the size."""
+    rows = word_frequencies(df, text_col).limit(max_word_rows + 1).collect()
+    if len(rows) > max_word_rows:
         raise ValueError(
-            f"word-frequency table has {n_rows} rows > max_word_rows="
-            f"{max_word_rows}; pre-filter rare words (e.g. n >= 2) or "
-            "raise the cap explicitly"
+            f"word-frequency table exceeds max_word_rows={max_word_rows}; "
+            "pre-filter rare words (e.g. n >= 2) or raise the cap "
+            "explicitly"
         )
-    freq = [(r["word"], r["n"]) for r in wf.collect()]
+    freq = [(r["word"], r["n"]) for r in rows]
     freq.sort()  # collect order is partition-dependent; training is not
     return train_merges(freq, n_merges)
 
@@ -161,15 +201,28 @@ def bpe_apply(
     via broadcast (not closure bytes). Per-row Python is unavoidable
     here — greedy rank-priority merging is sequential per word — but
     each batch amortizes it over thousands of rows, and the normalize/
-    split stays JVM-side."""
+    split stays JVM-side. NULL text encodes as zero tokens (CDC-fed
+    corpora routinely carry NULLs); the id column keeps its input type.
+    """
     self_contained_pickle(sys.modules[__name__])
     import pandas as pd
+    from pyspark.sql import types as T
 
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast({p: i for i, p in enumerate(merges)})
 
+    # NULL-safe JVM-side: coalesce to empty text so the worker never
+    # sees a None token array
     prepared = fan_out(df).select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tk")
+        F.col(id_col).alias("doc_id"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("tk"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", df.schema[id_col].dataType),
+            T.StructField("n_bpe_tokens", T.LongType()),
+            T.StructField("bpe_tokens", T.StringType()),
+        ]
     )
 
     def encode_batches(batches):
@@ -193,6 +246,4 @@ def bpe_apply(
                 {"doc_id": pdf["doc_id"], "n_bpe_tokens": out_n, "bpe_tokens": out_toks}
             )
 
-    return prepared.mapInPandas(
-        encode_batches, "doc_id long, n_bpe_tokens long, bpe_tokens string"
-    )
+    return prepared.mapInPandas(encode_batches, out_schema)

@@ -363,6 +363,21 @@ def winnow_fingerprints(
     return base.select("doc_id", F.explode(fps).alias("fp_hash"))
 
 
+def token_counts(df: DataFrame, text_col: str, out_col: str = "token") -> DataFrame:
+    """(token, n) corpus token-frequency table: explode + filter-empty +
+    map-side-combined groupBy count — the shared corpus-scale pass of
+    ``vocab_topk`` and BPE training (operators/bpe.py)."""
+    from clickhouse_mysql_data_reader_spark.util import fan_out
+
+    return (
+        fan_out(df)
+        .select(F.explode(tokens(F.col(text_col))).alias(out_col))
+        .filter(F.col(out_col) != "")
+        .groupBy(out_col)
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def vocab_topk(
     df: DataFrame,
     text_col: str,
@@ -383,12 +398,7 @@ def vocab_topk(
 
     Deterministic tie-break: equal counts order by token ascending.
     """
-    from clickhouse_mysql_data_reader_spark.util import fan_out
-
-    toks = fan_out(df).select(
-        F.explode(tokens(F.col(text_col))).alias("token")
-    ).filter(F.col("token") != "")
-    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    counts = token_counts(df, text_col)
     if min_count > 1:
         counts = counts.filter(F.col("n") >= min_count)
     return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(top_n)

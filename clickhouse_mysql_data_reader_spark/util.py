@@ -106,11 +106,32 @@ def plan_report(df: DataFrame) -> dict:
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     nodes = re.findall(r"^\(\d+\) ([A-Za-z]+)", plan, re.M)
+
+    def _split_top_level(s: str) -> list[str]:
+        # split on commas NOT nested inside (), [], or <> — a pushed
+        # In(col, [a,b]) filter and a struct<a:array<int>,b:int> schema
+        # both carry nested commas a naive split would fragment
+        out, depth, cur = [], 0, []
+        for ch in s:
+            if ch in "([<":
+                depth += 1
+            elif ch in ")]>":
+                depth -= 1
+            if ch == "," and depth == 0:
+                out.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        tail = "".join(cur).strip()
+        if tail:
+            out.append(tail)
+        return [x for x in out if x]
+
     scans = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
-        scans.append({"pushed_filters": [f for f in m.group(1).split(", ") if f]})
-    for i, m in enumerate(re.finditer(r"ReadSchema: struct<([^>]*)>", plan)):
-        cols = [c for c in m.group(1).split(",") if c]
+    for m in re.finditer(r"PushedFilters: \[([^\n]*)\]", plan):
+        scans.append({"pushed_filters": _split_top_level(m.group(1))})
+    for i, m in enumerate(re.finditer(r"ReadSchema: struct<(.*)>\s*$", plan, re.M)):
+        cols = _split_top_level(m.group(1))
         if i < len(scans):
             scans[i]["n_read_columns"] = len(cols)
         else:

@@ -352,3 +352,27 @@ def test_plan_report_summarizes_known_plans(spark, sf_correct):
         any("l_shipdate" in f for f in s["pushed_filters"]) for s in rep2["scans"]
     )
     assert any(s.get("n_read_columns", 99) <= 4 for s in rep2["scans"])
+
+
+def test_plan_report_handles_nested_types_and_list_filters(spark, sf_correct):
+    from clickhouse_mysql_data_reader_spark.sources.parquet import load_table
+    from clickhouse_mysql_data_reader_spark.util import plan_report
+
+    # embeddings: (vec_id bigint, embedding array<float>, label int) —
+    # nested type must not truncate the column count
+    emb = load_table(spark, sf_correct, "embeddings")
+    rep = plan_report(emb.select("vec_id", "embedding", "label"))
+    assert any(s.get("n_read_columns") == 3 for s in rep["scans"]), rep
+    # an In-list predicate prints with internal commas; it must stay ONE filter
+    rep2 = plan_report(
+        load_table(spark, sf_correct, "nation").filter(
+            F.col("n_nationkey").isin(1, 2, 3)
+        )
+    )
+    in_filters = [
+        f
+        for s in rep2["scans"]
+        for f in s["pushed_filters"]
+        if f.startswith("In(n_nationkey")
+    ]
+    assert len(in_filters) == 1, rep2
