@@ -463,3 +463,60 @@ def chunk_documents(
         F.size("chunk_tk").cast("long").alias("n_chunk_tokens"),
         F.array_join("chunk_tk", " ").alias("chunk_text"),
     )
+
+
+def lm_surprisal(
+    docs: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Language-model quality scoring (the CCNet/KenLM filter shape,
+    unigram form): score each document by how SURPRISING its tokens are
+    under a reference corpus's unigram distribution — boilerplate and
+    in-domain text scores low, gibberish and off-distribution text
+    scores high; curation keeps the low-to-middle band.
+
+    Token probability is add-one smoothed, ``p = (cnt+1)/(N+V)``; the
+    per-token statistic is the scaled-integer INVERSE probability
+    ``(scale*(N+V)) div (cnt+1)`` rather than a log: integer division
+    is bit-identical across engines and integer SUMS are exact and
+    order-independent, where a log-space score would inherit libm's
+    1-ulp drift and float-sum ordering (the same determinism move as
+    ``tfidf_top_terms``'s scaled idf; surprisal ranks documents the
+    same way perplexity does, weighting rare tokens harder).
+
+    Plan: reference pass = one map-side-combined token count (the
+    ``token_counts`` core; N and V are two scalars collected from it);
+    doc pass = explode + equi-join tokens to counts (the count table is
+    vocab-sized — AQE broadcasts it) + one groupBy doc. Returns
+    (doc_id, n_tokens, n_oov, surprisal) where surprisal =
+    mean inverse-probability / scale (double; one terminal division).
+    """
+    from clickhouse_mysql_data_reader_spark.util import fan_out
+
+    ref_counts = token_counts(reference, ref_text_col or text_col)
+    totals = ref_counts.agg(
+        F.sum("n").alias("N"), F.count("*").alias("V")
+    ).first()
+    n_total, vocab = int(totals["N"] or 0), int(totals["V"] or 0)
+    denom_base = n_total + vocab
+    toks = fan_out(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).filter(F.col("token") != "")
+    scored = (
+        toks.join(ref_counts, "token", "left")
+        .withColumn("_cnt", F.coalesce(F.col("n"), F.lit(0)))
+        .withColumn(
+            "_inv",
+            F.expr(f"CAST({scale} AS BIGINT) * {denom_base} div (_cnt + 1)"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum((F.col("_cnt") == 0).cast("long")).alias("n_oov"),
+        (F.sum("_inv") / (F.count("*") * F.lit(float(scale)))).alias("surprisal"),
+    )

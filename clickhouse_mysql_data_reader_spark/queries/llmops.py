@@ -1230,3 +1230,39 @@ def sample_weighted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars"
     )
     return weighted_sample_topk(docs, "n_chars", "doc_id", k=100)
+
+
+@register(
+    "text_lm_surprisal",
+    f"""
+    WITH norml AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+    tokl AS (
+      SELECT doc_id, tok AS token
+      FROM (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM norml)
+      WHERE tok <> ''
+    ),
+    rc AS (SELECT token, count(*) AS n FROM tokl GROUP BY token),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) + count(*) AS db FROM rc),
+    sc AS (
+      SELECT t.doc_id, coalesce(rc.n, 0) AS cnt
+      FROM tokl t LEFT JOIN rc USING (token)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN cnt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           sum(CAST(1000000 AS BIGINT) * (SELECT db FROM tot) // (cnt + 1))
+             / (count(*) * 1000000.0) AS surprisal
+    FROM sc GROUP BY doc_id
+    """,
+    doc="Unigram LM quality scoring (CCNet/KenLM filter shape): mean "
+    "add-one-smoothed inverse token probability under the corpus's own "
+    "unigram distribution — scaled-INTEGER per-token statistic (bigint "
+    "div), so sums are exact and order-independent where log-space "
+    "perplexity would inherit libm 1-ulp drift; one terminal double "
+    "division. Same determinism move as tfidf's scaled idf.",
+)
+def text_lm_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.text import lm_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_surprisal(docs, docs, text_col="text", id_col="doc_id")

@@ -138,9 +138,13 @@ QUERIES: dict[str, QueryDef] = {}
 #     checked text_vocab_topk; its md5-uniform draw arithmetic is the
 #     hash_bucket machinery the checked sample_stratified_split and
 #     sample_source_cap already hash-verify
+#   - text_lm_surprisal: explode + count + broadcast-join + per-doc agg,
+#     the plan family of the checked text_tfidf_top_terms (which also
+#     hash-verifies the scaled-integer-div determinism trick both use)
 DEPRIORITIZED = (
     "doc_chunk_overlap",
     "sample_weighted_topk",
+    "text_lm_surprisal",
     "dedup_simhash",
     "topk_global",
     "scalar_string_funcs",

@@ -376,3 +376,36 @@ def test_plan_report_handles_nested_types_and_list_filters(spark, sf_correct):
         if f.startswith("In(n_nationkey")
     ]
     assert len(in_filters) == 1, rep2
+
+
+# --- LM surprisal quality scoring ------------------------------------------
+
+
+def test_lm_surprisal_hand_computed(spark):
+    from clickhouse_mysql_data_reader_spark.operators.text import lm_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    # self-reference: counts a=3,b=1,c=1; N=5, V=3, denom=8, scale=1e6
+    # inv(a)=8e6 div 4=2e6; inv(b)=inv(c)=8e6 div 2=4e6
+    out = {r.doc_id: r for r in lm_surprisal(docs, docs).collect()}
+    assert out[1].n_tokens == 3 and out[1].n_oov == 0
+    assert out[1].surprisal == pytest.approx((2e6 + 2e6 + 4e6) / 3e6)
+    assert out[2].surprisal == pytest.approx((2e6 + 4e6) / 2e6)
+
+    # OOV against a disjoint reference: cnt=0 path, n_oov counted
+    ref = spark.createDataFrame([(9, "x x x")], "doc_id long, text string")
+    scored = {r.doc_id: r for r in lm_surprisal(docs, ref).collect()}
+    assert scored[1].n_oov == 3
+    # ref: x=3 -> N=3,V=1,denom=4; OOV inv = 4e6 div 1 = 4e6
+    assert scored[1].surprisal == pytest.approx(4.0)
+    # a fluent (in-distribution) doc scores LOWER than gibberish
+    mixed_ref = spark.createDataFrame(
+        [(9, "common common common common rare")], "doc_id long, text string"
+    )
+    fluent = spark.createDataFrame([(1, "common common")], "doc_id long, text string")
+    weird = spark.createDataFrame([(1, "zzz qqq")], "doc_id long, text string")
+    s_fluent = lm_surprisal(fluent, mixed_ref).collect()[0].surprisal
+    s_weird = lm_surprisal(weird, mixed_ref).collect()[0].surprisal
+    assert s_fluent < s_weird
