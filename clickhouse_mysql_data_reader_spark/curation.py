@@ -56,6 +56,12 @@ class CurationConfig:
     min_quality_score: float = 0.2
     drop_repetitive: bool = True
     redact_pii: bool = True
+    # opt-in LM quality gate (operators/text.py lm_surprisal): drop docs
+    # whose mean inverse token probability vs the BATCH's own unigram
+    # distribution exceeds this (gibberish / off-distribution text).
+    # None = gate off, zero extra cost; enabling adds one reference
+    # count pass + a semi-join on the id.
+    max_surprisal: float | None = None
     near_dup_jaccard: float = 0.8
     contamination_threshold: float = 0.5
     # mixture shaping is optional: None keeps every surviving source whole
@@ -106,6 +112,23 @@ def _row_stages(
     if cfg.drop_repetitive:
         gated = gated.filter(~F.col("flag_repetitive"))
     gated = gated.select(*docs.columns)
+
+    if cfg.max_surprisal is not None:
+        # LM gate AFTER the cheap expression gates (score survivors
+        # only). Self-referenced: the batch's own unigram distribution
+        # is the reference, so off-distribution/gibberish docs score
+        # high. Inherently corpus-level (needs the reference counts),
+        # so unlike the inline gates this costs one narrow semi-join;
+        # docs with zero tokens have no surprisal rows and are dropped
+        # (they never survive the quality gate anyway).
+        from clickhouse_mysql_data_reader_spark.operators.text import lm_surprisal
+
+        keep = (
+            lm_surprisal(gated, gated, text_col=text_col, id_col=id_col)
+            .filter(F.col("surprisal") <= cfg.max_surprisal)
+            .select(F.col("doc_id").alias(id_col))
+        )
+        gated = gated.join(keep, id_col, "left_semi")
 
     if cfg.redact_pii:
         from clickhouse_mysql_data_reader_spark.operators.text import (
