@@ -118,17 +118,26 @@ def _row_stages(
         # only). Self-referenced: the batch's own unigram distribution
         # is the reference, so off-distribution/gibberish docs score
         # high. Inherently corpus-level (needs the reference counts),
-        # so unlike the inline gates this costs one narrow semi-join;
-        # docs with zero tokens have no surprisal rows and are dropped
-        # (they never survive the quality gate anyway).
+        # so unlike the inline gates this is a join, phrased as a
+        # LEFT-ANTI against the over-threshold DROP set: docs with zero
+        # tokens have no surprisal row and therefore SURVIVE (the gate
+        # only drops what it scored; the quality gate owns empty docs).
+        # The gated lineage feeds four plan subtrees (totals, count
+        # join side, token side, anti probe) — a lazy persist lets them
+        # share one materialization instead of re-running the upstream
+        # gates per subtree; released with the session caches
+        # (clearCache / unpersist by the caller that acts on the plan).
+        from pyspark import StorageLevel
+
         from clickhouse_mysql_data_reader_spark.operators.text import lm_surprisal
 
-        keep = (
+        gated = gated.persist(StorageLevel.MEMORY_AND_DISK)
+        drop_lm = (
             lm_surprisal(gated, gated, text_col=text_col, id_col=id_col)
-            .filter(F.col("surprisal") <= cfg.max_surprisal)
+            .filter(F.col("surprisal") > cfg.max_surprisal)
             .select(F.col("doc_id").alias(id_col))
         )
-        gated = gated.join(keep, id_col, "left_semi")
+        gated = gated.join(drop_lm, id_col, "left_anti")
 
     if cfg.redact_pii:
         from clickhouse_mysql_data_reader_spark.operators.text import (

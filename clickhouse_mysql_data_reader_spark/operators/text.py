@@ -489,34 +489,64 @@ def lm_surprisal(
     same way perplexity does, weighting rare tokens harder).
 
     Plan: reference pass = one map-side-combined token count (the
-    ``token_counts`` core; N and V are two scalars collected from it);
-    doc pass = explode + equi-join tokens to counts (the count table is
+    ``token_counts`` core); N and V stay IN-PLAN (a broadcast crossJoin
+    of the 1-row totals aggregate — no driver action, so composing
+    callers like ``curate()`` keep their documented laziness); doc pass
+    = explode + equi-join tokens to counts (the count table is
     vocab-sized — AQE broadcasts it) + one groupBy doc. Returns
     (doc_id, n_tokens, n_oov, surprisal) where surprisal =
     mean inverse-probability / scale (double; one terminal division).
+
+    Overflow envelope: the per-token statistic must fit a BIGINT, i.e.
+    ``scale * (N+V) <= 2^63-1`` — an in-plan guard RAISES past it (and
+    on an empty reference, where every score would degenerate to 0.0)
+    instead of letting non-ANSI arithmetic wrap into silently-tiny
+    surprisal for exactly the worst documents. At the default scale the
+    bound is a ~9-trillion-token reference; shrink ``scale`` (or prune
+    rare reference tokens) beyond that. Per-DOC sums are immune
+    regardless: they accumulate in DECIMAL(38,0) (DuckDB: HUGEINT),
+    exact and order-independent.
     """
     from clickhouse_mysql_data_reader_spark.util import fan_out
 
+    max_denom = ((1 << 63) - 1) // scale
     ref_counts = token_counts(reference, ref_text_col or text_col)
     totals = ref_counts.agg(
-        F.sum("n").alias("N"), F.count("*").alias("V")
-    ).first()
-    n_total, vocab = int(totals["N"] or 0), int(totals["V"] or 0)
-    denom_base = n_total + vocab
+        F.coalesce(F.sum("n"), F.lit(0)).alias("_N"), F.count("*").alias("_V")
+    )
     toks = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("token"),
     ).filter(F.col("token") != "")
+    denom = F.col("_N") + F.col("_V")
     scored = (
         toks.join(ref_counts, "token", "left")
+        .crossJoin(F.broadcast(totals))
         .withColumn("_cnt", F.coalesce(F.col("n"), F.lit(0)))
         .withColumn(
+            "_db",
+            F.when((denom > 0) & (denom <= max_denom), denom).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "lm_surprisal: reference N+V out of range "
+                            f"(0, {max_denom}] for scale={scale}: "
+                        ),
+                        denom.cast("string"),
+                    )
+                )
+            ),
+        )
+        .withColumn(
             "_inv",
-            F.expr(f"CAST({scale} AS BIGINT) * {denom_base} div (_cnt + 1)"),
+            F.expr(f"CAST({scale} AS BIGINT) * _db div (_cnt + 1)"),
         )
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.sum((F.col("_cnt") == 0).cast("long")).alias("n_oov"),
-        (F.sum("_inv") / (F.count("*") * F.lit(float(scale)))).alias("surprisal"),
+        (
+            F.sum(F.col("_inv").cast("decimal(38,0)")).cast("double")
+            / (F.count("*") * F.lit(float(scale)))
+        ).alias("surprisal"),
     )

@@ -857,3 +857,30 @@ def test_curate_lm_surprisal_gate_drops_gibberish(spark):
     }
     assert 3 not in lm_kept, "gibberish must fail the LM gate"
     assert {1, 2} <= lm_kept, "fluent docs survive the LM gate"
+
+
+def test_curate_lm_gate_spares_unscored_docs_and_stays_lazy(spark):
+    """The LM gate only drops what it SCORED: a doc with no tokens has
+    no surprisal row and must survive when thresholds would otherwise
+    keep it (the gate is an anti-join against the over-threshold set,
+    not a semi-join against the scored set). And enabling the gate must
+    not execute anything at curate() build time (laziness contract)."""
+    from clickhouse_mysql_data_reader_spark.operators.text import lm_surprisal
+
+    docs = _mk_docs(spark, [(1, "web", GOOD), (2, "web", "   ")])
+    # building the scorer plan must launch NO jobs (the totals stay
+    # in-plan; an eager .first() here previously ran the full upstream
+    # at composition time)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    plan = lm_surprisal(docs, docs, text_col="text", id_col="doc_id")
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "lm_surprisal build must stay lazy"
+    assert plan.columns == ["doc_id", "n_tokens", "n_oov", "surprisal"]
+
+    cfg = CurationConfig(
+        min_quality_score=0.0, drop_repetitive=False, max_surprisal=1e9,
+        near_dup_jaccard=0.5,
+    )
+    kept = {r["doc_id"] for r in curate(docs, cfg=cfg).quality_gated.collect()}
+    assert kept == {1, 2}, "zero-token doc must survive an effectively-infinite gate"

@@ -409,3 +409,14 @@ def test_lm_surprisal_hand_computed(spark):
     s_fluent = lm_surprisal(fluent, mixed_ref).collect()[0].surprisal
     s_weird = lm_surprisal(weird, mixed_ref).collect()[0].surprisal
     assert s_fluent < s_weird
+
+
+def test_lm_surprisal_empty_reference_raises(spark):
+    from clickhouse_mysql_data_reader_spark.operators.text import lm_surprisal
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    # every score would degenerate to 0.0 ("perfectly predictable") —
+    # the in-plan guard makes the degenerate input loud at action time
+    with pytest.raises(Exception, match="out of range"):
+        lm_surprisal(docs, empty).collect()
