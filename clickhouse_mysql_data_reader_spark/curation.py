@@ -59,8 +59,12 @@ class CurationConfig:
     # opt-in LM quality gate (operators/text.py lm_surprisal): drop docs
     # whose mean inverse token probability vs the BATCH's own unigram
     # distribution exceeds this (gibberish / off-distribution text).
-    # None = gate off, zero extra cost; enabling adds one reference
-    # count pass + a semi-join on the id.
+    # None = gate off, zero extra cost. Enabling adds an ANTI-join
+    # against the over-threshold set (docs the scorer produced no row
+    # for — zero tokens — survive), and the gated lineage feeds the
+    # scorer's several plan subtrees, so each action re-runs the cheap
+    # expression gates a few times — persist/checkpoint the input
+    # yourself if its upstream is expensive.
     max_surprisal: float | None = None
     near_dup_jaccard: float = 0.8
     contamination_threshold: float = 0.5
@@ -123,15 +127,16 @@ def _row_stages(
         # tokens have no surprisal row and therefore SURVIVE (the gate
         # only drops what it scored; the quality gate owns empty docs).
         # The gated lineage feeds four plan subtrees (totals, count
-        # join side, token side, anti probe) — a lazy persist lets them
-        # share one materialization instead of re-running the upstream
-        # gates per subtree; released with the session caches
-        # (clearCache / unpersist by the caller that acts on the plan).
-        from pyspark import StorageLevel
-
+        # join side, token side, anti probe), so each action re-runs
+        # the expression gates a few times. Deliberately NOT persisted
+        # here: an internal persist has no release point (this frame is
+        # a lazy intermediate — batch callers never see it, and a
+        # streaming epoch would leak one cache entry per trigger for
+        # the session's lifetime). The re-run cost is scan+regex per
+        # subtree; callers with an expensive upstream should persist or
+        # checkpoint the INPUT frame, whose lifecycle they own.
         from clickhouse_mysql_data_reader_spark.operators.text import lm_surprisal
 
-        gated = gated.persist(StorageLevel.MEMORY_AND_DISK)
         drop_lm = (
             lm_surprisal(gated, gated, text_col=text_col, id_col=id_col)
             .filter(F.col("surprisal") > cfg.max_surprisal)
