@@ -56,6 +56,14 @@ class CurationConfig:
     min_quality_score: float = 0.2
     drop_repetitive: bool = True
     redact_pii: bool = True
+    # opt-in Gopher rule filter (operators/text.py gopher_rules, Rae et
+    # al. 2021 App. A): word-count/word-length bounds, symbol ratio,
+    # bullet/ellipsis line fractions, alphabetic fraction, stopword
+    # floor. Inline expression gate — same scan as the quality gate,
+    # zero extra shuffles. ``gopher_thresholds`` overrides the paper
+    # defaults (keyword names of gopher_rules).
+    apply_gopher: bool = False
+    gopher_thresholds: dict | None = None
     # opt-in LM quality gate (operators/text.py lm_surprisal): drop docs
     # whose mean inverse token probability vs the BATCH's own unigram
     # distribution exceeds this (gibberish / off-distribution text).
@@ -116,6 +124,20 @@ def _row_stages(
     if cfg.drop_repetitive:
         gated = gated.filter(~F.col("flag_repetitive"))
     gated = gated.select(*docs.columns)
+
+    if cfg.apply_gopher:
+        # rule gate rides the same scan (expression-only, no shuffle);
+        # placed after the statistical gates so both report through
+        # stage_counts the way a pipeline operator orders its drops
+        from clickhouse_mysql_data_reader_spark.operators.text import (
+            gopher_gate_columns,
+        )
+
+        gated = (
+            gopher_gate_columns(gated, text_col, **(cfg.gopher_thresholds or {}))
+            .filter(F.col("pass_gopher"))
+            .select(*docs.columns)
+        )
 
     if cfg.max_surprisal is not None:
         # LM gate AFTER the cheap expression gates (score survivors

@@ -118,6 +118,171 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# Gopher rule-filter stopword set (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", App. A
+# MassiveWeb filters): a document must contain >= 2 DISTINCT members.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _gopher_base(df: DataFrame, text_col: str, keep: list[str]) -> DataFrame:
+    """Staged Gopher statistics over ``keep`` columns: normalize +
+    tokenize ONCE behind projection boundaries (same re-evaluation
+    hazard as quality_features — every word stat references the token
+    array). Word stats come from NORMALIZED text (shared ``tokens``
+    helper); line stats come from the RAW text split on newlines,
+    because normalization collapses the newlines the bullet/ellipsis
+    rules need."""
+    from clickhouse_mysql_data_reader_spark.util import fan_out
+
+    raw = F.col(text_col)
+    n_dots = (F.length(raw) - F.length(F.replace(raw, F.lit("...")))) / 3
+    n_uni_ellipsis = F.length(raw) - F.length(F.replace(raw, F.lit("…")))
+    n_hash = F.length(raw) - F.length(F.replace(raw, F.lit("#")))
+    return (
+        fan_out(df, bytes_per_task=128 * 1024)
+        .select(
+            *keep,
+            normalize_text(raw).alias("_gnt"),
+            F.split(raw, "\n").alias("_gln"),
+            (n_hash + n_dots + n_uni_ellipsis).alias("_n_sym"),
+        )
+        .select(
+            *keep,
+            "_gnt",
+            "_gln",
+            "_n_sym",
+            F.split(F.col("_gnt"), " ").alias("_gtk"),
+            F.size("_gln").alias("_n_ln"),
+        )
+        .select(
+            *keep,
+            "_n_sym",
+            "_n_ln",
+            F.size("_gtk").alias("n_words"),
+            F.length("_gnt").alias("_nt_len"),
+            F.size(F.filter("_gtk", lambda t: t.rlike("[a-z]"))).alias("_n_alpha"),
+            F.size(
+                F.array_distinct(F.filter("_gtk", lambda t: t.isin(*GOPHER_STOPWORDS)))
+            ).alias("n_stop_types"),
+            F.size(
+                F.filter("_gln", lambda l: F.trim(l).rlike(r"^[-*•]"))
+            ).alias("_n_bullet"),
+            F.size(
+                F.filter("_gln", lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+            ).alias("_n_ellipsis"),
+        )
+    )
+
+
+# Gopher-stat derived expressions over a _gopher_base frame.
+_GOPHER_EXPRS = {
+    "mean_word_len": lambda: (F.col("_nt_len") - (F.col("n_words") - F.lit(1)))
+    / F.col("n_words"),
+    "symbol_ratio": lambda: F.col("_n_sym") / F.col("n_words"),
+    "bullet_frac": lambda: F.col("_n_bullet") / F.col("_n_ln"),
+    "ellipsis_frac": lambda: F.col("_n_ellipsis") / F.col("_n_ln"),
+    "alpha_frac": lambda: F.col("_n_alpha") / F.col("n_words"),
+}
+
+
+def _gopher_pass_expr(
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    max_symbol_ratio: float,
+    max_bullet_frac: float,
+    max_ellipsis_frac: float,
+    min_alpha_frac: float,
+    min_stop_types: int,
+) -> Column:
+    e = {k: f() for k, f in _GOPHER_EXPRS.items()}
+    return (
+        F.col("n_words").between(min_words, max_words)
+        & e["mean_word_len"].between(min_mean_word_len, max_mean_word_len)
+        & (e["symbol_ratio"] <= max_symbol_ratio)
+        & (e["bullet_frac"] <= max_bullet_frac)
+        & (e["ellipsis_frac"] <= max_ellipsis_frac)
+        & (e["alpha_frac"] >= min_alpha_frac)
+        & (F.col("n_stop_types") >= min_stop_types)
+    )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_types: int = 2,
+) -> DataFrame:
+    """Gopher quality-rule features + pass flag (Rae et al. 2021,
+    App. A): word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio ('#' and ellipses), bullet-/ellipsis-line fractions,
+    alphabetic-word fraction, and a distinct-stopword floor. The
+    standard rule-based web filter that complements the statistical
+    ``quality_features`` score.
+
+    Per-row expression work only — at 100 TB this rides the scan stage
+    (no shuffle, no Python). Ratios are raw IEEE divisions (int/int
+    lowers identically in Spark and DuckDB), so values hash-verify
+    without rounding. ``gopher_gate_columns`` attaches just the pass
+    flag for the curation pipeline (same expression core, can't drift).
+    """
+    base = _gopher_base(df, text_col, keep=[id_col])
+    passes = _gopher_pass_expr(
+        min_words,
+        max_words,
+        min_mean_word_len,
+        max_mean_word_len,
+        max_symbol_ratio,
+        max_bullet_frac,
+        max_ellipsis_frac,
+        min_alpha_frac,
+        min_stop_types,
+    )
+    return base.select(
+        F.col(id_col),
+        F.col("n_words"),
+        _GOPHER_EXPRS["mean_word_len"]().alias("mean_word_len"),
+        _GOPHER_EXPRS["symbol_ratio"]().alias("symbol_ratio"),
+        _GOPHER_EXPRS["bullet_frac"]().alias("bullet_frac"),
+        _GOPHER_EXPRS["ellipsis_frac"]().alias("ellipsis_frac"),
+        _GOPHER_EXPRS["alpha_frac"]().alias("alpha_frac"),
+        F.col("n_stop_types"),
+        passes.alias("pass_gopher"),
+    )
+
+
+def gopher_gate_columns(df: DataFrame, text_col: str, **thresholds) -> DataFrame:
+    """Attach ``pass_gopher`` to every row of ``df`` (all original
+    columns preserved) in one scan with zero shuffles — the curation
+    pipeline's rule-gate stage, sharing ``gopher_rules``'s expression
+    core so the gate and the oracle-checked feature query can't drift.
+    ``thresholds`` override the paper defaults (same keyword names as
+    ``gopher_rules``)."""
+    import inspect
+
+    defaults = {
+        k: p.default
+        for k, p in inspect.signature(gopher_rules).parameters.items()
+        if p.default is not inspect.Parameter.empty
+    }
+    unknown = set(thresholds) - set(defaults)
+    if unknown:
+        raise TypeError(f"unknown gopher thresholds: {sorted(unknown)}")
+    base = _gopher_base(df, text_col, keep=list(df.columns))
+    return base.select(
+        *df.columns, _gopher_pass_expr(**{**defaults, **thresholds}).alias("pass_gopher")
+    )
+
+
 def fingerprint_documents(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Stable 128-bit content fingerprint (md5 of normalized text) —
     the join key for cross-corpus exact dedup."""
@@ -375,6 +540,47 @@ def token_counts(df: DataFrame, text_col: str, out_col: str = "token") -> DataFr
         .filter(F.col(out_col) != "")
         .groupBy(out_col)
         .agg(F.count("*").alias("n"))
+    )
+
+
+def ngram_boilerplate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    min_docs: int = 5,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus-internal boilerplate detection: per-document coverage by
+    k-gram shingles that appear in >= ``min_docs`` DISTINCT documents —
+    the frequent-fragment analog of CCNet/RefinedWeb repeated-paragraph
+    removal, at n-gram granularity so it also catches templated text
+    with no line structure. Rows with high ``boiler_frac`` are
+    near-copies of corpus-wide boilerplate (headers, footers, licence
+    blocks) even when no single pairwise near-dup fires.
+
+    Plan shape at 100 TB: one shingle explode (shared ``shingle_table``
+    core, distinct per doc so a doc repeating its own fragment counts
+    once), a map-side-combined count per shingle hash, a shingle-keyed
+    join back (left to AQE: the frequent tail is small after the
+    ``min_docs`` filter in web corpora, so it usually broadcasts), and
+    one per-doc aggregation. The corpus text crosses the wire only as
+    60-bit shingle hashes. The shingle subtree has TWO consumers (the
+    frequency count and the join back), so callers with an expensive
+    upstream should build ``shingle_table`` themselves, persist it with
+    a lifecycle they own, and pass it via ``shingles`` — the same
+    caller-owned-persist contract as ``dedup.jaccard_pairs``.
+    """
+    from clickhouse_mysql_data_reader_spark.operators.dedup import shingle_table
+
+    sh = shingles if shingles is not None else shingle_table(df, text_col, id_col, k=k)
+    freq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("n_docs"))
+    boiler = freq.filter(F.col("n_docs") >= min_docs)
+    hits = sh.join(boiler, "sh_h", "left")
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count(F.col("n_docs")).alias("boiler_hits"),
+        (F.count(F.col("n_docs")) / F.count(F.lit(1))).alias("boiler_frac"),
     )
 
 

@@ -30,8 +30,11 @@ from clickhouse_mysql_data_reader_spark.operators.dedup import (
 from clickhouse_mysql_data_reader_spark.operators.similarity import cosine_topk, ivf_topk
 from clickhouse_mysql_data_reader_spark.operators.text import (
     EN_STOPWORDS,
+    GOPHER_STOPWORDS,
     fingerprint_documents,
+    gopher_rules,
     lang_id,
+    ngram_boilerplate,
     quality_features,
     stopword_ratio,
 )
@@ -1266,3 +1269,93 @@ def text_lm_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return lm_surprisal(docs, docs, text_col="text", id_col="doc_id")
+
+
+_GOPHER_SW = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+
+@register(
+    "text_gopher_rules",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_NORM} AS nt FROM documents),
+    s AS (
+      SELECT doc_id,
+        (length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) / 3
+          + (length(text) - length(replace(text, '…', ''))) AS n_sym,
+        string_split(text, chr(10)) AS ln,
+        string_split(nt, ' ') AS tk,
+        length(nt) AS nt_len
+      FROM t
+    ),
+    f AS (
+      SELECT doc_id, n_sym, nt_len,
+        len(ln) AS n_ln,
+        len(tk) AS n_words,
+        len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+        len(list_distinct(list_filter(tk, x -> x IN ({_GOPHER_SW}))))
+          AS n_stop_types,
+        len(list_filter(ln, x -> regexp_matches(trim(x), '^[-*•]')))
+          AS n_bullet,
+        len(list_filter(ln, x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$')))
+          AS n_ellipsis
+      FROM s
+    )
+    SELECT doc_id, n_words,
+      (nt_len - (n_words - 1)) / n_words AS mean_word_len,
+      n_sym / n_words AS symbol_ratio,
+      n_bullet / n_ln AS bullet_frac,
+      n_ellipsis / n_ln AS ellipsis_frac,
+      n_alpha / n_words AS alpha_frac,
+      n_stop_types,
+      (n_words BETWEEN 40 AND 100000)
+        AND ((nt_len - (n_words - 1)) / n_words BETWEEN 3.0 AND 10.0)
+        AND (n_sym / n_words <= 0.1)
+        AND (n_bullet / n_ln <= 0.9)
+        AND (n_ellipsis / n_ln <= 0.3)
+        AND (n_alpha / n_words >= 0.8)
+        AND (n_stop_types >= 1) AS pass_gopher
+    FROM f
+    """,
+    doc="Gopher rule filter (Rae et al. 2021 App. A): word-count and "
+    "mean-word-length bounds, symbol-to-word ratio, bullet/ellipsis "
+    "line fractions, alphabetic-word fraction, distinct-stopword floor "
+    "— all scan-stage expressions, zero shuffles. min_words/stopword "
+    "thresholds tuned to the synthetic word-soup corpus so the flag "
+    "varies; the operator defaults are the paper's.",
+)
+def text_gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules(
+        docs, "text", "doc_id", min_words=40, min_stop_types=1
+    )
+
+
+@register(
+    "text_boilerplate_ngrams",
+    f"""
+    WITH {_SHINGLE_CTE},
+    freq AS (SELECT sh_h, count(*) AS n_docs FROM sh GROUP BY sh_h),
+    boiler AS (SELECT sh_h FROM freq WHERE n_docs >= 3)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(b.sh_h) AS BIGINT) AS boiler_hits,
+           count(b.sh_h) / count(*) AS boiler_frac
+    FROM sh s LEFT JOIN boiler b USING (sh_h)
+    GROUP BY s.doc_id
+    """,
+    doc="Corpus-internal boilerplate coverage: fraction of each doc's "
+    "3-gram shingles appearing in >= 3 distinct documents (CCNet/"
+    "RefinedWeb repeated-fragment removal at n-gram granularity). One "
+    "shingle explode shared by the frequency count and the join back; "
+    "text crosses the wire only as 60-bit hashes.",
+)
+def text_boilerplate_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    # caller-owned persist (two consumers: freq + join back); released
+    # by unpersist/clearCache after the action, same as dedup_ngram_jaccard
+    sh = shingle_table(docs, "text", "doc_id", k=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return ngram_boilerplate(docs, "text", "doc_id", min_docs=3, shingles=sh)

@@ -141,10 +141,26 @@ QUERIES: dict[str, QueryDef] = {}
 #   - text_lm_surprisal: explode + count + broadcast-join + per-doc agg,
 #     the plan family of the checked text_tfidf_top_terms (which also
 #     hash-verifies the scaled-integer-div determinism trick both use)
+# ...and two more round-5 displacements to admit the Gopher rule filter
+# and the n-gram boilerplate coverage (both new first-class curation
+# operators) into the checked 50:
+#   - text_lang_id: its stopword-ratio machinery (sw_hits / n_tokens
+#     over the shared tokens helper) is hash-verified inside the
+#     checked text_quality_score's stopword_ratio column; lang_pred is
+#     a constant-threshold CASE over that ratio. Driver-verified
+#     unchanged r1-r4, pytest-oracle-checked every round.
+#   - dedup_minhash_signatures: the identical signature pipeline
+#     (duplicate-insensitive shingle_table + affine min-hash family)
+#     re-runs INSIDE the checked dedup_lsh_jaccard's candidate
+#     generation, whose hash check covers the signature values via the
+#     band hashes; also still timed as a bench headline. Driver-verified
+#     unchanged r1-r4.
 DEPRIORITIZED = (
     "doc_chunk_overlap",
     "sample_weighted_topk",
     "text_lm_surprisal",
+    "text_lang_id",
+    "dedup_minhash_signatures",
     "dedup_simhash",
     "topk_global",
     "scalar_string_funcs",

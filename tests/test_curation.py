@@ -884,3 +884,31 @@ def test_curate_lm_gate_spares_unscored_docs_and_stays_lazy(spark):
     )
     kept = {r["doc_id"] for r in curate(docs, cfg=cfg).quality_gated.collect()}
     assert kept == {1, 2}, "zero-token doc must survive an effectively-infinite gate"
+
+
+def test_curate_gopher_gate_drops_rule_violations(spark):
+    """Opt-in Gopher rule gate: a bullet-list doc that PASSES the
+    statistical quality gate is dropped by the rule filter; fluent prose
+    survives. Off by default (apply_gopher=False keeps the doc), and
+    thresholds are overridable per CurationConfig.gopher_thresholds."""
+    bullets = GOOD + "\n" + "\n".join(f"- bullet row {i} here" for i in range(20))
+    docs = _mk_docs(spark, [(1, "web", GOOD), (2, "web", bullets)])
+
+    base = CurationConfig(near_dup_jaccard=0.5)
+    kept = {r["doc_id"] for r in curate(docs, cfg=base).quality_gated.collect()}
+    assert kept == {1, 2}, "sanity: gate off keeps the bullet doc"
+
+    g_cfg = CurationConfig(
+        near_dup_jaccard=0.5,
+        apply_gopher=True,
+        gopher_thresholds={"min_words": 10, "min_stop_types": 1,
+                           "max_bullet_frac": 0.5},
+    )
+    g_kept = {r["doc_id"] for r in curate(docs, cfg=g_cfg).quality_gated.collect()}
+    assert g_kept == {1}
+
+    import pytest as _pytest
+
+    bad = CurationConfig(apply_gopher=True, gopher_thresholds={"nope": 1})
+    with _pytest.raises(TypeError, match="unknown gopher thresholds"):
+        curate(docs, cfg=bad).quality_gated.collect()

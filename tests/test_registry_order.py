@@ -24,6 +24,11 @@ DRIVER_CAP = 50
 # displaced dedup_simhash (pipeline runs inside the checked near
 # query), topk_global (TakeOrderedAndProject is text_vocab_topk's
 # final stage) and scalar_string_funcs (family keeps scalar_json).
+# Then text_gopher_rules / text_boilerplate_ngrams displaced
+# text_lang_id (a constant-threshold CASE over the stopword ratio the
+# checked text_quality_score hash-verifies) and
+# dedup_minhash_signatures (pipeline re-runs inside the checked
+# dedup_lsh_jaccard's candidate stage; still a bench headline).
 MUST_BE_CHECKED = {
     "q1_pricing_summary",
     "agg_approx_distinct",
@@ -55,14 +60,14 @@ MUST_BE_CHECKED = {
     "cdc_apply_final_state",
     "csv_roundtrip_nation",
     "dedup_exact_groups",
-    "dedup_minhash_signatures",
     "dedup_lsh_jaccard",
     "dedup_embed_near",
     "doc_winnow_fingerprint",
     "embed_cosine_topk",
     "embed_ivf_topk",
-    "text_lang_id",
     "text_quality_score",
+    "text_gopher_rules",
+    "text_boilerplate_ngrams",
     "dedup_cluster_components",
     "sample_stratified_split",
     "text_pii_redact",

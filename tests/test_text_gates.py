@@ -1,0 +1,143 @@
+"""Gopher rule filter and n-gram boilerplate coverage — unit tests with
+crafted adversarial rows (bullets, ellipses, symbol soup, planted
+boilerplate fragments) that the synthetic word-soup corpus can't
+exercise. The oracle parity of both registered queries is covered by
+test_oracle_queries.py; these tests pin per-RULE behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_mysql_data_reader_spark.operators.text import (
+    gopher_rules,
+    ngram_boilerplate,
+)
+
+# A fluent sentence long enough to pass the (test-sized) word floor.
+_GOOD = (
+    "the quick brown fox jumps over the lazy dog and then runs off "
+    "to the river with a happy bark that echoes through the valley"
+)
+
+
+def _rules(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = gopher_rules(df, "text", "doc_id", **kw)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_gopher_good_doc_passes(spark):
+    got = _rules(spark, [(1, _GOOD)], min_words=10)
+    r = got[1]
+    assert r["pass_gopher"] is True
+    assert r["n_stop_types"] >= 2  # the, to, and, with
+    assert r["symbol_ratio"] == 0.0
+    assert r["alpha_frac"] == 1.0
+
+
+def test_gopher_word_count_bounds(spark):
+    got = _rules(spark, [(1, "too short"), (2, _GOOD)], min_words=10)
+    assert got[1]["pass_gopher"] is False  # 2 words < floor
+    assert got[2]["pass_gopher"] is True
+
+
+def test_gopher_symbol_ratio(spark):
+    # 24 words but every fourth token is a '#' burst: ratio > 0.1
+    noisy = _GOOD + " ### ## #"
+    got = _rules(spark, [(1, noisy)], min_words=10)
+    assert got[1]["symbol_ratio"] > 0.1
+    assert got[1]["pass_gopher"] is False
+
+
+def test_gopher_bullet_lines(spark):
+    bullets = "\n".join(f"- item {i} is listed here" for i in range(10))
+    text = _GOOD + "\n" + bullets
+    got = _rules(spark, [(1, text)], min_words=10, max_bullet_frac=0.5)
+    r = got[1]
+    assert r["bullet_frac"] == 10 / 11
+    assert r["pass_gopher"] is False
+
+
+def test_gopher_ellipsis_lines(spark):
+    lines = [_GOOD, "this line trails off...", "and so does this one…", _GOOD]
+    got = _rules(spark, [(1, "\n".join(lines))], min_words=10)
+    r = got[1]
+    assert r["ellipsis_frac"] == 0.5
+    assert r["pass_gopher"] is False  # 0.5 > 0.3 default
+
+
+def test_gopher_alpha_fraction(spark):
+    digits = " ".join(str(i) for i in range(40))
+    got = _rules(spark, [(1, _GOOD + " " + digits)], min_words=10)
+    r = got[1]
+    assert r["alpha_frac"] < 0.8
+    assert r["pass_gopher"] is False
+
+
+def test_gopher_mean_word_length(spark):
+    # single-char tokens: mean word length 1 < 3 floor
+    short = " ".join("a" for _ in range(60)) + " the of"
+    got = _rules(spark, [(1, short)], min_words=10)
+    r = got[1]
+    assert r["mean_word_len"] < 3
+    assert r["pass_gopher"] is False
+
+
+def test_gopher_stopword_floor(spark):
+    # long and alphabetic but zero Gopher stopwords
+    soup = " ".join(f"zorp{i % 7}blatt" for i in range(60))
+    got = _rules(spark, [(1, soup)], min_words=10)
+    assert got[1]["n_stop_types"] == 0
+    assert got[1]["pass_gopher"] is False
+
+
+# --- n-gram boilerplate ----------------------------------------------------
+
+
+def test_boilerplate_coverage_planted(spark):
+    footer = "all rights reserved by the example corporation of earth"
+    uniques = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+        "red orange yellow green blue indigo violet shade",
+    ]
+    rows = [(i, f"{u} {footer}") for i, u in enumerate(uniques)]
+    rows.append((99, "totally unrelated words appear in this document only"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in ngram_boilerplate(df, "text", "doc_id", min_docs=3).collect()
+    }
+    # the planted footer contributes 7 shared 3-grams to docs 0-2;
+    # the seam shingles (unique-tail + footer-head) differ per doc
+    for i in range(3):
+        assert out[i]["boiler_hits"] == 7
+        assert 0 < out[i]["boiler_frac"] < 1
+    assert out[99]["boiler_hits"] == 0
+    assert out[99]["boiler_frac"] == 0.0
+
+
+def test_boilerplate_own_repeats_dont_count(spark):
+    # a doc repeating ITS OWN fragment stays clean: shingle_table is
+    # distinct per doc, so corpus frequency stays 1
+    frag = "spam spam spam spam spam spam"
+    rows = [(1, f"{frag} {frag} {frag}"), (2, "other words live here today")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in ngram_boilerplate(df, "text", "doc_id", min_docs=2).collect()
+    }
+    assert out[1]["boiler_hits"] == 0
+    assert out[2]["boiler_hits"] == 0
+
+
+def test_boilerplate_respects_prebuilt_shingles(spark):
+    from clickhouse_mysql_data_reader_spark.operators.dedup import shingle_table
+
+    rows = [(i, f"shared prefix words here tail{i} tail{i} tail{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sh = shingle_table(df, "text", "doc_id", k=3)
+    a = ngram_boilerplate(df, "text", "doc_id", min_docs=4).collect()
+    b = ngram_boilerplate(df, "text", "doc_id", min_docs=4, shingles=sh).collect()
+    key = lambda r: r["doc_id"]
+    assert sorted(a, key=key) == sorted(b, key=key)
