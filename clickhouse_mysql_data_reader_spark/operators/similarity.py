@@ -743,3 +743,93 @@ def ivfpq_append(
         vec_col="residual",
     )
     return with_res.select("vec_id", "cell").join(codes, "vec_id")
+
+
+def semantic_dedup_decisions(
+    corpus: DataFrame,
+    threshold: float,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup decision table (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embedding space with the k-means coarse quantizer, form
+    near-duplicate groups WITHIN each cluster (cosine >= ``threshold``
+    pairs -> connected components), and in each group keep exactly one
+    representative — the member with the LOWEST cosine similarity to
+    its cluster centroid (the paper's diversity-preserving choice: the
+    group's least-typical example), ties broken by min id.
+
+    Returns (``id_col``, component, cent_sim, keep) for every vector
+    that belongs to some near-dup group; vectors with no near-dup never
+    appear and are implicitly kept (``semantic_dedup`` handles them).
+
+    Plan shape at 100 TB: Lloyd training + assignment are the shared
+    IVF operators (broadcast-argmin, shuffle only on (cell, dim));
+    pairing is the cell-blocked self-join of ``near_dup_pairs``
+    (sum(|cell|^2) candidates, never |corpus|^2); grouping is
+    ``connected_components`` (diameter-bounded label propagation with
+    a driver-side fast path for small graphs); the keeper election is
+    one window over components, whose sizes are bounded by cluster
+    sizes. The centroid-similarity join broadcasts the k-row centroid
+    table.
+    """
+    from clickhouse_mysql_data_reader_spark.operators.graph import (
+        connected_components,
+    )
+
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_iterate(corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    )
+    assigned = assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col)
+    tagged = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("_v")
+    ).join(assigned, "vec_id")
+    pairs = near_dup_pairs(
+        tagged, threshold, id_col="vec_id", vec_col="_v", cell_col="cell"
+    )
+    comp = connected_components(pairs, src="vec_a", dst="vec_b")
+    cent_sim = tagged.join(F.broadcast(cents), "cell").select(
+        "vec_id", F.round(cosine(F.col("_v"), F.col("centroid")), 6).alias("cent_sim")
+    )
+    w = W.partitionBy("component").orderBy(
+        F.col("cent_sim").asc(), F.col("vec_id").asc()
+    )
+    return (
+        comp.withColumnRenamed("doc_id", "vec_id")
+        .join(cent_sim, "vec_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select(F.col("vec_id").alias(id_col), "component", "cent_sim", "keep")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup: drop all but one representative of every semantic
+    near-duplicate group (see ``semantic_dedup_decisions`` for the
+    method and the keeper rule). Returns the surviving corpus rows with
+    their original columns — vectors in no near-dup group pass through
+    untouched, so the filter is a LEFT-ANTI join against the bounded
+    drop set rather than a join against every vector."""
+    decisions = semantic_dedup_decisions(
+        corpus,
+        threshold,
+        k=k,
+        n_iter=n_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centroids,
+    )
+    drops = decisions.filter(~F.col("keep")).select(id_col)
+    return corpus.join(drops, id_col, "left_anti")
