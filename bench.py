@@ -219,6 +219,8 @@ def main() -> None:
         "dedup_simhash_near": time_query("dedup_simhash_near"),
         "sample_source_cap": time_query("sample_source_cap"),
         "text_vocab_topk": time_query("text_vocab_topk"),
+        "text_gopher_rules": time_query("text_gopher_rules"),
+        "text_boilerplate_ngrams": time_query("text_boilerplate_ngrams"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -64,6 +64,16 @@ class CurationConfig:
     # defaults (keyword names of gopher_rules).
     apply_gopher: bool = False
     gopher_thresholds: dict | None = None
+    # opt-in corpus-level boilerplate gate (operators/text.py
+    # ngram_boilerplate): drop docs whose shingle coverage by
+    # corpus-wide frequent fragments exceeds this (templated
+    # headers/footers/licence text). Batch `curate()` only — it needs
+    # corpus-wide fragment frequencies, which the incremental path's
+    # per-batch view cannot see (a landed-state frequency merge is the
+    # extension point). Reuses the near-dup stage's shingle frame, so
+    # enabling it adds no extra text scan. None = off.
+    max_boiler_frac: float | None = None
+    boiler_min_docs: int = 5
     # opt-in LM quality gate (operators/text.py lm_surprisal): drop docs
     # whose mean inverse token probability vs the BATCH's own unigram
     # distribution exceeds this (gibberish / off-distribution text).
@@ -213,8 +223,30 @@ def curate(
     """
     gated, exact = _row_stages(docs, cfg, text_col, id_col)
 
-    # --- stage 4: near-dup merge (LSH -> Jaccard -> components) ------
+    # --- stage 3b: corpus-level boilerplate gate (optional) -----------
+    # BEFORE near-dup: templated docs would otherwise form giant
+    # near-dup components (every doc sharing the template is a
+    # candidate pair). Shares the shingle frame with the LSH stage, so
+    # the gate costs one count + one anti-join, not another text scan.
     sh = shingle_table(exact, text_col, id_col)
+    boiled = exact
+    if cfg.max_boiler_frac is not None:
+        from clickhouse_mysql_data_reader_spark.operators.text import (
+            ngram_boilerplate,
+        )
+
+        cov = ngram_boilerplate(
+            exact, text_col, id_col, min_docs=cfg.boiler_min_docs, shingles=sh
+        )
+        boiler_drop = cov.filter(
+            F.col("boiler_frac") > cfg.max_boiler_frac
+        ).select(F.col("doc_id").alias(id_col))
+        boiled = exact.join(boiler_drop, id_col, "left_anti")
+        sh = sh.join(
+            boiler_drop.select(F.col(id_col).alias("doc_id")), "doc_id", "left_anti"
+        )
+
+    # --- stage 4: near-dup merge (LSH -> Jaccard -> components) ------
     sigs = minhash_signatures(sh, num_hashes=cfg.minhash_k)
     cands = lsh_candidate_pairs(sigs, num_hashes=cfg.minhash_k, bands=cfg.lsh_bands)
     near_pairs = jaccard_pairs(sh, candidates=cands, min_jaccard=cfg.near_dup_jaccard)
@@ -224,7 +256,7 @@ def curate(
         .filter(F.col("doc_id") != F.col("keeper_id"))
         .select(F.col("doc_id").alias(id_col))
     )
-    deduped = exact.join(drop_ids, id_col, "left_anti")
+    deduped = boiled.join(drop_ids, id_col, "left_anti")
 
     # --- stage 5: decontamination vs the benchmark --------------------
     if benchmark is not None:
@@ -295,6 +327,11 @@ def curate(
             "input": docs,
             "quality_gated": gated,
             "after_exact_dedup": exact,
+            **(
+                {"after_boilerplate": boiled}
+                if cfg.max_boiler_frac is not None
+                else {}
+            ),
             "after_near_dedup": deduped,
             "after_decontamination": clean,
             "after_mixture": mixed,
@@ -923,6 +960,15 @@ def curate_increment(
             f"lsh_bands={cfg.lsh_bands}) does not match the landed state "
             f"(minhash_k={state.minhash_k}, lsh_bands={state.lsh_bands}); "
             "derive the batch's signatures with the state's parameters"
+        )
+    if cfg.max_boiler_frac is not None:
+        # silently ignoring it would skip a gate the caller asked for:
+        # boilerplate frequency is corpus-wide and this path only sees
+        # one batch (merging landed shingle counts is the extension
+        # point if incremental boilerplate gating is ever needed)
+        raise ValueError(
+            "max_boiler_frac is a batch-curate() gate: incremental "
+            "curation cannot see corpus-wide fragment frequencies"
         )
     spark = new_docs.sparkSession
     if state.exists(spark):

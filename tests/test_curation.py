@@ -912,3 +912,48 @@ def test_curate_gopher_gate_drops_rule_violations(spark):
     bad = CurationConfig(apply_gopher=True, gopher_thresholds={"nope": 1})
     with _pytest.raises(TypeError, match="unknown gopher thresholds"):
         curate(docs, cfg=bad).quality_gated.collect()
+
+
+def test_curate_boilerplate_gate_drops_templated_docs(spark):
+    """Opt-in corpus-level boilerplate gate: docs that are mostly a
+    corpus-wide template are dropped before the near-dup stage (they
+    would otherwise form one giant near-dup component); distinct docs
+    and the gate-off default are untouched."""
+    footer = (
+        "all of the rights in this page are reserved to the company "
+        "and its owners for all time"
+    )
+    uniq = ["alpha beta gamma", "delta epsilon zeta", "eta theta iota",
+            "kappa lam mu"]
+    rows = [(i, "web", f"{u} {footer}") for i, u in enumerate(uniq)]
+    rows.append((50, "web", GOOD))
+    rows.append((51, "web", GOOD + " and the fox then went to the den to rest"))
+    docs = _mk_docs(spark, rows)
+
+    off = curate(docs, cfg=CurationConfig(near_dup_jaccard=0.95))
+    assert {r["doc_id"] for r in off.after_near_dedup.collect()} == {0, 1, 2, 3, 50, 51}
+    assert "after_boilerplate" not in off.stage_frames
+
+    on_cfg = CurationConfig(
+        near_dup_jaccard=0.95, max_boiler_frac=0.5, boiler_min_docs=3
+    )
+    on = curate(docs, cfg=on_cfg)
+    kept = {r["doc_id"] for r in on.stage_frames["after_boilerplate"].collect()}
+    assert kept == {50, 51}, "templated docs leave, clean prose stays"
+    assert {r["doc_id"] for r in on.after_near_dedup.collect()} == {50, 51}
+    # the near-dup stage must not see the dropped docs' shingles
+    assert on.near_dup_components.filter(F.col("doc_id") < 50).count() == 0
+
+
+def test_curate_increment_rejects_boilerplate_gate(spark, tmp_path):
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curate_increment,
+    )
+
+    docs = _mk_docs(spark, [(1, "web", GOOD)])
+    state = CurationState(str(tmp_path / "st"))
+    with pytest.raises(ValueError, match="max_boiler_frac"):
+        curate_increment(
+            docs, state, cfg=CurationConfig(max_boiler_frac=0.5)
+        )

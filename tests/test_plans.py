@@ -265,3 +265,30 @@ def test_bloom_prefilter_definite_branch_is_scan_only(spark, sf_correct):
     joins = len(re.findall(r"^\(\d+\) \w*(BroadcastHashJoin|SortMergeJoin)", plan, re.M))
     assert joins == 1, plan[:1500]
     assert re.search(r"^\(\d+\) Union", plan, re.M), plan[:800]
+
+
+def test_gopher_rules_is_shuffle_free(spark, sf_correct):
+    """The Gopher rule filter is scan-stage expressions only — no keyed
+    Exchange, no explode, no Python. Only fan_out's round-robin spread
+    of the under-split local test file may appear."""
+    plan = _formatted(entrymod.queries()["text_gopher_rules"](spark, sf_correct))
+    assert _n_exchanges(plan) <= 1, plan
+    assert "hashpartitioning" not in plan
+    assert "Generate" not in plan
+    assert "Python" not in plan
+
+
+def test_boilerplate_join_is_shingle_keyed(spark, sf_correct):
+    """ngram_boilerplate: the only keyed shuffles are the shingle-hash
+    frequency aggregate, the join back on sh_h, and the final per-doc
+    aggregate — the corpus text itself must cross the wire only as
+    (doc_id, sh_h) longs, never as strings wider than the shingle seam."""
+    plan = _formatted(
+        entrymod.queries()["text_boilerplate_ngrams"](spark, sf_correct)
+    )
+    assert "Python" not in plan
+    # every keyed exchange partitions on sh_h or doc_id, nothing else
+    import re as _re
+
+    for m in _re.finditer(r"hashpartitioning\(([a-zA-Z_#0-9]+)", plan):
+        assert m.group(1).split("#")[0] in {"sh_h", "doc_id"}, m.group(0)
