@@ -543,6 +543,67 @@ def token_counts(df: DataFrame, text_col: str, out_col: str = "token") -> DataFr
     )
 
 
+def token_bucket(tok: Column, dim: int) -> Column:
+    """Deterministic feature-hash bucket for one token: 60-bit md5
+    prefix (the shingle-hash idiom — engine-portable, no seed) modulo
+    ``dim``. Hash is non-negative, so ``%`` agrees across engines."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long") % dim
+
+
+def hashed_bow_embed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 64,
+    normalize: bool = True,
+) -> DataFrame:
+    """Hashed bag-of-words document embedding (the feature-hashing /
+    "hashing trick" of Weinberger et al. 2009): token -> md5 bucket in
+    [0, dim); the embedding is the per-bucket count vector, L2-
+    normalized by default so downstream cosine operators (ANN top-k,
+    ``near_dup_pairs``, ``semantic_dedup``) treat it like any learned
+    embedding. This is the bridge from a raw text corpus to the
+    embedding-similarity family when no model embeddings exist.
+
+    Entirely in-row (zero shuffles at any scale): the token->bucket
+    array is materialized ONCE per doc (one md5 per token), then the
+    dim-length count vector is a fold over it — O(dim * n_tokens)
+    integer compares per row, which rides the scan for the small dims
+    feature hashing uses. Counts and the L2 norm are exact integer
+    arithmetic + one correctly-rounded sqrt/division, so values are
+    bit-identical across engines (IEEE sqrt is exact-rounded).
+    """
+    from clickhouse_mysql_data_reader_spark.util import fan_out
+
+    base = (
+        fan_out(df, bytes_per_task=128 * 1024)
+        .select(
+            F.col(id_col),
+            F.transform(tokens(F.col(text_col)), lambda t: token_bucket(t, dim)).alias(
+                "_bk"
+            ),
+        )
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda b: F.size(F.filter(F.col("_bk"), lambda x: x == b)).cast(
+                    "double"
+                ),
+            ).alias("_cnt"),
+        )
+    )
+    l2 = F.sqrt(F.aggregate("_cnt", F.lit(0.0), lambda a, x: a + x * x))
+    emb = (
+        F.transform("_cnt", lambda c: c / l2) if normalize else F.col("_cnt")
+    )
+    return base.select(
+        F.col(id_col),
+        F.when(l2 > 0, emb).otherwise(F.col("_cnt")).alias("embedding"),
+        l2.alias("l2_norm"),
+    )
+
+
 def ngram_boilerplate(
     df: DataFrame,
     text_col: str,

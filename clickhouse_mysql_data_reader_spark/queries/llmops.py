@@ -1359,3 +1359,57 @@ def text_boilerplate_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
     return ngram_boilerplate(docs, "text", "doc_id", min_docs=3, shingles=sh)
+
+
+@register(
+    "text_hashed_embed",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+    t AS (
+      SELECT doc_id,
+             list_transform(string_split(nt, ' '),
+                            tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT % 64)
+               AS bk
+      FROM norm
+    ),
+    c AS (
+      SELECT doc_id,
+             list_transform(range(0, 64),
+                            b -> CAST(len(list_filter(bk, x -> x = b)) AS DOUBLE))
+               AS cnt
+      FROM t
+    )
+    SELECT doc_id,
+           len(list_filter(cnt, c -> c > 0)) AS nnz,
+           sqrt(list_aggregate(list_transform(cnt, c -> c * c), 'sum')) AS l2_norm,
+           CAST(list_aggregate(list_transform(range(0, 64), b -> b * cnt[b + 1]),
+                               'sum') AS BIGINT) AS checksum,
+           list_position(cnt, list_max(cnt)) - 1 AS top_bucket
+    FROM c
+    """,
+    doc="Hashed bag-of-words embedding (feature hashing): md5-bucket "
+    "count vector per doc, entirely in-row (zero shuffles). The arrays "
+    "themselves can't hash-compare across engines (numpy vs list), so "
+    "the checked projection is exact scalar invariants of the vector: "
+    "nonzero count, L2 norm (exact-rounded sqrt over integer counts), "
+    "a position-weighted checksum, and the argmax bucket (min-index "
+    "ties via first-match position).",
+)
+def text_hashed_embed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.text import hashed_bow_embed
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = hashed_bow_embed(docs, "text", "doc_id", dim=64, normalize=False)
+    cnt = F.col("embedding")
+    seq = F.sequence(F.lit(0), F.lit(63))
+    return emb.select(
+        "doc_id",
+        F.size(F.filter(cnt, lambda c: c > 0)).alias("nnz"),
+        F.col("l2_norm"),
+        F.aggregate(
+            F.zip_with(seq, cnt, lambda b, c: b * c), F.lit(0.0), lambda a, x: a + x
+        )
+        .cast("bigint")
+        .alias("checksum"),
+        (F.array_position(cnt, F.array_max(cnt)) - 1).alias("top_bucket"),
+    )

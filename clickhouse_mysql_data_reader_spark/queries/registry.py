@@ -138,6 +138,10 @@ QUERIES: dict[str, QueryDef] = {}
 #     checked text_vocab_topk; its md5-uniform draw arithmetic is the
 #     hash_bucket machinery the checked sample_stratified_split and
 #     sample_source_cap already hash-verify
+#   - text_hashed_embed: in-row array-fold plan family of the checked
+#     doc_winnow_fingerprint; its md5-bucket hash is the shingle-hash
+#     idiom every checked shingle query hash-verifies (pytest-oracle
+#     checks the vector invariants: nnz, L2, checksum, argmax)
 #   - text_lm_surprisal: explode + count + broadcast-join + per-doc agg,
 #     the plan family of the checked text_tfidf_top_terms (which also
 #     hash-verifies the scaled-integer-div determinism trick both use)
@@ -158,6 +162,7 @@ QUERIES: dict[str, QueryDef] = {}
 DEPRIORITIZED = (
     "doc_chunk_overlap",
     "sample_weighted_topk",
+    "text_hashed_embed",
     "text_lm_surprisal",
     "text_lang_id",
     "dedup_minhash_signatures",
