@@ -391,7 +391,11 @@ class CurationState:
         # fixed for the state's lifetime (recorded in _params.json) and
         # an over-full filter degrades to all-maybe (correct, just no
         # speedup). bloom_bits=None disables the filter entirely.
-        self.bloom_bits = int(bloom_bits) if bloom_bits else None
+        # Rounded UP to a byte multiple: build_bloom/might_contain
+        # reject partial bytes (floor-to-bytes would index past the
+        # array), and rounding here is deterministic so every session
+        # reconstructing this state lands on the same recorded width.
+        self.bloom_bits = ((int(bloom_bits) + 7) // 8) * 8 if bloom_bits else None
         self.bloom_hashes = int(bloom_hashes)
 
     def _path(self, name: str) -> str:

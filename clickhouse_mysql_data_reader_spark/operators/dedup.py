@@ -189,8 +189,11 @@ def lsh_candidate_pairs(
       verified live on this join shape in tests/test_skew.py. Note the
       quadratic OUTPUT still exists; AQE only distributes it.
     - ``max_bucket_docs``: buckets holding more docs than the cap are
-      EXCLUDED from the self-join (one extra aggregate on the narrow
-      band keys — cheap). This is the production answer for template
+      EXCLUDED from the self-join (a count window over the band keys —
+      ONE pass over the banded rows, pre-partitioned on the exact keys
+      the self-join shuffles on; an aggregate-then-join formulation
+      would evaluate the whole signature-banding subtree twice per
+      action). This is the production answer for template
       clusters: their members are near-identical copies that exact/
       fingerprint dedup already collapses, and C(n, 2) pairs of the
       survivors add no information worth the quadratic cost. Opt-in
@@ -199,13 +202,12 @@ def lsh_candidate_pairs(
     """
     banded = band_table(signatures, num_hashes=num_hashes, bands=bands)
     if max_bucket_docs is not None:
-        small = (
-            banded.groupBy("band_id", "band_hash")
-            .agg(F.count(F.lit(1)).alias("_n"))
+        w_bucket = W.partitionBy("band_id", "band_hash")
+        banded = (
+            banded.withColumn("_n", F.count(F.lit(1)).over(w_bucket))
             .filter(F.col("_n") <= int(max_bucket_docs))
             .drop("_n")
         )
-        banded = banded.join(small, ["band_id", "band_hash"])
     a = banded.alias("a")
     b = banded.alias("b")
     return (

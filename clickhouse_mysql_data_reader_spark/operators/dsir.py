@@ -42,15 +42,23 @@ from clickhouse_mysql_data_reader_spark.util import fan_out
 
 def _feature_arrays(df: DataFrame, text_col: str, *keep) -> DataFrame:
     """``keep`` columns + ``feat``: the unigram+bigram feature array of
-    the normalized token stream (multiset — DSIR counts occurrences);
-    empty-string tokens dropped."""
+    the normalized token stream (multiset — DSIR counts occurrences).
+    Empty-string tokens are dropped BEFORE bigram construction, and
+    docs with fewer than two real tokens contribute no bigram at all —
+    otherwise an empty/whitespace doc (tokens == ['']) would ride
+    ``bigram_array``'s 1-token guard into a bogus '' feature, giving
+    every blank doc weight mass and skewing one bucket's log-ratio."""
     return (
         fan_out(df)
         .select(*keep, tokens(F.col(text_col)).alias("tk"))
+        .select(*keep, F.filter("tk", lambda t: t != "").alias("tkc"))
         .select(
             *keep,
             F.concat(
-                F.filter("tk", lambda t: t != ""), bigram_array(F.col("tk"))
+                "tkc",
+                F.when(
+                    F.size("tkc") >= 2, bigram_array(F.col("tkc"))
+                ).otherwise(F.array().cast("array<string>")),
             ).alias("feat"),
         )
     )

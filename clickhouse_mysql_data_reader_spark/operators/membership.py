@@ -93,6 +93,12 @@ def build_bloom(
     per-shard filters).
     """
     _self_contained_pickle()
+    if num_bits % 8:
+        # floor-dividing to bytes would make bit positions in the last
+        # partial byte index past the array — an executor IndexError on
+        # the first write. Fail at build time instead; callers size via
+        # bloom_sizing() (already byte-rounded) or round up themselves.
+        raise ValueError(f"num_bits must be a multiple of 8, got {num_bits}")
     nbytes = num_bits // 8
 
     def per_partition(batches):
@@ -134,6 +140,8 @@ def might_contain(bloom: bytes, num_bits: int, num_hashes: int, key: Column) -> 
     bytes exists solely for the no-active-session case (unit code
     building columns before a session exists)."""
     _self_contained_pickle()
+    if num_bits % 8:
+        raise ValueError(f"num_bits must be a multiple of 8, got {num_bits}")
     from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 

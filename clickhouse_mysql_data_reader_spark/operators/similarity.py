@@ -479,10 +479,15 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_id, codes array<int>): per subspace, the nearest codebook
-    cell for that subvector. Codebooks are inlined as literals (the
-    kmeans_iterate trick), so encoding is a zero-shuffle scan-stage
-    argmin — the struct array_min carries the (d2, cell) tie rule."""
+    """(vec_id, codes array<int>): per subspace, the POSITION of the
+    nearest codebook centroid within that subspace's sorted codebook —
+    the same dense index `_adc_lut` builds its lookup arrays with, so
+    fold-by-code can never misalign when hash-init left a codebook's
+    raw cell ids sparse (the coarse level makes the identical
+    position remap in `_assign_residuals`). Codebooks are inlined as
+    literals (the kmeans_iterate trick), so encoding is a zero-shuffle
+    scan-stage argmin; positions are sorted by cell id, so the
+    (d2, pos) struct min keeps the original (d2, cell) tie rule."""
     cbs = _collect_codebooks(codebooks)
     bounds = _subspace_bounds(dim, n_subspaces)
     v = as_double_array(vec_col)
@@ -490,10 +495,10 @@ def pq_encode(
     for s, (start, length) in enumerate(bounds):
         sub = F.slice(v, start, length)
         scored = [
-            F.struct(_sq_dist(sub, c).alias("d2"), F.lit(cell).alias("cell"))
-            for cell, c in cbs[s]
+            F.struct(_sq_dist(sub, c).alias("d2"), F.lit(pos).alias("pos"))
+            for pos, (_cell, c) in enumerate(cbs[s])
         ]
-        code_cols.append(F.array_min(F.array(*scored))["cell"])
+        code_cols.append(F.array_min(F.array(*scored))["pos"])
     return vectors.select(
         F.col(id_col).alias("vec_id"), F.array(*code_cols).alias("codes")
     )

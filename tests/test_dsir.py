@@ -41,9 +41,7 @@ def _features(text: str) -> list[str]:
     feats = list(tk)
     if len(tk) >= 2:
         feats += [" ".join(tk[i : i + 2]) for i in range(len(tk) - 1)]
-    else:
-        feats += tk  # bigram_array's 1-token guard emits the token
-    return feats
+    return feats  # <2 real tokens -> unigrams only (no bogus bigram)
 
 
 def _np_weights(raw_texts, tgt_texts, dim, scale):
@@ -147,3 +145,14 @@ def test_dsir_select_plan_shape(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dsir_empty_docs_have_no_features(spark):
+    """Empty/whitespace docs contribute zero features — no weight row,
+    no corpus-count skew (regression: the 1-token bigram guard used to
+    emit '' as a feature for blank docs)."""
+    raw = _mk(spark, COOK + ["", "   ", "solo"])
+    tgt = _mk(spark, COOK[:1], start=100)
+    w = {r["doc_id"]: r for r in dsir_weights(raw, tgt, dim=64).collect()}
+    assert 3 not in w and 4 not in w, "blank docs must produce no weight row"
+    assert w[5]["n_features"] == 1  # 'solo': unigram only, no bigram

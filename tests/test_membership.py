@@ -84,3 +84,24 @@ def test_definite_misses_bypass_the_join(spark):
     bloom = build_bloom(hist, "fp", m, k)
     maybes = new_df.filter(might_contain(bloom, m, k, F.col("fp"))).count()
     assert maybes <= 15, f"{maybes} of 300 disjoint keys hit the filter"
+
+
+def test_bloom_rejects_partial_byte_sizing(spark):
+    """num_bits that isn't a byte multiple would index past the bit
+    array inside the executor UDF — both entry points fail fast
+    instead, and CurationState rounds its bloom_bits up front."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from clickhouse_mysql_data_reader_spark.curation import CurationState
+    from clickhouse_mysql_data_reader_spark.operators.membership import (
+        build_bloom,
+        might_contain,
+    )
+
+    df = spark.range(4)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        build_bloom(df, "id", num_bits=1001, num_hashes=3)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        might_contain(b"\x00" * 125, 1001, 3, F.col("id"))
+    assert CurationState("/tmp/unused-bloom-round", bloom_bits=1_000_001).bloom_bits == 1_000_008

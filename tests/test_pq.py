@@ -60,14 +60,16 @@ def test_pq_encode_codes_in_range_and_deterministic(spark):
     corpus = _clustered(spark)
     cb = pq_train(corpus, dim=DIM, n_subspaces=S, k=K, n_iter=3)
     codes = pq_encode(corpus, cb, dim=DIM, n_subspaces=S).collect()
-    valid_cells = {
-        s: {r["cell"] for r in cb.collect() if r["subspace"] == s} for s in range(S)
+    # codes are POSITIONS into each subspace's sorted codebook (dense
+    # 0..n_cells-1), immune to sparse raw cell ids from hash init
+    n_cells = {
+        s: len([r for r in cb.collect() if r["subspace"] == s]) for s in range(S)
     }
     assert len(codes) == corpus.count()
     for r in codes:
         assert len(r["codes"]) == S
         for s, c in enumerate(r["codes"]):
-            assert c in valid_cells[s], (s, c)
+            assert 0 <= c < n_cells[s], (s, c)
     again = {r["vec_id"]: list(r["codes"]) for r in pq_encode(corpus, cb, dim=DIM, n_subspaces=S).collect()}
     assert {r["vec_id"]: list(r["codes"]) for r in codes} == again
 
@@ -216,3 +218,58 @@ def test_ivfpq_append_matches_build_encoding(spark, sf_dir):
     ).collect()
     assert hits, "appended vector must be searchable"
     assert any(r["vec_id"] == 5 for r in hits), "self should rank in top-3"
+
+
+def test_pq_adc_exact_with_sparse_codebook_cells(spark):
+    """Regression: hash-init k-means can leave a codebook's raw cell
+    ids sparse (e.g. cells 0,2,5). The ADC fold indexes the LUT by the
+    dense code POSITION, so a gapped codebook must still produce
+    exactly the numpy ADC distances — the old raw-cell-id codes read
+    the wrong LUT slot (or past its end) for every code above a gap."""
+    import numpy as np
+
+    dim, s_cnt = 4, 2
+    # hand-built codebooks with GAPPED cell ids per subspace
+    cb_rows = [
+        (0, 0, [0.0, 0.0]),
+        (0, 2, [10.0, 0.0]),
+        (0, 5, [0.0, 10.0]),
+        (1, 1, [1.0, 1.0]),
+        (1, 7, [9.0, 9.0]),
+    ]
+    cb = spark.createDataFrame(
+        cb_rows, "subspace int, cell int, centroid array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.1, 0.2, 1.1, 0.9]),   # sub0 -> cell 0, sub1 -> cell 1
+            (2, [9.8, 0.1, 8.8, 9.2]),   # sub0 -> cell 2, sub1 -> cell 7
+            (3, [0.2, 9.7, 9.1, 8.9]),   # sub0 -> cell 5, sub1 -> cell 7
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [9.9, 0.0, 9.0, 9.0])], "qid bigint, embedding array<double>"
+    )
+    code_df = pq_encode(corpus, cb, dim=dim, n_subspaces=s_cnt)
+    codes = {r["vec_id"]: list(r["codes"]) for r in code_df.collect()}
+    got = {
+        r["vec_id"]: r["adc_dist"]
+        for r in pq_adc_topk(
+            code_df, cb, queries, dim=dim, n_subspaces=s_cnt, k=3
+        ).collect()
+    }
+
+    # numpy reference over the same sorted-codebook positions
+    books = {
+        0: [np.array(c) for _s, _c, c in cb_rows[:3]],
+        1: [np.array(c) for _s, _c, c in cb_rows[3:]],
+    }
+    q = np.array([9.9, 0.0, 9.0, 9.0])
+    for vid, (c0, c1) in codes.items():
+        want = float(
+            ((q[:2] - books[0][c0]) ** 2).sum() + ((q[2:] - books[1][c1]) ** 2).sum()
+        )
+        assert got[vid] == pytest.approx(want, abs=1e-6), vid
+    # the nearest corpus point under ADC is the one encoded like the query
+    assert min(got, key=got.get) == 2
