@@ -1,0 +1,143 @@
+"""Linear quality classifier over hashed bag-of-words features — the
+GPT-3/PaLM-style data-quality filter: train logistic regression to
+separate a SMALL high-quality reference sample from a random crawl
+sample, then score the whole corpus and keep high-probability docs
+(Brown et al. 2020 App. A trained exactly this shape against
+WebText-vs-CommonCrawl; fastText quality filters are the same linear
+model with different features).
+
+Division of labor at 100 TB:
+
+- TRAINING runs driver-side over the two COLLECTED sample matrices.
+  This is deliberate: the samples are bounded by design (thousands of
+  rows x ``dim`` floats — the same bounded-driver-metadata class as
+  kmeans centroid collection), and a driver loop of full-batch
+  gradient steps on a few-thousand-row matrix costs milliseconds,
+  where a distributed LBFGS would spend more time in job scheduling
+  than math. A size guard raises past the bound instead of silently
+  collecting a corpus.
+- SCORING is a pure Catalyst expression: the learned weight vector is
+  inlined as an array literal, the score is one zip_with dot product +
+  sigmoid per row, riding the corpus scan with zero shuffles and zero
+  Python — the same inline-literals trick as kmeans/PQ assignment.
+
+Training is deterministic: features are the deterministic
+``hashed_bow_embed`` vectors, initialization is zeros, and full-batch
+gradient descent has no sampling order — same inputs, same weights,
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from clickhouse_mysql_data_reader_spark.operators.text import hashed_bow_embed
+
+# Collected training matrices are driver memory: n_rows * dim * 8 bytes.
+# 200k rows x 256 dims = ~400 MB — past any sane "sample" size.
+MAX_TRAIN_ROWS = 200_000
+
+
+def _collect_features(
+    df: DataFrame, text_col: str, id_col: str, dim: int
+) -> list[list[float]]:
+    n = df.count()
+    if n > MAX_TRAIN_ROWS:
+        raise ValueError(
+            f"training sample has {n} rows (> {MAX_TRAIN_ROWS}); the "
+            "classifier trains driver-side on a bounded SAMPLE by design "
+            "— downsample first (sampling.sample_condition)"
+        )
+    rows = (
+        hashed_bow_embed(df, text_col, id_col, dim=dim)
+        .select("embedding")
+        .collect()
+    )
+    return [list(r["embedding"]) for r in rows]
+
+
+def train_quality_classifier(
+    positive: DataFrame,
+    negative: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+    n_iter: int = 200,
+    lr: float = 1.0,
+    l2: float = 1e-4,
+) -> tuple[list[float], float]:
+    """Fit logistic regression (full-batch gradient descent, zero init,
+    L2 regularization) separating ``positive`` (quality reference) from
+    ``negative`` (random crawl sample). Returns ``(weights, bias)`` for
+    ``score_quality``. Pure-python math on the bounded collected
+    matrices — deterministic, no numpy dependency in the hot loop
+    needed (numpy is used for the matrix ops, which are deterministic
+    elementwise/dot kernels)."""
+    import numpy as np
+
+    xp = np.array(_collect_features(positive, text_col, id_col, dim))
+    xn = np.array(_collect_features(negative, text_col, id_col, dim))
+    if len(xp) == 0 or len(xn) == 0:
+        raise ValueError("both training samples must be non-empty")
+    x = np.vstack([xp, xn])
+    y = np.concatenate([np.ones(len(xp)), np.zeros(len(xn))])
+    w = np.zeros(dim)
+    b = 0.0
+    n = len(y)
+    for _ in range(n_iter):
+        z = x @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * ((x.T @ g) / n + l2 * w)
+        b -= lr * float(g.mean())
+    return [float(v) for v in w], float(b)
+
+
+def score_quality(
+    corpus: DataFrame,
+    weights: list[float],
+    bias: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, quality_prob): sigmoid(w . hashed_features + b) for every
+    corpus row. The weight vector is inlined as an array literal, so the
+    whole scorer is scan-stage expressions — zero shuffles, zero
+    Python, broadcast-free (literals travel inside the serialized
+    plan). Compose with a threshold filter, or with
+    ``sampling.weighted_sample_topk`` for the paper's
+    score-proportional resampling."""
+    dim = len(weights)
+    emb = hashed_bow_embed(corpus, text_col, id_col, dim=dim)
+    w_lit = F.array(*[F.lit(float(v)) for v in weights])
+    z = (
+        F.aggregate(
+            F.zip_with("embedding", w_lit, lambda x, wv: x * wv),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        )
+        + F.lit(float(bias))
+    )
+    return emb.select(
+        F.col(id_col), (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("quality_prob")
+    )
+
+
+def quality_filter(
+    corpus: DataFrame,
+    weights: list[float],
+    bias: float,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus rows whose classifier probability clears ``threshold`` —
+    original columns preserved. The score rides the scan; the only join
+    is id-keyed against the scored projection of the same frame, which
+    Catalyst collapses into the scan when ``corpus`` is a direct
+    source read."""
+    scored = score_quality(corpus, weights, bias, text_col, id_col)
+    keep = scored.filter(F.col("quality_prob") >= threshold).select(id_col)
+    return corpus.join(keep, id_col, "left_semi")
