@@ -817,3 +817,134 @@ def lm_surprisal(
             / (F.count("*") * F.lit(float(scale)))
         ).alias("surprisal"),
     )
+
+
+def lm_surprisal_bigram(
+    docs: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Bigram LM quality scoring with STUPID BACKOFF (Brants et al.
+    2007, "Large Language Models in Machine Translation" — the backoff
+    scheme designed for exactly this distributed-counts setting): each
+    token is scored by its probability GIVEN the previous token when
+    the reference saw that bigram, else by alpha * its add-one-smoothed
+    unigram probability (alpha = 0.4, the paper's constant). Unlike
+    ``lm_surprisal`` this punishes scrambled word ORDER — two documents
+    with identical token multisets score identically under the unigram
+    model but the shuffled one backs off far more often here (the
+    property the tests pin).
+
+    Determinism: the same scaled-integer-INVERSE-probability move as
+    ``lm_surprisal`` — per-token statistic is a BIGINT ``div`` (bigram
+    path: ``scale*cnt(w1) div cnt(w1,w2)``; backoff path: the unigram
+    inverse ``scale*(N+V) div (cnt+1)`` times 1/alpha as exact integer
+    ``*5 div 2``), so per-doc sums are exact, order-independent
+    DECIMAL(38,0) accumulations and the only float op is one terminal
+    division. Doc-start tokens (no left context) take the PLAIN unigram
+    inverse — no backoff penalty, they never had a bigram to miss.
+
+    Plan: reference pass = two map-side-combined counts (unigram via
+    ``token_counts``, bigram via an in-row zip of each token array with
+    its own shift — the pair table never materializes per-doc rows
+    before the combine); the bigram model table pre-joins cnt(w1) ONCE
+    at model scale so doc scoring needs exactly two equi-joins (pair ->
+    bigram model, token -> unigram counts), both vocab-sized builds
+    that AQE broadcasts; N and V ride in-plan as a broadcast 1-row
+    crossJoin (no driver action — composing callers stay lazy). The
+    overflow envelope tightens by the backoff factor:
+    ``5*scale*(N+V) <= 2^63-1`` — the in-plan guard RAISES past it, and
+    on an empty reference, exactly like ``lm_surprisal``.
+
+    Returns (doc_id, n_tokens, n_oov, n_backoff, surprisal): n_oov =
+    tokens unseen as reference UNIGRAMS; n_backoff = non-initial tokens
+    whose bigram was unseen (the order-sensitivity signal); surprisal =
+    mean scaled-inverse-probability / scale.
+    """
+    from clickhouse_mysql_data_reader_spark.util import fan_out
+
+    max_denom = ((1 << 63) - 1) // (5 * scale)
+    rcol = ref_text_col or text_col
+
+    uni = token_counts(reference, rcol)
+    totals = uni.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("_N"), F.count("*").alias("_V")
+    )
+
+    def _pairs(df: DataFrame, tc: str, with_start: bool) -> DataFrame:
+        """(prev, cur) adjacent-token pairs of every row of ``df``; when
+        ``with_start`` the first token appears with prev = '' (the
+        doc-start sentinel — unambiguous, real tokens are non-empty)."""
+        tk = F.filter(tokens(F.col(tc)), lambda t: t != "")
+        head = F.array(F.lit("")) if with_start else F.array()
+        cols = [F.col("_z._p").alias("prev"), F.col("_z._c").alias("cur")]
+        base = df.select(
+            *([F.col(id_col).alias("doc_id")] if with_start else []),
+            F.explode(
+                F.arrays_zip(
+                    F.concat(head, F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0)))).alias("_p"),
+                    (tk if with_start else F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0)))).alias("_c"),
+                )
+            ).alias("_z"),
+        )
+        # empty docs: the '' sentinel zips against a null pad — drop it
+        # (parity with lm_surprisal, where empty docs produce no rows)
+        return base.select(*([F.col("doc_id")] if with_start else []), *cols).filter(
+            F.col("cur").isNotNull()
+        )
+
+    bigrams = (
+        _pairs(fan_out(reference), rcol, with_start=False)
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("_nb"))
+        # pre-join cnt(w1) at MODEL scale so the doc pass needs no
+        # third join; inner join — every observed bigram's w1 is in uni
+        .join(uni.select(F.col("token").alias("prev"), F.col("n").alias("_nprev")), "prev")
+    )
+
+    toks = _pairs(fan_out(docs), text_col, with_start=True)
+    denom = F.col("_N") + F.col("_V")
+    scored = (
+        toks.join(bigrams, ["prev", "cur"], "left")
+        .join(uni.select(F.col("token").alias("cur"), F.col("n").alias("_nc")), "cur", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("_cnt", F.coalesce(F.col("_nc"), F.lit(0)))
+        .withColumn(
+            "_db",
+            F.when((denom > 0) & (denom <= max_denom), denom).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "lm_surprisal_bigram: reference N+V out of range "
+                            f"(0, {max_denom}] for scale={scale}: "
+                        ),
+                        denom.cast("string"),
+                    )
+                )
+            ),
+        )
+        .withColumn("_uinv", F.expr(f"CAST({scale} AS BIGINT) * _db div (_cnt + 1)"))
+        .withColumn(
+            "_inv",
+            F.when(
+                F.col("_nb").isNotNull(),
+                F.expr(f"CAST({scale} AS BIGINT) * _nprev div _nb"),
+            )
+            .when(F.col("prev") == "", F.col("_uinv"))
+            .otherwise(F.expr("_uinv * 5 div 2")),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum((F.col("_cnt") == 0).cast("long")).alias("n_oov"),
+        F.sum(
+            (F.col("_nb").isNull() & (F.col("prev") != "")).cast("long")
+        ).alias("n_backoff"),
+        (
+            F.sum(F.col("_inv").cast("decimal(38,0)")).cast("double")
+            / (F.count("*") * F.lit(float(scale)))
+        ).alias("surprisal"),
+    )

@@ -1271,6 +1271,55 @@ def text_lm_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_surprisal(docs, docs, text_col="text", id_col="doc_id")
 
 
+@register(
+    "text_lm_bigram",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split({_NORM}, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+             unnest(list_concat([''], tk[1:len(tk)-1])) AS prev,
+             unnest(tk) AS cur
+      FROM t WHERE len(tk) > 0
+    ),
+    uni AS (SELECT cur AS token, count(*) AS n FROM p GROUP BY 1),
+    big AS (SELECT prev, cur, count(*) AS nb FROM p WHERE prev <> '' GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) + count(*) AS db FROM uni),
+    sc AS (
+      SELECT p.doc_id, p.prev, b.nb, up.n AS nprev, coalesce(uc.n, 0) AS nc
+      FROM p
+      LEFT JOIN big b ON b.prev = p.prev AND b.cur = p.cur
+      LEFT JOIN uni uc ON uc.token = p.cur
+      LEFT JOIN uni up ON up.token = p.prev
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN nc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(sum(CASE WHEN nb IS NULL AND prev <> '' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_backoff,
+           sum(CASE WHEN nb IS NOT NULL THEN CAST(1000000 AS BIGINT) * nprev // nb
+                    WHEN prev = '' THEN CAST(1000000 AS BIGINT) * (SELECT db FROM tot) // (nc + 1)
+                    ELSE (CAST(1000000 AS BIGINT) * (SELECT db FROM tot) // (nc + 1)) * 5 // 2
+               END)
+             / (count(*) * 1000000.0) AS surprisal
+    FROM sc GROUP BY doc_id
+    """,
+    doc="Bigram LM quality scoring with stupid backoff (Brants et al. "
+    "2007): per-token scaled-integer inverse probability — bigram path "
+    "scale*cnt(w1) div cnt(w1,w2), backoff path = unigram inverse *5 "
+    "div 2 (alpha=0.4 exact in integers), doc-start tokens plain "
+    "unigram. Punishes scrambled word order where text_lm_surprisal "
+    "cannot; sums are exact DECIMAL(38,0), one terminal double division.",
+)
+def text_lm_bigram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.text import lm_surprisal_bigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_surprisal_bigram(docs, docs, text_col="text", id_col="doc_id")
+
+
 _GOPHER_SW = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
 
 @register(

@@ -159,7 +159,13 @@ QUERIES: dict[str, QueryDef] = {}
 #     generation, whose hash check covers the signature values via the
 #     band hashes; also still timed as a bench headline. Driver-verified
 #     unchanged r1-r4.
+#   - text_lm_bigram: stupid-backoff sibling of text_lm_surprisal
+#     (same explode + count + join + per-doc-agg plan family as the
+#     checked text_tfidf_top_terms; its scaled-integer-div statistic is
+#     the same hash-verified trick) — pytest-oracle-checked like the
+#     unigram form
 DEPRIORITIZED = (
+    "text_lm_bigram",
     "doc_chunk_overlap",
     "sample_weighted_topk",
     "text_hashed_embed",
