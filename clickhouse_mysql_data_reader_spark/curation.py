@@ -84,6 +84,18 @@ class CurationConfig:
     # expression gates a few times — persist/checkpoint the input
     # yourself if its upstream is expensive.
     max_surprisal: float | None = None
+    # opt-in: score the LM gate with the stupid-backoff BIGRAM model
+    # (operators/text.py lm_surprisal_bigram) instead of the unigram —
+    # same threshold semantics, additionally punishes scrambled/
+    # unnatural word order. Only read when max_surprisal is set.
+    lm_bigram: bool = False
+    # opt-in trained quality classifier gate (operators/classifier.py,
+    # the GPT-3/PaLM linear filter): (weights, bias) from
+    # train_quality_classifier; docs with sigmoid probability below
+    # min_quality_prob are dropped. Pure expression gate — rides the
+    # same scan as the heuristic gates, zero joins/shuffles. None = off.
+    classifier_model: tuple | None = None
+    min_quality_prob: float = 0.5
     near_dup_jaccard: float = 0.8
     contamination_threshold: float = 0.5
     # mixture shaping is optional: None keeps every surviving source whole
@@ -149,6 +161,21 @@ def _row_stages(
             .select(*docs.columns)
         )
 
+    if cfg.classifier_model is not None:
+        # trained-classifier gate rides the same scan as the heuristic
+        # gates (quality_prob_col is one inline expression — no join);
+        # ordered before the LM gate so the corpus-level scorer only
+        # sees classifier survivors
+        from clickhouse_mysql_data_reader_spark.operators.classifier import (
+            quality_prob_col,
+        )
+
+        cw, cb = cfg.classifier_model
+        gated = gated.filter(
+            quality_prob_col(F.col(text_col), list(cw), float(cb))
+            >= F.lit(float(cfg.min_quality_prob))
+        )
+
     if cfg.max_surprisal is not None:
         # LM gate AFTER the cheap expression gates (score survivors
         # only). Self-referenced: the batch's own unigram distribution
@@ -167,10 +194,14 @@ def _row_stages(
         # the session's lifetime). The re-run cost is scan+regex per
         # subtree; callers with an expensive upstream should persist or
         # checkpoint the INPUT frame, whose lifecycle they own.
-        from clickhouse_mysql_data_reader_spark.operators.text import lm_surprisal
+        from clickhouse_mysql_data_reader_spark.operators.text import (
+            lm_surprisal,
+            lm_surprisal_bigram,
+        )
 
+        _scorer = lm_surprisal_bigram if cfg.lm_bigram else lm_surprisal
         drop_lm = (
-            lm_surprisal(gated, gated, text_col=text_col, id_col=id_col)
+            _scorer(gated, gated, text_col=text_col, id_col=id_col)
             .filter(F.col("surprisal") > cfg.max_surprisal)
             .select(F.col("doc_id").alias(id_col))
         )

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from clickhouse_mysql_data_reader_spark.operators.text import hashed_bow_embed
 
@@ -95,6 +95,34 @@ def train_quality_classifier(
     return [float(v) for v in w], float(b)
 
 
+def quality_prob_col(text: Column, weights: list[float], bias: float) -> Column:
+    """``sigmoid(w . hashed_bow_features(text) + b)`` as ONE Column
+    expression — the entire scorer (tokenize, md5 feature-hash, count
+    fold, L2 normalize, dot, sigmoid) inlines into whatever scan
+    produces ``text``: zero shuffles, zero joins, zero Python. This is
+    what lets ``curate()`` gate on the classifier with a plain
+    ``filter`` instead of a score-join. Empty/tokenless docs have an
+    all-zero feature vector, so they score ``sigmoid(bias)``."""
+    from clickhouse_mysql_data_reader_spark.operators.text import token_bucket, tokens
+
+    dim = len(weights)
+    bk = F.transform(tokens(text), lambda t: token_bucket(t, dim))
+    cnt = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: F.size(F.filter(bk, lambda x: x == b)).cast("double"),
+    )
+    l2 = F.sqrt(F.aggregate(cnt, F.lit(0.0), lambda a, x: a + x * x))
+    emb = F.when(l2 > 0, F.transform(cnt, lambda c: c / l2)).otherwise(cnt)
+    w_lit = F.array(*[F.lit(float(v)) for v in weights])
+    z = (
+        F.aggregate(
+            F.zip_with(emb, w_lit, lambda x, wv: x * wv), F.lit(0.0), lambda a, t: a + t
+        )
+        + F.lit(float(bias))
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
 def score_quality(
     corpus: DataFrame,
     weights: list[float],
@@ -109,19 +137,11 @@ def score_quality(
     plan). Compose with a threshold filter, or with
     ``sampling.weighted_sample_topk`` for the paper's
     score-proportional resampling."""
-    dim = len(weights)
-    emb = hashed_bow_embed(corpus, text_col, id_col, dim=dim)
-    w_lit = F.array(*[F.lit(float(v)) for v in weights])
-    z = (
-        F.aggregate(
-            F.zip_with("embedding", w_lit, lambda x, wv: x * wv),
-            F.lit(0.0),
-            lambda a, t: a + t,
-        )
-        + F.lit(float(bias))
-    )
-    return emb.select(
-        F.col(id_col), (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("quality_prob")
+    from clickhouse_mysql_data_reader_spark.util import fan_out
+
+    return fan_out(corpus, bytes_per_task=128 * 1024).select(
+        F.col(id_col),
+        quality_prob_col(F.col(text_col), weights, bias).alias("quality_prob"),
     )
 
 
@@ -134,10 +154,10 @@ def quality_filter(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Corpus rows whose classifier probability clears ``threshold`` —
-    original columns preserved. The score rides the scan; the only join
-    is id-keyed against the scored projection of the same frame, which
-    Catalyst collapses into the scan when ``corpus`` is a direct
-    source read."""
-    scored = score_quality(corpus, weights, bias, text_col, id_col)
-    keep = scored.filter(F.col("quality_prob") >= threshold).select(id_col)
-    return corpus.join(keep, id_col, "left_semi")
+    original columns preserved. A plain ``filter`` on the inline score
+    expression: the whole gate rides the corpus scan, no join, no
+    shuffle, and the predicate sits directly above the source so column
+    pruning and scan reuse are unaffected."""
+    return corpus.filter(
+        quality_prob_col(F.col(text_col), weights, bias) >= F.lit(float(threshold))
+    )

@@ -957,3 +957,83 @@ def test_curate_increment_rejects_boilerplate_gate(spark, tmp_path):
         curate_increment(
             docs, state, cfg=CurationConfig(max_boiler_frac=0.5)
         )
+
+
+def test_curate_lm_bigram_gate_drops_scrambled_order(spark):
+    """The bigram LM gate (cfg.lm_bigram) drops a doc whose token
+    MULTISET is fine but whose word order is scrambled — a doc the
+    unigram gate provably cannot separate (its unigram self-surprisal
+    is bit-identical to the fluent original's, pinned below)."""
+    from clickhouse_mysql_data_reader_spark.operators.text import lm_surprisal
+
+    toks = GOOD.split()
+    scrambled = " ".join(toks[::2] + toks[1::2][::-1])
+    docs = _mk_docs(
+        spark,
+        [
+            (1, "web", GOOD),
+            (2, "web", GOOD + " and then the dog ran back home to the fox den"),
+            (3, "web", scrambled),
+        ],
+    )
+    uni = {r["doc_id"]: r["surprisal"] for r in lm_surprisal(docs, docs).collect()}
+    assert uni[1] == uni[3], "unigram is blind to order: no threshold separates"
+
+    # measured bigram self-surprisal: fluent 2.44 / 2.78, scrambled 4.35
+    cfg = CurationConfig(near_dup_jaccard=0.5, max_surprisal=3.5, lm_bigram=True)
+    kept = {r["doc_id"] for r in curate(docs, cfg=cfg).quality_gated.collect()}
+    assert kept == {1, 2}, "bigram gate must drop the scrambled doc"
+
+
+def test_curate_classifier_gate_drops_low_prob_docs(spark):
+    """Opt-in trained-classifier gate: logistic regression trained on
+    planted quality/crawl samples drops crawl-vocabulary docs that the
+    heuristic gates are configured to pass; the gate is pure expression
+    (no Join/Exchange added to the quality_gated plan)."""
+    from clickhouse_mysql_data_reader_spark.operators.classifier import (
+        train_quality_classifier,
+    )
+
+    pos = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([
+            "the theorem follows from the lemma by induction on the proof",
+            "we analyze the convergence of the estimator under mild conditions",
+            "the study reports a significant effect of treatment on outcomes",
+        ])],
+        "doc_id bigint, text string",
+    )
+    neg = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate([
+            "click here buy now cheap deals free shipping best price click",
+            "win lottery jackpot casino bonus free spins register now now",
+            "cheap pills discount sale sale limited offer buy buy buy",
+        ])],
+        "doc_id bigint, text string",
+    )
+    w, b = train_quality_classifier(pos, neg, dim=128)
+    docs = _mk_docs(
+        spark,
+        [
+            (1, "web", "the proof of the estimator convergence follows from the lemma"),
+            (2, "web", "free bonus click now cheap casino deals buy now and more now"),
+        ],
+    )
+    base = CurationConfig(
+        min_quality_score=0.0, drop_repetitive=False, near_dup_jaccard=0.5
+    )
+    assert {
+        r["doc_id"] for r in curate(docs, cfg=base).quality_gated.collect()
+    } == {1, 2}, "sanity: heuristic gates alone keep both"
+
+    cfg = CurationConfig(
+        min_quality_score=0.0,
+        drop_repetitive=False,
+        near_dup_jaccard=0.5,
+        classifier_model=(w, b),
+    )
+    out = curate(docs, cfg=cfg).quality_gated
+    assert {r["doc_id"] for r in out.collect()} == {1}
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Join" not in plan and "Exchange" not in plan
