@@ -948,3 +948,74 @@ def lm_surprisal_bigram(
             / (F.count("*") * F.lit(float(scale)))
         ).alias("surprisal"),
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level LINE deduplication (the C4 / RefinedWeb / MassiveText
+    move: a line that appears verbatim anywhere else in the corpus is
+    boilerplate — nav bars, cookie banners, licence footers — and every
+    occurrence but one is removed). Keeper of each duplicated line is
+    the globally FIRST occurrence, min (doc_id, line_no) — deterministic
+    under any partitioning. Lines shorter than ``min_line_chars`` after
+    trimming (blank separators, stray punctuation) are exempt: they are
+    structure, not content, and every doc keeps its own.
+
+    100 TB design — deliberately NOT a window over partitionBy(line):
+    popular boilerplate lines are exactly the skewed keys (one cookie
+    banner -> 10^8 rows in one window partition, and AQE cannot split a
+    window). Instead:
+
+    1. keeper table: ``groupBy(line).agg(min(struct(id, line_no)))`` —
+       partial aggregation map-side-combines the hot lines, so a
+       billion-occurrence line crosses the shuffle as one row per map
+       task;
+    2. keep test: equi-join of the exploded lines against the keeper
+       table on the FULL triple (line, id, line_no) — the triple is
+       unique on both sides, so the join has no skewed key at all;
+       ineligible short lines bypass the join entirely (union branch,
+       same scan);
+    3. reassembly: one groupBy(doc) with sort_array(collect_list) —
+       line order restored exactly.
+
+    Returns (id, n_lines, n_kept, text) with ``text`` rebuilt from the
+    surviving lines ('\\n'-joined; docs whose every line was removed
+    come back with n_kept = 0 and empty text — dropping them is the
+    caller's policy decision).
+    """
+    from clickhouse_mysql_data_reader_spark.util import fan_out
+
+    lines = fan_out(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    )
+    elig = F.length(F.trim(F.col("line"))) >= min_line_chars
+    eligible = lines.filter(elig)
+    short = lines.filter(~elig)
+
+    keepers = eligible.groupBy("line").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("_k")
+    ).select(
+        "line", F.col("_k.doc_id").alias("doc_id"), F.col("_k.line_no").alias("line_no")
+    )
+    kept = eligible.join(keepers, ["line", "doc_id", "line_no"], "left_semi").unionByName(
+        short
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("line_no", "line"))).alias("_ls")
+    )
+    # LEFT join: a doc whose every line was a non-keeper duplicate has
+    # no kept rows but must still come back (n_kept = 0, empty text)
+    return totals.join(kept_agg, "doc_id", "left").select(
+        F.col("doc_id").alias(id_col),
+        F.col("n_lines"),
+        F.coalesce(F.size("_ls"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(
+            F.array_join(F.transform("_ls", lambda s: s["line"]), "\n"), F.lit("")
+        ).alias(text_col),
+    )

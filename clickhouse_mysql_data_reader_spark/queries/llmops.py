@@ -1320,6 +1320,64 @@ def text_lm_bigram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_surprisal_bigram(docs, docs, text_col="text", id_col="doc_id")
 
 
+@register(
+    "text_line_dedup",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             text || chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    t AS (SELECT doc_id, string_split(text, chr(10)) AS tk FROM corpus),
+    l AS (
+      SELECT doc_id,
+             unnest(range(0, len(tk))) AS line_no,
+             unnest(tk) AS line
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id, line_no, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+      FROM l
+    ),
+    kept AS (SELECT * FROM r WHERE length(trim(line)) < 1 OR rn = 1),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM l GROUP BY 1),
+    ka AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(line, chr(10) ORDER BY line_no) AS text
+      FROM kept GROUP BY 1
+    )
+    SELECT tot.doc_id, tot.n_lines,
+           coalesce(ka.n_kept, 0) AS n_kept,
+           coalesce(ka.text, '') AS text
+    FROM tot LEFT JOIN ka USING (doc_id)
+    """,
+    doc="C4/RefinedWeb-style corpus-level line deduplication: every "
+    "verbatim-duplicated line keeps only its globally first occurrence "
+    "(min (doc_id, line_no)); docs are reassembled in original line "
+    "order. The duplicate structure is constructed in-query (synthetic "
+    "twins sharing a line), identically on both engines. Spark plan is "
+    "skew-proof by construction: keeper election is a map-side-combined "
+    "min(struct) aggregate (never a window over partitionBy(line) — a "
+    "popular boilerplate line would be an unsplittable hot window "
+    "partition) and the keep test joins on the unique (line, doc, pos) "
+    "triple.",
+)
+def text_line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.text import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit("\nunique tail "), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    return line_dedup(docs.unionByName(twins), min_line_chars=1)
+
+
 _GOPHER_SW = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
 
 @register(

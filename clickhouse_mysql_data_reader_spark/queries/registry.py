@@ -159,12 +159,24 @@ QUERIES: dict[str, QueryDef] = {}
 #     generation, whose hash check covers the signature values via the
 #     band hashes; also still timed as a bench headline. Driver-verified
 #     unchanged r1-r4.
+# ...and one more round-5 displacement to admit corpus-level line
+# deduplication (text_line_dedup, the C4/RefinedWeb boilerplate-line
+# pass — a new unique capability) into the checked 50:
+#   - window_tumbling_hourly: its window(ts) bucketing lowers to the
+#     same two-phase HashAggregate plan as the checked
+#     q1_pricing_summary (only the grouping expression differs, and
+#     the checked window_session_gaps hash-verifies the identical
+#     unix-time arithmetic inside its gap fold); the window family
+#     keeps topn + session checked, and the streaming batch-twin tests
+#     cover the tumbling window() op itself. Driver-verified unchanged
+#     r1-r4, pytest-oracle-checked every round.
 #   - text_lm_bigram: stupid-backoff sibling of text_lm_surprisal
 #     (same explode + count + join + per-doc-agg plan family as the
 #     checked text_tfidf_top_terms; its scaled-integer-div statistic is
 #     the same hash-verified trick) — pytest-oracle-checked like the
 #     unigram form
 DEPRIORITIZED = (
+    "window_tumbling_hourly",
     "text_lm_bigram",
     "doc_chunk_overlap",
     "sample_weighted_topk",

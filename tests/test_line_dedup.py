@@ -1,0 +1,59 @@
+"""Corpus-level line dedup: keeper election, short-line exemption,
+order-preserving reassembly, empty-doc survival, and the skew-proof
+plan shape (no window over partitionBy(line))."""
+
+from __future__ import annotations
+
+from clickhouse_mysql_data_reader_spark.operators.text import line_dedup
+
+BANNER = "accept all cookies to continue"
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_line_dedup_keeps_first_occurrence_and_reassembles(spark):
+    docs = _mk(
+        spark,
+        [
+            (1, f"intro one\n{BANNER}\nunique body a"),
+            (2, f"{BANNER}\nunique body b\n\nafter blank"),
+            (3, BANNER),
+        ],
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_line_chars=2).collect()}
+    assert out[1]["text"] == f"intro one\n{BANNER}\nunique body a"
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 3
+    # doc 2 loses the banner but keeps its blank separator line
+    assert out[2]["text"] == "unique body b\n\nafter blank"
+    assert out[2]["n_lines"] == 4 and out[2]["n_kept"] == 3
+    # doc 3's only line was a non-keeper duplicate: survives, empty
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0 and out[3]["n_lines"] == 1
+
+
+def test_line_dedup_short_lines_exempt(spark):
+    docs = _mk(spark, [(1, "x\nunique body c"), (2, "x")])
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_line_chars=2).collect()}
+    assert out[1]["text"] == "x\nunique body c"
+    assert out[2]["text"] == "x", "short duplicated lines are structure, every doc keeps its own"
+
+
+def test_line_dedup_keeper_is_position_aware_within_doc(spark):
+    """A line duplicated WITHIN one doc keeps only its first position."""
+    docs = _mk(spark, [(7, "same long line here\nmiddle text\nsame long line here")])
+    r = line_dedup(docs, min_line_chars=2).collect()[0]
+    assert r["text"] == "same long line here\nmiddle text"
+    assert r["n_lines"] == 3 and r["n_kept"] == 2
+
+
+def test_line_dedup_plan_has_no_line_partitioned_window(spark):
+    """Scale guard: keeper election must be an aggregate (map-side
+    combinable; hot boilerplate lines collapse per map task), never a
+    window over partitionBy(line) (unsplittable hot partition)."""
+    docs = _mk(spark, [(1, "a line\nb line"), (2, "a line")])
+    plan = line_dedup(docs)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan

@@ -29,6 +29,10 @@ DRIVER_CAP = 50
 # checked text_quality_score hash-verifies) and
 # dedup_minhash_signatures (pipeline re-runs inside the checked
 # dedup_lsh_jaccard's candidate stage; still a bench headline).
+# Finally text_line_dedup (C4-style corpus-level line dedup, new
+# unique capability) displaced window_tumbling_hourly (same two-phase
+# HashAggregate plan as the checked q1; window family keeps
+# topn + session).
 MUST_BE_CHECKED = {
     "q1_pricing_summary",
     "agg_approx_distinct",
@@ -44,7 +48,7 @@ MUST_BE_CHECKED = {
     "join_range_bands",
     "join_asof_attrib",
     "window_topn_per_group",
-    "window_tumbling_hourly",
+    "text_line_dedup",
     "window_session_gaps",
     "dedup_embed_near_multiprobe",
     "dedup_simhash_near",
