@@ -221,6 +221,8 @@ def main() -> None:
         "text_vocab_topk": time_query("text_vocab_topk"),
         "text_gopher_rules": time_query("text_gopher_rules"),
         "text_boilerplate_ngrams": time_query("text_boilerplate_ngrams"),
+        "text_lm_bigram": time_query("text_lm_bigram"),
+        "text_line_dedup": time_query("text_line_dedup"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -74,6 +74,17 @@ class CurationConfig:
     # enabling it adds no extra text scan. None = off.
     max_boiler_frac: float | None = None
     boiler_min_docs: int = 5
+    # opt-in corpus-level LINE dedup (operators/text.py line_dedup, the
+    # C4/RefinedWeb boilerplate-line pass): every verbatim-duplicated
+    # line keeps only its globally-first occurrence and docs are
+    # reassembled before ANY gate runs, so the gates judge the cleaned
+    # text and docs reduced to nothing fail the quality gate naturally.
+    # Batch `curate()` only (corpus-wide line frequencies; the
+    # incremental path rejects it loudly like max_boiler_frac). Costs
+    # the operator's three skew-proof shuffles + one id-keyed join to
+    # restore the non-text columns.
+    dedup_lines: bool = False
+    line_dedup_min_chars: int = 15
     # opt-in LM quality gate (operators/text.py lm_surprisal): drop docs
     # whose mean inverse token probability vs the BATCH's own unigram
     # distribution exceeds this (gibberish / off-distribution text).
@@ -252,6 +263,20 @@ def curate(
     corpus doc that is a near-verbatim copy of a benchmark doc is
     removed so eval answers don't leak into training.
     """
+    if cfg.dedup_lines:
+        # stage 0 (optional): corpus-level line dedup BEFORE the gates —
+        # gates then score the cleaned text, and a doc whose every line
+        # was removed fails the quality gate like any other empty doc.
+        # line_dedup returns the reassembled text only; the id-keyed
+        # join restores the caller's other columns (its build side ends
+        # in a groupBy(doc_id), so the join reuses that partitioning).
+        from clickhouse_mysql_data_reader_spark.operators.text import line_dedup
+
+        cleaned = line_dedup(
+            docs, text_col, id_col, min_line_chars=cfg.line_dedup_min_chars
+        ).select(id_col, text_col)
+        docs = docs.drop(text_col).join(cleaned, id_col)
+
     gated, exact = _row_stages(docs, cfg, text_col, id_col)
 
     # --- stage 3b: corpus-level boilerplate gate (optional) -----------
@@ -1004,6 +1029,13 @@ def curate_increment(
         raise ValueError(
             "max_boiler_frac is a batch-curate() gate: incremental "
             "curation cannot see corpus-wide fragment frequencies"
+        )
+    if cfg.dedup_lines:
+        # same reasoning: line frequencies are corpus-wide; a per-batch
+        # view would keep every batch's copy of a boilerplate line
+        raise ValueError(
+            "dedup_lines is a batch-curate() stage: incremental "
+            "curation cannot see corpus-wide line frequencies"
         )
     spark = new_docs.sparkSession
     if state.exists(spark):

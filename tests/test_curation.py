@@ -1037,3 +1037,38 @@ def test_curate_classifier_gate_drops_low_prob_docs(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_curate_line_dedup_stage_removes_boilerplate_lines(spark):
+    """Opt-in stage 0: a cookie-banner line shared by several docs
+    survives only in its globally-first doc; every doc keeps its other
+    columns; a doc reduced to nothing is dropped by the quality gate.
+    The incremental path rejects the option loudly."""
+    import pytest as _pytest
+
+    banner = "accept all cookies to continue reading this site"
+    docs = _mk_docs(
+        spark,
+        [
+            (1, "web", GOOD + "\n" + banner),
+            (2, "web", banner + "\n" + GOOD.replace("fox", "hen")),
+            (3, "web", banner),
+        ],
+    )
+    cfg = CurationConfig(near_dup_jaccard=0.95, dedup_lines=True)
+    out = {
+        r["doc_id"]: r
+        for r in curate(docs, cfg=cfg).quality_gated.select("doc_id", "source", "text").collect()
+    }
+    assert set(out) == {1, 2}, "doc 3 reduced to nothing must fail the gate"
+    assert banner in out[1]["text"], "first occurrence keeps the line"
+    assert banner not in out[2]["text"]
+    assert out[2]["source"] == "web", "non-text columns restored"
+
+    from clickhouse_mysql_data_reader_spark.curation import CurationState, curate_increment
+
+    import tempfile as _tf
+
+    state = CurationState(_tf.mkdtemp() + "/st")
+    with _pytest.raises(ValueError, match="dedup_lines is a batch"):
+        curate_increment(docs, state, cfg)
