@@ -977,10 +977,16 @@ def line_dedup(
     2. keep test: equi-join of the exploded lines against the keeper
        table on the FULL triple (line, id, line_no) — the triple is
        unique on both sides, so the join has no skewed key at all;
-       ineligible short lines bypass the join entirely (union branch,
-       same scan);
+       ineligible short lines pass the filter without consulting the
+       join (LEFT join + ``short OR keeper`` predicate, one exploded
+       subtree — not a union of two separately-scanned branches);
     3. reassembly: one groupBy(doc) with sort_array(collect_list) —
        line order restored exactly.
+
+    The corpus text is scanned three times total (keeper build, keep
+    test, and a projection-only per-doc line count for docs that lose
+    every line) — each subtree prunes to (id, text), so at 100 TB the
+    cost is 3x one column's scan plus the two content shuffles.
 
     Returns (id, n_lines, n_kept, text) with ``text`` rebuilt from the
     surviving lines ('\\n'-joined; docs whose every line was removed
@@ -989,23 +995,33 @@ def line_dedup(
     """
     from clickhouse_mysql_data_reader_spark.util import fan_out
 
-    lines = fan_out(docs).select(
+    fanned = fan_out(docs)
+    lines = fanned.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
     )
     elig = F.length(F.trim(F.col("line"))) >= min_line_chars
-    eligible = lines.filter(elig)
-    short = lines.filter(~elig)
 
-    keepers = eligible.groupBy("line").agg(
-        F.min(F.struct("doc_id", "line_no")).alias("_k")
-    ).select(
-        "line", F.col("_k.doc_id").alias("doc_id"), F.col("_k.line_no").alias("line_no")
+    keepers = (
+        lines.filter(elig)
+        .groupBy("line")
+        .agg(F.min(F.struct("doc_id", "line_no")).alias("_k"))
+        .select(
+            "line",
+            F.col("_k.doc_id").alias("doc_id"),
+            F.col("_k.line_no").alias("line_no"),
+            F.lit(True).alias("_keep"),
+        )
     )
-    kept = eligible.join(keepers, ["line", "doc_id", "line_no"], "left_semi").unionByName(
-        short
+    kept = (
+        lines.join(keepers, ["line", "doc_id", "line_no"], "left")
+        .filter(~elig | F.col("_keep").isNotNull())
+        .drop("_keep")
     )
-    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    totals = fanned.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
     kept_agg = kept.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("line_no", "line"))).alias("_ls")
     )
