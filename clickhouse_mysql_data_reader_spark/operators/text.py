@@ -1035,3 +1035,54 @@ def line_dedup(
             F.array_join(F.transform("_ls", lambda s: s["line"]), "\n"), F.lit("")
         ).alias(text_col),
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cuts: tuple = (1.0 / 3.0, 2.0 / 3.0),
+    approx: bool = False,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with ``lm_surprisal`` against ``reference`` (default:
+    the corpus itself) and label it head / middle / tail by the corpus's
+    own surprisal distribution — the standard "keep the head, sample the
+    middle, drop the tail" LM-data selection move.
+
+    The cut thresholds stay IN-PLAN: a 1-row exact-``percentile``
+    aggregate broadcast-crossJoined onto the scored frame (the
+    ``lm_surprisal`` totals trick), so composing callers stay lazy and
+    no driver action runs. ``approx=True`` swaps in
+    ``approx_percentile`` — the 100 TB path: exact percentile
+    accumulates per-partition value buffers, where the t-digest sketch
+    is O(1) memory per partition; buckets near the cut may then differ
+    by the sketch's rank error, which selection-by-band tolerates.
+
+    Returns (id, n_tokens, surprisal, bucket) with bucket in
+    ('head', 'middle', 'tail'); docs with zero tokens have no surprisal
+    row and are absent, as in ``lm_surprisal``.
+    """
+    lo, hi = cuts
+    if not 0.0 < lo < hi < 1.0:
+        raise ValueError(f"cuts must satisfy 0 < lo < hi < 1, got {cuts}")
+    scored = lm_surprisal(
+        docs, reference if reference is not None else docs,
+        text_col=text_col, id_col=id_col, scale=scale,
+    )
+    pfn = F.approx_percentile if approx else F.percentile
+    th = scored.agg(
+        pfn("surprisal", F.lit(lo)).alias("_p_lo"),
+        pfn("surprisal", F.lit(hi)).alias("_p_hi"),
+    )
+    return scored.crossJoin(F.broadcast(th)).select(
+        F.col("doc_id").alias(id_col),
+        "n_tokens",
+        "surprisal",
+        F.when(F.col("surprisal") <= F.col("_p_lo"), F.lit("head"))
+        .when(F.col("surprisal") <= F.col("_p_hi"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

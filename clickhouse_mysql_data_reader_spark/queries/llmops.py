@@ -1321,6 +1321,54 @@ def text_lm_bigram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_ccnet_buckets",
+    f"""
+    WITH norml AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+    tokl AS (
+      SELECT doc_id, tok AS token
+      FROM (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM norml)
+      WHERE tok <> ''
+    ),
+    rc AS (SELECT token, count(*) AS n FROM tokl GROUP BY token),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) + count(*) AS db FROM rc),
+    sc AS (
+      SELECT t.doc_id, coalesce(rc.n, 0) AS cnt
+      FROM tokl t LEFT JOIN rc USING (token)
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             sum(CAST(1000000 AS BIGINT) * (SELECT db FROM tot) // (cnt + 1))
+               / (count(*) * 1000000.0) AS surprisal
+      FROM sc GROUP BY doc_id
+    ),
+    th AS (
+      SELECT quantile_cont(surprisal, 0.3333333333333333) AS p_lo,
+             quantile_cont(surprisal, 0.6666666666666666) AS p_hi
+      FROM s
+    )
+    SELECT doc_id, n_tokens, surprisal,
+           CASE WHEN surprisal <= (SELECT p_lo FROM th) THEN 'head'
+                WHEN surprisal <= (SELECT p_hi FROM th) THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM s
+    """,
+    doc="CCNet perplexity bucketing (Wenzek et al. 2020): lm_surprisal "
+    "per doc, head/middle/tail by the corpus's own exact surprisal "
+    "terciles — thresholds stay in-plan as a broadcast 1-row exact-"
+    "percentile aggregate (Spark percentile == DuckDB quantile_cont, "
+    "the pair agg_approx_percentile's exact anchors already "
+    "hash-verify). The standard keep-head/sample-middle/drop-tail "
+    "LM-data selection.",
+)
+def text_ccnet_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.text import ccnet_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ccnet_buckets(docs, text_col="text", id_col="doc_id")
+
+
+@register(
     "text_line_dedup",
     """
     WITH corpus AS (

@@ -170,6 +170,10 @@ QUERIES: dict[str, QueryDef] = {}
 #     keeps topn + session checked, and the streaming batch-twin tests
 #     cover the tumbling window() op itself. Driver-verified unchanged
 #     r1-r4, pytest-oracle-checked every round.
+#   - text_ccnet_buckets: pure composition of two checked families —
+#     lm_surprisal scoring (text_tfidf/lm family) + the exact
+#     percentile thresholds agg_approx_percentile's exact anchors
+#     hash-verify; pytest-oracle-checked end-to-end
 #   - text_lm_bigram: stupid-backoff sibling of text_lm_surprisal
 #     (same explode + count + join + per-doc-agg plan family as the
 #     checked text_tfidf_top_terms; its scaled-integer-div statistic is
@@ -177,6 +181,7 @@ QUERIES: dict[str, QueryDef] = {}
 #     unigram form
 DEPRIORITIZED = (
     "window_tumbling_hourly",
+    "text_ccnet_buckets",
     "text_lm_bigram",
     "doc_chunk_overlap",
     "sample_weighted_topk",

@@ -104,3 +104,43 @@ def test_bigram_overflow_guard_raises(spark):
     out = lm_surprisal_bigram(docs, ref, scale=1 << 62)
     with pytest.raises(Exception, match="out of range"):
         out.collect()
+
+
+def test_ccnet_buckets_labels_and_laziness(spark):
+    """Buckets split the corpus ~in thirds by surprisal; thresholds stay
+    in-plan (no job at build time); approx path returns the same labels
+    on a tiny corpus; cut validation raises."""
+    from clickhouse_mysql_data_reader_spark.operators.text import ccnet_buckets
+
+    texts = [
+        "the cat sat on the mat",          # common tokens -> head-ish
+        "the dog sat on the rug",
+        "the cat sat on the rug today",
+        "zxqv plmk wrtn qqzz vbnm xkcd",   # gibberish -> tail
+        "the dog ran to the mat quickly",
+        "the cat and the dog sat",
+    ]
+    docs = _mk(spark, texts)
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    out = ccnet_buckets(docs)
+    assert len(tracker.getJobIdsForGroup(None) or []) == before, "must stay lazy"
+
+    rows = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    assert rows[3] == "tail", "gibberish lands in the tail band"
+    from collections import Counter
+
+    c = Counter(rows.values())
+    assert c["head"] >= 1 and c["middle"] >= 1 and c["tail"] >= 1
+
+    approx = {
+        r["doc_id"]: r["bucket"]
+        for r in ccnet_buckets(docs, approx=True).collect()
+    }
+    assert approx[3] == "tail"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cuts"):
+        ccnet_buckets(docs, cuts=(0.7, 0.3))
