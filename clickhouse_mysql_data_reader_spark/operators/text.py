@@ -1086,3 +1086,103 @@ def ccnet_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): any ``window``-token
+    span whose exact content appears ``min_count``+ times in the corpus
+    (across OR within documents) is removed from every occurrence but
+    the globally first — licence blocks, quoted reposts, templated
+    paragraphs vanish while each survives once. The paper builds a
+    suffix array; the distributed re-expression fingerprints every
+    W-token window and dedups fingerprints, which finds exactly the
+    duplicated spans of length >= W (longer shared spans are covered by
+    their overlapping windows, and the per-doc index-union excises them
+    as one merged range).
+
+    Shape (all deterministic):
+
+    1. windows: posexplode of sequence(0, n-W) -> md5-prefix fingerprint
+       of the W-token slice. O(n_tokens * W) hashing — the honest cost
+       of windowing without a suffix array; at 100 TB pick W once, pay
+       one scan of W x text bytes through xxhash-class hashing.
+    2. keeper: groupBy(fp) -> count + min(struct(doc, start)) —
+       map-side combined, so a million-occurrence licence block crosses
+       the shuffle as one row per map task (the line_dedup move).
+    3. marks: windows join duplicated-fps on fp, keep non-keeper
+       occurrences. A pathologically hot fingerprint skews this join's
+       fp key — AQE's skew-join split applies (sort-merge side), unlike
+       a window-function formulation which would be unsplittable.
+    4. excision: per doc, union the marked windows' token indices
+       (flatten + array_distinct), then filter the token array by
+       position and rejoin. Output text is rebuilt from NORMALIZED
+       tokens for every doc (the paper operates on the tokenized
+       corpus); docs shorter than W are untouched by construction.
+
+    Returns (id, n_tokens, n_dropped, text).
+    """
+    from clickhouse_mysql_data_reader_spark.util import fan_out
+
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+
+    base = fan_out(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(tokens(F.col(text_col)), lambda t: t != "").alias("_tk"),
+    )
+    wins = base.filter(F.size("_tk") >= window).select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), F.size("_tk") - window)).alias("_i", "_s"),
+        F.col("_tk"),
+    ).select(
+        "doc_id",
+        F.col("_s"),
+        F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice("_tk", F.col("_s") + 1, window), " ")), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("_fp"),
+    )
+    dups = (
+        wins.groupBy("_fp")
+        .agg(F.count("*").alias("_c"), F.min(F.struct("doc_id", "_s")).alias("_k"))
+        .filter(F.col("_c") >= min_count)
+        .select("_fp", F.col("_k.doc_id").alias("_kd"), F.col("_k._s").alias("_ks"))
+    )
+    marks = (
+        wins.join(dups, "_fp")
+        .filter(~((F.col("doc_id") == F.col("_kd")) & (F.col("_s") == F.col("_ks"))))
+        .select("doc_id", "_s")
+    )
+    drops = marks.groupBy("doc_id").agg(
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(F.sequence(F.col("_s"), F.col("_s") + window - 1))
+            )
+        ).alias("_drop")
+    )
+    out = base.join(drops, "doc_id", "left").withColumn(
+        "_drop", F.coalesce(F.col("_drop"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("_tk"), lambda t, i: ~F.array_contains(F.col("_drop"), i.cast("int"))
+    )
+    return out.select(
+        F.col("doc_id").alias(id_col),
+        F.size("_tk").cast("long").alias("n_tokens"),
+        F.size("_drop").cast("long").alias("n_dropped"),
+        F.array_join(kept, " ").alias(text_col),
+    )

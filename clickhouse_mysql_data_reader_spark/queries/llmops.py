@@ -1321,6 +1321,68 @@ def text_lm_bigram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_exact_substring",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split({_NORM}, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, unnest(range(0, len(tk) - 8 + 1)) AS s, tk
+      FROM t WHERE len(tk) >= 8
+    ),
+    wf AS (
+      SELECT doc_id, s,
+             CAST(('0x' || substr(md5(array_to_string(tk[s + 1 : s + 8], ' ')), 1, 15))
+                  AS BIGINT) AS fp
+      FROM w
+    ),
+    r AS (
+      SELECT doc_id, s,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, s) AS rn,
+             count(*) OVER (PARTITION BY fp) AS c
+      FROM wf
+    ),
+    marks AS (SELECT doc_id, s FROM r WHERE c >= 2 AND rn > 1),
+    di AS (
+      SELECT DISTINCT m.doc_id, m.s + k.k AS idx
+      FROM marks m, range(0, 8) k(k)
+    ),
+    tokpos AS (
+      SELECT doc_id, unnest(range(0, len(tk))) AS pos, unnest(tk) AS tok FROM t
+    ),
+    keptagg AS (
+      SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.pos) AS text
+      FROM tokpos tp
+      ANTI JOIN di ON di.doc_id = tp.doc_id AND di.idx = tp.pos
+      GROUP BY tp.doc_id
+    ),
+    dcount AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped FROM di GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           coalesce(d.n_dropped, 0) AS n_dropped,
+           coalesce(k.text, '') AS text
+    FROM t LEFT JOIN keptagg k USING (doc_id) LEFT JOIN dcount d USING (doc_id)
+    """,
+    doc="ExactSubstr dedup (Lee et al. 2021): every 8-token span "
+    "occurring 2+ times in the corpus is excised from all but its "
+    "globally-first occurrence (keeper = min (doc, start); overlapping "
+    "windows merge via the per-doc index union). The distributed "
+    "re-expression of the paper's suffix array: window fingerprints + "
+    "map-side-combined keeper election + AQE-splittable fp join — at "
+    "sf0.01 this finds the near-dup docs' shared spans (24 docs, 1254 "
+    "tokens).",
+)
+def dedup_exact_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.text import (
+        exact_substring_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_dedup(docs, window=8, min_count=2)
+
+
+@register(
     "text_ccnet_buckets",
     f"""
     WITH norml AS (SELECT doc_id, {_NORM} AS nt FROM documents),

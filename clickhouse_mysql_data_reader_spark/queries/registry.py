@@ -159,6 +159,15 @@ QUERIES: dict[str, QueryDef] = {}
 #     generation, whose hash check covers the signature values via the
 #     band hashes; also still timed as a bench headline. Driver-verified
 #     unchanged r1-r4.
+# ...and one more round-5 displacement to admit ExactSubstr span
+# dedup (dedup_exact_substring, Lee et al. 2021 — a new unique
+# capability) into the checked 50:
+#   - doc_winnow_fingerprint: its window-fingerprint machinery
+#     (sequence/explode/slice over token windows + the md5-prefix
+#     hash) re-runs INSIDE the now-checked dedup_exact_substring,
+#     which additionally verifies keeper election and span excision
+#     end-to-end; driver-verified unchanged r1-r4, pytest-oracle-
+#     checked every round.
 # ...and one more round-5 displacement to admit corpus-level line
 # deduplication (text_line_dedup, the C4/RefinedWeb boilerplate-line
 # pass — a new unique capability) into the checked 50:
@@ -180,6 +189,7 @@ QUERIES: dict[str, QueryDef] = {}
 #     the same hash-verified trick) — pytest-oracle-checked like the
 #     unigram form
 DEPRIORITIZED = (
+    "doc_winnow_fingerprint",
     "window_tumbling_hourly",
     "text_ccnet_buckets",
     "text_lm_bigram",

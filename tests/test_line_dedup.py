@@ -57,3 +57,68 @@ def test_line_dedup_plan_has_no_line_partitioned_window(spark):
     )
     assert "Window" not in plan
     assert "partial_min" in plan or "HashAggregate" in plan
+
+
+# --- ExactSubstr span dedup -------------------------------------------------
+
+LIC = "this software is provided as is without warranty of any kind express or implied"
+
+
+def test_exact_substring_dedup_excises_shared_spans(spark):
+    from clickhouse_mysql_data_reader_spark.operators.text import (
+        exact_substring_dedup,
+    )
+
+    docs = _mk(
+        spark,
+        [
+            (1, f"doc one body starts here {LIC} and then unique tail alpha"),
+            (2, f"{LIC} second doc unique middle content beta"),
+            (3, f"unique head gamma {LIC}"),
+            (4, "totally unique document with no duplicated spans at all in it"),
+            (5, "short doc"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in exact_substring_dedup(docs, window=8).collect()}
+    lic_n = len(LIC.split())  # 14 tokens, covered by overlapping 8-windows
+    assert out[1]["n_dropped"] == 0 and LIC in out[1]["text"], "keeper intact"
+    for d in (2, 3):
+        assert out[d]["n_dropped"] == lic_n, f"doc {d}"
+        assert LIC not in out[d]["text"]
+    assert out[2]["text"] == "second doc unique middle content beta"
+    assert out[3]["text"] == "unique head gamma"
+    assert out[4]["n_dropped"] == 0
+    assert out[5]["n_tokens"] == 2 and out[5]["n_dropped"] == 0, "below-window doc untouched"
+
+
+def test_exact_substring_dedup_handles_within_doc_repeats(spark):
+    """A span repeated INSIDE one doc keeps only its first occurrence —
+    the paper dedups within documents too."""
+    from clickhouse_mysql_data_reader_spark.operators.text import (
+        exact_substring_dedup,
+    )
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _mk(spark, [(1, f"{span} filler words in between {span}")])
+    r = exact_substring_dedup(docs, window=8).collect()[0]
+    assert r["n_dropped"] == 8
+    assert r["text"] == f"{span} filler words in between"
+
+
+def test_exact_substring_dedup_guards_and_plan(spark):
+    from clickhouse_mysql_data_reader_spark.operators.text import (
+        exact_substring_dedup,
+    )
+    import pytest as _pytest
+
+    docs = _mk(spark, [(1, "a b c")])
+    with _pytest.raises(ValueError, match="window"):
+        exact_substring_dedup(docs, window=1)
+    with _pytest.raises(ValueError, match="min_count"):
+        exact_substring_dedup(docs, min_count=1)
+
+    # keeper election is an aggregate, not a window over partitionBy(fp)
+    plan = exact_substring_dedup(docs, window=2)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Window" not in plan

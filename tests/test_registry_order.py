@@ -32,7 +32,9 @@ DRIVER_CAP = 50
 # Finally text_line_dedup (C4-style corpus-level line dedup, new
 # unique capability) displaced window_tumbling_hourly (same two-phase
 # HashAggregate plan as the checked q1; window family keeps
-# topn + session).
+# topn + session), and dedup_exact_substring (ExactSubstr span
+# dedup) displaced doc_winnow_fingerprint (window-fingerprint
+# machinery runs inside the checked exactsubstr query).
 MUST_BE_CHECKED = {
     "q1_pricing_summary",
     "agg_approx_distinct",
@@ -66,7 +68,7 @@ MUST_BE_CHECKED = {
     "dedup_exact_groups",
     "dedup_lsh_jaccard",
     "dedup_embed_near",
-    "doc_winnow_fingerprint",
+    "dedup_exact_substring",
     "embed_cosine_topk",
     "embed_ivf_topk",
     "text_quality_score",
