@@ -223,6 +223,8 @@ def main() -> None:
         "text_boilerplate_ngrams": time_query("text_boilerplate_ngrams"),
         "text_lm_bigram": time_query("text_lm_bigram"),
         "text_line_dedup": time_query("text_line_dedup"),
+        "text_ccnet_buckets": time_query("text_ccnet_buckets"),
+        "dedup_exact_substring": time_query("dedup_exact_substring"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
