@@ -151,7 +151,6 @@ def quality_filter(
     bias: float,
     threshold: float = 0.5,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Corpus rows whose classifier probability clears ``threshold`` —
     original columns preserved. A plain ``filter`` on the inline score

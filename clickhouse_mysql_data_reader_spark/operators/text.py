@@ -1177,12 +1177,19 @@ def exact_substring_dedup(
     out = base.join(drops, "doc_id", "left").withColumn(
         "_drop", F.coalesce(F.col("_drop"), F.array().cast("array<int>"))
     )
-    kept = F.filter(
-        F.col("_tk"), lambda t, i: ~F.array_contains(F.col("_drop"), i.cast("int"))
+    # kept indices via hash-based array_except (linear in n + |drop| and
+    # order-preserving on the sorted sequence) — NOT a per-token
+    # array_contains scan, which is O(n * |drop|) and goes quadratic on
+    # a heavily-duplicated document
+    keep_idx = F.array_except(
+        F.sequence(F.lit(0), F.size("_tk") - 1), F.col("_drop")
     )
+    kept = F.transform(keep_idx, lambda i: F.element_at("_tk", i + 1))
     return out.select(
         F.col("doc_id").alias(id_col),
         F.size("_tk").cast("long").alias("n_tokens"),
         F.size("_drop").cast("long").alias("n_dropped"),
-        F.array_join(kept, " ").alias(text_col),
+        F.when(F.size("_tk") > 0, F.array_join(kept, " "))
+        .otherwise(F.lit(""))
+        .alias(text_col),
     )

@@ -122,3 +122,10 @@ def test_exact_substring_dedup_guards_and_plan(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "Window" not in plan
+
+    # empty/whitespace docs survive as empty rows (no ANSI element_at
+    # trap from the descending sequence(0, -1))
+    empty = _mk(spark, [(9, ""), (10, "   ")])
+    out = {r["doc_id"]: r for r in exact_substring_dedup(empty, window=2).collect()}
+    assert out[9]["n_tokens"] == 0 and out[9]["text"] == ""
+    assert out[10]["n_tokens"] == 0 and out[10]["text"] == ""
