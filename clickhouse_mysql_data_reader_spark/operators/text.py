@@ -1193,3 +1193,102 @@ def exact_substring_dedup(
         .otherwise(F.lit(""))
         .alias(text_col),
     )
+
+
+def line_fingerprints(kept_lines: DataFrame) -> DataFrame:
+    """Distinct 60-bit md5-prefix fingerprints (the shingle-hash idiom)
+    of a (line) column — the compact state `line_dedup_increment`
+    carries between batches instead of raw line text."""
+    return kept_lines.select(
+        F.conv(F.substring(F.md5("line"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("line_fp")
+    ).distinct()
+
+
+def line_dedup_increment(
+    new_docs: DataFrame,
+    landed_fps: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_chars: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental ``line_dedup`` — the production daily-batch shape: a
+    line in the new batch is removed when its fingerprint is already in
+    ``landed_fps`` (history holds the keeper) OR it is a non-keeper
+    duplicate WITHIN the batch; short lines stay exempt. Returns
+    ``(cleaned, new_fps)`` where ``cleaned`` has the batch-``line_dedup``
+    schema (id, n_lines, n_kept, text) and ``new_fps`` is the
+    (line_fp: long) table of this batch's surviving eligible lines —
+    append it to the landed state so the next batch dedups against it
+    (caller owns the state lifecycle, like ``lsh_candidate_pairs``'
+    caller-owned persist). ``landed_fps=None`` bootstraps batch one.
+
+    Equivalence invariant (pinned by test): when doc ids are assigned in
+    batch order, running batches incrementally produces exactly what one
+    batch ``line_dedup`` over the concatenated corpus would — history
+    keepers are the global min-(doc, line_no) keepers.
+
+    Same skew discipline as the batch form: within-batch keeper election
+    is the map-side-combined aggregate; the history check is an
+    anti-join on the 60-bit fingerprint (uniformly distributed — no hot
+    key even for a boilerplate line, since the state holds ONE row per
+    distinct line). Compose with ``membership.might_contain`` to route
+    definite-miss lines around the shuffle when the state grows large.
+    """
+    from clickhouse_mysql_data_reader_spark.util import fan_out
+
+    fanned = fan_out(new_docs)
+    lines = fanned.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    )
+    elig = F.length(F.trim(F.col("line"))) >= min_line_chars
+
+    keepers = (
+        lines.filter(elig)
+        .groupBy("line")
+        .agg(F.min(F.struct("doc_id", "line_no")).alias("_k"))
+        .select(
+            "line",
+            F.col("_k.doc_id").alias("doc_id"),
+            F.col("_k.line_no").alias("line_no"),
+            F.lit(True).alias("_keep"),
+        )
+    )
+    batch_kept = (
+        lines.join(keepers, ["line", "doc_id", "line_no"], "left")
+        .filter(~elig | F.col("_keep").isNotNull())
+        .drop("_keep")
+    )
+    if landed_fps is not None:
+        fp = (
+            F.conv(F.substring(F.md5("line"), 1, 15), 16, 10).cast("long")
+        )
+        tagged = batch_kept.withColumn("_fp", fp).withColumn("_el", elig)
+        hist = landed_fps.select(F.col("line_fp").alias("_fp"))
+        survivors = (
+            tagged.join(hist.withColumn("_seen", F.lit(True)), "_fp", "left")
+            .filter(~F.col("_el") | F.col("_seen").isNull())
+            .select("doc_id", "line_no", "line")
+        )
+    else:
+        survivors = batch_kept.select("doc_id", "line_no", "line")
+
+    totals = fanned.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
+    kept_agg = survivors.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("line_no", "line"))).alias("_ls")
+    )
+    cleaned = totals.join(kept_agg, "doc_id", "left").select(
+        F.col("doc_id").alias(id_col),
+        F.col("n_lines"),
+        F.coalesce(F.size("_ls"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(
+            F.array_join(F.transform("_ls", lambda s: s["line"]), "\n"), F.lit("")
+        ).alias(text_col),
+    )
+    new_fps = line_fingerprints(survivors.filter(elig).select("line"))
+    return cleaned, new_fps

@@ -129,3 +129,58 @@ def test_exact_substring_dedup_guards_and_plan(spark):
     out = {r["doc_id"]: r for r in exact_substring_dedup(empty, window=2).collect()}
     assert out[9]["n_tokens"] == 0 and out[9]["text"] == ""
     assert out[10]["n_tokens"] == 0 and out[10]["text"] == ""
+
+
+# --- incremental line dedup -------------------------------------------------
+
+
+def test_line_dedup_increment_matches_batch_equivalence(spark):
+    """Running two batches incrementally (state = kept-line fingerprints)
+    produces exactly what one batch line_dedup over the concatenated
+    corpus would, when doc ids are assigned in batch order."""
+    from clickhouse_mysql_data_reader_spark.operators.text import (
+        line_dedup,
+        line_dedup_increment,
+    )
+
+    b1 = _mk(
+        spark,
+        [
+            (1, f"intro one\n{BANNER}\nunique body a"),
+            (2, f"{BANNER}\nunique body b"),
+        ],
+    )
+    b2 = _mk(
+        spark,
+        [
+            (4, f"{BANNER}\nfresh body c\nrepeated in batch two"),
+            (5, "repeated in batch two\nfresh body d"),
+            (6, BANNER),
+        ],
+    )
+    c1, fps1 = line_dedup_increment(b1, None, min_line_chars=2)
+    c2, fps2 = line_dedup_increment(b2, fps1, min_line_chars=2)
+
+    inc = {r["doc_id"]: r for r in c1.collect()} | {
+        r["doc_id"]: r for r in c2.collect()
+    }
+    full = {
+        r["doc_id"]: r
+        for r in line_dedup(b1.unionByName(b2), min_line_chars=2).collect()
+    }
+    assert set(inc) == set(full)
+    for d in full:
+        assert inc[d]["text"] == full[d]["text"], f"doc {d}"
+        assert inc[d]["n_kept"] == full[d]["n_kept"], f"doc {d}"
+
+    # state semantics: batch-2 state holds only NEW lines (banner already
+    # landed in batch 1's fps)
+    f1 = {r["line_fp"] for r in fps1.collect()}
+    f2 = {r["line_fp"] for r in fps2.collect()}
+    assert len(f1) == 4  # intro, banner, body a, body b
+    # batch-2 survivors exclude history lines, so fps are disjoint
+    assert not (f1 & f2)
+    assert len(f2) == 3  # fresh c, repeated-in-batch-two, fresh d
+
+    # doc 6 lost its only line to history -> present with n_kept 0
+    assert inc[6]["n_kept"] == 0 and inc[6]["text"] == ""
