@@ -43,18 +43,20 @@ MAX_TRAIN_ROWS = 200_000
 def _collect_features(
     df: DataFrame, text_col: str, id_col: str, dim: int
 ) -> list[list[float]]:
-    n = df.count()
-    if n > MAX_TRAIN_ROWS:
-        raise ValueError(
-            f"training sample has {n} rows (> {MAX_TRAIN_ROWS}); the "
-            "classifier trains driver-side on a bounded SAMPLE by design "
-            "— downsample first (sampling.sample_condition)"
-        )
+    # one action: collect one row past the bound instead of a separate
+    # count() job that would re-execute the sample's upstream plan
     rows = (
         hashed_bow_embed(df, text_col, id_col, dim=dim)
         .select("embedding")
+        .limit(MAX_TRAIN_ROWS + 1)
         .collect()
     )
+    if len(rows) > MAX_TRAIN_ROWS:
+        raise ValueError(
+            f"training sample exceeds {MAX_TRAIN_ROWS} rows; the "
+            "classifier trains driver-side on a bounded SAMPLE by design "
+            "— downsample first (sampling.sample_condition)"
+        )
     return [list(r["embedding"]) for r in rows]
 
 
@@ -101,18 +103,17 @@ def quality_prob_col(text: Column, weights: list[float], bias: float) -> Column:
     fold, L2 normalize, dot, sigmoid) inlines into whatever scan
     produces ``text``: zero shuffles, zero joins, zero Python. This is
     what lets ``curate()`` gate on the classifier with a plain
-    ``filter`` instead of a score-join. Empty/tokenless docs have an
-    all-zero feature vector, so they score ``sigmoid(bias)``."""
-    from clickhouse_mysql_data_reader_spark.operators.text import token_bucket, tokens
+    ``filter`` instead of a score-join. Features come from
+    ``text.hashed_bow_expr`` — the same map ``train_quality_classifier``
+    trains on (sync pinned by test), so scores mean what the training
+    loss meant. NOTE an empty/whitespace doc is NOT a zero vector: it
+    tokenizes to the single '' token, i.e. a unit vector on md5('')'s
+    bucket, and scores ``sigmoid(w[that bucket] + b)`` — the quality
+    gate upstream owns empty docs; don't rely on this gate for them."""
+    from clickhouse_mysql_data_reader_spark.operators.text import hashed_bow_expr
 
     dim = len(weights)
-    bk = F.transform(tokens(text), lambda t: token_bucket(t, dim))
-    cnt = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda b: F.size(F.filter(bk, lambda x: x == b)).cast("double"),
-    )
-    l2 = F.sqrt(F.aggregate(cnt, F.lit(0.0), lambda a, x: a + x * x))
-    emb = F.when(l2 > 0, F.transform(cnt, lambda c: c / l2)).otherwise(cnt)
+    emb = hashed_bow_expr(text, dim)
     w_lit = F.array(*[F.lit(float(v)) for v in weights])
     z = (
         F.aggregate(

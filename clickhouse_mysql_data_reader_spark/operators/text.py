@@ -550,6 +550,35 @@ def token_bucket(tok: Column, dim: int) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long") % dim
 
 
+def hashed_bow_expr(text: Column, dim: int, normalize: bool = True) -> Column:
+    """The feature-hashing embedding as ONE Column expression over raw
+    text — the inline form of ``hashed_bow_embed`` for callers that need
+    a plain Column (the classifier's scan-stage scorer). Semantics are
+    pinned equal to ``hashed_bow_embed`` by test (same tokens, same
+    md5 buckets, same L2 normalization with the zero-norm fallback), so
+    a model trained on the frame form scores identically through this.
+
+    Shape matters here: higher-order array functions are NOT whole-stage
+    codegen'd, so a per-bucket ``filter(bk, x == b)`` count would
+    re-evaluate the md5 bucket array once per bucket — O(dim) hash
+    passes per document. Instead the count vector is ONE ``aggregate``
+    fold over the bucket array (an O(dim) array update per token, pure
+    arithmetic); the bucket array is evaluated O(1) times per reference
+    to the count expression."""
+    bk = F.transform(tokens(text), lambda t: token_bucket(t, dim))
+    cnt = F.aggregate(
+        bk,
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, x: F.transform(
+            acc, lambda v, i: F.when(i.cast("long") == x, v + 1.0).otherwise(v)
+        ),
+    )
+    if not normalize:
+        return cnt
+    l2 = F.sqrt(F.aggregate(cnt, F.lit(0.0), lambda a, x: a + x * x))
+    return F.when(l2 > 0, F.transform(cnt, lambda c: c / l2)).otherwise(cnt)
+
+
 def hashed_bow_embed(
     df: DataFrame,
     text_col: str,
@@ -993,6 +1022,15 @@ def line_dedup(
     come back with n_kept = 0 and empty text — dropping them is the
     caller's policy decision).
     """
+    lines, totals = _line_explode(docs, text_col, id_col)
+    survivors = _batch_line_keep(lines, _line_elig(min_line_chars))
+    return _reassemble_lines(totals, survivors, text_col, id_col)
+
+
+def _line_explode(docs: DataFrame, text_col: str, id_col: str):
+    """Shared stage of the batch/incremental line dedup pair: the
+    exploded (doc_id, line_no, line) frame and the projection-only
+    per-doc line-count frame, both off one fan_out of the input."""
     from clickhouse_mysql_data_reader_spark.util import fan_out
 
     fanned = fan_out(docs)
@@ -1000,8 +1038,23 @@ def line_dedup(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
     )
-    elig = F.length(F.trim(F.col("line"))) >= min_line_chars
+    totals = fanned.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
+    return lines, totals
 
+
+def _line_elig(min_line_chars: int) -> Column:
+    return F.length(F.trim(F.col("line"))) >= min_line_chars
+
+
+def _batch_line_keep(lines: DataFrame, elig: Column) -> DataFrame:
+    """Within-corpus keeper election + keep test (the skew-proof core
+    both ``line_dedup`` and ``line_dedup_increment`` share): keeper =
+    min (doc, line_no) via a map-side-combined aggregate, keep test =
+    LEFT join on the unique (line, doc, pos) triple with short lines
+    passing the filter without consulting the join."""
     keepers = (
         lines.filter(elig)
         .groupBy("line")
@@ -1013,16 +1066,17 @@ def line_dedup(
             F.lit(True).alias("_keep"),
         )
     )
-    kept = (
+    return (
         lines.join(keepers, ["line", "doc_id", "line_no"], "left")
         .filter(~elig | F.col("_keep").isNotNull())
         .drop("_keep")
     )
-    totals = fanned.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
-    )
-    kept_agg = kept.groupBy("doc_id").agg(
+
+
+def _reassemble_lines(
+    totals: DataFrame, survivors: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    kept_agg = survivors.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("line_no", "line"))).alias("_ls")
     )
     # LEFT join: a doc whose every line was a non-keeper duplicate has
@@ -1055,7 +1109,13 @@ def ccnet_buckets(
     The cut thresholds stay IN-PLAN: a 1-row exact-``percentile``
     aggregate broadcast-crossJoined onto the scored frame (the
     ``lm_surprisal`` totals trick), so composing callers stay lazy and
-    no driver action runs. ``approx=True`` swaps in
+    no driver action runs. The price of in-plan laziness: the scored
+    subtree (explode + joins + per-doc agg over the whole corpus) feeds
+    BOTH the threshold aggregate and the output projection, so each
+    action scores the corpus twice — callers at scale should persist or
+    checkpoint the scored input themselves (the same caller-owned
+    lifecycle as the curation LM gate; an internal persist would have
+    no release point). ``approx=True`` swaps in
     ``approx_percentile`` — the 100 TB path: exact percentile
     accumulates per-partition value buffers, where the t-digest sketch
     is O(1) memory per partition; buckets near the cut may then differ
@@ -1195,15 +1255,18 @@ def exact_substring_dedup(
     )
 
 
+def _line_fp_expr() -> Column:
+    """60-bit md5-prefix fingerprint (the shingle-hash idiom) of the
+    ``line`` column — shared by ``line_fingerprints`` and the history
+    probe so state writes and reads can never hash differently."""
+    return F.conv(F.substring(F.md5("line"), 1, 15), 16, 10).cast("long")
+
+
 def line_fingerprints(kept_lines: DataFrame) -> DataFrame:
-    """Distinct 60-bit md5-prefix fingerprints (the shingle-hash idiom)
-    of a (line) column — the compact state `line_dedup_increment`
-    carries between batches instead of raw line text."""
-    return kept_lines.select(
-        F.conv(F.substring(F.md5("line"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("line_fp")
-    ).distinct()
+    """Distinct fingerprints of a (line) column — the compact state
+    `line_dedup_increment` carries between batches instead of raw line
+    text."""
+    return kept_lines.select(_line_fp_expr().alias("line_fp")).distinct()
 
 
 def line_dedup_increment(
@@ -1236,36 +1299,12 @@ def line_dedup_increment(
     distinct line). Compose with ``membership.might_contain`` to route
     definite-miss lines around the shuffle when the state grows large.
     """
-    from clickhouse_mysql_data_reader_spark.util import fan_out
+    lines, totals = _line_explode(new_docs, text_col, id_col)
+    elig = _line_elig(min_line_chars)
+    batch_kept = _batch_line_keep(lines, elig)
 
-    fanned = fan_out(new_docs)
-    lines = fanned.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
-    )
-    elig = F.length(F.trim(F.col("line"))) >= min_line_chars
-
-    keepers = (
-        lines.filter(elig)
-        .groupBy("line")
-        .agg(F.min(F.struct("doc_id", "line_no")).alias("_k"))
-        .select(
-            "line",
-            F.col("_k.doc_id").alias("doc_id"),
-            F.col("_k.line_no").alias("line_no"),
-            F.lit(True).alias("_keep"),
-        )
-    )
-    batch_kept = (
-        lines.join(keepers, ["line", "doc_id", "line_no"], "left")
-        .filter(~elig | F.col("_keep").isNotNull())
-        .drop("_keep")
-    )
     if landed_fps is not None:
-        fp = (
-            F.conv(F.substring(F.md5("line"), 1, 15), 16, 10).cast("long")
-        )
-        tagged = batch_kept.withColumn("_fp", fp).withColumn("_el", elig)
+        tagged = batch_kept.withColumn("_fp", _line_fp_expr()).withColumn("_el", elig)
         hist = landed_fps.select(F.col("line_fp").alias("_fp"))
         survivors = (
             tagged.join(hist.withColumn("_seen", F.lit(True)), "_fp", "left")
@@ -1275,20 +1314,6 @@ def line_dedup_increment(
     else:
         survivors = batch_kept.select("doc_id", "line_no", "line")
 
-    totals = fanned.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
-    )
-    kept_agg = survivors.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.struct("line_no", "line"))).alias("_ls")
-    )
-    cleaned = totals.join(kept_agg, "doc_id", "left").select(
-        F.col("doc_id").alias(id_col),
-        F.col("n_lines"),
-        F.coalesce(F.size("_ls"), F.lit(0)).cast("long").alias("n_kept"),
-        F.coalesce(
-            F.array_join(F.transform("_ls", lambda s: s["line"]), "\n"), F.lit("")
-        ).alias(text_col),
-    )
+    cleaned = _reassemble_lines(totals, survivors, text_col, id_col)
     new_fps = line_fingerprints(survivors.filter(elig).select("line"))
     return cleaned, new_fps

@@ -204,11 +204,11 @@ def write_zorder(
     then a (time-range x key-range) query reads the files whose
     rectangle intersects it — ~|selection| instead of |table|.
     """
-    los, his = [], []
-    for c in cols:
-        lo, hi = df.stat.approxQuantile(c, [0.01, 0.99], 0.001)
-        los.append(lo)
-        his.append(hi)
+    # one pass for every envelope: approxQuantile takes the column LIST,
+    # so k z-columns cost one corpus scan, not k
+    envs = df.stat.approxQuantile(cols, [0.01, 0.99], 0.001)
+    los = [e[0] for e in envs]
+    his = [e[1] for e in envs]
     zed = df.withColumn("_z", zorder_key(cols, los, his, bits=bits))
     part = (
         zed.repartitionByRange(num_files, "_z")

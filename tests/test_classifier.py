@@ -96,3 +96,28 @@ def test_scoring_plan_is_shuffle_free(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "Exchange" not in plan
+
+
+def test_inline_features_match_frame_features(spark):
+    """quality_prob_col scores through text.hashed_bow_expr; its feature
+    map must stay bit-identical to hashed_bow_embed (what training
+    collects) — the training/scoring sync pin."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_mysql_data_reader_spark.operators.text import (
+        hashed_bow_embed,
+        hashed_bow_expr,
+    )
+
+    corpus = _mk(spark, QUALITY + CRAWL + [""])
+    frame = {
+        r["doc_id"]: list(r["embedding"])
+        for r in hashed_bow_embed(corpus, "text", "doc_id", dim=32).collect()
+    }
+    inline = {
+        r["doc_id"]: list(r["e"])
+        for r in corpus.select(
+            "doc_id", hashed_bow_expr(F.col("text"), 32).alias("e")
+        ).collect()
+    }
+    assert frame == inline  # bit-for-bit, including the empty doc
