@@ -763,11 +763,12 @@ def chunk_documents(
 
 def lm_surprisal(
     docs: DataFrame,
-    reference: DataFrame,
+    reference: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     ref_text_col: str | None = None,
     scale: int = 1_000_000,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Language-model quality scoring (the CCNet/KenLM filter shape,
     unigram form): score each document by how SURPRISING its tokens are
@@ -802,11 +803,23 @@ def lm_surprisal(
     rare reference tokens) beyond that. Per-DOC sums are immune
     regardless: they accumulate in DECIMAL(38,0) (DuckDB: HUGEINT),
     exact and order-independent.
+
+    ``counts`` freezes the model (the DSIR ``logratios`` move): pass a
+    landed (token, n) table — e.g. ``token_counts(...)`` written to
+    parquet once — and the reference pass disappears; every daily batch
+    scores against the SAME distribution without recounting the
+    reference, and ``reference`` may be None. N and V still derive
+    in-plan from the table (one vocab-sized aggregate, not a corpus
+    scan).
     """
     from clickhouse_mysql_data_reader_spark.util import fan_out
 
+    if counts is None and reference is None:
+        raise ValueError("lm_surprisal needs a reference corpus or a frozen counts table")
     max_denom = ((1 << 63) - 1) // scale
-    ref_counts = token_counts(reference, ref_text_col or text_col)
+    ref_counts = (
+        counts if counts is not None else token_counts(reference, ref_text_col or text_col)
+    )
     totals = ref_counts.agg(
         F.coalesce(F.sum("n"), F.lit(0)).alias("_N"), F.count("*").alias("_V")
     )
@@ -848,13 +861,71 @@ def lm_surprisal(
     )
 
 
+def _token_pairs(
+    df: DataFrame, tc: str, id_col: str, with_start: bool
+) -> DataFrame:
+    """(prev, cur) adjacent-token pairs of every row of ``df``; when
+    ``with_start`` the first token appears with prev = '' (the
+    doc-start sentinel — unambiguous, real tokens are non-empty) and
+    doc ids are carried. Empty docs: the '' sentinel zips against a
+    null pad — dropped (parity with lm_surprisal, where empty docs
+    produce no rows)."""
+    tk = F.filter(tokens(F.col(tc)), lambda t: t != "")
+    head = F.array(F.lit("")) if with_start else F.array()
+    cols = [F.col("_z._p").alias("prev"), F.col("_z._c").alias("cur")]
+    base = df.select(
+        *([F.col(id_col).alias("doc_id")] if with_start else []),
+        F.explode(
+            F.arrays_zip(
+                F.concat(
+                    head, F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0)))
+                ).alias("_p"),
+                (
+                    tk
+                    if with_start
+                    else F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0)))
+                ).alias("_c"),
+            )
+        ).alias("_z"),
+    )
+    return base.select(*([F.col("doc_id")] if with_start else []), *cols).filter(
+        F.col("cur").isNotNull()
+    )
+
+
+def lm_bigram_model(reference: DataFrame, text_col: str = "text"):
+    """The frozen stupid-backoff bigram model of a reference corpus:
+    ``(uni, bigrams)`` where ``uni`` is the (token, n) unigram table and
+    ``bigrams`` is (prev, cur, _nb, _nprev) with cnt(w1) pre-joined at
+    model scale. Land both to parquet once and feed
+    ``lm_surprisal_bigram(model=...)`` for every subsequent batch — the
+    reference corpus is never recounted (frozen-estimator reuse, tested
+    for equality with the derived-in-plan form)."""
+    from clickhouse_mysql_data_reader_spark.util import fan_out
+
+    uni = token_counts(reference, text_col)
+    bigrams = (
+        _token_pairs(fan_out(reference), text_col, "doc_id", with_start=False)
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("_nb"))
+        # pre-join cnt(w1) at MODEL scale so the doc pass needs no
+        # third join; inner join — every observed bigram's w1 is in uni
+        .join(
+            uni.select(F.col("token").alias("prev"), F.col("n").alias("_nprev")),
+            "prev",
+        )
+    )
+    return uni, bigrams
+
+
 def lm_surprisal_bigram(
     docs: DataFrame,
-    reference: DataFrame,
+    reference: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     ref_text_col: str | None = None,
     scale: int = 1_000_000,
+    model: tuple | None = None,
 ) -> DataFrame:
     """Bigram LM quality scoring with STUPID BACKOFF (Brants et al.
     2007, "Large Language Models in Machine Translation" — the backoff
@@ -892,49 +963,29 @@ def lm_surprisal_bigram(
     tokens unseen as reference UNIGRAMS; n_backoff = non-initial tokens
     whose bigram was unseen (the order-sensitivity signal); surprisal =
     mean scaled-inverse-probability / scale.
+
+    ``model`` freezes the reference LM (the DSIR ``logratios`` move):
+    pass the ``lm_bigram_model(...)`` pair — typically landed to parquet
+    once — and both reference passes disappear; daily batches score
+    against the same distribution and ``reference`` may be None.
     """
     from clickhouse_mysql_data_reader_spark.util import fan_out
 
+    if model is None and reference is None:
+        raise ValueError(
+            "lm_surprisal_bigram needs a reference corpus or a frozen model pair"
+        )
     max_denom = ((1 << 63) - 1) // (5 * scale)
-    rcol = ref_text_col or text_col
 
-    uni = token_counts(reference, rcol)
+    uni, bigrams = (
+        model
+        if model is not None
+        else lm_bigram_model(reference, ref_text_col or text_col)
+    )
     totals = uni.agg(
         F.coalesce(F.sum("n"), F.lit(0)).alias("_N"), F.count("*").alias("_V")
     )
-
-    def _pairs(df: DataFrame, tc: str, with_start: bool) -> DataFrame:
-        """(prev, cur) adjacent-token pairs of every row of ``df``; when
-        ``with_start`` the first token appears with prev = '' (the
-        doc-start sentinel — unambiguous, real tokens are non-empty)."""
-        tk = F.filter(tokens(F.col(tc)), lambda t: t != "")
-        head = F.array(F.lit("")) if with_start else F.array()
-        cols = [F.col("_z._p").alias("prev"), F.col("_z._c").alias("cur")]
-        base = df.select(
-            *([F.col(id_col).alias("doc_id")] if with_start else []),
-            F.explode(
-                F.arrays_zip(
-                    F.concat(head, F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0)))).alias("_p"),
-                    (tk if with_start else F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0)))).alias("_c"),
-                )
-            ).alias("_z"),
-        )
-        # empty docs: the '' sentinel zips against a null pad — drop it
-        # (parity with lm_surprisal, where empty docs produce no rows)
-        return base.select(*([F.col("doc_id")] if with_start else []), *cols).filter(
-            F.col("cur").isNotNull()
-        )
-
-    bigrams = (
-        _pairs(fan_out(reference), rcol, with_start=False)
-        .groupBy("prev", "cur")
-        .agg(F.count("*").alias("_nb"))
-        # pre-join cnt(w1) at MODEL scale so the doc pass needs no
-        # third join; inner join — every observed bigram's w1 is in uni
-        .join(uni.select(F.col("token").alias("prev"), F.col("n").alias("_nprev")), "prev")
-    )
-
-    toks = _pairs(fan_out(docs), text_col, with_start=True)
+    toks = _token_pairs(fan_out(docs), text_col, id_col, with_start=True)
     denom = F.col("_N") + F.col("_V")
     scored = (
         toks.join(bigrams, ["prev", "cur"], "left")
@@ -1099,6 +1150,8 @@ def ccnet_buckets(
     cuts: tuple = (1.0 / 3.0, 2.0 / 3.0),
     approx: bool = False,
     scale: int = 1_000_000,
+    counts: DataFrame | None = None,
+    thresholds: tuple | None = None,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
     every document with ``lm_surprisal`` against ``reference`` (default:
@@ -1124,19 +1177,34 @@ def ccnet_buckets(
     Returns (id, n_tokens, surprisal, bucket) with bucket in
     ('head', 'middle', 'tail'); docs with zero tokens have no surprisal
     row and are absent, as in ``lm_surprisal``.
+
+    Production incremental shape (the paper's actual deployment): pass
+    ``counts`` (a frozen ``token_counts`` table) AND ``thresholds``
+    (the (p_lo, p_hi) surprisal values measured ONCE on a reference
+    snapshot) — every daily batch is then bucketed by the same frozen
+    model and the same cut values, the corpus is scored exactly once
+    per action, and batch composition cannot shift the bands.
     """
-    lo, hi = cuts
-    if not 0.0 < lo < hi < 1.0:
-        raise ValueError(f"cuts must satisfy 0 < lo < hi < 1, got {cuts}")
+    if thresholds is None:
+        lo, hi = cuts
+        if not 0.0 < lo < hi < 1.0:
+            raise ValueError(f"cuts must satisfy 0 < lo < hi < 1, got {cuts}")
     scored = lm_surprisal(
-        docs, reference if reference is not None else docs,
-        text_col=text_col, id_col=id_col, scale=scale,
+        docs,
+        reference if reference is not None else (docs if counts is None else None),
+        text_col=text_col, id_col=id_col, scale=scale, counts=counts,
     )
-    pfn = F.approx_percentile if approx else F.percentile
-    th = scored.agg(
-        pfn("surprisal", F.lit(lo)).alias("_p_lo"),
-        pfn("surprisal", F.lit(hi)).alias("_p_hi"),
-    )
+    if thresholds is not None:
+        t_lo, t_hi = thresholds
+        th = scored.sparkSession.createDataFrame(
+            [(float(t_lo), float(t_hi))], "_p_lo double, _p_hi double"
+        )
+    else:
+        pfn = F.approx_percentile if approx else F.percentile
+        th = scored.agg(
+            pfn("surprisal", F.lit(lo)).alias("_p_lo"),
+            pfn("surprisal", F.lit(hi)).alias("_p_hi"),
+        )
     return scored.crossJoin(F.broadcast(th)).select(
         F.col("doc_id").alias(id_col),
         "n_tokens",

@@ -144,3 +144,51 @@ def test_ccnet_buckets_labels_and_laziness(spark):
 
     with _pytest.raises(ValueError, match="cuts"):
         ccnet_buckets(docs, cuts=(0.7, 0.3))
+
+
+def test_frozen_models_match_derived(spark):
+    """counts= / model= (the frozen-estimator reuse, DSIR-style) score
+    identically to the derived-in-plan reference pass, and a NEW batch
+    scores deterministically against the frozen model with no reference
+    frame in sight."""
+    from clickhouse_mysql_data_reader_spark.operators.text import (
+        ccnet_buckets,
+        lm_bigram_model,
+        token_counts,
+    )
+
+    ref = _mk(spark, REF, 100)
+    docs = _mk(spark, ["the cat sat on the mat", "zxqv plmk wrtn"])
+
+    frozen_uni = token_counts(ref, "text")
+    a = sorted(map(tuple, lm_surprisal(docs, ref).collect()))
+    b = sorted(map(tuple, lm_surprisal(docs, None, counts=frozen_uni).collect()))
+    assert a == b
+
+    frozen_big = lm_bigram_model(ref, "text")
+    c = sorted(map(tuple, lm_surprisal_bigram(docs, ref).collect()))
+    d = sorted(map(tuple, lm_surprisal_bigram(docs, None, model=frozen_big).collect()))
+    assert c == d
+
+    batch2 = _mk(spark, ["the dog sat on the mat"], start=50)
+    x = lm_surprisal_bigram(batch2, None, model=frozen_big).collect()
+    y = lm_surprisal_bigram(batch2, None, model=frozen_big).collect()
+    assert sorted(map(tuple, x)) == sorted(map(tuple, y))
+
+    # frozen ccnet thresholds: labels follow the supplied cut values,
+    # not the batch's own distribution
+    lab = {
+        r["doc_id"]: r["bucket"]
+        for r in ccnet_buckets(
+            docs, counts=frozen_uni, thresholds=(5.0, 20.0)
+        ).collect()
+    }
+    # fluent ~6.75 mean inverse-prob (between cuts), all-OOV = N+V = 25
+    assert lab[0] == "middle" and lab[1] == "tail"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="reference corpus or a frozen"):
+        lm_surprisal(docs, None)
+    with _pytest.raises(ValueError, match="reference corpus or a frozen"):
+        lm_surprisal_bigram(docs, None)
