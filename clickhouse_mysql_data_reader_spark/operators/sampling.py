@@ -290,3 +290,39 @@ def weighted_sample_topk(
         .orderBy(score.desc(), keyc.cast("string"))
         .limit(k)
     )
+
+
+def training_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 1024,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle for TRAINING ORDER — the step
+    between curation and packing: SGD wants the corpus decorrelated
+    from its crawl/landing order (adjacent docs share domains, dates,
+    topics), and ``pack_sequences`` packs in id order, so feed it ids
+    remapped by this shuffle. The permutation is the md5 draw every
+    sampling op here uses: shard = draw mod ``n_shards``, position =
+    rank of (draw, id) within the shard — a pure function of (salt,
+    id), so re-runs, retries, and resumed jobs see the SAME order
+    (reproducible training), and changing ``salt`` is a fresh epoch
+    permutation (the standard per-epoch reshuffle).
+
+    Scale: one hash-partitioned exchange on ``shard``; each shard's
+    rank is an independent window task over |corpus|/n_shards rows —
+    size n_shards so a shard fits an executor's sort buffer (65k shards
+    at 100 TB -> ~1.5 GB/shard). No global sort ever happens.
+
+    Returns the input columns + (shard: int, pos: long); the total
+    order is (shard, pos).
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    draw = hash_bucket(F.col(id_col), salt)
+    out = df.withColumn("_draw", draw).withColumn(
+        "shard",
+        (F.conv(F.col("_draw"), 16, 10).cast("long") % n_shards).cast("int"),
+    )
+    w = W.partitionBy("shard").orderBy(F.col("_draw"), F.col(id_col))
+    return out.withColumn("pos", F.row_number().over(w).cast("long")).drop("_draw")

@@ -1236,6 +1236,36 @@ def sample_weighted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_shuffle_order",
+    """
+    SELECT doc_id, source, shard, CAST(pos AS BIGINT) AS pos FROM (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 64 AS shard,
+             row_number() OVER (
+               PARTITION BY CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                                 AS BIGINT) % 64
+               ORDER BY substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+             ) AS pos
+      FROM documents
+    )
+    """,
+    doc="Deterministic training-order shuffle: md5-draw shard + "
+    "within-shard rank — the SGD decorrelation step between curation "
+    "and packing. Pure function of (salt, id): reproducible across "
+    "runs/retries, per-epoch reshuffle = new salt. No global sort — "
+    "n_shards independent window tasks.",
+)
+def sample_shuffle_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.sampling import (
+        training_shuffle,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return training_shuffle(docs, n_shards=64, salt="shuf")
+
+
+@register(
     "text_lm_surprisal",
     f"""
     WITH norml AS (SELECT doc_id, {_NORM} AS nt FROM documents),

@@ -179,6 +179,10 @@ QUERIES: dict[str, QueryDef] = {}
 #     keeps topn + session checked, and the streaming batch-twin tests
 #     cover the tumbling window() op itself. Driver-verified unchanged
 #     r1-r4, pytest-oracle-checked every round.
+#   - sample_shuffle_order: hash_bucket draw (the machinery every
+#     checked sampling query hash-verifies) + the rank-per-partition
+#     window plan of the checked window_topn_per_group;
+#     pytest-oracle-checked end-to-end
 #   - text_ccnet_buckets: pure composition of two checked families —
 #     lm_surprisal scoring (text_tfidf/lm family) + the exact
 #     percentile thresholds agg_approx_percentile's exact anchors
@@ -191,6 +195,7 @@ QUERIES: dict[str, QueryDef] = {}
 DEPRIORITIZED = (
     "doc_winnow_fingerprint",
     "window_tumbling_hourly",
+    "sample_shuffle_order",
     "text_ccnet_buckets",
     "text_lm_bigram",
     "doc_chunk_overlap",

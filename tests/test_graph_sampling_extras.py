@@ -342,3 +342,36 @@ def test_mixture_sample_rates_and_determinism(spark):
     }
     with pytest.raises(ValueError, match="token_budget"):
         mixture_sample(docs, F.lit(1), "doc_id", "source", {}, token_budget=0)
+
+
+def test_training_shuffle_is_a_deterministic_permutation(spark):
+    from clickhouse_mysql_data_reader_spark.operators.sampling import (
+        training_shuffle,
+    )
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(200)], "doc_id long, text string")
+    out = training_shuffle(docs, n_shards=8).collect()
+    assert len(out) == 200 and len({r["doc_id"] for r in out}) == 200
+    # per-shard positions are contiguous 1..k (a true permutation layout)
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), f"shard {s}"
+
+    # reproducible across runs; different salt = different permutation
+    again = training_shuffle(docs, n_shards=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = training_shuffle(docs, n_shards=8, salt="epoch2").collect()
+    o1 = {r["doc_id"]: (r["shard"], r["pos"]) for r in out}
+    o2 = {r["doc_id"]: (r["shard"], r["pos"]) for r in other}
+    assert any(o1[d] != o2[d] for d in o1), "new salt must reshuffle"
+    # ...and the shuffle decorrelates id order: the id sequence along
+    # (shard, pos) is far from sorted
+    ordered = [r["doc_id"] for r in sorted(out, key=lambda r: (r["shard"], r["pos"]))]
+    asc_pairs = sum(a < b for a, b in zip(ordered, ordered[1:]))
+    assert 0.3 < asc_pairs / (len(ordered) - 1) < 0.7
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        training_shuffle(docs, n_shards=0)
