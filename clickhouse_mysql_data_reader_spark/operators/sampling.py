@@ -326,3 +326,65 @@ def training_shuffle(
     )
     w = W.partitionBy("shard").orderBy(F.col("_draw"), F.col(id_col))
     return out.withColumn("pos", F.row_number().over(w).cast("long")).drop("_draw")
+
+
+def temperature_weights(
+    df: DataFrame,
+    token_count_col: Column,
+    source_col: str,
+    alpha: float = 0.3,
+) -> dict[str, float]:
+    """Temperature-based mixture weights (the multilingual-sampling
+    exponent of XLM-R / mT5: Conneau et al. 2020 use alpha = 0.3, mT5
+    also 0.3): target weight ``q_i = p_i^alpha / sum_j p_j^alpha`` over
+    the observed per-source token shares ``p_i``. ``alpha < 1`` flattens
+    the distribution — small sources are upweighted relative to their
+    natural share, big crawl dumps are damped — and ``alpha = 1``
+    returns the natural shares unchanged.
+
+    Returns the dict ``mixture_sample`` takes as ``weights``. This is
+    ONE bounded driver action (the per-source token aggregate — a
+    few-row result, the same bounded-metadata class as kmeans
+    centroids); the exponent runs driver-side in Python floats, so the
+    in-plan determinism of ``mixture_sample`` is untouched: it still
+    sees plain literal weights.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    rows = (
+        df.select(
+            F.col(source_col).alias("source"),
+            token_count_col.cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("src_tokens"))
+        .collect()
+    )
+    if not rows:
+        return {}
+    total = float(sum(r["src_tokens"] for r in rows))
+    powed = {r["source"]: (r["src_tokens"] / total) ** alpha for r in rows}
+    z = sum(powed.values())
+    return {s: v / z for s, v in sorted(powed.items())}
+
+
+def temperature_mixture(
+    df: DataFrame,
+    token_count_col: Column,
+    key_col: str,
+    source_col: str,
+    token_budget: int,
+    alpha: float = 0.3,
+    salt: str = "mixture",
+) -> DataFrame:
+    """``mixture_sample`` with its weights derived by temperature
+    sampling from the corpus itself — the standard one-call shape for
+    balancing a multi-source (or multilingual) corpus without
+    hand-tuning per-source weights. Note ``mixture_sample`` never
+    upsamples: a source whose temperature target exceeds its actual
+    tokens is kept whole (rate caps at 1), so very small sources reach
+    at most their full size."""
+    w = temperature_weights(df, token_count_col, source_col, alpha)
+    return mixture_sample(
+        df, token_count_col, key_col, source_col, w, token_budget, salt=salt
+    )

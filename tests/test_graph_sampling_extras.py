@@ -375,3 +375,56 @@ def test_training_shuffle_is_a_deterministic_permutation(spark):
 
     with _pytest.raises(ValueError, match="n_shards"):
         training_shuffle(docs, n_shards=0)
+
+
+def test_temperature_weights_flatten_toward_uniform(spark):
+    """alpha=1 returns natural shares; alpha<1 moves weights toward
+    uniform (small sources up, big sources down) — numpy cross-check;
+    alpha->0 approaches uniform; composition feeds mixture_sample."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from clickhouse_mysql_data_reader_spark.operators.sampling import (
+        temperature_mixture,
+        temperature_weights,
+    )
+
+    rows = []
+    sizes = {"en": 800, "fr": 150, "sw": 50}
+    i = 0
+    for src, n_docs in ((s, c // 10) for s, c in sizes.items()):
+        for _ in range(n_docs):
+            rows.append((i, src, 10))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+
+    nat = temperature_weights(docs, F.col("n_tokens"), "source", alpha=1.0)
+    p = {s: c / 1000 for s, c in sizes.items()}
+    for s in sizes:
+        assert abs(nat[s] - p[s]) < 1e-12
+
+    w = temperature_weights(docs, F.col("n_tokens"), "source", alpha=0.3)
+    want = {s: v**0.3 for s, v in p.items()}
+    z = sum(want.values())
+    for s in sizes:
+        assert w[s] == __import__("pytest").approx(want[s] / z, rel=1e-12)
+    assert w["sw"] > p["sw"] and w["en"] < p["en"], "flattening direction"
+    assert abs(sum(w.values()) - 1.0) < 1e-12
+
+    near_uniform = temperature_weights(docs, F.col("n_tokens"), "source", alpha=1e-6)
+    assert all(abs(v - 1 / 3) < 1e-3 for v in near_uniform.values())
+
+    report = {
+        r["source"]: r
+        for r in temperature_mixture(
+            docs, F.col("n_tokens"), "doc_id", "source", token_budget=500, alpha=0.3
+        ).collect()
+    }
+    assert report["sw"]["rate"] == 1.0, "small source kept whole (never upsampled)"
+    assert report["en"]["rate"] < 1.0, "dominant source downsampled"
+    assert report["en"]["n_tokens_kept"] < report["en"]["n_tokens"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_weights(docs, F.col("n_tokens"), "source", alpha=0)
