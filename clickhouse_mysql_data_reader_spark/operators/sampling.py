@@ -166,6 +166,8 @@ def pack_sequences(
     id_col: str,
     budget: int = 128,
     n_shards: int = 8,
+    shard_col: Column | None = None,
+    order_col: Column | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget context windows — the
     concat-and-chunk packing step of LLM pretraining prep. Documents are
@@ -181,15 +183,26 @@ def pack_sequences(
     composite (shard, pack_id). Deterministic: shard, order, and cumsum
     are pure functions of (id, n_tokens) — identical across runs,
     retries, and engines.
+
+    ``shard_col`` / ``order_col`` override the default id-derived
+    layout: pass another deterministic sharding/ordering (e.g.
+    ``training_shuffle``'s (shard, pos) via ``shuffled_pack``) to pack
+    in that order instead; ``order_col`` must be unique within a shard
+    for the layout to stay deterministic.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     base = df.select(
-        F.col(id_col).alias("doc_id"), token_count_col.cast("bigint").alias("n_tokens")
-    ).withColumn("shard", (F.col("doc_id") % n_shards).cast("int"))
+        F.col(id_col).alias("doc_id"),
+        token_count_col.cast("bigint").alias("n_tokens"),
+        *([] if order_col is None else [order_col.alias("_ord")]),
+        (
+            (F.col(id_col) % n_shards) if shard_col is None else shard_col
+        ).cast("int").alias("shard"),
+    )
     w = (
         W.partitionBy("shard")
-        .orderBy("doc_id")
+        .orderBy("doc_id" if order_col is None else "_ord")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint")
@@ -387,4 +400,38 @@ def temperature_mixture(
     w = temperature_weights(df, token_count_col, source_col, alpha)
     return mixture_sample(
         df, token_count_col, key_col, source_col, w, token_budget, salt=salt
+    )
+
+
+def shuffled_pack(
+    df: DataFrame,
+    token_count_col: Column,
+    id_col: str,
+    budget: int = 128,
+    n_shards: int = 8,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """``pack_sequences`` over the ``training_shuffle`` order — the last
+    mile of the pipeline: pack documents into fixed-token context
+    windows in a DECORRELATED deterministic order instead of id order
+    (adjacent ids share crawl domain/date/topic; SGD wants them spread
+    across packs). The shuffle's (shard, pos) plugs straight into
+    ``pack_sequences``' shard/order overrides — each pack is filled
+    from one shuffled stream, reproducible across runs/retries, new
+    ``salt`` = fresh epoch layout.
+
+    Returns the ``pack_sequences`` schema (shard, doc_id, n_tokens,
+    start_token, pack_id, pack_offset) with the ORIGINAL ids; shard is
+    the shuffle's shard and the within-shard fill order is the
+    shuffle's rank — no surrogate keys, no extra join.
+    """
+    sh = training_shuffle(df, id_col=id_col, n_shards=n_shards, salt=salt)
+    return pack_sequences(
+        sh,
+        token_count_col,
+        id_col=id_col,
+        budget=budget,
+        n_shards=n_shards,
+        shard_col=F.col("shard"),
+        order_col=F.col("pos"),
     )

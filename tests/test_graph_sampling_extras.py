@@ -428,3 +428,63 @@ def test_temperature_weights_flatten_toward_uniform(spark):
 
     with _pytest.raises(ValueError, match="alpha"):
         temperature_weights(docs, F.col("n_tokens"), "source", alpha=0)
+
+
+def test_shuffled_pack_fills_packs_in_shuffle_order(spark):
+    """shuffled_pack = pack_sequences over the training_shuffle layout:
+    original ids come back, within-(shard, pack) fill order follows the
+    shuffle rank (not id order), layout is reproducible, a new salt
+    regroups packs, and the plain id-order packing still works
+    unchanged (override path is opt-in)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_mysql_data_reader_spark.operators.sampling import (
+        pack_sequences,
+        shuffled_pack,
+        training_shuffle,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 10) for i in range(100)], "doc_id long, n_tokens long"
+    )
+    out = shuffled_pack(docs, F.col("n_tokens"), "doc_id", budget=40, n_shards=4)
+    rows = out.collect()
+    assert len(rows) == 100 and {r["doc_id"] for r in rows} == set(range(100))
+
+    # shard must be the SHUFFLE's shard, not doc_id % n_shards
+    sh = {
+        r["doc_id"]: r["shard"]
+        for r in training_shuffle(docs, n_shards=4).collect()
+    }
+    for r in rows:
+        assert r["shard"] == sh[r["doc_id"]], f"doc {r['doc_id']}"
+    assert any(r["shard"] != r["doc_id"] % 4 for r in rows)
+
+    # contiguous running layout within each shard: offsets advance by
+    # n_tokens in shuffle-rank order
+    pos = {
+        r["doc_id"]: r["pos"]
+        for r in training_shuffle(docs, n_shards=4).collect()
+    }
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for s, rs in by_shard.items():
+        rs.sort(key=lambda r: pos[r["doc_id"]])
+        expect = 0
+        for r in rs:
+            assert r["start_token"] == expect, f"shard {s} doc {r['doc_id']}"
+            assert r["pack_id"] == expect // 40 and r["pack_offset"] == expect % 40
+            expect += r["n_tokens"]
+
+    again = shuffled_pack(docs, F.col("n_tokens"), "doc_id", budget=40, n_shards=4)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+    other = shuffled_pack(
+        docs, F.col("n_tokens"), "doc_id", budget=40, n_shards=4, salt="epoch2"
+    ).collect()
+    a = {r["doc_id"]: (r["shard"], r["pack_id"], r["pack_offset"]) for r in rows}
+    b = {r["doc_id"]: (r["shard"], r["pack_id"], r["pack_offset"]) for r in other}
+    assert any(a[d] != b[d] for d in a), "new salt must relayout"
+
+    plain = pack_sequences(docs, F.col("n_tokens"), "doc_id", budget=40, n_shards=4)
+    assert all(r["shard"] == r["doc_id"] % 4 for r in plain.collect())
