@@ -1385,3 +1385,62 @@ def line_dedup_increment(
     cleaned = _reassemble_lines(totals, survivors, text_col, id_col)
     new_fps = line_fingerprints(survivors.filter(elig).select("line"))
     return cleaned, new_fps
+
+
+def corpus_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str | None = "source",
+    hist_bucket_tokens: int = 64,
+) -> DataFrame:
+    """One-pass per-source corpus report — the monitoring aggregate
+    every pipeline run emits before/after curation: doc and token and
+    char totals, empties, token-length extremes, and a coarse
+    token-length histogram (docs per ``hist_bucket_tokens``-wide band,
+    as a 'bucket:count' string so the row stays flat and
+    engine-comparable). Everything is one scan + one map-side-combined
+    aggregate: counts and sums are exact integers, the only doubles are
+    the two terminal averages. ``source_col=None`` reports one global
+    row under source '_all'."""
+    src = (
+        F.col(source_col) if source_col else F.lit("_all")
+    ).alias("source")
+    base = docs.select(
+        src,
+        token_count(F.col(text_col)).cast("long").alias("_nt"),
+        F.length(F.col(text_col)).cast("long").alias("_nc"),
+        (F.length(F.trim(F.col(text_col))) == 0).cast("long").alias("_empty"),
+    ).withColumn("_bucket", F.expr(f"_nt div {int(hist_bucket_tokens)}"))
+    per_bucket = base.groupBy("source", "_bucket").agg(
+        F.count("*").alias("_bn"),
+        F.sum("_nt").alias("_bt"),
+        F.sum("_nc").alias("_bc"),
+        F.sum("_empty").alias("_be"),
+        F.min("_nt").alias("_bmin"),
+        F.max("_nt").alias("_bmax"),
+    )
+    return per_bucket.groupBy("source").agg(
+        F.sum("_bn").alias("n_docs"),
+        F.sum("_bt").alias("n_tokens"),
+        F.sum("_bc").alias("n_chars"),
+        F.sum("_be").alias("n_empty"),
+        F.min("_bmin").alias("min_tokens"),
+        F.max("_bmax").alias("max_tokens"),
+        (F.sum("_bt").cast("double") / F.sum("_bn")).alias("avg_tokens"),
+        (F.sum("_bc").cast("double") / F.sum("_bn")).alias("avg_chars"),
+        # bucket zero-padded so lexicographic array_sort == numeric
+        # order; the collected list is bucket-count-sized (bounded by
+        # max_tokens/width), never doc-sized
+        F.array_join(
+            F.array_sort(
+                F.collect_list(
+                    F.concat_ws(
+                        ":",
+                        F.lpad(F.col("_bucket").cast("string"), 6, "0"),
+                        F.col("_bn"),
+                    )
+                )
+            ),
+            ",",
+        ).alias("token_hist"),
+    )

@@ -1236,6 +1236,50 @@ def sample_weighted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_corpus_stats",
+    f"""
+    WITH b AS (
+      SELECT source,
+             CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS nt,
+             CAST(length(text) AS BIGINT) AS nc,
+             CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END AS emp
+      FROM documents
+    ),
+    pb AS (
+      SELECT source, nt // 64 AS bucket,
+             count(*) AS bn, CAST(sum(nt) AS BIGINT) AS bt,
+             CAST(sum(nc) AS BIGINT) AS bc, CAST(sum(emp) AS BIGINT) AS be,
+             min(nt) AS bmin, max(nt) AS bmax
+      FROM b GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(bn) AS BIGINT) AS n_docs,
+           CAST(sum(bt) AS BIGINT) AS n_tokens,
+           CAST(sum(bc) AS BIGINT) AS n_chars,
+           CAST(sum(be) AS BIGINT) AS n_empty,
+           min(bmin) AS min_tokens,
+           max(bmax) AS max_tokens,
+           CAST(sum(bt) AS DOUBLE) / sum(bn) AS avg_tokens,
+           CAST(sum(bc) AS DOUBLE) / sum(bn) AS avg_chars,
+           string_agg(lpad(CAST(bucket AS VARCHAR), 6, '0') || ':' || CAST(bn AS VARCHAR),
+                      ',' ORDER BY lpad(CAST(bucket AS VARCHAR), 6, '0')) AS token_hist
+    FROM pb GROUP BY source
+    """,
+    doc="One-pass per-source corpus report (the before/after-curation "
+    "monitoring aggregate): doc/token/char totals, empties, length "
+    "extremes/averages, and a 64-token-wide length histogram emitted "
+    "as a sorted 'bucket:count' string (two-level pre-aggregate — the "
+    "collected list is bucket-sized, never doc-sized). Exact integer "
+    "sums; two terminal double averages.",
+)
+def doc_corpus_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.text import corpus_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_stats(docs, hist_bucket_tokens=64)
+
+
+@register(
     "sample_shuffle_order",
     """
     SELECT doc_id, source, shard, CAST(pos AS BIGINT) AS pos FROM (

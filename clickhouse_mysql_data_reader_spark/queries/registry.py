@@ -179,6 +179,9 @@ QUERIES: dict[str, QueryDef] = {}
 #     keeps topn + session checked, and the streaming batch-twin tests
 #     cover the tumbling window() op itself. Driver-verified unchanged
 #     r1-r4, pytest-oracle-checked every round.
+#   - doc_corpus_stats: plain two-level groupBy aggregate — the q1 /
+#     agg family plan with a bounded collect_list histogram;
+#     pytest-oracle-checked end-to-end
 #   - sample_shuffle_order: hash_bucket draw (the machinery every
 #     checked sampling query hash-verifies) + the rank-per-partition
 #     window plan of the checked window_topn_per_group;
@@ -195,6 +198,7 @@ QUERIES: dict[str, QueryDef] = {}
 DEPRIORITIZED = (
     "doc_winnow_fingerprint",
     "window_tumbling_hourly",
+    "doc_corpus_stats",
     "sample_shuffle_order",
     "text_ccnet_buckets",
     "text_lm_bigram",
