@@ -141,3 +141,32 @@ def test_boilerplate_respects_prebuilt_shingles(spark):
     b = ngram_boilerplate(df, "text", "doc_id", min_docs=4, shingles=sh).collect()
     key = lambda r: r["doc_id"]
     assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_corpus_stats_global_row_and_empties(spark):
+    """source_col=None reports one '_all' row; empty/whitespace docs
+    count in n_empty; totals are exact; the histogram is bucket-sorted."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_mysql_data_reader_spark.operators.text import corpus_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w", "a b c"),
+            (2, "w", " ".join(f"t{i}" for i in range(70))),
+            (3, "x", ""),
+            (4, "x", "   "),
+        ],
+        "doc_id long, source string, text string",
+    )
+    g = corpus_stats(docs, source_col=None, hist_bucket_tokens=64).collect()
+    assert len(g) == 1 and g[0]["source"] == "_all"
+    r = g[0]
+    assert r["n_docs"] == 4 and r["n_empty"] == 2
+    # token_count of "" is 1 (split of empty normalized text) — exact:
+    # 3 + 70 + 1 + 1
+    assert r["n_tokens"] == 75 and r["max_tokens"] == 70 and r["min_tokens"] == 1
+    assert r["token_hist"] == "000000:3,000001:1"
+
+    per = {r["source"]: r for r in corpus_stats(docs).collect()}
+    assert per["w"]["n_docs"] == 2 and per["x"]["n_empty"] == 2
