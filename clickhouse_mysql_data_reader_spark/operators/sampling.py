@@ -435,3 +435,55 @@ def shuffled_pack(
         shard_col=F.col("shard"),
         order_col=F.col("pos"),
     )
+
+
+def unimax_weights(
+    df: DataFrame,
+    token_count_col: Column,
+    source_col: str,
+    token_budget: int,
+    max_epochs: float = 1.0,
+) -> dict[str, float]:
+    """UniMax mixture weights (Chung et al. 2022, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): spread the token budget UNIFORMLY across sources,
+    except no source repeats more than ``max_epochs`` times — small
+    sources contribute ``min(size * max_epochs, fair share)`` and the
+    excess is redistributed uniformly over the remaining larger
+    sources. The paper's alternative to temperature sampling: no tuned
+    exponent, and low-resource sources are never oversampled past the
+    epoch cap.
+
+    Greedy waterfilling over sources sorted by size (provably the
+    paper's allocation: once the smallest source is capped, the
+    problem recurses on the rest): one bounded driver aggregate (the
+    few-row per-source totals, same class as ``temperature_weights``)
+    + a python loop over sources. Returns the ``mixture_sample``
+    weights dict (fractions of ``token_budget``). NOTE
+    ``mixture_sample`` itself never upsamples (rate caps at 1), so
+    with ``max_epochs > 1`` the extra epochs express as weight
+    headroom, not duplication — pair with an explicit repeat stage if
+    true multi-epoch duplication is wanted.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be positive, got {max_epochs}")
+    rows = (
+        df.select(
+            F.col(source_col).alias("source"),
+            token_count_col.cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("src_tokens"))
+        .collect()
+    )
+    sizes = sorted((float(r["src_tokens"]), r["source"]) for r in rows)
+    targets: dict[str, float] = {}
+    remaining = float(token_budget)
+    for i, (size, src) in enumerate(sizes):
+        fair = remaining / (len(sizes) - i)
+        t = min(size * max_epochs, fair)
+        targets[src] = t
+        remaining -= t
+    return {s: t / token_budget for s, t in sorted(targets.items())}

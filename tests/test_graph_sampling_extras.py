@@ -488,3 +488,47 @@ def test_shuffled_pack_fills_packs_in_shuffle_order(spark):
 
     plain = pack_sequences(docs, F.col("n_tokens"), "doc_id", budget=40, n_shards=4)
     assert all(r["shard"] == r["doc_id"] % 4 for r in plain.collect())
+
+
+def test_unimax_waterfilling_allocation(spark):
+    """Hand-computed UniMax allocation: small sources cap at
+    size*max_epochs, excess redistributes uniformly over larger ones;
+    alpha-free fairness — and the weights feed mixture_sample."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_mysql_data_reader_spark.operators.sampling import (
+        mixture_sample,
+        unimax_weights,
+    )
+
+    rows, i = [], 0
+    for src, n_docs in (("en", 80), ("fr", 15), ("sw", 5)):
+        for _ in range(n_docs):
+            rows.append((i, src, 10))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    # sizes: en=800, fr=150, sw=50. budget=600, max_epochs=1:
+    #   sw: min(50, 600/3=200) = 50; remaining 550 over 2
+    #   fr: min(150, 275) = 150; remaining 400
+    #   en: min(800, 400) = 400
+    w = unimax_weights(docs, F.col("n_tokens"), "source", token_budget=600)
+    assert w == {"en": 400 / 600, "fr": 150 / 600, "sw": 50 / 600}
+    assert abs(sum(w.values()) - 1.0) < 1e-12
+
+    report = {
+        r["source"]: r
+        for r in mixture_sample(
+            docs, F.col("n_tokens"), "doc_id", "source", w, token_budget=600
+        ).collect()
+    }
+    assert report["sw"]["rate"] == 1.0 and report["fr"]["rate"] == 1.0
+    assert abs(report["en"]["rate"] - 0.5) < 1e-12
+
+    # budget larger than corpus at max_epochs=1: every source kept whole
+    w2 = unimax_weights(docs, F.col("n_tokens"), "source", token_budget=10_000)
+    assert w2 == {"en": 800 / 10_000, "fr": 150 / 10_000, "sw": 50 / 10_000}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_epochs"):
+        unimax_weights(docs, F.col("n_tokens"), "source", 100, max_epochs=0)
