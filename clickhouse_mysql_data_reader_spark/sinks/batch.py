@@ -216,3 +216,42 @@ def write_zorder(
         else zed.repartitionByRange("_z")
     )
     part.sortWithinPartitions("_z").drop("_z").write.mode(mode).parquet(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shuffle",
+    mode: str = "overwrite",
+) -> None:
+    """Export the curated corpus as SHARDED JSONL in deterministic
+    shuffled training order — the files a trainer actually consumes.
+    Each output directory ``shard=<k>/`` holds one shard's documents as
+    one-JSON-object-per-line (newlines inside text are escaped by JSON,
+    so the line==doc contract always holds), ordered by the
+    ``training_shuffle`` rank: reproducible across runs/retries, new
+    ``salt`` = fresh epoch order.
+
+    Layout mechanics: repartition on the shuffle's shard key (one task
+    per shard at trainer-sized shard counts), sortWithinPartitions
+    (shard, pos) so every file is internally in training order, then a
+    partitionBy text write — each shard directory's concatenated files
+    read back in exactly the shuffled order. One shuffle total.
+    """
+    from clickhouse_mysql_data_reader_spark.operators.sampling import (
+        training_shuffle,
+    )
+
+    sh = training_shuffle(df, id_col=id_col, n_shards=n_shards, salt=salt)
+    line = F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value")
+    (
+        sh.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .select(F.col("shard"), line)
+        .write.mode(mode)
+        .partitionBy("shard")
+        .text(path)
+    )

@@ -111,3 +111,39 @@ def test_write_zorder_prunes_on_both_dimensions(spark, sf_correct, tmp_path):
         )
     )
     assert "PushedFilters" in plan and "LessThan(o_orderkey,100)" in plan
+
+
+def test_write_training_shards_jsonl_in_shuffle_order(spark, tmp_path):
+    """Sharded JSONL export: every doc lands exactly once as a JSON
+    line under its shuffle shard, file content reads back in shuffle
+    rank order, newlines in text stay escaped (line == doc)."""
+    import glob
+    import json
+
+    from clickhouse_mysql_data_reader_spark.operators.sampling import (
+        training_shuffle,
+    )
+    from clickhouse_mysql_data_reader_spark.sinks.batch import (
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"line a of {i}\nline b of {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, ["doc_id", "text"], n_shards=4)
+
+    order = {}
+    for r in training_shuffle(docs, n_shards=4).collect():
+        order.setdefault(r["shard"], []).append((r["pos"], r["doc_id"]))
+    seen = []
+    for shard, expected in order.items():
+        files = sorted(glob.glob(f"{out}/shard={shard}/part-*"))
+        lines = [l for f in files for l in open(f).read().splitlines() if l]
+        objs = [json.loads(l) for l in lines]
+        assert [o["doc_id"] for o in objs] == [d for _, d in sorted(expected)]
+        for o in objs:
+            assert o["text"] == f"line a of {o['doc_id']}\nline b of {o['doc_id']}"
+        seen.extend(o["doc_id"] for o in objs)
+    assert sorted(seen) == list(range(40))
