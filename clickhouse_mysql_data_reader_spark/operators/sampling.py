@@ -332,6 +332,13 @@ def training_shuffle(
     """
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
+    clash = {"shard", "pos", "_draw"} & set(df.columns)
+    if clash:
+        # silently clobbering a user column named like our outputs would
+        # corrupt data with no signal (e.g. a paragraph 'pos' column)
+        raise ValueError(
+            f"training_shuffle output columns collide with input: {sorted(clash)}"
+        )
     draw = hash_bucket(F.col(id_col), salt)
     out = df.withColumn("_draw", draw).withColumn(
         "shard",
@@ -339,6 +346,24 @@ def training_shuffle(
     )
     w = W.partitionBy("shard").orderBy(F.col("_draw"), F.col(id_col))
     return out.withColumn("pos", F.row_number().over(w).cast("long")).drop("_draw")
+
+
+def _source_token_totals(
+    df: DataFrame, token_count_col: Column, source_col: str
+) -> list[tuple[str, float]]:
+    """Bounded driver aggregate shared by the weighting schemes: one
+    (source, total_tokens) pair per source, NULL sums coalesced to 0
+    (a source whose counts are all NULL contributes no tokens)."""
+    rows = (
+        df.select(
+            F.col(source_col).alias("source"),
+            token_count_col.cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("src_tokens"))
+        .collect()
+    )
+    return [(r["source"], float(r["src_tokens"])) for r in rows]
 
 
 def temperature_weights(
@@ -364,19 +389,15 @@ def temperature_weights(
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
-    rows = (
-        df.select(
-            F.col(source_col).alias("source"),
-            token_count_col.cast("bigint").alias("n_tokens"),
-        )
-        .groupBy("source")
-        .agg(F.sum("n_tokens").alias("src_tokens"))
-        .collect()
-    )
-    if not rows:
+    totals = _source_token_totals(df, token_count_col, source_col)
+    if not totals:
         return {}
-    total = float(sum(r["src_tokens"] for r in rows))
-    powed = {r["source"]: (r["src_tokens"] / total) ** alpha for r in rows}
+    total = sum(t for _, t in totals)
+    if total <= 0:
+        raise ValueError(
+            "temperature_weights: corpus has zero tokens — no shares to exponentiate"
+        )
+    powed = {s: (t / total) ** alpha for s, t in totals}
     z = sum(powed.values())
     return {s: v / z for s, v in sorted(powed.items())}
 
@@ -469,16 +490,9 @@ def unimax_weights(
         raise ValueError(f"token_budget must be positive, got {token_budget}")
     if max_epochs <= 0:
         raise ValueError(f"max_epochs must be positive, got {max_epochs}")
-    rows = (
-        df.select(
-            F.col(source_col).alias("source"),
-            token_count_col.cast("bigint").alias("n_tokens"),
-        )
-        .groupBy("source")
-        .agg(F.sum("n_tokens").alias("src_tokens"))
-        .collect()
+    sizes = sorted(
+        (t, s) for s, t in _source_token_totals(df, token_count_col, source_col)
     )
-    sizes = sorted((float(r["src_tokens"]), r["source"]) for r in rows)
     targets: dict[str, float] = {}
     remaining = float(token_budget)
     for i, (size, src) in enumerate(sizes):

@@ -1185,7 +1185,13 @@ def ccnet_buckets(
     model and the same cut values, the corpus is scored exactly once
     per action, and batch composition cannot shift the bands.
     """
-    if thresholds is None:
+    if thresholds is not None:
+        if not float(thresholds[0]) <= float(thresholds[1]):
+            # inverted cut values would silently make 'middle' unreachable
+            raise ValueError(
+                f"thresholds must satisfy lo <= hi, got {thresholds}"
+            )
+    else:
         lo, hi = cuts
         if not 0.0 < lo < hi < 1.0:
             raise ValueError(f"cuts must satisfy 0 < lo < hi < 1, got {cuts}")
@@ -1402,6 +1408,10 @@ def corpus_stats(
     aggregate: counts and sums are exact integers, the only doubles are
     the two terminal averages. ``source_col=None`` reports one global
     row under source '_all'."""
+    if hist_bucket_tokens <= 0:
+        raise ValueError(
+            f"hist_bucket_tokens must be positive, got {hist_bucket_tokens}"
+        )
     src = (
         F.col(source_col) if source_col else F.lit("_all")
     ).alias("source")
@@ -1436,7 +1446,7 @@ def corpus_stats(
                 F.collect_list(
                     F.concat_ws(
                         ":",
-                        F.lpad(F.col("_bucket").cast("string"), 6, "0"),
+                        F.lpad(F.col("_bucket").cast("string"), 9, "0"),
                         F.col("_bn"),
                     )
                 )

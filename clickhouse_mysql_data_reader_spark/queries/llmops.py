@@ -1261,8 +1261,8 @@ def sample_weighted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(bmax) AS max_tokens,
            CAST(sum(bt) AS DOUBLE) / sum(bn) AS avg_tokens,
            CAST(sum(bc) AS DOUBLE) / sum(bn) AS avg_chars,
-           string_agg(lpad(CAST(bucket AS VARCHAR), 6, '0') || ':' || CAST(bn AS VARCHAR),
-                      ',' ORDER BY lpad(CAST(bucket AS VARCHAR), 6, '0')) AS token_hist
+           string_agg(lpad(CAST(bucket AS VARCHAR), 9, '0') || ':' || CAST(bn AS VARCHAR),
+                      ',' ORDER BY lpad(CAST(bucket AS VARCHAR), 9, '0')) AS token_hist
     FROM pb GROUP BY source
     """,
     doc="One-pass per-source corpus report (the before/after-curation "

@@ -235,22 +235,32 @@ def write_training_shards(
     ``training_shuffle`` rank: reproducible across runs/retries, new
     ``salt`` = fresh epoch order.
 
-    Layout mechanics: repartition on the shuffle's shard key (one task
-    per shard at trainer-sized shard counts), sortWithinPartitions
-    (shard, pos) so every file is internally in training order, then a
-    partitionBy text write — each shard directory's concatenated files
-    read back in exactly the shuffled order. One shuffle total.
+    Layout mechanics: the shuffle's (shard, rank) order does NOT need
+    ``training_shuffle``'s row_number window here — the rank is only a
+    sort key, so the export computes the same md5 draw inline and does
+    ONE repartition on the shard key + sortWithinPartitions(shard,
+    draw, id): identical order (rank = position by (draw, id)), half
+    the exchanges, no window. The JSON line is built from the ORIGINAL
+    columns before any internal column is added, so user columns named
+    ``shard``/``pos`` export untouched.
     """
-    from clickhouse_mysql_data_reader_spark.operators.sampling import (
-        training_shuffle,
-    )
+    from clickhouse_mysql_data_reader_spark.operators.sampling import hash_bucket
 
-    sh = training_shuffle(df, id_col=id_col, n_shards=n_shards, salt=salt)
-    line = F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    line = F.to_json(F.struct(*[F.col(c) for c in cols]))
+    staged = df.select(
+        line.alias("_line"),
+        hash_bucket(F.col(id_col), salt).alias("_draw"),
+        F.col(id_col).alias("_id"),
+    ).withColumn(
+        "shard",
+        (F.conv(F.col("_draw"), 16, 10).cast("long") % n_shards).cast("int"),
+    )
     (
-        sh.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "pos")
-        .select(F.col("shard"), line)
+        staged.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_draw", "_id")
+        .select("shard", F.col("_line").alias("value"))
         .write.mode(mode)
         .partitionBy("shard")
         .text(path)

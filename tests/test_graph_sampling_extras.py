@@ -532,3 +532,42 @@ def test_unimax_waterfilling_allocation(spark):
 
     with _pytest.raises(ValueError, match="max_epochs"):
         unimax_weights(docs, F.col("n_tokens"), "source", 100, max_epochs=0)
+
+
+def test_weighting_and_shuffle_guards(spark):
+    """Review-pass guards: shuffle output-name collisions raise; a
+    zero-token corpus raises in temperature_weights; NULL source sums
+    coalesce to zero in unimax; inverted ccnet thresholds raise;
+    corpus_stats rejects non-positive histogram widths."""
+    from pyspark.sql import functions as F
+    import pytest as _pytest
+
+    from clickhouse_mysql_data_reader_spark.operators.sampling import (
+        temperature_weights,
+        training_shuffle,
+        unimax_weights,
+    )
+    from clickhouse_mysql_data_reader_spark.operators.text import (
+        ccnet_buckets,
+        corpus_stats,
+    )
+
+    with_pos = spark.createDataFrame([(1, 5)], "doc_id long, pos long")
+    with _pytest.raises(ValueError, match="collide"):
+        training_shuffle(with_pos)
+
+    zero = spark.createDataFrame([(1, "a", 0), (2, "b", 0)], "doc_id long, source string, n_tokens long")
+    with _pytest.raises(ValueError, match="zero tokens"):
+        temperature_weights(zero, F.col("n_tokens"), "source")
+
+    nulls = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", None)], "doc_id long, source string, n_tokens long"
+    )
+    w = unimax_weights(nulls, F.col("n_tokens"), "source", token_budget=50)
+    assert w == {"a": 1.0, "b": 0.0}
+
+    docs = spark.createDataFrame([(1, "w", "a b c")], "doc_id long, source string, text string")
+    with _pytest.raises(ValueError, match="lo <= hi"):
+        ccnet_buckets(docs.select("doc_id", "text"), thresholds=(20.0, 5.0))
+    with _pytest.raises(ValueError, match="hist_bucket_tokens"):
+        corpus_stats(docs, hist_bucket_tokens=0)

@@ -166,7 +166,7 @@ def test_corpus_stats_global_row_and_empties(spark):
     # token_count of "" is 1 (split of empty normalized text) — exact:
     # 3 + 70 + 1 + 1
     assert r["n_tokens"] == 75 and r["max_tokens"] == 70 and r["min_tokens"] == 1
-    assert r["token_hist"] == "000000:3,000001:1"
+    assert r["token_hist"] == "000000000:3,000000001:1"
 
     per = {r["source"]: r for r in corpus_stats(docs).collect()}
     assert per["w"]["n_docs"] == 2 and per["x"]["n_empty"] == 2
