@@ -1454,3 +1454,27 @@ def corpus_stats(
             ",",
         ).alias("token_hist"),
     )
+
+
+def collapse_repeated_lines(text: Column, min_line_chars: int = 1) -> Column:
+    """WITHIN-document cleaner: collapse consecutive duplicate lines
+    (scrapers frequently emit the same nav/header line back-to-back) —
+    one in-row array fold, zero shuffles, riding whatever scan produces
+    ``text``. Lines shorter than ``min_line_chars`` after trimming are
+    never collapsed (blank separators are structure). The CORPUS-level
+    companion is ``line_dedup``; this one needs no global state at all,
+    so it belongs with the expression gates.
+    """
+    ln = F.split(text, "\n")
+    idx = F.sequence(F.lit(0), F.size(ln) - 1)
+    keep = F.filter(
+        idx,
+        lambda i: (i == 0)
+        | (F.element_at(ln, i + 1) != F.element_at(ln, i))
+        | (F.length(F.trim(F.element_at(ln, i + 1))) < min_line_chars),
+    )
+    collapsed = F.array_join(
+        F.transform(keep, lambda i: F.element_at(ln, i + 1)), "\n"
+    )
+    # split("") is [""] so ln is never empty; still guard for null text
+    return F.when(text.isNotNull(), collapsed)

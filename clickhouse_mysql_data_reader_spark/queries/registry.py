@@ -132,8 +132,9 @@ QUERIES: dict[str, QueryDef] = {}
 # Born deprioritized in round 5 (pytest-oracle-checked, outside the
 # driver's 50 because the 50 slots hold the section-2 anchors):
 #   - doc_chunk_overlap: zero-shuffle explode+slice expression pipeline,
-#     the same plan family as the checked doc_winnow_fingerprint
-#     (sequence/explode/slice over token arrays riding the scan)
+#     the same plan family as doc_winnow_fingerprint (itself later
+#     deprioritized into the checked dedup_exact_substring, which
+#     carries the sequence/explode/slice-over-token-arrays plan)
 #   - sample_weighted_topk: same TakeOrderedAndProject plan as the
 #     checked text_vocab_topk; its md5-uniform draw arithmetic is the
 #     hash_bucket machinery the checked sample_stratified_split and

@@ -184,3 +184,37 @@ def test_line_dedup_increment_matches_batch_equivalence(spark):
 
     # doc 6 lost its only line to history -> present with n_kept 0
     assert inc[6]["n_kept"] == 0 and inc[6]["text"] == ""
+
+
+def test_collapse_repeated_lines_in_row(spark):
+    from pyspark.sql import functions as F
+
+    from clickhouse_mysql_data_reader_spark.operators.text import (
+        collapse_repeated_lines,
+    )
+
+    rows = [
+        (1, "nav bar\nnav bar\nbody text\nbody text\nbody text\ntail"),
+        (2, "a\n\n\nb"),      # blank separators never collapse (short)
+        (3, "only line"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", collapse_repeated_lines(F.col("text"), min_line_chars=1).alias("c")
+        ).collect()
+    }
+    assert got[1] == "nav bar\nbody text\ntail"
+    assert got[2] == "a\n\n\nb"
+    assert got[3] == "only line"
+    assert got[4] is None
+    assert got[5] == ""
+
+    plan = df.select(collapse_repeated_lines(F.col("text")).alias("c"))._jdf \
+        .queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    assert "Exchange" not in plan
