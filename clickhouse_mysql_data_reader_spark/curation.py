@@ -85,6 +85,13 @@ class CurationConfig:
     # restore the non-text columns.
     dedup_lines: bool = False
     line_dedup_min_chars: int = 15
+    # opt-in WITHIN-doc cleaner (operators/text.py
+    # collapse_repeated_lines): collapse consecutive duplicate lines
+    # (scraper nav/header stutter) before any gate scores the text.
+    # Pure per-row expression — zero shuffles, and unlike dedup_lines
+    # it needs no corpus state, so it runs in the incremental and
+    # streaming paths too.
+    collapse_lines: bool = False
     # opt-in LM quality gate (operators/text.py lm_surprisal): drop docs
     # whose mean inverse token probability vs the BATCH's own unigram
     # distribution exceeds this (gibberish / off-distribution text).
@@ -152,6 +159,15 @@ def _row_stages(
     3. exact dedup via a fingerprint-keyed window (keeper = min id):
        ONE shuffle, vs groupBy-then-join-back's two.
     """
+    if cfg.collapse_lines:
+        # per-row cleaner FIRST: gates then score the cleaned text;
+        # rides the same scan (one in-row array fold, no shuffle)
+        from clickhouse_mysql_data_reader_spark.operators.text import (
+            collapse_repeated_lines,
+        )
+
+        docs = docs.withColumn(text_col, collapse_repeated_lines(F.col(text_col)))
+
     gate = gate_columns(docs, text_col)
     gated = gate.filter(F.col("quality_score") >= cfg.min_quality_score)
     if cfg.drop_repetitive:

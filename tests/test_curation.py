@@ -1072,3 +1072,25 @@ def test_curate_line_dedup_stage_removes_boilerplate_lines(spark):
     state = CurationState(_tf.mkdtemp() + "/st")
     with _pytest.raises(ValueError, match="dedup_lines is a batch"):
         curate_increment(docs, state, cfg)
+
+
+def test_curate_collapse_lines_cleaner_runs_everywhere(spark):
+    """collapse_lines is a per-row cleaner: batch curate() collapses a
+    stuttered nav line before gating, and — being state-free, unlike
+    dedup_lines — the incremental path accepts it too."""
+    import tempfile as _tf
+
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curate_increment,
+    )
+
+    stutter = GOOD + "\nsame nav line\nsame nav line\nsame nav line"
+    docs = _mk_docs(spark, [(1, "web", stutter)])
+    cfg = CurationConfig(near_dup_jaccard=0.5, collapse_lines=True)
+    out = curate(docs, cfg=cfg).quality_gated.collect()
+    assert out[0]["text"] == GOOD + "\nsame nav line"
+
+    state = CurationState(_tf.mkdtemp() + "/st")
+    inc = curate_increment(docs, state, cfg, update_state=False).collect()
+    assert inc[0]["text"] == GOOD + "\nsame nav line"
