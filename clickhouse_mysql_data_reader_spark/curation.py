@@ -70,8 +70,12 @@ class CurationConfig:
     # headers/footers/licence text). Batch `curate()` only — it needs
     # corpus-wide fragment frequencies, which the incremental path's
     # per-batch view cannot see (a landed-state frequency merge is the
-    # extension point). Reuses the near-dup stage's shingle frame, so
-    # enabling it adds no extra text scan. None = off.
+    # extension point). Shares the near-dup stage's shingle PLAN and
+    # curate() persists that plan (MEMORY_AND_DISK) while the gate is
+    # on — the shingle subtree has three consumers (fragment counts,
+    # coverage join-back, MinHash) and would otherwise re-evaluate per
+    # consumer. Call ``CurationResult.unpersist()`` after the terminal
+    # action to release it. None = off.
     max_boiler_frac: float | None = None
     boiler_min_docs: int = 5
     # opt-in corpus-level LINE dedup (operators/text.py line_dedup, the
@@ -139,11 +143,22 @@ class CurationResult:
     after_mixture: DataFrame
     packed: DataFrame
     stage_frames: dict[str, DataFrame] = field(default_factory=dict)
+    # frames curate() persisted on the caller's behalf (currently: the
+    # shared shingle frame when the boilerplate gate is on). The CALLER
+    # owns the lifecycle — call unpersist() after the terminal action.
+    persisted_frames: list[DataFrame] = field(default_factory=list)
 
     def stage_counts(self) -> dict[str, int]:
         """Materialize per-stage survivor counts (one job per stage —
         diagnostic use, not the hot path)."""
         return {name: df.count() for name, df in self.stage_frames.items()}
+
+    def unpersist(self) -> None:
+        """Release every frame curate() persisted for this result.
+        Idempotent; call after the last action on the result's frames
+        so a long-lived session doesn't accumulate cached relations."""
+        for df in self.persisted_frames:
+            df.unpersist()
 
 
 def _row_stages(
@@ -298,11 +313,21 @@ def curate(
     # --- stage 3b: corpus-level boilerplate gate (optional) -----------
     # BEFORE near-dup: templated docs would otherwise form giant
     # near-dup components (every doc sharing the template is a
-    # candidate pair). Shares the shingle frame with the LSH stage, so
-    # the gate costs one count + one anti-join, not another text scan.
+    # candidate pair). Shares the shingle PLAN with the LSH stage — but
+    # a shared plan is not a shared evaluation: with the gate on, the
+    # shingle subtree has three consumers (fragment counts, coverage
+    # join-back, MinHash), so it is persisted spill-safely for the
+    # duration and surfaced via CurationResult.persisted_frames /
+    # .unpersist() (caller-owned lifecycle, same contract as
+    # jaccard_pairs' storage parameter).
     sh = shingle_table(exact, text_col, id_col)
+    persisted: list[DataFrame] = []
     boiled = exact
     if cfg.max_boiler_frac is not None:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(sh)
         from clickhouse_mysql_data_reader_spark.operators.text import (
             ngram_boilerplate,
         )
@@ -409,6 +434,7 @@ def curate(
             "after_mixture": mixed,
             "packed": packed,
         },
+        persisted_frames=persisted,
     )
 
 

@@ -189,11 +189,19 @@ def lsh_candidate_pairs(
       verified live on this join shape in tests/test_skew.py. Note the
       quadratic OUTPUT still exists; AQE only distributes it.
     - ``max_bucket_docs``: buckets holding more docs than the cap are
-      EXCLUDED from the self-join (a count window over the band keys —
-      ONE pass over the banded rows, pre-partitioned on the exact keys
-      the self-join shuffles on; an aggregate-then-join formulation
-      would evaluate the whole signature-banding subtree twice per
-      action). This is the production answer for template
+      EXCLUDED from the self-join. The cap is computed as a map-side-
+      combined groupBy over the band keys, filtered to the OVER-cap
+      keys only (tiny by construction — these are the template
+      clusters), then broadcast-anti-joined against the banded rows.
+      Deliberately NOT a count window: a window partitioned on
+      (band_id, band_hash) is unsplittable, so the 10^7-member hot
+      bucket this cap exists to bound would buffer and sort in a
+      single task before being filtered out — reintroducing the skew.
+      The aggregate form re-reads the banding subtree once more per
+      action, but partial aggregation collapses each hot bucket to one
+      row per map task, and the anti-join side is a broadcast, so the
+      main path gains no shuffle and no unsplittable partition.
+      This is the production answer for template
       clusters: their members are near-identical copies that exact/
       fingerprint dedup already collapses, and C(n, 2) pairs of the
       survivors add no information worth the quadratic cost. Opt-in
@@ -202,11 +210,14 @@ def lsh_candidate_pairs(
     """
     banded = band_table(signatures, num_hashes=num_hashes, bands=bands)
     if max_bucket_docs is not None:
-        w_bucket = W.partitionBy("band_id", "band_hash")
-        banded = (
-            banded.withColumn("_n", F.count(F.lit(1)).over(w_bucket))
-            .filter(F.col("_n") <= int(max_bucket_docs))
-            .drop("_n")
+        over_cap = (
+            banded.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > int(max_bucket_docs))
+            .select("band_id", "band_hash")
+        )
+        banded = banded.join(
+            F.broadcast(over_cap), ["band_id", "band_hash"], "left_anti"
         )
     a = banded.alias("a")
     b = banded.alias("b")

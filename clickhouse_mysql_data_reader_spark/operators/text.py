@@ -174,6 +174,14 @@ def _gopher_base(df: DataFrame, text_col: str, keep: list[str]) -> DataFrame:
     )
 
 
+# Every column _gopher_base aliases over the caller's frame. Callers
+# that keep all their own columns (gopher_gate_columns) must reject
+# inputs that already use one of these names.
+_GOPHER_INTERNAL_COLS = {
+    "_gnt", "_gln", "_gtk", "_n_sym", "_n_ln", "_nt_len",
+    "_n_alpha", "_n_bullet", "_n_ellipsis", "n_words", "n_stop_types",
+}
+
 # Gopher-stat derived expressions over a _gopher_base frame.
 _GOPHER_EXPRS = {
     "mean_word_len": lambda: (F.col("_nt_len") - (F.col("n_words") - F.lit(1)))
@@ -277,6 +285,16 @@ def gopher_gate_columns(df: DataFrame, text_col: str, **thresholds) -> DataFrame
     unknown = set(thresholds) - set(defaults)
     if unknown:
         raise TypeError(f"unknown gopher thresholds: {sorted(unknown)}")
+    # _gopher_base aliases these over the caller's frame; a caller
+    # column with the same name would make every downstream reference
+    # ambiguous (or silently gate on the wrong column). Same guard
+    # discipline as training_shuffle's reserved-name check.
+    clash = _GOPHER_INTERNAL_COLS & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"gopher_gate_columns: input columns {sorted(clash)} collide "
+            "with internal gopher stat names; rename them first"
+        )
     base = _gopher_base(df, text_col, keep=list(df.columns))
     return base.select(
         *df.columns, _gopher_pass_expr(**{**defaults, **thresholds}).alias("pass_gopher")
@@ -596,9 +614,13 @@ def hashed_bow_embed(
 
     Entirely in-row (zero shuffles at any scale): the token->bucket
     array is materialized ONCE per doc (one md5 per token), then the
-    dim-length count vector is a fold over it — O(dim * n_tokens)
-    integer compares per row, which rides the scan for the small dims
-    feature hashing uses. Counts and the L2 norm are exact integer
+    dim-length count vector is the SAME single ``aggregate`` fold as
+    ``hashed_bow_expr`` — O(dim * n_tokens) pure-arithmetic updates per
+    row, which rides the scan for the small dims feature hashing uses.
+    (A per-bucket ``filter(_bk, x == b)`` count is deliberately NOT
+    used: it only avoids O(dim) md5 re-evaluation while the optimizer
+    declines to inline the ``_bk`` alias — a fragile assumption the
+    fold never makes.) Counts and the L2 norm are exact integer
     arithmetic + one correctly-rounded sqrt/division, so values are
     bit-identical across engines (IEEE sqrt is exact-rounded).
     """
@@ -614,10 +636,12 @@ def hashed_bow_embed(
         )
         .select(
             id_col,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda b: F.size(F.filter(F.col("_bk"), lambda x: x == b)).cast(
-                    "double"
+            F.aggregate(
+                "_bk",
+                F.array_repeat(F.lit(0.0), dim),
+                lambda acc, x: F.transform(
+                    acc,
+                    lambda v, i: F.when(i.cast("long") == x, v + 1.0).otherwise(v),
                 ),
             ).alias("_cnt"),
         )

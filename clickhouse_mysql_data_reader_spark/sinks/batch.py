@@ -205,8 +205,16 @@ def write_zorder(
     rectangle intersects it — ~|selection| instead of |table|.
     """
     # one pass for every envelope: approxQuantile takes the column LIST,
-    # so k z-columns cost one corpus scan, not k
+    # so k z-columns cost one corpus scan, not k. An all-null or
+    # non-numeric column yields an EMPTY quantile list — fail with the
+    # column's name here rather than an opaque IndexError below.
     envs = df.stat.approxQuantile(cols, [0.01, 0.99], 0.001)
+    bad = [c for c, e in zip(cols, envs) if len(e) != 2]
+    if bad:
+        raise ValueError(
+            f"write_zorder: no numeric envelope for column(s) {bad} — "
+            "z-columns must be numeric with at least one non-null value"
+        )
     los = [e[0] for e in envs]
     his = [e[1] for e in envs]
     zed = df.withColumn("_z", zorder_key(cols, los, his, bits=bits))

@@ -257,3 +257,21 @@ def test_lsh_candidates_bucket_cap_drops_only_hot_bucket(spark):
     assert len(hot_pairs) == 20 * 19 // 2
     assert capped == uncapped - hot_pairs
     assert (1000, 1001) in capped  # small buckets unaffected
+
+
+def test_lsh_bucket_cap_plan_has_no_window(spark):
+    """The cap must stay splittable: a count window partitioned on the
+    band keys would buffer the exact hot bucket it exists to bound in
+    one task. The plan must instead show a broadcast LEFT ANTI join
+    against the (tiny) over-cap key set — partial aggregation collapses
+    hot buckets map-side, and the main path gains no new exchange."""
+    from clickhouse_mysql_data_reader_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    sigs = _hot_bucket_signatures(spark, n_docs=40, hot=15)
+    capped = lsh_candidate_pairs(sigs, num_hashes=16, bands=4, max_bucket_docs=10)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:3000]
+    assert "LeftAnti" in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan

@@ -170,3 +170,26 @@ def test_corpus_stats_global_row_and_empties(spark):
 
     per = {r["source"]: r for r in corpus_stats(docs).collect()}
     assert per["w"]["n_docs"] == 2 and per["x"]["n_empty"] == 2
+
+
+def test_gate_columns_rejects_internal_name_collision(spark):
+    """gopher_gate_columns keeps every caller column, so a caller
+    column named like a _gopher_base internal (n_words, n_stop_types,
+    _gtk, ...) would make downstream references ambiguous or silently
+    gate on the wrong column — the guard raises up front instead."""
+    import pytest
+
+    from clickhouse_mysql_data_reader_spark.operators.text import (
+        gopher_gate_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, _GOOD, 7)], "doc_id bigint, text string, n_words int"
+    )
+    with pytest.raises(ValueError, match="n_words"):
+        gopher_gate_columns(df, "text", min_words=10)
+    # non-colliding frames still work and keep all caller columns
+    ok = spark.createDataFrame([(1, _GOOD, 7)], "doc_id bigint, text string, extra int")
+    out = gopher_gate_columns(ok, "text", min_words=10)
+    assert set(out.columns) == {"doc_id", "text", "extra", "pass_gopher"}
+    assert out.collect()[0]["pass_gopher"] is True

@@ -147,3 +147,13 @@ def test_write_training_shards_jsonl_in_shuffle_order(spark, tmp_path):
             assert o["text"] == f"line a of {o['doc_id']}\nline b of {o['doc_id']}"
         seen.extend(o["doc_id"] for o in objs)
     assert sorted(seen) == list(range(40))
+
+
+def test_zorder_all_null_column_raises_named_error(spark, tmp_path):
+    """An all-null z-column has no quantile envelope; the writer must
+    name it in a ValueError instead of raising IndexError mid-write."""
+    df = spark.createDataFrame(
+        [(i, None) for i in range(10)], "x long, y double"
+    )
+    with pytest.raises(ValueError, match="y"):
+        write_zorder(df, str(tmp_path / "z"), ["x", "y"], bits=4)
