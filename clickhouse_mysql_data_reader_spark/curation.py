@@ -67,10 +67,12 @@ class CurationConfig:
     # opt-in corpus-level boilerplate gate (operators/text.py
     # ngram_boilerplate): drop docs whose shingle coverage by
     # corpus-wide frequent fragments exceeds this (templated
-    # headers/footers/licence text). Batch `curate()` only — it needs
-    # corpus-wide fragment frequencies, which the incremental path's
-    # per-batch view cannot see (a landed-state frequency merge is the
-    # extension point). Shares the near-dup stage's shingle PLAN and
+    # headers/footers/licence text). Works in batch `curate()` AND in
+    # `curate_increment`, where frequencies = batch counts + landed
+    # kept-corpus counts at the batch's shingle keys (the
+    # ngram_boilerplate ``extra_counts`` seam — see curate_increment
+    # for the exact parity contract). Shares the near-dup stage's
+    # shingle PLAN and
     # curate() persists that plan (MEMORY_AND_DISK) while the gate is
     # on — the shingle subtree has three consumers (fragment counts,
     # coverage join-back, MinHash) and would otherwise re-evaluate per
@@ -83,8 +85,11 @@ class CurationConfig:
     # line keeps only its globally-first occurrence and docs are
     # reassembled before ANY gate runs, so the gates judge the cleaned
     # text and docs reduced to nothing fail the quality gate naturally.
-    # Batch `curate()` only (corpus-wide line frequencies; the
-    # incremental path rejects it loudly like max_boiler_frac). Costs
+    # Works in batch `curate()` AND in `curate_increment`, which lands
+    # surviving line fingerprints in CurationState (`line_fps`) so a
+    # line any earlier batch saw is removed from every later batch —
+    # with batch-ordered doc ids the increments compose to exactly the
+    # batch run over the concatenated corpus (pinned by test). Costs
     # the operator's three skew-proof shuffles + one id-keyed join to
     # restore the non-text columns.
     dedup_lines: bool = False
@@ -504,7 +509,14 @@ class CurationState:
         path = jvm.org.apache.hadoop.fs.Path(self.state_dir)
         return jvm, path.getFileSystem(spark._jsc.hadoopConfiguration())
 
-    _TABLES = ("fingerprints", "shingles", "bands")
+    # line_fps is the OPTIONAL fourth table (cfg.dedup_lines): 60-bit
+    # fingerprints of every eligible line seen in any INPUT batch (not
+    # just kept docs — the batch line pass runs before the gates, so a
+    # line of a later-dropped doc still holds keeper status, exactly as
+    # in batch curate() over the concatenated corpus). Listed in
+    # _TABLES so compact()/crash-recovery cover it; exists() still
+    # probes only the three doc tables (line state is independent).
+    _TABLES = ("fingerprints", "shingles", "bands", "line_fps")
 
     def _recover_crashed_compact(self, spark, names=None) -> list[str]:
         """Roll back a compact() interrupted between its two renames.
@@ -564,21 +576,58 @@ class CurationState:
         (the primary probe is then authoritative) or clear the state
         dirs before retrying a failed bootstrap."""
         self._recover_crashed_compact(spark)
+        return all(
+            self._table_landed(spark, n)
+            for n in ("fingerprints", "shingles", "bands")
+        )
+
+    def _table_landed(self, spark, name: str) -> bool:
+        """Committed-write probe for one state table (see ``exists``
+        for the marker-vs-data-file fallback rationale)."""
         jvm, fs = self._fs(spark)
-
-        def landed(name: str) -> bool:
-            dir_path = jvm.org.apache.hadoop.fs.Path(self._path(name))
-            if fs.exists(jvm.org.apache.hadoop.fs.Path(self._path(name) + "/_SUCCESS")):
-                return True
-            if not fs.exists(dir_path):
-                return False
-            for st in fs.listStatus(dir_path):
-                base = st.getPath().getName()
-                if not base.startswith("_") and not base.startswith("."):
-                    return True
+        dir_path = jvm.org.apache.hadoop.fs.Path(self._path(name))
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(self._path(name) + "/_SUCCESS")):
+            return True
+        if not fs.exists(dir_path):
             return False
+        for st in fs.listStatus(dir_path):
+            base = st.getPath().getName()
+            if not base.startswith("_") and not base.startswith("."):
+                return True
+        return False
 
-        return all(landed(n) for n in ("fingerprints", "shingles", "bands"))
+    def line_fps_exist(self, spark) -> bool:
+        """True once a line-fingerprint batch has fully landed — probed
+        separately from ``exists()`` because the table only ever exists
+        for ``dedup_lines`` pipelines (and may be enabled later in a
+        state's life: the first line-enabled batch bootstraps it)."""
+        self._recover_crashed_compact(spark, ("line_fps",))
+        return self._table_landed(spark, "line_fps")
+
+    def line_fps(
+        self, spark, exclude_epoch: int | None = None, run_id: str | None = None
+    ) -> DataFrame:
+        """The landed (line_fp: long) history for the incremental line
+        pass, with the same replayed-epoch exclusion as the doc tables."""
+        return self._read(spark, "line_fps", exclude_epoch, run_id)
+
+    def append_line_fps(
+        self,
+        fps: DataFrame,
+        mode: str = "append",
+        epoch_id: int | None = None,
+        run_id: str | None = None,
+    ) -> None:
+        """Append one batch's surviving eligible-line fingerprints,
+        tagged like every other state append so a replayed epoch can
+        exclude its own crashed attempt's rows. The caller must ensure
+        ``fps``'s plan does NOT read this same table (derive it from a
+        checkpointed frame — ``curate_increment`` does)."""
+        etag = F.lit(-1 if epoch_id is None else int(epoch_id)).alias("_epoch")
+        rtag = F.lit(run_id or "").alias("_run")
+        fps.select("line_fp").withColumns({"_epoch": etag, "_run": rtag}).write.mode(
+            mode
+        ).parquet(self._path("line_fps"))
 
     def sync_params(self, spark) -> None:
         """Land ``_params.json`` on first write; on every later call,
@@ -1063,28 +1112,73 @@ def curate_increment(
             f"(minhash_k={state.minhash_k}, lsh_bands={state.lsh_bands}); "
             "derive the batch's signatures with the state's parameters"
         )
-    if cfg.max_boiler_frac is not None:
-        # silently ignoring it would skip a gate the caller asked for:
-        # boilerplate frequency is corpus-wide and this path only sees
-        # one batch (merging landed shingle counts is the extension
-        # point if incremental boilerplate gating is ever needed)
-        raise ValueError(
-            "max_boiler_frac is a batch-curate() gate: incremental "
-            "curation cannot see corpus-wide fragment frequencies"
-        )
-    if cfg.dedup_lines:
-        # same reasoning: line frequencies are corpus-wide; a per-batch
-        # view would keep every batch's copy of a boilerplate line
-        raise ValueError(
-            "dedup_lines is a batch-curate() stage: incremental "
-            "curation cannot see corpus-wide line frequencies"
-        )
     spark = new_docs.sparkSession
     if state.exists(spark):
         # also validate against the ON-DISK parameters: the ctor-vs-cfg
         # check above cannot catch a session that reconstructs the
         # state handle with the wrong values
         state.sync_params(spark)
+
+    # --- stage 0 (optional): incremental corpus-level line dedup ------
+    # The C4 line pass in daily-batch form (operators/text.py
+    # line_dedup_increment): a line whose fingerprint any EARLIER batch
+    # landed is removed here, within-batch duplicates keep their
+    # min-(doc, line_no) copy, and the gates below judge the cleaned
+    # text — the same stage order as batch curate(), so with doc ids
+    # assigned in batch order the batches compose to exactly what one
+    # batch run over the concatenated corpus produces (pinned by test).
+    new_line_fps = None
+    if cfg.dedup_lines:
+        from clickhouse_mysql_data_reader_spark.operators.text import (
+            _line_elig,
+            line_dedup_increment,
+            line_fingerprints,
+        )
+
+        landed_lines = (
+            state.line_fps(spark, exclude_epoch=epoch_id, run_id=run_id)
+            if state.line_fps_exist(spark)
+            else None
+        )
+        cleaned, _ = line_dedup_increment(
+            new_docs,
+            landed_lines,
+            text_col=text_col,
+            id_col=id_col,
+            min_line_chars=cfg.line_dedup_min_chars,
+        )
+        # localCheckpoint: (a) the cleaned text feeds every gate and
+        # both dedup families — untruncated, each consumer re-runs the
+        # line explode/join machinery from the scan; (b) it cuts the
+        # landed line_fps READ out of the lineage, so the append below
+        # can never observe its own partial output (the same
+        # self-referential-write argument as CurationState.write).
+        cleaned = cleaned.localCheckpoint()
+        new_docs = new_docs.drop(text_col).join(
+            cleaned.select(id_col, text_col), id_col
+        )
+        # fps of ALL surviving eligible lines of the INPUT batch land —
+        # independent of later gate/dedup outcomes, because in batch
+        # mode the line pass runs before any gate, so lines of docs
+        # later dropped still hold keeper status for future batches.
+        # Re-derived from the checkpointed text: no state read in the
+        # write plan.
+        new_line_fps = line_fingerprints(
+            cleaned.select(
+                F.explode(F.split(F.col(text_col), "\n")).alias("line")
+            ).filter(_line_elig(cfg.line_dedup_min_chars))
+        )
+
+    def _land_line_fps() -> None:
+        # AFTER the doc-state write on purpose: a crash between the two
+        # leaves docs landed without their line fps — future batches
+        # then keep duplicate copies of this batch's lines (looser,
+        # recoverable by replaying with epoch tags), whereas the
+        # reverse order would let a plain batch retry see its own
+        # crashed line append and gut every doc in the batch.
+        if update_state and new_line_fps is not None:
+            state.append_line_fps(new_line_fps, epoch_id=epoch_id, run_id=run_id)
+
     _, exact = _row_stages(new_docs, cfg, text_col, id_col)
 
     if not state.exists(spark):
@@ -1094,6 +1188,25 @@ def curate_increment(
         # runs eagerly anyway — without truncation each consumer
         # re-executes the gates+shingling chain from the scan
         sh0 = shingle_table(exact, text_col, id_col).localCheckpoint()
+        # boilerplate gate, bootstrap form: batch one IS the corpus so
+        # far, so within-batch frequencies are exactly what batch
+        # curate() over the (one-batch) concatenation would measure
+        boiled0 = exact
+        if cfg.max_boiler_frac is not None:
+            from clickhouse_mysql_data_reader_spark.operators.text import (
+                ngram_boilerplate,
+            )
+
+            cov0 = ngram_boilerplate(
+                exact, text_col, id_col, min_docs=cfg.boiler_min_docs, shingles=sh0
+            )
+            bdrop0 = cov0.filter(
+                F.col("boiler_frac") > cfg.max_boiler_frac
+            ).select(F.col("doc_id").alias(id_col))
+            boiled0 = exact.join(bdrop0, id_col, "left_anti")
+            sh0 = sh0.join(
+                bdrop0.select(F.col(id_col).alias("doc_id")), "doc_id", "left_anti"
+            )
         sigs0 = minhash_signatures(sh0, num_hashes=cfg.minhash_k)
         cands0 = lsh_candidate_pairs(
             sigs0, num_hashes=cfg.minhash_k, bands=cfg.lsh_bands
@@ -1107,10 +1220,11 @@ def curate_increment(
             .filter(F.col("doc_id") != F.col("keeper_id"))
             .select(F.col("doc_id").alias(id_col))
         )
-        kept = exact.join(drop0, id_col, "left_anti")
+        kept = boiled0.join(drop0, id_col, "left_anti")
         if update_state:
             kept = state.write(kept, text_col=text_col, id_col=id_col,
                                mode="append", epoch_id=epoch_id, run_id=run_id)
+        _land_line_fps()
         return kept
 
     # --- exact dedup vs history (anti-join on fingerprint) ------------
@@ -1169,6 +1283,49 @@ def curate_increment(
     # from, the same mid-increment-consistency argument as
     # CurationState.write's checkpoint.
     sh_new = shingle_table(vs_hist, text_col, id_col).localCheckpoint()
+
+    # --- boilerplate gate vs history + batch (optional) ---------------
+    # Same position as batch curate() (after exact dedup, before the
+    # near-dup stage); doc-frequencies = this batch's counts + the
+    # landed KEPT corpus's counts at the batch's shingle keys only
+    # (state.shingles is per-doc distinct, so count(1) per sh_h IS the
+    # doc frequency; dropDuplicates guards replayed-epoch double
+    # appends). Per-batch cost: one column-pruned scan of the state
+    # shingle table keyed by the batch's shingles — the corpus text is
+    # never re-read. KNOWN DELTA vs batch-over-concatenation: history
+    # contributes only docs that SURVIVED curation (batch mode counts
+    # pre-near-dup docs, including ones later dropped), so incremental
+    # frequencies can run slightly lower — the gate errs toward
+    # keeping. Parity holds whenever the fragment's landed frequency
+    # already clears boiler_min_docs (pinned by test).
+    if cfg.max_boiler_frac is not None:
+        from clickhouse_mysql_data_reader_spark.operators.text import (
+            ngram_boilerplate,
+        )
+
+        hist_counts = (
+            state.shingles(spark, exclude_epoch=epoch_id, run_id=run_id)
+            .join(sh_new.select("sh_h").distinct(), "sh_h", "left_semi")
+            .dropDuplicates(["doc_id", "sh_h"])
+            .groupBy("sh_h")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+        cov = ngram_boilerplate(
+            vs_hist,
+            text_col,
+            id_col,
+            min_docs=cfg.boiler_min_docs,
+            shingles=sh_new,
+            extra_counts=hist_counts,
+        )
+        bdrop = cov.filter(F.col("boiler_frac") > cfg.max_boiler_frac).select(
+            F.col("doc_id").alias(id_col)
+        )
+        vs_hist = vs_hist.join(bdrop, id_col, "left_anti")
+        sh_new = sh_new.join(
+            bdrop.select(F.col(id_col).alias("doc_id")), "doc_id", "left_anti"
+        )
+
     sigs_new = minhash_signatures(sh_new, num_hashes=cfg.minhash_k)
     bands_new = band_table(sigs_new, num_hashes=cfg.minhash_k, bands=cfg.lsh_bands)
 
@@ -1224,6 +1381,7 @@ def curate_increment(
         # result cannot re-read the state this call just appended to
         kept = state.write(kept, text_col=text_col, id_col=id_col,
                            mode="append", epoch_id=epoch_id, run_id=run_id)
+    _land_line_fps()
     return kept
 
 

@@ -110,7 +110,12 @@ def connected_components(
     Pair sets at or under ``small_graph_pairs`` take a driver-side
     union-find fast path (one count + one bounded collect instead of
     diameter-many join/checkpoint rounds — identical output, see
-    ``SMALL_GRAPH_PAIRS``); larger graphs run the distributed loop:
+    ``SMALL_GRAPH_PAIRS``); larger graphs run the distributed loop.
+    The probe itself costs a MEMORY_AND_DISK persist + count() of the
+    full pair set before the loop starts — for a KNOWN-large graph
+    (100 TB corpora, billions of candidate pairs) pass
+    ``small_graph_pairs=0`` to skip the probe entirely and go straight
+    to the distributed loop with no extra materialization.
 
     Neighbor-min label propagation: every node starts labeled with
     itself; each round every node takes the min of its own label and

@@ -664,6 +664,7 @@ def ngram_boilerplate(
     k: int = 3,
     min_docs: int = 5,
     shingles: DataFrame | None = None,
+    extra_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-internal boilerplate detection: per-document coverage by
     k-gram shingles that appear in >= ``min_docs`` DISTINCT documents —
@@ -684,11 +685,26 @@ def ngram_boilerplate(
     upstream should build ``shingle_table`` themselves, persist it with
     a lifecycle they own, and pass it via ``shingles`` — the same
     caller-owned-persist contract as ``dedup.jaccard_pairs``.
+
+    ``extra_counts`` is the INCREMENTAL extension point: a (sh_h,
+    n_docs) frame of doc-frequencies measured elsewhere (e.g. the
+    landed kept-corpus counts ``curate_increment`` derives from
+    ``CurationState.shingles``) summed into this frame's own counts
+    before the ``min_docs`` cut — so a daily batch can gate against
+    history + batch frequencies without re-scanning the corpus text.
     """
     from clickhouse_mysql_data_reader_spark.operators.dedup import shingle_table
 
     sh = shingles if shingles is not None else shingle_table(df, text_col, id_col, k=k)
     freq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("n_docs"))
+    if extra_counts is not None:
+        freq = (
+            freq.unionByName(
+                extra_counts.select("sh_h", F.col("n_docs").cast("long").alias("n_docs"))
+            )
+            .groupBy("sh_h")
+            .agg(F.sum("n_docs").alias("n_docs"))
+        )
     boiler = freq.filter(F.col("n_docs") >= min_docs)
     hits = sh.join(boiler, "sh_h", "left")
     return hits.groupBy("doc_id").agg(

@@ -340,9 +340,20 @@ def _drop_stale_warehouse_dir(spark: SparkSession, table: str) -> None:
 def landed_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Land lineitem/orders as managed tables bucketed by the join key
     (column-pruned to the query's needs) — the write-once MergeTree-
-    ORDER-BY-style layout. Idempotent per (catalog, sf_dir)."""
+    ORDER-BY-style layout. Idempotent per (catalog, sf_dir).
+
+    Bucket count = the session's core count (floor 16): a bucketed scan
+    runs ONE task per bucket (a bucket is never split across tasks —
+    that is the co-location guarantee), so fewer buckets than cores
+    caps scan parallelism below what the plain shuffle join gets from
+    splittable files. Round 5 landed 16 buckets on a 32-core bench and
+    the 'optimized' layout measured SLOWER than the shuffle join it
+    exists to beat — the join had no exchange but the scan ran at half
+    width. At 100 TB size buckets to the target file size instead
+    (|table| / ~256MB); parallelism is then abundant either way."""
     from clickhouse_mysql_data_reader_spark.sinks.batch import write_bucketed
 
+    n_buckets = max(16, spark.sparkContext.defaultParallelism)
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/")).lower()
     lt, ot = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
     if not spark.catalog.tableExists(lt):
@@ -351,7 +362,7 @@ def landed_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             load_table(spark, sf_dir, "lineitem").select(
                 "l_orderkey", "l_extendedprice", "l_discount"
             ),
-            lt, ["l_orderkey"], num_buckets=16, sort_cols=["l_orderkey"],
+            lt, ["l_orderkey"], num_buckets=n_buckets, sort_cols=["l_orderkey"],
         )
     if not spark.catalog.tableExists(ot):
         _drop_stale_warehouse_dir(spark, ot)
@@ -359,7 +370,7 @@ def landed_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             load_table(spark, sf_dir, "orders").select(
                 "o_orderkey", "o_orderdate", "o_orderpriority"
             ),
-            ot, ["o_orderkey"], num_buckets=16, sort_cols=["o_orderkey"],
+            ot, ["o_orderkey"], num_buckets=n_buckets, sort_cols=["o_orderkey"],
         )
     return lt, ot
 

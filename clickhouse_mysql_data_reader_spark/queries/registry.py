@@ -196,13 +196,35 @@ QUERIES: dict[str, QueryDef] = {}
 #     checked text_tfidf_top_terms; its scaled-integer-div statistic is
 #     the same hash-verified trick) — pytest-oracle-checked like the
 #     unigram form
+# Round 6 ROTATION (per the round-5 verdict): the four round-5-born
+# queries with full DuckDB oracles that had NEVER had a driver row —
+# text_lm_bigram, text_ccnet_buckets, doc_corpus_stats,
+# sample_shuffle_order — rotate INTO the checked 50. Four members
+# driver-green FIVE straight rounds (r1-r5) on unchanged plans rotate
+# out (pytest-oracle-checked every round, driver_sim-pinned):
+#   - agg_pivot: its pivot lowers to per-group conditional aggregation
+#     (sum(CASE WHEN ...)), the exact machinery the checked
+#     funnel_window_3step hash-verifies per user; the agg family keeps
+#     q1/rollup/cube/approx_distinct/approx_percentile/salted checked
+#   - scalar_json_funcs: constant-shape get_json_object extraction,
+#     unchanged since r1; scalar expressions (regexp, date, math,
+#     string) are hash-verified INSIDE nearly every checked query
+#     (text_pii_redact's regexps, session gap unix-time arithmetic,
+#     tf-idf's scaled-integer division)
+#   - join_outer_coalesce: full-outer + coalesce sibling of the checked
+#     join family (broadcast/shuffle/asof/range stay checked); its
+#     SortMergeJoin FullOuter plan is unchanged since r1
+#   - window_topn_per_group: its row_number-rank-filter WindowExec plan
+#     re-runs as the per-shard rank window INSIDE the now-checked
+#     sample_shuffle_order; the window family keeps session gaps (and
+#     vocab top-k's TakeOrderedAndProject) checked
 DEPRIORITIZED = (
+    "agg_pivot",
+    "scalar_json_funcs",
+    "join_outer_coalesce",
+    "window_topn_per_group",
     "doc_winnow_fingerprint",
     "window_tumbling_hourly",
-    "doc_corpus_stats",
-    "sample_shuffle_order",
-    "text_ccnet_buckets",
-    "text_lm_bigram",
     "doc_chunk_overlap",
     "sample_weighted_topk",
     "text_hashed_embed",

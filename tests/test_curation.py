@@ -945,18 +945,62 @@ def test_curate_boilerplate_gate_drops_templated_docs(spark):
     assert on.near_dup_components.filter(F.col("doc_id") < 50).count() == 0
 
 
-def test_curate_increment_rejects_boilerplate_gate(spark, tmp_path):
+def test_curate_increment_boilerplate_gate_matches_batch(spark, tmp_path):
+    """Incremental boilerplate gate (round-6: max_boiler_frac accepted
+    in increment mode): history doc-frequencies come from the landed
+    kept-corpus shingles merged with the batch's own counts, so a doc
+    that is mostly a template FREQUENT IN EARLIER BATCHES is dropped —
+    and when the fragment's landed frequency clears boiler_min_docs,
+    the increments produce exactly what batch curate() over the
+    concatenated corpus produces."""
     from clickhouse_mysql_data_reader_spark.curation import (
         CurationState,
         curate_increment,
     )
 
-    docs = _mk_docs(spark, [(1, "web", GOOD)])
+    footer = (
+        "all of the rights in this page are reserved to the company "
+        "and its owners for all time without any further notice given"
+    )
+    # batch 1: five docs with LONG unique prose + the footer — coverage
+    # stays under the cap, so all five are kept and their shingles land
+    fillers = [
+        "the river ran low in the summer and the children walked the dry "
+        "bed to find the smooth stones they liked to paint in the shade",
+        "a letter came from the north with news of the harvest and the "
+        "roads and the prices the grain would fetch at the winter fair",
+        "the old mill turned again after the rains and the miller sang "
+        "as the wheel groaned back into its slow and steady work",
+        "maps of the coast were drawn again that year because the storm "
+        "had moved the sand and cut a new channel through the bar",
+        "the teacher kept the window open so the class could hear the "
+        "band practice its slow march for the festival in the square",
+    ]
+    batch1 = _mk_docs(
+        spark, [(i, "web", f"{f} {footer}") for i, f in enumerate(fillers)]
+    )
+    # batch 2: one mostly-footer doc (over the cap once history counts
+    # merge in) and one clean control doc
+    batch2 = _mk_docs(
+        spark,
+        [
+            (10, "web", "the final page reads " + footer),
+            (11, "web", GOOD),
+        ],
+    )
+    cfg = CurationConfig(max_boiler_frac=0.6, boiler_min_docs=3)
+
     state = CurationState(str(tmp_path / "st"))
-    with pytest.raises(ValueError, match="max_boiler_frac"):
-        curate_increment(
-            docs, state, cfg=CurationConfig(max_boiler_frac=0.5)
-        )
+    kept1 = {r["doc_id"] for r in curate_increment(batch1, state, cfg=cfg).collect()}
+    assert kept1 == {0, 1, 2, 3, 4}, "low-coverage templated docs stay"
+    kept2 = {r["doc_id"] for r in curate_increment(batch2, state, cfg=cfg).collect()}
+    assert kept2 == {11}, "mostly-footer doc drops on HISTORY frequency"
+
+    # parity: one batch run over the concatenation keeps the same docs
+    both = curate(batch1.unionByName(batch2), cfg=cfg)
+    batch_kept = {r["doc_id"] for r in both.after_near_dedup.collect()}
+    both.unpersist()
+    assert batch_kept == kept1 | kept2
 
 
 def test_curate_lm_bigram_gate_drops_scrambled_order(spark):
@@ -1042,10 +1086,7 @@ def test_curate_classifier_gate_drops_low_prob_docs(spark):
 def test_curate_line_dedup_stage_removes_boilerplate_lines(spark):
     """Opt-in stage 0: a cookie-banner line shared by several docs
     survives only in its globally-first doc; every doc keeps its other
-    columns; a doc reduced to nothing is dropped by the quality gate.
-    The incremental path rejects the option loudly."""
-    import pytest as _pytest
-
+    columns; a doc reduced to nothing is dropped by the quality gate."""
     banner = "accept all cookies to continue reading this site"
     docs = _mk_docs(
         spark,
@@ -1065,13 +1106,55 @@ def test_curate_line_dedup_stage_removes_boilerplate_lines(spark):
     assert banner not in out[2]["text"]
     assert out[2]["source"] == "web", "non-text columns restored"
 
-    from clickhouse_mysql_data_reader_spark.curation import CurationState, curate_increment
 
-    import tempfile as _tf
+def test_curate_increment_line_dedup_matches_batch(spark, tmp_path):
+    """Incremental line dedup (round-6: dedup_lines accepted in
+    increment mode): surviving line fingerprints land in CurationState
+    (line_fps), so a banner line any EARLIER batch saw is removed from
+    every later batch — and with batch-ordered doc ids the increments
+    produce exactly what one batch curate() over the concatenated
+    corpus produces."""
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curate_increment,
+    )
 
-    state = CurationState(_tf.mkdtemp() + "/st")
-    with _pytest.raises(ValueError, match="dedup_lines is a batch"):
-        curate_increment(docs, state, cfg)
+    banner = "accept all cookies to continue reading this site today"
+    tale = GOOD.replace("fox", "hen")
+    batch1 = _mk_docs(
+        spark,
+        [
+            (1, "web", GOOD + "\n" + banner),
+            (2, "web", banner + "\n" + tale),
+        ],
+    )
+    batch2 = _mk_docs(
+        spark,
+        [
+            (10, "web", banner),  # gutted by history -> fails the gate
+            (11, "web", GOOD.replace("dog", "owl") + "\n" + banner),
+            (12, "web", GOOD.replace("quick", "slow").replace("dog", "elk")),
+        ],
+    )
+    cfg = CurationConfig(near_dup_jaccard=0.95, dedup_lines=True)
+
+    state = CurationState(str(tmp_path / "st"))
+    inc1 = {r["doc_id"]: r["text"] for r in curate_increment(batch1, state, cfg=cfg).collect()}
+    assert set(inc1) == {1, 2}
+    assert banner in inc1[1] and banner not in inc1[2]
+    assert state.line_fps_exist(spark), "line state landed with the batch"
+
+    inc2 = {r["doc_id"]: r["text"] for r in curate_increment(batch2, state, cfg=cfg).collect()}
+    assert set(inc2) == {11, 12}, "banner-only doc guts to empty and fails"
+    assert banner not in inc2[11], "history keeper removes the banner"
+
+    # parity: batch curate() over the concatenation (ids in batch order)
+    both = curate(batch1.unionByName(batch2), cfg=cfg)
+    batch_out = {
+        r["doc_id"]: r["text"]
+        for r in both.after_near_dedup.select("doc_id", "text").collect()
+    }
+    assert batch_out == {**inc1, **inc2}
 
 
 def test_curate_collapse_lines_cleaner_runs_everywhere(spark):

@@ -35,28 +35,34 @@ DRIVER_CAP = 50
 # topn + session), and dedup_exact_substring (ExactSubstr span
 # dedup) displaced doc_winnow_fingerprint (window-fingerprint
 # machinery runs inside the checked exactsubstr query).
+# Round 6 rotated in the four round-5-born queries that had never had
+# a driver row (text_lm_bigram, text_ccnet_buckets, doc_corpus_stats,
+# sample_shuffle_order), displacing agg_pivot / scalar_json_funcs /
+# join_outer_coalesce / window_topn_per_group — each driver-green
+# r1-r5 on an unchanged plan with a checked containment sibling (see
+# registry.DEPRIORITIZED rationale).
 MUST_BE_CHECKED = {
     "q1_pricing_summary",
     "agg_approx_distinct",
     "dedup_bloom_prefilter",
-    "agg_pivot",
+    "text_lm_bigram",
     "agg_rollup",
     "agg_cube",
     "agg_approx_percentile",
     "agg_salted_skew",
     "join_broadcast_dim",
     "join_shuffle_fact_fact",
-    "join_outer_coalesce",
+    "text_ccnet_buckets",
     "join_range_bands",
     "join_asof_attrib",
-    "window_topn_per_group",
+    "doc_corpus_stats",
     "text_line_dedup",
     "window_session_gaps",
     "dedup_embed_near_multiprobe",
     "dedup_simhash_near",
     "sample_source_cap",
     "text_vocab_topk",
-    "scalar_json_funcs",
+    "sample_shuffle_order",
     "scan_prune_filter",
     "table_name_filter",
     "type_coercion_parity",

@@ -182,13 +182,16 @@ def test_lsh_hot_band_bucket_is_aqe_skew_detectable(spark):
 @pytest.mark.skipif(
     os.environ.get("SPARK_GRAFT_HEAVY_TESTS") != "1",
     reason="needs a >256MB hot shuffle partition (default AQE skew bar); "
-    "~2 min — set SPARK_GRAFT_HEAVY_TESTS=1 to run",
+    "~20s — set SPARK_GRAFT_HEAVY_TESTS=1 to run (the verify recipe does "
+    "every round)",
 )
 def test_aqe_skew_split_engages_at_default_bar(spark):
     """Live proof that OptimizeSkewedJoin splits a hot partition in
-    this build once the DEFAULT bar (256MB and 5x median) is crossed —
-    verified green manually during round 5: SortMergeJoin(skew=true) +
-    'AQEShuffleRead coalesced and skewed' appear in the final plan."""
+    this build once the DEFAULT bar (256MB and 5x median) is crossed:
+    SortMergeJoin(skew=true) + 'AQEShuffleRead coalesced and skewed'
+    appear in the final plan. Part of the per-round verify recipe
+    (.claude/skills/verify/SKILL.md) since round 6, so the claim is
+    machine-checked each round rather than 'verified manually'."""
     from pyspark.sql import functions as F2
 
     conf = spark.conf
