@@ -203,3 +203,52 @@ def component_summary(components: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.min("doc_id").alias("keeper_id"),
     )
+
+
+def component_keepers(
+    components: DataFrame,
+    attrs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware keeper selection per near-dup component: among the
+    members of each component, the keeper is the doc MAXIMIZING
+    ``score_col`` (ties -> min ``id_col``), instead of the blind
+    min-id label ``component_summary`` keeps. Production near-dup
+    passes keep the best representative — longest doc, highest quality
+    score, most recent crawl — not whichever got the smallest id.
+
+    ``components`` is (id_col, component) as produced by
+    ``connected_components``; ``attrs`` must provide ``score_col`` for
+    every component member (inner-joined on ``id_col`` — a member
+    missing from ``attrs`` silently leaves the scoring, so pass the
+    same frame the pairs were mined from). Returns one row per member:
+    (id_col, component, keeper_id, is_keeper).
+
+    Scale shape: one map-side-combinable max(struct) aggregate on the
+    component key plus one join back on the same key — no window, so a
+    pathological giant cluster (boilerplate crossing every LSH band)
+    still partial-aggregates across tasks instead of buffering in one;
+    AQE splits the join-back if the cluster is big enough to matter.
+    The tie-break rides inside the struct comparison: max((score,
+    -id)) is the max-score member with the smallest id among equals.
+    """
+    scored = components.join(attrs.select(id_col, score_col), id_col)
+    best = (
+        scored.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(score_col).alias("s"),
+                    (-F.col(id_col)).alias("neg_id"),
+                )
+            ).alias("b")
+        )
+        .select("component", (-F.col("b.neg_id")).alias("keeper_id"))
+    )
+    return scored.join(best, "component").select(
+        id_col,
+        "component",
+        "keeper_id",
+        (F.col(id_col) == F.col("keeper_id")).alias("is_keeper"),
+    )

@@ -554,10 +554,10 @@ def dedup_lsh_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CC_THRESHOLD = 0.5
 
-
-@register(
-    "dedup_cluster_components",
-    f"""
+# CTE chain shared by the components query and its keeper-policy
+# extension: shingles -> minhash -> LSH bands -> candidate pairs ->
+# Jaccard-verified edges -> recursive transitive closure (`reach`).
+_CC_REACH_CTES = f"""
     WITH RECURSIVE {_SHINGLE_CTE},
     mh AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
     bands AS (
@@ -590,7 +590,12 @@ _CC_THRESHOLD = 0.5
       SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
       UNION
       SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
-    )
+    )"""
+
+
+@register(
+    "dedup_cluster_components",
+    f"""{_CC_REACH_CTES}
     SELECT u AS doc_id, min(lbl) AS component FROM reach GROUP BY u
     """,
     doc="The dedup ENDGAME: near-dup pairs (LSH -> Jaccard >= 0.5) "
@@ -610,6 +615,52 @@ def dedup_cluster_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
     pairs = jaccard_pairs(sh, candidates=cands, min_jaccard=_CC_THRESHOLD)
     return connected_components(pairs)
+
+
+@register(
+    "dedup_cluster_best_keeper",
+    f"""{_CC_REACH_CTES},
+    comp AS (SELECT u AS doc_id, min(lbl) AS component FROM reach GROUP BY u),
+    scored AS (
+      SELECT c.doc_id, c.component, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    best AS (SELECT component, max(n_chars) AS mx FROM scored GROUP BY component),
+    keeper AS (
+      SELECT s.component, min(s.doc_id) AS keeper_id
+      FROM scored s JOIN best b
+        ON s.component = b.component AND s.n_chars = b.mx
+      GROUP BY s.component
+    )
+    SELECT s.doc_id, s.component, k.keeper_id,
+           s.doc_id = k.keeper_id AS is_keeper
+    FROM scored s JOIN keeper k ON s.component = k.component
+    """,
+    doc="Quality-aware keeper policy over the near-dup components: the "
+    "kept representative of each cluster is the LONGEST member "
+    "(n_chars, ties -> min doc_id) instead of the blind min-id label — "
+    "what production near-dup passes actually do (keep the best doc, "
+    "not the first-crawled one). Spark side composes "
+    "connected_components with a map-side-combinable max(struct(score, "
+    "-id)) per component + one join back — no window, so a giant "
+    "boilerplate cluster still partial-aggregates across tasks. The "
+    "component column hash-verifies the full transitive closure "
+    "end-to-end, which is why this query subsumes "
+    "dedup_cluster_components in the driver-checked set.",
+)
+def dedup_cluster_best_keeper_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.graph import (
+        component_keepers,
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, "text", "doc_id", k=3)
+    sigs = minhash_signatures(sh, NUM_HASHES)
+    cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
+    pairs = jaccard_pairs(sh, candidates=cands, min_jaccard=_CC_THRESHOLD)
+    comp = connected_components(pairs)
+    return component_keepers(comp, docs.select("doc_id", "n_chars"), "n_chars")
 
 
 _SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}

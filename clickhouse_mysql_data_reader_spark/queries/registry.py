@@ -218,7 +218,17 @@ QUERIES: dict[str, QueryDef] = {}
 #     re-runs as the per-shard rank window INSIDE the now-checked
 #     sample_shuffle_order; the window family keeps session gaps (and
 #     vocab top-k's TakeOrderedAndProject) checked
+# ...and one more round-6 displacement to admit the quality-aware
+# cluster keeper policy (dedup_cluster_best_keeper — keep the LONGEST
+# member per near-dup component, what production passes actually do)
+# into the checked 50:
+#   - dedup_cluster_components: strictly contained — best_keeper runs
+#     the identical LSH->Jaccard->connected_components pipeline over
+#     the identical pair set and its `component` output column
+#     hash-verifies the full transitive closure end-to-end, PLUS the
+#     keeper election on top; driver-green r3-r6 on an unchanged plan
 DEPRIORITIZED = (
+    "dedup_cluster_components",
     "agg_pivot",
     "scalar_json_funcs",
     "join_outer_coalesce",

@@ -102,8 +102,22 @@ def write_bucketed(
     dominant exchange into a scan-local merge; the price is paid once
     at write time. (The reference's analogue is MergeTree ORDER BY —
     physically clustering by join/sort key at landing time.)
+
+    The write repartitions on the bucket columns FIRST (same Murmur3
+    hash family as the bucket-id assignment, so rows co-locate 1:1
+    with their bucket): without it every write task emits a file for
+    every bucket it holds rows for — N_tasks x N_buckets tiny files —
+    and Spark only reports the scan as SORTED when each bucket is
+    exactly ONE file, so the downstream sort-merge join re-sorts the
+    "pre-sorted" layout (measured: the multi-file landing made the
+    exchange-free join SLOWER than the plain shuffle join at sf0.1).
+    One shuffle at landing is the layout's stated price anyway.
     """
-    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    writer = (
+        df.repartition(num_buckets, *bucket_cols)
+        .write.mode(mode)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)

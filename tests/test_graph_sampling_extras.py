@@ -66,6 +66,25 @@ def test_cc_component_summary(spark):
     assert rows == {3: (3, 3), 40: (2, 40)}
 
 
+def test_cc_component_keepers_best_score_min_id_ties(spark):
+    from clickhouse_mysql_data_reader_spark.operators.graph import component_keepers
+
+    # component {3,5,9}: 9 has the top score -> keeper despite max id;
+    # component {40,41}: scores tie -> min id 40 wins
+    pairs = spark.createDataFrame([(5, 3), (3, 9), (40, 41)], "doc_a long, doc_b long")
+    attrs = spark.createDataFrame(
+        [(3, 10), (5, 30), (9, 99), (40, 7), (41, 7)], "doc_id long, score long"
+    )
+    out = component_keepers(connected_components(pairs), attrs, "score")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert {d: r["keeper_id"] for d, r in rows.items()} == {
+        3: 9, 5: 9, 9: 9, 40: 40, 41: 40,
+    }
+    assert [d for d, r in sorted(rows.items()) if r["is_keeper"]] == [9, 40]
+    # exactly one keeper per component, and it labels its own component
+    assert all(rows[r["keeper_id"]]["component"] == r["component"] for r in rows.values())
+
+
 # --- hash sampling ----------------------------------------------------------
 
 

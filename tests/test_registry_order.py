@@ -40,7 +40,11 @@ DRIVER_CAP = 50
 # sample_shuffle_order), displacing agg_pivot / scalar_json_funcs /
 # join_outer_coalesce / window_topn_per_group — each driver-green
 # r1-r5 on an unchanged plan with a checked containment sibling (see
-# registry.DEPRIORITIZED rationale).
+# registry.DEPRIORITIZED rationale). Later in round 6 the new
+# dedup_cluster_best_keeper (quality-aware keeper election) displaced
+# dedup_cluster_components, whose full pipeline it contains — the
+# keeper query's `component` column hash-verifies the identical
+# transitive closure end-to-end.
 MUST_BE_CHECKED = {
     "q1_pricing_summary",
     "agg_approx_distinct",
@@ -80,7 +84,7 @@ MUST_BE_CHECKED = {
     "text_quality_score",
     "text_gopher_rules",
     "text_boilerplate_ngrams",
-    "dedup_cluster_components",
+    "dedup_cluster_best_keeper",
     "sample_stratified_split",
     "text_pii_redact",
     "text_tfidf_top_terms",
