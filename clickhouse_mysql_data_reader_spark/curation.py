@@ -124,6 +124,17 @@ class CurationConfig:
     classifier_model: tuple | None = None
     min_quality_prob: float = 0.5
     near_dup_jaccard: float = 0.8
+    # keeper policy for the near-dup merge: "min_id" keeps each
+    # component's smallest doc id (the classic deterministic label);
+    # "longest" keeps the member with the greatest text length (ties ->
+    # min id) via operators/graph.component_keepers — production passes
+    # prefer it because the longest copy is usually the least-truncated
+    # one. Batch curate() only: incremental landing is FIRST-WINS by
+    # construction (an already-landed keeper cannot be displaced by a
+    # longer member arriving in a later batch), so curate_increment
+    # rejects non-default values loudly rather than silently drifting
+    # from the batch-over-concatenation semantics.
+    near_dup_keeper: str = "min_id"
     contamination_threshold: float = 0.5
     # mixture shaping is optional: None keeps every surviving source whole
     mixture_weights: dict[str, float] | None = None
@@ -315,6 +326,20 @@ def curate(
 
     gated, exact = _row_stages(docs, cfg, text_col, id_col)
 
+    persisted: list[DataFrame] = []
+    if cfg.dedup_lines:
+        from pyspark import StorageLevel
+
+        # the line-dedup machinery under `exact` costs three corpus
+        # shuffles, and `exact` has two evaluation sites (the shingle
+        # materialization below and the boiled -> packed chain), so
+        # without a cache the whole line pass runs twice per action.
+        # Spill-safe persist of the SURVIVORS (post-gates, post-exact-
+        # dedup — the smallest frame above the fork), released by the
+        # caller via CurationResult.unpersist() like the shingle frame.
+        exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(exact)
+
     # --- stage 3b: corpus-level boilerplate gate (optional) -----------
     # BEFORE near-dup: templated docs would otherwise form giant
     # near-dup components (every doc sharing the template is a
@@ -326,7 +351,6 @@ def curate(
     # .unpersist() (caller-owned lifecycle, same contract as
     # jaccard_pairs' storage parameter).
     sh = shingle_table(exact, text_col, id_col)
-    persisted: list[DataFrame] = []
     boiled = exact
     if cfg.max_boiler_frac is not None:
         from pyspark import StorageLevel
@@ -353,11 +377,36 @@ def curate(
     cands = lsh_candidate_pairs(sigs, num_hashes=cfg.minhash_k, bands=cfg.lsh_bands)
     near_pairs = jaccard_pairs(sh, candidates=cands, min_jaccard=cfg.near_dup_jaccard)
     comps = connected_components(near_pairs.select("doc_a", "doc_b"))
-    drop_ids = (
-        comps.join(component_summary(comps), "component")
-        .filter(F.col("doc_id") != F.col("keeper_id"))
-        .select(F.col("doc_id").alias(id_col))
-    )
+    if cfg.near_dup_keeper == "longest":
+        from clickhouse_mysql_data_reader_spark.operators.graph import (
+            component_keepers,
+        )
+
+        # every component member survived the gates above, so `boiled`
+        # covers the attrs join; same agg+join shape as the min-id path
+        drop_ids = (
+            component_keepers(
+                comps,
+                boiled.select(
+                    F.col(id_col).alias("doc_id"),
+                    F.length(F.col(text_col)).alias("_len"),
+                ),
+                "_len",
+            )
+            .filter(~F.col("is_keeper"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+    elif cfg.near_dup_keeper == "min_id":
+        drop_ids = (
+            comps.join(component_summary(comps), "component")
+            .filter(F.col("doc_id") != F.col("keeper_id"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+    else:
+        raise ValueError(
+            f"unknown near_dup_keeper {cfg.near_dup_keeper!r}: "
+            "expected 'min_id' or 'longest'"
+        )
     deduped = boiled.join(drop_ids, id_col, "left_anti")
 
     # --- stage 5: decontamination vs the benchmark --------------------
@@ -1072,6 +1121,7 @@ def curate_increment(
     update_state: bool = True,
     epoch_id: int | None = None,
     run_id: str | None = None,
+    line_fps_out: dict | None = None,
 ) -> DataFrame:
     """Curate a NEW batch against the landed state of everything kept so
     far — the production shape of the pipeline (daily increments over a
@@ -1100,6 +1150,13 @@ def curate_increment(
     epoch_id)`` (streaming replays) excludes that epoch's own prior
     state appends from every history join and tags this batch's
     appends — see ``curate_stream``.
+
+    ``line_fps_out``: pass a dict to take ownership of the batch's
+    line-fingerprint landing (``dedup_lines`` only) — the frame to
+    append lands in ``line_fps_out["line_fps"]`` and this function
+    will NOT append it itself, regardless of ``update_state``.
+    ``curation_epoch_apply`` uses this to defer the append until
+    after its epoch output commits.
     """
     if (cfg.minhash_k, cfg.lsh_bands) != (state.minhash_k, state.lsh_bands):
         # a mismatch is silent data corruption, not an error state the
@@ -1111,6 +1168,16 @@ def curate_increment(
             f"lsh_bands={cfg.lsh_bands}) does not match the landed state "
             f"(minhash_k={state.minhash_k}, lsh_bands={state.lsh_bands}); "
             "derive the batch's signatures with the state's parameters"
+        )
+    if cfg.near_dup_keeper != "min_id":
+        # incremental landing is FIRST-WINS: a keeper landed by an
+        # earlier batch can never be displaced by a longer member in a
+        # later one, so a quality keeper policy would silently diverge
+        # from batch-over-concatenation semantics — reject loudly
+        raise ValueError(
+            f"near_dup_keeper={cfg.near_dup_keeper!r} is a "
+            "batch-curate() policy: incremental landing keeps the "
+            "first-landed member of every cross-batch near-dup group"
         )
     spark = new_docs.sparkSession
     if state.exists(spark):
@@ -1169,6 +1236,15 @@ def curate_increment(
             ).filter(_line_elig(cfg.line_dedup_min_chars))
         )
 
+    if line_fps_out is not None and new_line_fps is not None:
+        # caller takes ownership of the landing: curation_epoch_apply
+        # appends these rows only AFTER its epoch output commits, so an
+        # abandoned epoch (output write failed, never replayed) cannot
+        # leave line state claiming keeper status for lines no landed
+        # doc contains. The frame derives from the localCheckpoint'ed
+        # cleaned text — no state read in its plan, safe to append.
+        line_fps_out["line_fps"] = new_line_fps
+
     def _land_line_fps() -> None:
         # AFTER the doc-state write on purpose: a crash between the two
         # leaves docs landed without their line fps — future batches
@@ -1176,7 +1252,7 @@ def curate_increment(
         # recoverable by replaying with epoch tags), whereas the
         # reverse order would let a plain batch retry see its own
         # crashed line append and gut every doc in the batch.
-        if update_state and new_line_fps is not None:
+        if update_state and new_line_fps is not None and line_fps_out is None:
             state.append_line_fps(new_line_fps, epoch_id=epoch_id, run_id=run_id)
 
     _, exact = _row_stages(new_docs, cfg, text_col, id_col)
@@ -1468,6 +1544,12 @@ def curation_epoch_apply(
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        # with dedup_lines on, take ownership of the batch's line
+        # fingerprints: curate_increment's own landing is keyed to
+        # update_state (False here), and the epoch contract wants them
+        # appended only after the epoch output commits — mirroring the
+        # landed-docs-then-state ordering below
+        fps_out: dict | None = {} if cfg.dedup_lines else None
         kept = curate_increment(
             batch_df,
             state,
@@ -1477,6 +1559,7 @@ def curation_epoch_apply(
             update_state=False,
             epoch_id=epoch_id,
             run_id=run_id,
+            line_fps_out=fps_out,
         )
         if run_id:
             # run ids are free-form (often a checkpoint PATH) — hash
@@ -1491,6 +1574,15 @@ def curation_epoch_apply(
         landed = spark.read.parquet(epoch_path)
         state.write(landed, text_col=text_col, id_col=id_col, mode="append",
                     epoch_id=epoch_id, run_id=run_id)
+        if fps_out and fps_out.get("line_fps") is not None:
+            # last of the three commits (output -> doc state -> line
+            # fps): any crash window leaves at worst MISSING line fps
+            # (later batches keep duplicate copies of this batch's
+            # lines — loose, and the replay re-appends them), never
+            # line fps for docs that don't exist
+            state.append_line_fps(
+                fps_out["line_fps"], epoch_id=epoch_id, run_id=run_id
+            )
         # post-append maintenance: epochs of one query are serialized,
         # so no writer is active here. A crash between compact()'s two
         # renames leaves the table only under __gc; the replayed

@@ -1075,6 +1075,7 @@ def line_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_line_chars: int = 1,
+    sep: str = "\n",
 ) -> DataFrame:
     """Corpus-level LINE deduplication (the C4 / RefinedWeb / MassiveText
     move: a line that appears verbatim anywhere else in the corpus is
@@ -1109,29 +1110,54 @@ def line_dedup(
     cost is 3x one column's scan plus the two content shuffles.
 
     Returns (id, n_lines, n_kept, text) with ``text`` rebuilt from the
-    surviving lines ('\\n'-joined; docs whose every line was removed
+    surviving lines (``sep``-joined; docs whose every line was removed
     come back with n_kept = 0 and empty text — dropping them is the
-    caller's policy decision).
+    caller's policy decision). ``sep`` picks the dedup unit: '\\n' =
+    lines (the default), '\\n\\n' = paragraphs (``paragraph_dedup``).
     """
-    lines, totals = _line_explode(docs, text_col, id_col)
+    lines, totals = _line_explode(docs, text_col, id_col, sep)
     survivors = _batch_line_keep(lines, _line_elig(min_line_chars))
-    return _reassemble_lines(totals, survivors, text_col, id_col)
+    return _reassemble_lines(totals, survivors, text_col, id_col, sep)
 
 
-def _line_explode(docs: DataFrame, text_col: str, id_col: str):
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level PARAGRAPH deduplication (the RefinedWeb companion
+    of the line pass): the dedup unit is a blank-line-separated
+    paragraph instead of a single line — templated multi-line blocks
+    (licence paragraphs, author bios, promo blocks) keep only their
+    globally-first occurrence. Identical skew-proof machinery as
+    ``line_dedup`` at ``sep='\\n\\n'`` granularity; reassembly rejoins
+    with the same separator (runs of 3+ newlines normalize to exactly
+    one blank line, as the public implementations do). Incremental
+    form: ``line_dedup_increment`` is line-only today — land paragraph
+    fingerprints the same way if a daily-batch paragraph pass is ever
+    needed."""
+    return line_dedup(
+        docs, text_col, id_col, min_line_chars=min_chars, sep="\n\n"
+    )
+
+
+def _line_explode(docs: DataFrame, text_col: str, id_col: str, sep: str = "\n"):
     """Shared stage of the batch/incremental line dedup pair: the
     exploded (doc_id, line_no, line) frame and the projection-only
-    per-doc line-count frame, both off one fan_out of the input."""
+    per-doc line-count frame, both off one fan_out of the input.
+    ``sep`` is the literal unit separator (regex-safe for plain
+    newlines): '\\n' = lines, '\\n\\n' = paragraphs."""
     from clickhouse_mysql_data_reader_spark.util import fan_out
 
     fanned = fan_out(docs)
     lines = fanned.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("line_no", "line"),
     )
     totals = fanned.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines"),
     )
     return lines, totals
 
@@ -1165,7 +1191,8 @@ def _batch_line_keep(lines: DataFrame, elig: Column) -> DataFrame:
 
 
 def _reassemble_lines(
-    totals: DataFrame, survivors: DataFrame, text_col: str, id_col: str
+    totals: DataFrame, survivors: DataFrame, text_col: str, id_col: str,
+    sep: str = "\n",
 ) -> DataFrame:
     kept_agg = survivors.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("line_no", "line"))).alias("_ls")
@@ -1177,7 +1204,7 @@ def _reassemble_lines(
         F.col("n_lines"),
         F.coalesce(F.size("_ls"), F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce(
-            F.array_join(F.transform("_ls", lambda s: s["line"]), "\n"), F.lit("")
+            F.array_join(F.transform("_ls", lambda s: s["line"]), sep), F.lit("")
         ).alias(text_col),
     )
 

@@ -1613,6 +1613,74 @@ def text_line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(docs.unionByName(twins), min_line_chars=1)
 
 
+@register(
+    "text_paragraph_dedup",
+    """
+    WITH corpus AS (
+      SELECT doc_id,
+             text || chr(10) || chr(10) ||
+             'this shared footer paragraph appears in many documents' ||
+             chr(10) || chr(10) || 'closing paragraph ' ||
+             CAST(doc_id AS VARCHAR) AS text
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+    ),
+    t AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS tk FROM corpus),
+    l AS (
+      SELECT doc_id,
+             unnest(range(0, len(tk))) AS line_no,
+             unnest(tk) AS line
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id, line_no, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+      FROM l
+    ),
+    kept AS (SELECT * FROM r WHERE length(trim(line)) < 1 OR rn = 1),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras FROM l GROUP BY 1),
+    ka AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(line, chr(10) || chr(10) ORDER BY line_no) AS text
+      FROM kept GROUP BY 1
+    )
+    SELECT tot.doc_id, tot.n_paras,
+           coalesce(ka.n_kept, 0) AS n_kept,
+           coalesce(ka.text, '') AS text
+    FROM tot LEFT JOIN ka USING (doc_id)
+    """,
+    doc="RefinedWeb-style corpus-level PARAGRAPH deduplication: the "
+    "dedup unit is a blank-line-separated paragraph, so templated "
+    "multi-line blocks (licence paragraphs, author bios) keep only "
+    "their globally-first occurrence. The paragraph structure is "
+    "constructed in-query (a footer paragraph shared by every third "
+    "doc plus a unique closing paragraph), identically on both "
+    "engines. Same skew-proof machinery as the checked text_line_dedup "
+    "at sep='\\n\\n' granularity (operators/text.py paragraph_dedup).",
+)
+def text_paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.text import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    footered = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(
+                "\n\nthis shared footer paragraph appears in many documents"
+                "\n\nclosing paragraph "
+            ),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    corpus = footered.unionByName(docs.filter(F.col("doc_id") % 3 != 0))
+    out = paragraph_dedup(corpus)
+    return out.select(
+        "doc_id", F.col("n_lines").alias("n_paras"), "n_kept", "text"
+    )
+
+
 _GOPHER_SW = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
 
 @register(

@@ -227,7 +227,13 @@ QUERIES: dict[str, QueryDef] = {}
 #     the identical pair set and its `component` output column
 #     hash-verifies the full transitive closure end-to-end, PLUS the
 #     keeper election on top; driver-green r3-r6 on an unchanged plan
+# Born deprioritized in round 6:
+#   - text_paragraph_dedup: the identical skew-proof line_dedup
+#     machinery as the checked text_line_dedup at sep='\n\n'
+#     granularity (one parameter apart); pytest-oracle-checked
+#     end-to-end
 DEPRIORITIZED = (
+    "text_paragraph_dedup",
     "dedup_cluster_components",
     "agg_pivot",
     "scalar_json_funcs",

@@ -58,6 +58,48 @@ def test_curate_synthetic_stages(spark):
     assert all(0 <= r["pack_offset"] < 128 for r in packed)
 
 
+def test_curate_near_dup_keeper_longest(spark):
+    """near_dup_keeper='longest' keeps the LONGEST member of each
+    near-dup component (ties -> min id) instead of the min id; the
+    incremental path rejects the policy loudly (landing is
+    first-wins, so a later longer member could never displace an
+    already-landed keeper)."""
+    import pytest as _pytest
+
+    docs = _mk_docs(
+        spark,
+        [
+            (1, "web", GOOD),
+            # near-dup of 1 but LONGER: under min_id it drops, under
+            # 'longest' it is the keeper and 1 drops
+            (2, "web", GOOD + " with one tiny extra suffix appended here"),
+            (7, "books", "call it what you want but the story of the sea is "
+                         "the story of the men who sailed it for the wind"),
+        ],
+    )
+    by_min = curate(docs, cfg=CurationConfig(near_dup_jaccard=0.5))
+    assert {r["doc_id"] for r in by_min.after_near_dedup.collect()} == {1, 7}
+    by_len = curate(
+        docs, cfg=CurationConfig(near_dup_jaccard=0.5, near_dup_keeper="longest")
+    )
+    assert {r["doc_id"] for r in by_len.after_near_dedup.collect()} == {2, 7}
+
+    with _pytest.raises(ValueError, match="unknown near_dup_keeper"):
+        curate(docs, cfg=CurationConfig(near_dup_keeper="shortest"))
+
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curate_increment,
+    )
+    import tempfile as _tf
+
+    state = CurationState(_tf.mkdtemp() + "/st")
+    with _pytest.raises(ValueError, match="batch-curate"):
+        curate_increment(
+            docs, state, cfg=CurationConfig(near_dup_keeper="longest")
+        )
+
+
 def test_curate_decontamination_direction(spark):
     corpus = _mk_docs(
         spark,
@@ -327,6 +369,47 @@ def test_curate_stream_replayed_epoch_is_idempotent(spark, tmp_path):
     apply_fn(b3, 2)
     assert spark.read.parquet(f"{out}/epoch=2").count() == 0
     assert {r["doc_id"] for r in state.fingerprints(spark).collect()} == {1, 12}
+
+
+def test_curate_stream_line_dedup_lands_and_replays(spark, tmp_path):
+    """Streaming epochs with dedup_lines on: the batch's line
+    fingerprints land AFTER the epoch output commits (via the
+    line_fps_out ownership seam — curate_increment's own landing is
+    keyed to update_state, which the epoch path disables), a later
+    epoch's copy of a landed line is removed, and a full epoch replay
+    reproduces identical output because the epoch-tag exclusion hides
+    the replayed epoch's own line appends."""
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curation_epoch_apply,
+    )
+
+    banner = "accept all cookies to continue reading this site today"
+    state = CurationState(str(tmp_path / "state"))
+    out = str(tmp_path / "out")
+    cfg = CurationConfig(near_dup_jaccard=0.95, dedup_lines=True)
+    apply_fn = curation_epoch_apply(state, out, cfg=cfg)
+
+    apply_fn(_mk_docs(spark, [(1, "web", GOOD + "\n" + banner)]), 0)
+    assert state.line_fps_exist(spark), "epoch landed its line fps"
+    ep0 = {r["doc_id"]: r["text"] for r in spark.read.parquet(f"{out}/epoch=0").collect()}
+    assert banner in ep0[1]
+
+    b2 = _mk_docs(
+        spark,
+        [(10, "web", GOOD.replace("dog", "owl") + "\n" + banner)],
+    )
+    apply_fn(b2, 1)
+    ep1 = {r["doc_id"]: r["text"] for r in spark.read.parquet(f"{out}/epoch=1").collect()}
+    assert set(ep1) == {10}
+    assert banner not in ep1[10], "line landed by epoch 0 removed in epoch 1"
+
+    # full replay of epoch 1 (crash after line append, before commit):
+    # its own epoch-tagged line rows are excluded, so the output is
+    # byte-identical rather than gutted by its own crashed append
+    apply_fn(b2, 1)
+    replay = {r["doc_id"]: r["text"] for r in spark.read.parquet(f"{out}/epoch=1").collect()}
+    assert replay == ep1
 
 
 def test_curate_stream_crash_before_state_append_replays_clean(spark, tmp_path):

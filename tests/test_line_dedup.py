@@ -47,6 +47,31 @@ def test_line_dedup_keeper_is_position_aware_within_doc(spark):
     assert r["n_lines"] == 3 and r["n_kept"] == 2
 
 
+def test_paragraph_dedup_unit_is_blank_line_separated(spark):
+    """paragraph_dedup (line_dedup at sep='\\n\\n'): a shared footer
+    PARAGRAPH (itself containing a newline) keeps only its first
+    occurrence; single-newline structure inside a paragraph is not a
+    dedup boundary; reassembly rejoins with one blank line."""
+    from clickhouse_mysql_data_reader_spark.operators.text import paragraph_dedup
+
+    footer = "copyright the site\nall rights reserved"
+    docs = _mk(
+        spark,
+        [
+            (1, f"first article body\n\n{footer}"),
+            (2, f"second article body\n\n{footer}\n\nextra closing note"),
+            (3, footer),
+        ],
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert out[1]["text"] == f"first article body\n\n{footer}"
+    assert out[1]["n_lines"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["text"] == "second article body\n\nextra closing note"
+    assert out[2]["n_lines"] == 3 and out[2]["n_kept"] == 2
+    # doc 3 was ONLY the footer paragraph: survives, gutted
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0
+
+
 def test_line_dedup_plan_has_no_line_partitioned_window(spark):
     """Scale guard: keeper election must be an aggregate (map-side
     combinable; hot boilerplate lines collapse per map task), never a
