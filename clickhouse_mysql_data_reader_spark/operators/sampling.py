@@ -160,6 +160,79 @@ def mixture_sample(
     )
 
 
+def mixture_oversample(
+    df: DataFrame,
+    token_count_col: Column,
+    key_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+    default_weight: float = 0.0,
+    salt: str = "mixture",
+) -> DataFrame:
+    """Mixture shaping WITH repetition ("epochs"): where
+    ``mixture_sample`` caps every source's keep-rate at 1 (down-only),
+    this operator realizes rates above 1 by REPLICATING documents —
+    the standard move when a high-quality source's target share
+    exceeds one pass over it (Wikipedia x2-3 epochs in GPT-3/LLaMA
+    mixtures; Muennighoff et al. 2023 studies the repetition/value
+    trade-off). A source at rate r gets floor(r) full copies of every
+    doc plus one extra copy of a deterministic hash-drawn fraction
+    (r - floor(r)) of docs; rates below 1 degenerate to exactly
+    ``mixture_sample``'s down-sampling (0 or 1 copies), so this is
+    the general form of the mixture operator.
+
+    Returns one row per COPY: the input columns plus ``copy_no``
+    (0-based) — downstream packing/shuffling should fold copy_no into
+    its ordering key so replicas land in different context windows.
+
+    Plan at 100 TB: the same few-row totals aggregate + broadcast as
+    ``mixture_sample``; replication is an in-plan
+    explode(sequence(0, n_copies-1)) riding the scan — no join against
+    a generated series, no driver loop, and a doc with 0 copies emits
+    no rows (explode of an empty array). One md5 per input row.
+    Membership and copy counts are pure functions of (key, salt,
+    totals): identical across runs, retries, and engines.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    base = df.withColumn("_k", F.col(key_col)).withColumn(
+        "_nt", token_count_col.cast("bigint")
+    )
+    totals = (
+        base.groupBy(F.col(source_col).alias("source"))
+        .agg(F.sum("_nt").alias("src_tokens"))
+    )
+    target = F.lit(float(token_budget * default_weight))
+    for s, w in sorted(weights.items()):
+        target = F.when(
+            F.col("source") == F.lit(s), F.lit(float(token_budget * w))
+        ).otherwise(target)
+    rates = totals.withColumn("rate", target / F.col("src_tokens"))
+    joined = base.join(
+        F.broadcast(rates.withColumnRenamed("source", source_col)), source_col
+    )
+    n_full = F.floor(F.col("rate")).cast("int")
+    frac = F.col("rate") - F.floor(F.col("rate"))
+    extra = (
+        hash_bucket(F.col("_k"), salt) < hex_threshold_expr(frac)
+    ).cast("int")
+    n_copies = n_full + extra
+    out_cols = [c for c in df.columns]
+    return (
+        joined.withColumn("_nc", n_copies)
+        .withColumn(
+            "copy_no",
+            F.explode(
+                F.when(
+                    F.col("_nc") > 0, F.sequence(F.lit(0), F.col("_nc") - 1)
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        .select(*out_cols, "copy_no")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_count_col: Column,
@@ -310,6 +383,7 @@ def training_shuffle(
     id_col: str = "doc_id",
     n_shards: int = 1024,
     salt: str = "shuffle",
+    key: Column | None = None,
 ) -> DataFrame:
     """Deterministic global shuffle for TRAINING ORDER — the step
     between curation and packing: SGD wants the corpus decorrelated
@@ -329,6 +403,14 @@ def training_shuffle(
 
     Returns the input columns + (shard: int, pos: long); the total
     order is (shard, pos).
+
+    ``key`` overrides the draw/tie-break expression when ``id_col``
+    alone is not unique per ROW — e.g. after ``mixture_oversample``
+    replicates docs, pass ``F.concat_ws(':', F.col('doc_id'),
+    F.col('copy_no'))`` so each copy draws its own position (and
+    shard: replicas scatter instead of training back-to-back). With
+    the default id draw, replicated rows would tie on (draw, id) and
+    row_number would order them NON-deterministically.
     """
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
@@ -339,12 +421,13 @@ def training_shuffle(
         raise ValueError(
             f"training_shuffle output columns collide with input: {sorted(clash)}"
         )
-    draw = hash_bucket(F.col(id_col), salt)
+    k = F.col(id_col) if key is None else key
+    draw = hash_bucket(k, salt)
     out = df.withColumn("_draw", draw).withColumn(
         "shard",
         (F.conv(F.col("_draw"), 16, 10).cast("long") % n_shards).cast("int"),
     )
-    w = W.partitionBy("shard").orderBy(F.col("_draw"), F.col(id_col))
+    w = W.partitionBy("shard").orderBy(F.col("_draw"), k)
     return out.withColumn("pos", F.row_number().over(w).cast("long")).drop("_draw")
 
 

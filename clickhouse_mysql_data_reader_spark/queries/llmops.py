@@ -1083,6 +1083,73 @@ def sample_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EPOCH_WEIGHTS = {"src1": 0.5, "src2": 0.05}
+_EPOCH_BUDGET = 100_000
+_EPOCH_DEFAULT_W = 0.003
+
+
+def _sql_epoch_target() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {float(_EPOCH_BUDGET * w)}"
+        for s, w in sorted(_EPOCH_WEIGHTS.items())
+    )
+    return f"CASE source {whens} ELSE {float(_EPOCH_BUDGET * _EPOCH_DEFAULT_W)} END"
+
+
+@register(
+    "sample_mixture_epochs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    t AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+          FROM d GROUP BY source),
+    r AS (SELECT source, ({_sql_epoch_target()}) / src_tokens AS rate FROM t),
+    c AS (
+      SELECT d.doc_id, d.source,
+             CAST(floor(r.rate) AS INT) +
+             (CASE WHEN {_sql_hash('mixture', 'doc_id')} <
+                  lower(lpad(to_hex(CAST(floor((r.rate - floor(r.rate))
+                        * 4294967296.0) AS BIGINT)), 8, '0'))
+              THEN 1 ELSE 0 END) AS n_copies
+      FROM d JOIN r USING (source)
+    )
+    SELECT doc_id, source, CAST(unnest(range(0, n_copies)) AS INT) AS copy_no
+    FROM c
+    """,
+    doc="Mixture shaping WITH repetition (epochs): a source whose "
+    "target share exceeds one pass over it gets floor(rate) full "
+    "copies of every doc plus one extra copy of a hash-drawn "
+    "(rate - floor(rate)) fraction — the GPT-3/LLaMA-style multi-epoch "
+    "upweighting of small high-quality sources; rates below 1 "
+    "degenerate to the checked mixture down-sampling. Replication is "
+    "an in-plan explode(sequence(...)) riding the scan (no generated-"
+    "series join, no driver loop); copy counts are a pure function of "
+    "(key, salt, totals). Subsumes sample_mixture_weights' machinery: "
+    "the same totals -> rate -> md5-threshold chain decides every "
+    "copy, so the copy_no output hash-verifies the rates end-to-end.",
+)
+def sample_mixture_epochs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.sampling import (
+        mixture_oversample,
+    )
+    from clickhouse_mysql_data_reader_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = mixture_oversample(
+        docs,
+        token_count(F.col("text")),
+        "doc_id",
+        "source",
+        _EPOCH_WEIGHTS,
+        _EPOCH_BUDGET,
+        default_weight=_EPOCH_DEFAULT_W,
+    )
+    return out.select("doc_id", "source", "copy_no")
+
+
 @register(
     "dedup_bloom_prefilter",
     """

@@ -232,7 +232,16 @@ QUERIES: dict[str, QueryDef] = {}
 #     machinery as the checked text_line_dedup at sep='\n\n'
 #     granularity (one parameter apart); pytest-oracle-checked
 #     end-to-end
+# ...and one more round-6 displacement to admit the epochs mixture
+# (sample_mixture_epochs — repetition-capable mixture shaping, rates
+# above 1 realized by deterministic replication) into the checked 50:
+#   - sample_mixture_weights: strictly contained — the epochs query
+#     runs the identical totals -> rate -> md5-threshold chain (same
+#     salt, same runtime hex threshold) and every copy decision
+#     hash-verifies it; the down-only form is the rate<1 degenerate
+#     case. Driver-green r3-r6 on an unchanged plan.
 DEPRIORITIZED = (
+    "sample_mixture_weights",
     "text_paragraph_dedup",
     "dedup_cluster_components",
     "agg_pivot",

@@ -363,6 +363,89 @@ def test_mixture_sample_rates_and_determinism(spark):
         mixture_sample(docs, F.lit(1), "doc_id", "source", {}, token_budget=0)
 
 
+def test_training_shuffle_key_disambiguates_replicas(spark):
+    """Composition pin: after mixture_oversample, shuffling with the
+    (doc_id, copy_no) key gives every COPY its own deterministic
+    (shard, pos) — the default id-only draw would tie replicas on
+    (draw, id) and order them arbitrarily."""
+    from clickhouse_mysql_data_reader_spark.operators.sampling import (
+        training_shuffle,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, c) for i in range(50) for c in range(3)],
+        "doc_id long, copy_no int",
+    )
+    key = F.concat_ws(":", F.col("doc_id"), F.col("copy_no"))
+    out = training_shuffle(docs, n_shards=4, key=key).collect()
+    # every row has a unique (shard, pos) slot
+    slots = {(r["shard"], r["pos"]) for r in out}
+    assert len(slots) == 150
+    # replicas of the same doc scatter across distinct slots, and a
+    # rerun under different partitioning reproduces the exact layout
+    again = training_shuffle(docs.repartition(7), n_shards=4, key=key).collect()
+    assert {(r["doc_id"], r["copy_no"], r["shard"], r["pos"]) for r in again} == {
+        (r["doc_id"], r["copy_no"], r["shard"], r["pos"]) for r in out
+    }
+
+
+def test_mixture_oversample_epochs_and_downsample_parity(spark):
+    """mixture_oversample: rates above 1 give every doc floor(rate) or
+    floor(rate)+1 copies (contiguous copy_no), the extra-copy fraction
+    tracks rate - floor(rate), rates below 1 keep EXACTLY the docs
+    mixture_sample keeps (same salt, same draw), and everything is
+    deterministic under repartitioning."""
+    from clickhouse_mysql_data_reader_spark.operators.sampling import (
+        mixture_oversample,
+        mixture_sample,
+    )
+    from clickhouse_mysql_data_reader_spark.operators.text import token_count
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", " ".join(["w"] * 10)) for i in range(600)],
+        "doc_id long, source string, text string",
+    )
+    weights, budget = {"s0": 1.25, "s1": 0.1}, 4000
+    out = mixture_oversample(
+        docs, token_count(F.col("text")), "doc_id", "source",
+        weights, token_budget=budget, default_weight=0.0,
+    )
+    rows = out.collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault((r["source"], r["doc_id"]), []).append(r["copy_no"])
+    # s0 target 5000 of 2000 -> rate 2.5: every doc 2 or 3 copies,
+    # contiguous from 0; extra-copy fraction ~0.5
+    s0 = {k: sorted(v) for k, v in by_doc.items() if k[0] == "s0"}
+    assert len(s0) == 200
+    assert all(v == list(range(len(v))) and len(v) in (2, 3) for v in s0.values())
+    n_extra = sum(1 for v in s0.values() if len(v) == 3)
+    assert 60 <= n_extra <= 140
+    # s1 rate 0.2: 0 or 1 copies, and the kept set is EXACTLY the
+    # down-only operator's kept count (same salt, same draw)
+    s1_kept = {k[1] for k in by_doc if k[0] == "s1"}
+    report = {
+        r["source"]: r
+        for r in mixture_sample(
+            docs, token_count(F.col("text")), "doc_id", "source",
+            weights, token_budget=budget, default_weight=0.0,
+        ).collect()
+    }
+    assert len(s1_kept) == report["s1"]["n_docs_kept"]
+    # s2 rate 0 -> no rows at all
+    assert not any(k[0] == "s2" for k in by_doc)
+    # deterministic under repartitioning
+    again = mixture_oversample(
+        docs.repartition(13), token_count(F.col("text")), "doc_id", "source",
+        weights, token_budget=budget, default_weight=0.0,
+    ).collect()
+    assert sorted((r["source"], r["doc_id"], r["copy_no"]) for r in again) == sorted(
+        (r["source"], r["doc_id"], r["copy_no"]) for r in rows
+    )
+    with pytest.raises(ValueError, match="token_budget"):
+        mixture_oversample(docs, F.lit(1), "doc_id", "source", {}, token_budget=0)
+
+
 def test_training_shuffle_is_a_deterministic_permutation(spark):
     from clickhouse_mysql_data_reader_spark.operators.sampling import (
         training_shuffle,

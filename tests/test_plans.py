@@ -292,3 +292,18 @@ def test_boilerplate_join_is_shingle_keyed(spark, sf_correct):
 
     for m in _re.finditer(r"hashpartitioning\(([a-zA-Z_#0-9]+)", plan):
         assert m.group(1).split("#")[0] in {"sh_h", "doc_id"}, m.group(0)
+
+
+def test_mixture_epochs_replication_rides_the_scan(spark, sf_correct):
+    """mixture_oversample plan guard: the few-row rate table is
+    BROADCAST onto the corpus (never a sort-merge join) and the
+    replication is a Generate (explode) riding the joined scan — no
+    keyed exchange of the corpus itself, no generated-series join, no
+    Python. The only keyed shuffle is the per-source totals aggregate."""
+    plan = _formatted(entrymod.queries()["sample_mixture_epochs"](spark, sf_correct))
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 1
+    assert re.search(r"^\(\d+\) Generate", plan, re.M), plan[:800]
+    assert "Python" not in plan
+    for m in re.finditer(r"hashpartitioning\(([a-zA-Z_#0-9]+)", plan):
+        assert m.group(1).split("#")[0] == "source", m.group(0)

@@ -93,7 +93,7 @@ MUST_BE_CHECKED = {
     "doc_pack_sequences",
     "doc_contamination_check",
     "doc_corpus_contamination",
-    "sample_mixture_weights",
+    "sample_mixture_epochs",
     "funnel_window_3step",
     "multimodal_features",
 }
