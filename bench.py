@@ -250,6 +250,10 @@ def main() -> None:
         "text_line_dedup": time_query("text_line_dedup"),
         "text_ccnet_buckets": time_query("text_ccnet_buckets"),
         "dedup_exact_substring": time_query("dedup_exact_substring"),
+        # round-6 operator additions
+        "dedup_cluster_best_keeper": time_query("dedup_cluster_best_keeper"),
+        "text_paragraph_dedup": time_query("text_paragraph_dedup"),
+        "sample_mixture_epochs": time_query("sample_mixture_epochs"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -140,6 +140,14 @@ class CurationConfig:
     mixture_weights: dict[str, float] | None = None
     mixture_token_budget: int = 0
     mixture_default_weight: float = 0.0
+    # opt-in: realize mixture rates ABOVE 1 by replicating documents
+    # (operators/sampling.py mixture_oversample — the multi-epoch
+    # upweighting of small high-quality sources). The mixed frame then
+    # carries a copy_no column, and packing orders on the
+    # (id, copy_no) composite so every replica gets its own slot.
+    # Batch curate() only (a per-batch view can't see corpus-wide
+    # source totals); with it off, rates cap at 1 (down-only).
+    mixture_epochs: bool = False
     pack_budget: int = 128
     pack_shards: int = 8
     minhash_k: int = 16
@@ -429,7 +437,24 @@ def curate(
         clean = deduped
 
     # --- stage 6: mixture shaping (optional) --------------------------
-    if cfg.mixture_weights is not None:
+    if cfg.mixture_weights is not None and cfg.mixture_epochs:
+        # repetition-capable form: rates above 1 replicate docs (the
+        # multi-epoch upweighting); the copy_no column makes every
+        # replica its own downstream row
+        from clickhouse_mysql_data_reader_spark.operators.sampling import (
+            mixture_oversample,
+        )
+
+        mixed = mixture_oversample(
+            clean,
+            token_count(F.col(text_col)),
+            id_col,
+            source_col,
+            cfg.mixture_weights,
+            cfg.mixture_token_budget,
+            default_weight=cfg.mixture_default_weight,
+        )
+    elif cfg.mixture_weights is not None:
         rates = (
             mixture_sample(
                 clean,
@@ -458,13 +483,27 @@ def curate(
         mixed = clean
 
     # --- stage 7: sequence packing ------------------------------------
-    packed = pack_sequences(
-        mixed,
-        token_count(F.col(text_col)),
-        id_col,
-        budget=cfg.pack_budget,
-        n_shards=cfg.pack_shards,
-    )
+    if cfg.mixture_epochs and cfg.mixture_weights is not None:
+        # replicas share id_col, and pack_sequences' default id-derived
+        # layout needs a unique order key — order on the (id, copy_no)
+        # composite (unique within the id-derived shard) so every copy
+        # gets its own deterministic pack slot
+        packed = pack_sequences(
+            mixed,
+            token_count(F.col(text_col)),
+            id_col,
+            budget=cfg.pack_budget,
+            n_shards=cfg.pack_shards,
+            order_col=F.struct(F.col(id_col), F.col("copy_no")),
+        )
+    else:
+        packed = pack_sequences(
+            mixed,
+            token_count(F.col(text_col)),
+            id_col,
+            budget=cfg.pack_budget,
+            n_shards=cfg.pack_shards,
+        )
 
     return CurationResult(
         quality_gated=gated,

@@ -100,6 +100,49 @@ def test_curate_near_dup_keeper_longest(spark):
         )
 
 
+def test_curate_mixture_epochs_replicates_and_packs(spark):
+    """cfg.mixture_epochs: a source whose mixture target exceeds one
+    pass over it is REPLICATED (copy_no rows), every replica gets its
+    own pack slot (distinct start_token), and the packed token total
+    equals the replicated token total — the multi-epoch mixture
+    end-to-end through the flagship pipeline."""
+    docs = _mk_docs(
+        spark,
+        [
+            (1, "tiny", GOOD),
+            (2, "big", "a letter came from the north with news of the harvest "
+                       "and the roads and the prices the grain would fetch"),
+            (3, "big", "the teacher kept the window open so the class could "
+                       "hear the band practice its slow march for the festival"),
+        ],
+    )
+    from clickhouse_mysql_data_reader_spark.operators.text import token_count as _tc
+
+    n_tiny = docs.filter(F.col("source") == "tiny").select(
+        F.sum(_tc(F.col("text")))
+    ).first()[0]
+    # tiny's target = 2.5x its own tokens -> every tiny doc 2-3 copies;
+    # big's target ~= its tokens -> ~1 copy
+    n_big = docs.filter(F.col("source") == "big").select(
+        F.sum(_tc(F.col("text")))
+    ).first()[0]
+    budget = 1000
+    cfg = CurationConfig(
+        mixture_weights={"tiny": 2.5 * n_tiny / budget, "big": float(n_big) / budget},
+        mixture_token_budget=budget,
+        mixture_epochs=True,
+    )
+    res = curate(docs, cfg=cfg)
+    mixed = res.after_mixture.collect()
+    copies_1 = [r["copy_no"] for r in mixed if r["doc_id"] == 1]
+    assert sorted(copies_1) == list(range(len(copies_1))) and len(copies_1) in (2, 3)
+    packed = res.packed.collect()
+    assert len(packed) == len(mixed), "every replica packs"
+    # replicas of doc 1 occupy DISTINCT slots in the token stream
+    slots_1 = {(r["shard"], r["start_token"]) for r in packed if r["doc_id"] == 1}
+    assert len(slots_1) == len(copies_1)
+
+
 def test_curate_decontamination_direction(spark):
     corpus = _mk_docs(
         spark,
