@@ -94,6 +94,13 @@ class CurationConfig:
     # restore the non-text columns.
     dedup_lines: bool = False
     line_dedup_min_chars: int = 15
+    # unit separator for the dedup_lines stage: '\n' = lines (C4),
+    # '\n\n' = paragraphs (RefinedWeb — operators/text.py
+    # paragraph_dedup semantics inside the pipeline). Like
+    # line_dedup_min_chars, it defines what a landed line_fps
+    # fingerprint MEANS, so it must stay constant for one
+    # CurationState's lifetime in increment/streaming mode.
+    line_dedup_sep: str = "\n"
     # opt-in WITHIN-doc cleaner (operators/text.py
     # collapse_repeated_lines): collapse consecutive duplicate lines
     # (scraper nav/header stutter) before any gate scores the text.
@@ -328,7 +335,8 @@ def curate(
         from clickhouse_mysql_data_reader_spark.operators.text import line_dedup
 
         cleaned = line_dedup(
-            docs, text_col, id_col, min_line_chars=cfg.line_dedup_min_chars
+            docs, text_col, id_col,
+            min_line_chars=cfg.line_dedup_min_chars, sep=cfg.line_dedup_sep,
         ).select(id_col, text_col)
         docs = docs.drop(text_col).join(cleaned, id_col)
 
@@ -1252,6 +1260,7 @@ def curate_increment(
             text_col=text_col,
             id_col=id_col,
             min_line_chars=cfg.line_dedup_min_chars,
+            sep=cfg.line_dedup_sep,
         )
         # localCheckpoint: (a) the cleaned text feeds every gate and
         # both dedup families — untruncated, each consumer re-runs the
@@ -1271,7 +1280,9 @@ def curate_increment(
         # write plan.
         new_line_fps = line_fingerprints(
             cleaned.select(
-                F.explode(F.split(F.col(text_col), "\n")).alias("line")
+                F.explode(
+                    F.split(F.col(text_col), cfg.line_dedup_sep)
+                ).alias("line")
             ).filter(_line_elig(cfg.line_dedup_min_chars))
         )
 

@@ -1134,9 +1134,10 @@ def paragraph_dedup(
     ``line_dedup`` at ``sep='\\n\\n'`` granularity; reassembly rejoins
     with the same separator (runs of 3+ newlines normalize to exactly
     one blank line, as the public implementations do). Incremental
-    form: ``line_dedup_increment`` is line-only today — land paragraph
-    fingerprints the same way if a daily-batch paragraph pass is ever
-    needed."""
+    form: ``line_dedup_increment(sep='\\n\\n')`` — and
+    ``CurationConfig.line_dedup_sep`` runs the curation stage-0 pass
+    at paragraph granularity on every path (batch / increment /
+    streaming), with the batch-parity equivalence pinned by test."""
     return line_dedup(
         docs, text_col, id_col, min_line_chars=min_chars, sep="\n\n"
     )
@@ -1416,6 +1417,7 @@ def line_dedup_increment(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_line_chars: int = 1,
+    sep: str = "\n",
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental ``line_dedup`` — the production daily-batch shape: a
     line in the new batch is removed when its fingerprint is already in
@@ -1439,8 +1441,14 @@ def line_dedup_increment(
     key even for a boilerplate line, since the state holds ONE row per
     distinct line). Compose with ``membership.might_contain`` to route
     definite-miss lines around the shuffle when the state grows large.
+
+    ``sep`` picks the dedup unit like the batch form ('\\n\\n' =
+    paragraphs). (sep, min_line_chars) define what a landed
+    fingerprint MEANS, so they must stay constant for one state's
+    lifetime — mixing units against the same ``landed_fps`` silently
+    never matches (different fingerprint domains).
     """
-    lines, totals = _line_explode(new_docs, text_col, id_col)
+    lines, totals = _line_explode(new_docs, text_col, id_col, sep)
     elig = _line_elig(min_line_chars)
     batch_kept = _batch_line_keep(lines, elig)
 
@@ -1455,7 +1463,7 @@ def line_dedup_increment(
     else:
         survivors = batch_kept.select("doc_id", "line_no", "line")
 
-    cleaned = _reassemble_lines(totals, survivors, text_col, id_col)
+    cleaned = _reassemble_lines(totals, survivors, text_col, id_col, sep)
     new_fps = line_fingerprints(survivors.filter(elig).select("line"))
     return cleaned, new_fps
 

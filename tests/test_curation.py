@@ -1283,6 +1283,50 @@ def test_curate_increment_line_dedup_matches_batch(spark, tmp_path):
     assert batch_out == {**inc1, **inc2}
 
 
+def test_curate_increment_paragraph_dedup_sep(spark, tmp_path):
+    """cfg.line_dedup_sep='\\n\\n' runs the dedup_lines stage at
+    PARAGRAPH granularity through curate_increment: a footer paragraph
+    landed by batch 1 is removed from batch 2's docs, and the
+    increments match batch curate() over the concatenation."""
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curate_increment,
+    )
+
+    footer = (
+        "all of the rights in this page are reserved to the company\n"
+        "and its owners for all time without any further notice given"
+    )
+    b1 = _mk_docs(spark, [(1, "web", GOOD + "\n\n" + footer)])
+    b2 = _mk_docs(
+        spark,
+        [
+            (10, "web", GOOD.replace("dog", "owl") + "\n\n" + footer),
+            (11, "web", footer),  # gutted by history -> fails the gate
+        ],
+    )
+    cfg = CurationConfig(
+        near_dup_jaccard=0.95, dedup_lines=True, line_dedup_sep="\n\n"
+    )
+    state = CurationState(str(tmp_path / "st"))
+    inc1 = {r["doc_id"]: r["text"] for r in curate_increment(b1, state, cfg=cfg).collect()}
+    assert set(inc1) == {1} and footer in inc1[1]
+    inc2 = {r["doc_id"]: r["text"] for r in curate_increment(b2, state, cfg=cfg).collect()}
+    assert set(inc2) == {10}, "footer-only doc guts to empty and fails"
+    assert footer not in inc2[10]
+    # the footer's internal single newline is NOT a boundary: its two
+    # lines left together (whole-paragraph removal, not line removal)
+    assert "reserved to the company" not in inc2[10]
+
+    both = curate(b1.unionByName(b2), cfg=cfg)
+    batch_out = {
+        r["doc_id"]: r["text"]
+        for r in both.after_near_dedup.select("doc_id", "text").collect()
+    }
+    both.unpersist()
+    assert batch_out == {**inc1, **inc2}
+
+
 def test_curate_collapse_lines_cleaner_runs_everywhere(spark):
     """collapse_lines is a per-row cleaner: batch curate() collapses a
     stuttered nav line before gating, and — being state-free, unlike

@@ -211,6 +211,44 @@ def test_line_dedup_increment_matches_batch_equivalence(spark):
     assert inc[6]["n_kept"] == 0 and inc[6]["text"] == ""
 
 
+def test_paragraph_dedup_increment_matches_batch_equivalence(spark):
+    """The incremental form at sep='\\n\\n': two batches with a shared
+    footer PARAGRAPH compose to exactly one batch paragraph_dedup over
+    the concatenation (ids batch-ordered), and the landed fingerprints
+    are paragraph-domain (disjoint across batches)."""
+    from clickhouse_mysql_data_reader_spark.operators.text import (
+        line_dedup_increment,
+        paragraph_dedup,
+    )
+
+    footer = "copyright the site\nall rights reserved to the owners"
+    b1 = _mk(spark, [(1, f"first article body\n\n{footer}")])
+    b2 = _mk(
+        spark,
+        [
+            (4, f"second article body\n\n{footer}"),
+            (5, footer),
+        ],
+    )
+    c1, fps1 = line_dedup_increment(b1, None, min_line_chars=2, sep="\n\n")
+    c2, fps2 = line_dedup_increment(b2, fps1, min_line_chars=2, sep="\n\n")
+    inc = {r["doc_id"]: r for r in c1.collect()} | {
+        r["doc_id"]: r for r in c2.collect()
+    }
+    full = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(b1.unionByName(b2), min_chars=2).collect()
+    }
+    assert set(inc) == set(full)
+    for d in full:
+        assert inc[d]["text"] == full[d]["text"], f"doc {d}"
+    assert footer in inc[1]["text"] and footer not in inc[4]["text"]
+    assert inc[5]["n_kept"] == 0 and inc[5]["text"] == ""
+    f1 = {r["line_fp"] for r in fps1.collect()}
+    f2 = {r["line_fp"] for r in fps2.collect()}
+    assert len(f1) == 2 and len(f2) == 1 and not (f1 & f2)
+
+
 def test_collapse_repeated_lines_in_row(spark):
     from pyspark.sql import functions as F
 
