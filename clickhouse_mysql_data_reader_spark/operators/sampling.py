@@ -196,6 +196,13 @@ def mixture_oversample(
     """
     if token_budget <= 0:
         raise ValueError(f"token_budget must be positive, got {token_budget}")
+    clash = {"_k", "_nt", "_nc", "copy_no", "rate", "src_tokens"} & set(df.columns)
+    if clash:
+        # the working/output names would silently clobber or ambiguate
+        # a caller column (the training_shuffle collision contract)
+        raise ValueError(
+            f"mixture_oversample working columns collide with input: {sorted(clash)}"
+        )
     base = df.withColumn("_k", F.col(key_col)).withColumn(
         "_nt", token_count_col.cast("bigint")
     )

@@ -1114,6 +1114,9 @@ def line_dedup(
     come back with n_kept = 0 and empty text — dropping them is the
     caller's policy decision). ``sep`` picks the dedup unit: '\\n' =
     lines (the default), '\\n\\n' = paragraphs (``paragraph_dedup``).
+    The split treats ``sep`` as a regex while reassembly rejoins it
+    literally, so pass regex-safe separators only (both forms here
+    are).
     """
     lines, totals = _line_explode(docs, text_col, id_col, sep)
     survivors = _batch_line_keep(lines, _line_elig(min_line_chars))

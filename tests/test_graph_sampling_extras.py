@@ -444,6 +444,13 @@ def test_mixture_oversample_epochs_and_downsample_parity(spark):
     )
     with pytest.raises(ValueError, match="token_budget"):
         mixture_oversample(docs, F.lit(1), "doc_id", "source", {}, token_budget=0)
+    # a caller column named like a working/output column raises instead
+    # of being silently clobbered (the training_shuffle contract)
+    with pytest.raises(ValueError, match="collide"):
+        mixture_oversample(
+            docs.withColumn("copy_no", F.lit(9)), F.lit(1), "doc_id", "source",
+            {}, token_budget=10,
+        )
 
 
 def test_training_shuffle_is_a_deterministic_permutation(spark):
