@@ -254,6 +254,7 @@ def main() -> None:
         "dedup_cluster_best_keeper": time_query("dedup_cluster_best_keeper"),
         "text_paragraph_dedup": time_query("text_paragraph_dedup"),
         "sample_mixture_epochs": time_query("sample_mixture_epochs"),
+        "doc_span_decontaminate": time_query("doc_span_decontaminate"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -143,6 +143,17 @@ class CurationConfig:
     # from the batch-over-concatenation semantics.
     near_dup_keeper: str = "min_id"
     contamination_threshold: float = 0.5
+    # decontamination policy when `benchmark` is given: "drop_docs"
+    # removes any corpus doc whose shingle overlap with a benchmark
+    # item crosses contamination_threshold (corpus_contamination);
+    # "excise_spans" instead cuts every `contamination_window`-token
+    # span colliding with the benchmark out of the doc and keeps the
+    # unique remainder (operators/text.py span_decontaminate — the
+    # GPT-3 13-gram move; surgical when eval items are QUOTED inside
+    # otherwise-good documents). Excision rebuilds the text from
+    # normalized tokens, like the line-dedup stage rebuilds from lines.
+    contamination_mode: str = "drop_docs"
+    contamination_window: int = 13
     # mixture shaping is optional: None keeps every surviving source whole
     mixture_weights: dict[str, float] | None = None
     mixture_token_budget: int = 0
@@ -426,7 +437,25 @@ def curate(
     deduped = boiled.join(drop_ids, id_col, "left_anti")
 
     # --- stage 5: decontamination vs the benchmark --------------------
-    if benchmark is not None:
+    if benchmark is not None and cfg.contamination_mode == "excise_spans":
+        # surgical form: cut benchmark-colliding spans, keep the rest
+        # of the doc; same broadcast direction (benchmark fingerprints
+        # are the small side), corpus never shuffles on content
+        from clickhouse_mysql_data_reader_spark.operators.text import (
+            span_decontaminate,
+        )
+
+        excised = span_decontaminate(
+            deduped,
+            benchmark,
+            text_col=text_col,
+            id_col=id_col,
+            window=cfg.contamination_window,
+        )
+        clean = deduped.drop(text_col).join(
+            excised.select(id_col, text_col), id_col
+        )
+    elif benchmark is not None and cfg.contamination_mode == "drop_docs":
         # corpus docs contaminated BY benchmark content leave; the
         # corpus-side operator broadcasts the BENCHMARK's shingles (the
         # small side) — the corpus is scanned, never broadcast/shuffled
@@ -441,6 +470,11 @@ def curate(
             F.col("doc_id").alias(id_col)
         )
         clean = deduped.join(leaky, id_col, "left_anti")
+    elif benchmark is not None:
+        raise ValueError(
+            f"unknown contamination_mode {cfg.contamination_mode!r}: "
+            "expected 'drop_docs' or 'excise_spans'"
+        )
     else:
         clean = deduped
 

@@ -1333,12 +1333,31 @@ def exact_substring_dedup(
 
     Returns (id, n_tokens, n_dropped, text).
     """
-    from clickhouse_mysql_data_reader_spark.util import fan_out
-
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
+
+    base, wins = _token_windows(docs, text_col, id_col, window)
+    dups = (
+        wins.groupBy("_fp")
+        .agg(F.count("*").alias("_c"), F.min(F.struct("doc_id", "_s")).alias("_k"))
+        .filter(F.col("_c") >= min_count)
+        .select("_fp", F.col("_k.doc_id").alias("_kd"), F.col("_k._s").alias("_ks"))
+    )
+    marks = (
+        wins.join(dups, "_fp")
+        .filter(~((F.col("doc_id") == F.col("_kd")) & (F.col("_s") == F.col("_ks"))))
+        .select("doc_id", "_s")
+    )
+    return _excise_marked(base, marks, window, text_col, id_col)
+
+
+def _token_windows(docs, text_col: str, id_col: str, window: int):
+    """Shared stage of the span-excision pair (``exact_substring_dedup``
+    / ``span_decontaminate``): the tokenized base frame and every
+    W-token window's (doc_id, start, 60-bit md5-prefix fingerprint)."""
+    from clickhouse_mysql_data_reader_spark.util import fan_out
 
     base = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
@@ -1361,17 +1380,15 @@ def exact_substring_dedup(
         .cast("long")
         .alias("_fp"),
     )
-    dups = (
-        wins.groupBy("_fp")
-        .agg(F.count("*").alias("_c"), F.min(F.struct("doc_id", "_s")).alias("_k"))
-        .filter(F.col("_c") >= min_count)
-        .select("_fp", F.col("_k.doc_id").alias("_kd"), F.col("_k._s").alias("_ks"))
-    )
-    marks = (
-        wins.join(dups, "_fp")
-        .filter(~((F.col("doc_id") == F.col("_kd")) & (F.col("_s") == F.col("_ks"))))
-        .select("doc_id", "_s")
-    )
+    return base, wins
+
+
+def _excise_marked(
+    base: DataFrame, marks: DataFrame, window: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Shared excision stage: union the marked windows' token indices
+    per doc, filter the token array by position, rebuild the text.
+    Returns (id, n_tokens, n_dropped, text)."""
     drops = marks.groupBy("doc_id").agg(
         F.array_distinct(
             F.flatten(
@@ -1398,6 +1415,46 @@ def exact_substring_dedup(
         .otherwise(F.lit(""))
         .alias(text_col),
     )
+
+
+def span_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 13,
+) -> DataFrame:
+    """SPAN-level benchmark decontamination (the GPT-3 appendix-C move,
+    Brown et al. 2020: remove every 13-gram collision with the eval
+    sets): any ``window``-token span of a corpus document whose exact
+    content appears anywhere in ``benchmark`` is excised from the
+    corpus — ALL matching occurrences leave (no keeper; the benchmark
+    owns the span), while the document's unique remainder survives.
+    The surgical alternative to ``corpus_contamination``'s whole-doc
+    drop when eval items are quoted inside otherwise-good documents.
+
+    Shape: the corpus side is ``exact_substring_dedup``'s window
+    fingerprinting (shared ``_token_windows``/``_excise_marked``
+    helpers — the two operators cannot drift); the benchmark side is a
+    distinct fingerprint set, BROADCAST into a semi-join against the
+    corpus windows. At 100 TB the corpus is scanned, never shuffled on
+    content — the same small-side-broadcast direction as
+    ``corpus_contamination`` (the benchmark is eval-set-sized); the
+    only corpus-keyed shuffle is the per-doc excision aggregate.
+
+    Returns (id, n_tokens, n_dropped, text) over NORMALIZED tokens,
+    like ``exact_substring_dedup``; docs shorter than ``window`` are
+    untouched by construction.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    base, wins = _token_windows(corpus, text_col, id_col, window)
+    _, bwins = _token_windows(benchmark, text_col, id_col, window)
+    bench_fps = bwins.select("_fp").distinct()
+    marks = wins.join(F.broadcast(bench_fps), "_fp", "left_semi").select(
+        "doc_id", "_s"
+    )
+    return _excise_marked(base, marks, window, text_col, id_col)
 
 
 def _line_fp_expr() -> Column:

@@ -1464,6 +1464,72 @@ def text_lm_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_span_decontaminate",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split({_NORM}, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    bt AS (SELECT tk FROM t WHERE doc_id % 97 = 0),
+    bw AS (
+      SELECT unnest(range(0, len(tk) - 13 + 1)) AS s, tk
+      FROM bt WHERE len(tk) >= 13
+    ),
+    bfp AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(array_to_string(tk[s + 1 : s + 13], ' ')), 1, 15))
+                  AS BIGINT) AS fp
+      FROM bw
+    ),
+    w AS (
+      SELECT doc_id, unnest(range(0, len(tk) - 13 + 1)) AS s, tk
+      FROM t WHERE len(tk) >= 13
+    ),
+    wf AS (
+      SELECT doc_id, s,
+             CAST(('0x' || substr(md5(array_to_string(tk[s + 1 : s + 13], ' ')), 1, 15))
+                  AS BIGINT) AS fp
+      FROM w
+    ),
+    marks AS (SELECT wf.doc_id, wf.s FROM wf SEMI JOIN bfp USING (fp)),
+    di AS (
+      SELECT DISTINCT m.doc_id, m.s + k.k AS idx
+      FROM marks m, range(0, 13) k(k)
+    ),
+    tokpos AS (
+      SELECT doc_id, unnest(range(0, len(tk))) AS pos, unnest(tk) AS tok FROM t
+    ),
+    keptagg AS (
+      SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.pos) AS text
+      FROM tokpos tp
+      ANTI JOIN di ON di.doc_id = tp.doc_id AND di.idx = tp.pos
+      GROUP BY tp.doc_id
+    ),
+    dcount AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped FROM di GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           coalesce(d.n_dropped, 0) AS n_dropped,
+           coalesce(k.text, '') AS text
+    FROM t LEFT JOIN keptagg k USING (doc_id) LEFT JOIN dcount d USING (doc_id)
+    """,
+    doc="SPAN-level benchmark decontamination (GPT-3 App. C, Brown et "
+    "al. 2020): every 13-gram of a corpus doc colliding with the "
+    "benchmark slice (doc_id % 97 = 0, in-query) is excised from ALL "
+    "occurrences — the surgical alternative to whole-doc dropping when "
+    "eval items are quoted inside otherwise-good documents. Benchmark "
+    "window fingerprints are a broadcast semi-join against the corpus "
+    "windows (the corpus_contamination direction); excision reuses the "
+    "checked dedup_exact_substring machinery via shared helpers.",
+)
+def doc_span_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.text import span_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return span_decontaminate(docs, bench, window=13)
+
+
+@register(
     "text_lm_bigram",
     f"""
     WITH t AS (

@@ -232,6 +232,12 @@ QUERIES: dict[str, QueryDef] = {}
 #     machinery as the checked text_line_dedup at sep='\n\n'
 #     granularity (one parameter apart); pytest-oracle-checked
 #     end-to-end
+#   - doc_span_decontaminate: pure composition of two checked
+#     families — the window-fingerprint + excision machinery runs
+#     INSIDE the checked dedup_exact_substring (shared
+#     _token_windows/_excise_marked helpers) and the broadcast-semi
+#     benchmark direction inside the checked doc_corpus_contamination;
+#     pytest-oracle-checked end-to-end
 # ...and one more round-6 displacement to admit the epochs mixture
 # (sample_mixture_epochs — repetition-capable mixture shaping, rates
 # above 1 realized by deterministic replication) into the checked 50:
@@ -241,6 +247,7 @@ QUERIES: dict[str, QueryDef] = {}
 #     hash-verifies it; the down-only form is the rate<1 degenerate
 #     case. Driver-green r3-r6 on an unchanged plan.
 DEPRIORITIZED = (
+    "doc_span_decontaminate",
     "sample_mixture_weights",
     "text_paragraph_dedup",
     "dedup_cluster_components",

@@ -100,6 +100,51 @@ def test_curate_near_dup_keeper_longest(spark):
         )
 
 
+def test_curate_contamination_mode_excise_spans(spark):
+    """contamination_mode='excise_spans': a doc QUOTING a benchmark
+    passage loses exactly the quoted span and keeps its unique body,
+    where drop_docs would remove the whole doc; unknown modes raise."""
+    passage = (
+        "the committee shall convene on the first monday of every month "
+        "to review the petitions submitted by the residents of the town"
+    )
+    body = (
+        "the miller wrote a long letter about the harvest and the roads "
+        "and the prices the grain would fetch at the winter fair this year"
+    )
+    corpus = _mk_docs(
+        spark,
+        [
+            (1, "web", body + " " + passage),
+            (2, "web", GOOD),
+        ],
+    )
+    bench = _mk_docs(spark, [(100, "eval", passage)])
+
+    dropped = curate(
+        corpus, benchmark=bench,
+        cfg=CurationConfig(contamination_threshold=0.3),
+    )
+    assert {r["doc_id"] for r in dropped.after_decontamination.collect()} == {2}
+
+    excised = curate(
+        corpus, benchmark=bench,
+        cfg=CurationConfig(contamination_mode="excise_spans"),
+    )
+    out = {r["doc_id"]: r["text"] for r in excised.after_decontamination.collect()}
+    assert set(out) == {1, 2}
+    assert "committee" not in out[1] and "petitions" not in out[1]
+    assert "miller" in out[1] and "harvest" in out[1]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="contamination_mode"):
+        curate(
+            corpus, benchmark=bench,
+            cfg=CurationConfig(contamination_mode="quarantine"),
+        )
+
+
 def test_curate_mixture_epochs_replicates_and_packs(spark):
     """cfg.mixture_epochs: a source whose mixture target exceeds one
     pass over it is REPLICATED (copy_no rows), every replica gets its

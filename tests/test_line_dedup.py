@@ -116,6 +116,41 @@ def test_exact_substring_dedup_excises_shared_spans(spark):
     assert out[5]["n_tokens"] == 2 and out[5]["n_dropped"] == 0, "below-window doc untouched"
 
 
+def test_span_decontaminate_removes_all_benchmark_spans(spark):
+    """span_decontaminate is KEEPER-LESS: every corpus occurrence of a
+    benchmark span leaves (the benchmark owns it), unlike
+    exact_substring_dedup's first-occurrence keeper; docs with no
+    collision or shorter than the window are untouched."""
+    from clickhouse_mysql_data_reader_spark.operators.text import span_decontaminate
+
+    corpus = _mk(
+        spark,
+        [
+            (1, f"doc one body starts here {LIC} and then unique tail alpha"),
+            (2, f"{LIC} second doc unique middle content beta"),
+            (3, "totally unique document with no duplicated spans at all in it"),
+            (4, "short doc"),
+        ],
+    )
+    bench = _mk(spark, [(100, f"benchmark item quoting {LIC} verbatim")])
+    out = {
+        r["doc_id"]: r
+        for r in span_decontaminate(corpus, bench, window=8).collect()
+    }
+    lic_n = len(LIC.split())
+    # BOTH occurrences excised — no keeper survives
+    for d in (1, 2):
+        assert out[d]["n_dropped"] == lic_n, f"doc {d}"
+        assert LIC not in out[d]["text"]
+    assert out[1]["text"] == "doc one body starts here and then unique tail alpha"
+    assert out[3]["n_dropped"] == 0
+    assert out[4]["n_tokens"] == 2 and out[4]["n_dropped"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window"):
+        span_decontaminate(corpus, bench, window=1)
+
+
 def test_exact_substring_dedup_handles_within_doc_repeats(spark):
     """A span repeated INSIDE one doc keeps only its first occurrence —
     the paper dedups within documents too."""
