@@ -44,7 +44,11 @@ DRIVER_CAP = 50
 # dedup_cluster_best_keeper (quality-aware keeper election) displaced
 # dedup_cluster_components, whose full pipeline it contains — the
 # keeper query's `component` column hash-verifies the identical
-# transitive closure end-to-end.
+# transitive closure end-to-end — and sample_mixture_epochs
+# (repetition-capable mixture) displaced sample_mixture_weights, whose
+# totals -> rate -> md5-threshold chain decides every copy it emits.
+# Born deprioritized in round 6: text_paragraph_dedup,
+# doc_span_decontaminate (compositions of checked families).
 MUST_BE_CHECKED = {
     "q1_pricing_summary",
     "agg_approx_distinct",
