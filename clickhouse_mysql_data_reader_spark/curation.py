@@ -150,8 +150,11 @@ class CurationConfig:
     # span colliding with the benchmark out of the doc and keeps the
     # unique remainder (operators/text.py span_decontaminate — the
     # GPT-3 13-gram move; surgical when eval items are QUOTED inside
-    # otherwise-good documents). Excision rebuilds the text from
-    # normalized tokens, like the line-dedup stage rebuilds from lines.
+    # otherwise-good documents). ONLY docs with at least one colliding
+    # span are rewritten — their remainder is rebuilt from normalized
+    # tokens (lowercased, whitespace-joined, like the line-dedup stage
+    # rebuilds from lines); every collision-free doc keeps its raw
+    # text verbatim.
     contamination_mode: str = "drop_docs"
     contamination_window: int = 13
     # mixture shaping is optional: None keeps every surviving source whole
@@ -452,8 +455,18 @@ def curate(
             id_col=id_col,
             window=cfg.contamination_window,
         )
-        clean = deduped.drop(text_col).join(
-            excised.select(id_col, text_col), id_col
+        # only docs that actually collided get the normalized-token
+        # rebuild; everything else keeps its raw text verbatim (the
+        # excision is surgical, not a corpus-wide lossy rewrite)
+        touched = excised.filter(F.col("n_dropped") > 0).select(
+            id_col, F.col(text_col).alias("_excised_text")
+        )
+        clean = (
+            deduped.join(touched, id_col, "left")
+            .withColumn(
+                text_col, F.coalesce(F.col("_excised_text"), F.col(text_col))
+            )
+            .drop("_excised_text")
         )
     elif benchmark is not None and cfg.contamination_mode == "drop_docs":
         # corpus docs contaminated BY benchmark content leave; the
@@ -1279,6 +1292,7 @@ def curate_increment(
     if cfg.dedup_lines:
         from clickhouse_mysql_data_reader_spark.operators.text import (
             _line_elig,
+            _sep_regex,
             line_dedup_increment,
             line_fingerprints,
         )
@@ -1315,7 +1329,7 @@ def curate_increment(
         new_line_fps = line_fingerprints(
             cleaned.select(
                 F.explode(
-                    F.split(F.col(text_col), cfg.line_dedup_sep)
+                    F.split(F.col(text_col), _sep_regex(cfg.line_dedup_sep))
                 ).alias("line")
             ).filter(_line_elig(cfg.line_dedup_min_chars))
         )

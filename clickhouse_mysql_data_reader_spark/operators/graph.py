@@ -47,6 +47,7 @@ import tempfile
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 
 def _ensure_checkpoint_dir(spark) -> None:
@@ -225,26 +226,37 @@ def component_keepers(
     same frame the pairs were mined from). Returns one row per member:
     (id_col, component, keeper_id, is_keeper).
 
-    Scale shape: one map-side-combinable max(struct) aggregate on the
-    component key plus one join back on the same key — no window, so a
-    pathological giant cluster (boilerplate crossing every LSH band)
-    still partial-aggregates across tasks instead of buffering in one;
-    AQE splits the join-back if the cluster is big enough to matter.
-    The tie-break rides inside the struct comparison: max((score,
-    -id)) is the max-score member with the smallest id among equals.
+    Scale shape: one map-side-combinable aggregate on the component key
+    plus one join back on the same key — no window, so a pathological
+    giant cluster (boilerplate crossing every LSH band) still
+    partial-aggregates across tasks instead of buffering in one; AQE
+    splits the join-back if the cluster is big enough to matter. The
+    tie-break rides inside one struct comparison: min((-score, id)) is
+    the max-score member with the smallest id among equals. Negating
+    the SCORE (validated numeric — it is a quality/length metric by
+    contract) instead of the id keeps the id column untouched, so
+    string doc ids (URLs, UUIDs — common in crawl corpora) order
+    correctly instead of silently casting to null under unary minus.
     """
+    score_type = attrs.schema[score_col].dataType
+    if not isinstance(score_type, NumericType):
+        raise TypeError(
+            f"component_keepers: score_col {score_col!r} must be numeric "
+            f"(got {score_type.simpleString()}). Cast rank-able non-numeric "
+            "scores (e.g. timestamps) to a numeric column first."
+        )
     scored = components.join(attrs.select(id_col, score_col), id_col)
     best = (
         scored.groupBy("component")
         .agg(
-            F.max(
+            F.min(
                 F.struct(
-                    F.col(score_col).alias("s"),
-                    (-F.col(id_col)).alias("neg_id"),
+                    (-F.col(score_col)).alias("neg_s"),
+                    F.col(id_col).alias("kid"),
                 )
             ).alias("b")
         )
-        .select("component", (-F.col("b.neg_id")).alias("keeper_id"))
+        .select("component", F.col("b.kid").alias("keeper_id"))
     )
     return scored.join(best, "component").select(
         id_col,

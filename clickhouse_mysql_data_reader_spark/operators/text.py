@@ -1114,9 +1114,9 @@ def line_dedup(
     come back with n_kept = 0 and empty text — dropping them is the
     caller's policy decision). ``sep`` picks the dedup unit: '\\n' =
     lines (the default), '\\n\\n' = paragraphs (``paragraph_dedup``).
-    The split treats ``sep`` as a regex while reassembly rejoins it
-    literally, so pass regex-safe separators only (both forms here
-    are).
+    ``sep`` is LITERAL: it is regex-quoted at the split sites and
+    rejoined verbatim, so regex-special separators ('|', '.') work
+    correctly instead of silently splitting per character.
     """
     lines, totals = _line_explode(docs, text_col, id_col, sep)
     survivors = _batch_line_keep(lines, _line_elig(min_line_chars))
@@ -1146,22 +1146,38 @@ def paragraph_dedup(
     )
 
 
+def _sep_regex(sep: str) -> str:
+    """Literal-quote the unit separator for ``F.split`` (Java regex
+    ``\\Q..\\E``): ``F.split`` treats its pattern as a regex while
+    reassembly rejoins the separator literally, so an unquoted
+    regex-special separator ('|', '.') would silently split
+    per-character and corrupt the corpus instead of failing. Quoting
+    makes every separator mean exactly its literal characters at both
+    the split and the join."""
+    if not isinstance(sep, str) or not sep:
+        raise ValueError(
+            f"line-dedup separator must be a non-empty string, got {sep!r}"
+        )
+    return "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def _line_explode(docs: DataFrame, text_col: str, id_col: str, sep: str = "\n"):
     """Shared stage of the batch/incremental line dedup pair: the
     exploded (doc_id, line_no, line) frame and the projection-only
     per-doc line-count frame, both off one fan_out of the input.
-    ``sep`` is the literal unit separator (regex-safe for plain
-    newlines): '\\n' = lines, '\\n\\n' = paragraphs."""
+    ``sep`` is the LITERAL unit separator ('\\n' = lines, '\\n\\n' =
+    paragraphs) — regex-quoted at the split sites via ``_sep_regex``."""
     from clickhouse_mysql_data_reader_spark.util import fan_out
 
+    pat = _sep_regex(sep)
     fanned = fan_out(docs)
     lines = fanned.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("line_no", "line"),
+        F.posexplode(F.split(F.col(text_col), pat)).alias("line_no", "line"),
     )
     totals = fanned.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines"),
+        F.size(F.split(F.col(text_col), pat)).cast("long").alias("n_lines"),
     )
     return lines, totals
 

@@ -354,8 +354,13 @@ def landed_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     from clickhouse_mysql_data_reader_spark.sinks.batch import write_bucketed
 
     n_buckets = max(16, spark.sparkContext.defaultParallelism)
+    # n_buckets is part of the table identity: a table landed by an
+    # earlier session with a different core count (or a partial run that
+    # created only one side) must not be silently reused, or the two
+    # sides' bucket specs can mismatch and the exchange this layout
+    # exists to remove comes back.
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/")).lower()
-    lt, ot = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
+    lt, ot = f"lineitem_bkt{n_buckets}_{tag}", f"orders_bkt{n_buckets}_{tag}"
     if not spark.catalog.tableExists(lt):
         _drop_stale_warehouse_dir(spark, lt)
         write_bucketed(

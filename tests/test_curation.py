@@ -112,11 +112,18 @@ def test_curate_contamination_mode_excise_spans(spark):
         "the miller wrote a long letter about the harvest and the roads "
         "and the prices the grain would fetch at the winter fair this year"
     )
+    # raw text with CASE and punctuation: a collision-free doc must
+    # come through excision byte-identical, not normalized
+    pristine = (
+        "The Weaver's daughter kept a Journal, and she wrote in it every "
+        "evening about the weather and the state of the roads in the town."
+    )
     corpus = _mk_docs(
         spark,
         [
             (1, "web", body + " " + passage),
             (2, "web", GOOD),
+            (3, "web", pristine),
         ],
     )
     bench = _mk_docs(spark, [(100, "eval", passage)])
@@ -125,16 +132,19 @@ def test_curate_contamination_mode_excise_spans(spark):
         corpus, benchmark=bench,
         cfg=CurationConfig(contamination_threshold=0.3),
     )
-    assert {r["doc_id"] for r in dropped.after_decontamination.collect()} == {2}
+    assert {r["doc_id"] for r in dropped.after_decontamination.collect()} == {2, 3}
 
     excised = curate(
         corpus, benchmark=bench,
         cfg=CurationConfig(contamination_mode="excise_spans"),
     )
     out = {r["doc_id"]: r["text"] for r in excised.after_decontamination.collect()}
-    assert set(out) == {1, 2}
+    assert set(out) == {1, 2, 3}
     assert "committee" not in out[1] and "petitions" not in out[1]
     assert "miller" in out[1] and "harvest" in out[1]
+    # the excision is surgical: only the colliding doc was rewritten
+    assert out[2] == GOOD
+    assert out[3] == pristine
 
     import pytest as _pytest
 

@@ -85,6 +85,42 @@ def test_cc_component_keepers_best_score_min_id_ties(spark):
     assert all(rows[r["keeper_id"]]["component"] == r["component"] for r in rows.values())
 
 
+def test_cc_component_keepers_string_ids(spark):
+    """String doc ids (URLs/UUIDs — common in crawl corpora): the
+    tie-break must order ids lexicographically, not silently cast to
+    null under a unary minus."""
+    from clickhouse_mysql_data_reader_spark.operators.graph import component_keepers
+
+    comps = spark.createDataFrame(
+        [
+            ("url/a", "url/a"), ("url/b", "url/a"), ("url/c", "url/a"),
+            ("x/1", "x/1"), ("x/2", "x/1"),
+        ],
+        "doc_id string, component string",
+    )
+    attrs = spark.createDataFrame(
+        [("url/a", 10), ("url/b", 99), ("url/c", 99), ("x/1", 5), ("x/2", 5)],
+        "doc_id string, score long",
+    )
+    rows = {r["doc_id"]: r for r in component_keepers(comps, attrs, "score").collect()}
+    # {a,b,c}: b and c tie on top score -> lexicographic min "url/b";
+    # {1,2}: all tie -> "x/1"
+    assert {d: r["keeper_id"] for d, r in rows.items()} == {
+        "url/a": "url/b", "url/b": "url/b", "url/c": "url/b",
+        "x/1": "x/1", "x/2": "x/1",
+    }
+    assert sorted(d for d, r in rows.items() if r["is_keeper"]) == ["url/b", "x/1"]
+
+
+def test_cc_component_keepers_non_numeric_score_raises(spark):
+    from clickhouse_mysql_data_reader_spark.operators.graph import component_keepers
+
+    comps = spark.createDataFrame([(1, 1)], "doc_id long, component long")
+    attrs = spark.createDataFrame([(1, "high")], "doc_id long, score string")
+    with pytest.raises(TypeError, match="must be numeric"):
+        component_keepers(comps, attrs, "score")
+
+
 # --- hash sampling ----------------------------------------------------------
 
 

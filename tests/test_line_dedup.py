@@ -39,6 +39,32 @@ def test_line_dedup_short_lines_exempt(spark):
     assert out[2]["text"] == "x", "short duplicated lines are structure, every doc keeps its own"
 
 
+def test_line_dedup_regex_special_separator_is_literal(spark):
+    """A regex-special separator ('|') must split on the LITERAL pipe,
+    not on the empty-alternation regex (which would split per character
+    and corrupt the corpus); empty separators raise."""
+    docs = _mk(
+        spark,
+        [
+            (1, "first unique field|duplicated field body|tail field one"),
+            (2, "duplicated field body|second unique field"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(docs, min_line_chars=2, sep="|").collect()
+    }
+    assert out[1]["text"] == "first unique field|duplicated field body|tail field one"
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 3
+    assert out[2]["text"] == "second unique field"
+    assert out[2]["n_lines"] == 2 and out[2]["n_kept"] == 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        line_dedup(docs, sep="")
+
+
 def test_line_dedup_keeper_is_position_aware_within_doc(spark):
     """A line duplicated WITHIN one doc keeps only its first position."""
     docs = _mk(spark, [(7, "same long line here\nmiddle text\nsame long line here")])
