@@ -217,19 +217,37 @@ def main() -> None:
     # across runs — clearCache between every execution). The extra
     # sample biases totals slightly LOW vs the r1-r4 min-of-2 numbers;
     # noted here for cross-round comparison.
-    def time_query(name: str) -> float:
-        best = float("inf")
+    # Every raw run is recorded (round 7): min stays the headline, but
+    # cross-round deltas then carry their own error bars — a "+30%"
+    # whose in-session spread is 40% is noise, not a regression.
+    raw_runs: dict[str, list[float]] = {}
+
+    def time_query(name: str, key: str | None = None) -> float:
+        runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             qmap[name](spark, bench_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(round(time.perf_counter() - t0, 3))
             # caller-owned cache lifecycle: queries may persist shared
             # frames (e.g. the shingle relation); release between
             # executions so nothing carries over
             spark.catalog.clearCache()
-        return round(best, 3)
+        raw_runs[key or name] = runs
+        return round(min(runs), 3)
 
     timings = {name: time_query(name) for name in HEADLINE}
+    # Order probe (round 7): the three queries that drifted upward
+    # r4->r6 on unchanged plans are re-timed back-to-back in REVERSE
+    # order inside the same session — if in-session state accumulation
+    # (JVM heap, code cache, shuffle dirs) were inflating late-running
+    # queries, the two orderings would disagree systematically.
+    _REGRESSORS = ["join_asof_attrib", "window_session_gaps", "text_repetition_stats"]
+    order_probe = {
+        "headline_order": {n: timings[n] for n in _REGRESSORS},
+        "reversed_order": {
+            n: time_query(n, key=f"{n}#rev") for n in reversed(_REGRESSORS)
+        },
+    }
     # Measured but reported OUTSIDE the headline total: "value" stays
     # the sum of the same 16 queries every round, so round-over-round
     # totals compare like-for-like; extras are whole-pipeline
@@ -258,6 +276,16 @@ def main() -> None:
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    spreads = {
+        k: (max(v) - min(v)) / min(v) for k, v in raw_runs.items() if min(v) > 0
+    }
+    med_spread = sorted(spreads.values())[len(spreads) // 2]
+    worst = max(spreads, key=spreads.get)
+    noise = (
+        f"min-of-3 reported; in-session (max-min)/min spread: median "
+        f"{med_spread:.0%}, worst {spreads[worst]:.0%} ({worst}) — "
+        "cross-round deltas under the spread are host noise, not plan changes"
+    )
     print(
         json.dumps(
             {
@@ -266,6 +294,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extras": extras,
+                "runs": raw_runs,
+                "order_probe": order_probe,
+                "noise": noise,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "layout": "resplit" if RESPLIT else "source-files",
             }

@@ -136,11 +136,13 @@ class CurationConfig:
     # "longest" keeps the member with the greatest text length (ties ->
     # min id) via operators/graph.component_keepers — production passes
     # prefer it because the longest copy is usually the least-truncated
-    # one. Batch curate() only: incremental landing is FIRST-WINS by
-    # construction (an already-landed keeper cannot be displaced by a
-    # longer member arriving in a later batch), so curate_increment
-    # rejects non-default values loudly rather than silently drifting
-    # from the batch-over-concatenation semantics.
+    # one. In curate_increment the policy governs the WITHIN-BATCH
+    # component stage only; the vs-history half is inherently
+    # FIRST-WINS (the landed corpus is immutable — an already-landed
+    # keeper cannot be displaced by a longer member arriving in a later
+    # batch), so under "longest" the increments match batch-over-
+    # concatenation exactly on a history-free state and keep the
+    # first-landed member across batches.
     near_dup_keeper: str = "min_id"
     contamination_threshold: float = 0.5
     # decontamination policy when `benchmark` is given: "drop_docs"
@@ -322,6 +324,50 @@ def _row_stages(
     return gated, exact
 
 
+def _near_dup_drop_ids(
+    comps: DataFrame,
+    survivors: DataFrame,
+    cfg: CurationConfig,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Non-keeper member ids of each near-dup component under the
+    configured keeper policy — shared by batch ``curate`` and BOTH
+    ``curate_increment`` component stages (bootstrap and within-batch),
+    so the policies cannot drift. Every component member must appear in
+    ``survivors`` (it does: components are built from the post-gate
+    shingle table of the same frame). Both branches are one map-side-
+    combinable aggregate on the component key plus one join back —
+    never a window."""
+    if cfg.near_dup_keeper == "longest":
+        from clickhouse_mysql_data_reader_spark.operators.graph import (
+            component_keepers,
+        )
+
+        return (
+            component_keepers(
+                comps,
+                survivors.select(
+                    F.col(id_col).alias("doc_id"),
+                    F.length(F.col(text_col)).alias("_len"),
+                ),
+                "_len",
+            )
+            .filter(~F.col("is_keeper"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+    if cfg.near_dup_keeper == "min_id":
+        return (
+            comps.join(component_summary(comps), "component")
+            .filter(F.col("doc_id") != F.col("keeper_id"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+    raise ValueError(
+        f"unknown near_dup_keeper {cfg.near_dup_keeper!r}: "
+        "expected 'min_id' or 'longest'"
+    )
+
+
 def curate(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
@@ -407,36 +453,7 @@ def curate(
     cands = lsh_candidate_pairs(sigs, num_hashes=cfg.minhash_k, bands=cfg.lsh_bands)
     near_pairs = jaccard_pairs(sh, candidates=cands, min_jaccard=cfg.near_dup_jaccard)
     comps = connected_components(near_pairs.select("doc_a", "doc_b"))
-    if cfg.near_dup_keeper == "longest":
-        from clickhouse_mysql_data_reader_spark.operators.graph import (
-            component_keepers,
-        )
-
-        # every component member survived the gates above, so `boiled`
-        # covers the attrs join; same agg+join shape as the min-id path
-        drop_ids = (
-            component_keepers(
-                comps,
-                boiled.select(
-                    F.col(id_col).alias("doc_id"),
-                    F.length(F.col(text_col)).alias("_len"),
-                ),
-                "_len",
-            )
-            .filter(~F.col("is_keeper"))
-            .select(F.col("doc_id").alias(id_col))
-        )
-    elif cfg.near_dup_keeper == "min_id":
-        drop_ids = (
-            comps.join(component_summary(comps), "component")
-            .filter(F.col("doc_id") != F.col("keeper_id"))
-            .select(F.col("doc_id").alias(id_col))
-        )
-    else:
-        raise ValueError(
-            f"unknown near_dup_keeper {cfg.near_dup_keeper!r}: "
-            "expected 'min_id' or 'longest'"
-        )
+    drop_ids = _near_dup_drop_ids(comps, boiled, cfg, text_col, id_col)
     deduped = boiled.join(drop_ids, id_col, "left_anti")
 
     # --- stage 5: decontamination vs the benchmark --------------------
@@ -1223,11 +1240,14 @@ def curate_increment(
     option).
 
     Within-batch: the same gates + exact dedup + LSH near-dup merge as
-    ``curate``. Against history: exact dups leave via an anti-join on
-    the fingerprint; near-dups leave via LSH bucket collisions with the
-    state's band table, Jaccard-verified against the state's shingles —
-    history always wins (the kept corpus is immutable), so cross dups
-    drop the NEW doc. The state tables are joined on their keys only —
+    ``curate``, including the configured ``near_dup_keeper`` policy for
+    the batch's own components ("longest" elects the best in-batch
+    representative exactly like batch mode). Against history: exact
+    dups leave via an anti-join on the fingerprint; near-dups leave via
+    LSH bucket collisions with the state's band table, Jaccard-verified
+    against the state's shingles — history ALWAYS wins regardless of
+    keeper policy (the kept corpus is immutable), so cross dups drop
+    the NEW doc even when it is longer than the landed keeper. The state tables are joined on their keys only —
     the historical corpus text is never re-read, and the per-batch cost
     scales with |batch| + |state rows touched by its join keys|, not
     with |corpus|.
@@ -1263,15 +1283,10 @@ def curate_increment(
             f"(minhash_k={state.minhash_k}, lsh_bands={state.lsh_bands}); "
             "derive the batch's signatures with the state's parameters"
         )
-    if cfg.near_dup_keeper != "min_id":
-        # incremental landing is FIRST-WINS: a keeper landed by an
-        # earlier batch can never be displaced by a longer member in a
-        # later one, so a quality keeper policy would silently diverge
-        # from batch-over-concatenation semantics — reject loudly
+    if cfg.near_dup_keeper not in ("min_id", "longest"):
         raise ValueError(
-            f"near_dup_keeper={cfg.near_dup_keeper!r} is a "
-            "batch-curate() policy: incremental landing keeps the "
-            "first-landed member of every cross-batch near-dup group"
+            f"unknown near_dup_keeper {cfg.near_dup_keeper!r}: "
+            "expected 'min_id' or 'longest'"
         )
     spark = new_docs.sparkSession
     if state.exists(spark):
@@ -1389,11 +1404,7 @@ def curate_increment(
             sh0, candidates=cands0, min_jaccard=cfg.near_dup_jaccard
         )
         comps0 = connected_components(pairs0.select("doc_a", "doc_b"))
-        drop0 = (
-            comps0.join(component_summary(comps0), "component")
-            .filter(F.col("doc_id") != F.col("keeper_id"))
-            .select(F.col("doc_id").alias(id_col))
-        )
+        drop0 = _near_dup_drop_ids(comps0, boiled0, cfg, text_col, id_col)
         kept = boiled0.join(drop0, id_col, "left_anti")
         if update_state:
             kept = state.write(kept, text_col=text_col, id_col=id_col,
@@ -1507,11 +1518,7 @@ def curate_increment(
     cands_in = lsh_candidate_pairs(sigs_new, num_hashes=cfg.minhash_k, bands=cfg.lsh_bands)
     pairs_in = jaccard_pairs(sh_new, candidates=cands_in, min_jaccard=cfg.near_dup_jaccard)
     comps = connected_components(pairs_in.select("doc_a", "doc_b"))
-    drop_in = (
-        comps.join(component_summary(comps), "component")
-        .filter(F.col("doc_id") != F.col("keeper_id"))
-        .select(F.col("doc_id").alias(id_col))
-    )
+    drop_in = _near_dup_drop_ids(comps, vs_hist, cfg, text_col, id_col)
 
     # vs history: bucket-join new bands against state bands (keyed on
     # (band_id, band_hash) — only colliding buckets move), then verify

@@ -246,21 +246,55 @@ QUERIES: dict[str, QueryDef] = {}
 #     salt, same runtime hex threshold) and every copy decision
 #     hash-verifies it; the down-only form is the rate<1 degenerate
 #     case. Driver-green r3-r6 on an unchanged plan.
+# Round 7 ROTATION (per the round-6 verdict): the six queries that had
+# NEVER had a driver row rotate INTO the checked 50 —
+# doc_span_decontaminate + text_paragraph_dedup (round-6-born, full
+# DuckDB oracles) and text_lm_surprisal / doc_chunk_overlap /
+# sample_weighted_topk / text_hashed_embed (round-5-born). Six members
+# with multi-round driver-green history on unchanged plans rotate out,
+# each hash-covered by a checked containing query or family sibling:
+#   - text_tfidf_top_terms: the now-checked text_lm_surprisal runs the
+#     same explode + count + broadcast-join + per-doc-agg plan family
+#     and the same scaled-integer-div determinism trick (the registry
+#     already recorded this containment in the other direction);
+#     driver-green r3-r6
+#   - embed_quantize_int8: in-row array-fold plan family now anchored
+#     by the checked text_hashed_embed (aggregate fold over an array
+#     column, zero shuffles); its per-dim min/max agg is the q1-family
+#     two-phase HashAggregate; driver-green r3-r6
+#   - doc_pack_sequences: its per-shard running-token-sum WindowExec
+#     over the md5-derived shard key is the rank-per-shard window plan
+#     the checked sample_shuffle_order hash-verifies (same
+#     hash-bucket shard machinery, same window family); driver-green
+#     r3-r6
+#   - agg_cube: two-phase Expand sibling of the still-checked
+#     agg_rollup (identical machinery, grouping-set list only);
+#     rotated in r5 to re-verify the rework, green r5-r6, now covered
+#     by its sibling again
+#   - dedup_embed_near: strictly contained — the checked
+#     dedup_embed_near_multiprobe runs the same cell-blocked self-join
+#     family plus the probe expansion (the registry's r4 rationale in
+#     the other direction); driver-green r1-r6
+#   - dedup_latest_wins: its row_number-over-desc-version window (the
+#     ReplacingMergeTree FINAL plan) re-runs INSIDE the checked
+#     cdc_apply_final_state (operators/cdc.py latest_change_per_key —
+#     same WindowExec, plus the delete filter on top); driver-green
+#     r1-r6
 DEPRIORITIZED = (
-    "doc_span_decontaminate",
     "sample_mixture_weights",
-    "text_paragraph_dedup",
     "dedup_cluster_components",
+    "text_tfidf_top_terms",
+    "embed_quantize_int8",
+    "doc_pack_sequences",
+    "agg_cube",
+    "dedup_embed_near",
+    "dedup_latest_wins",
     "agg_pivot",
     "scalar_json_funcs",
     "join_outer_coalesce",
     "window_topn_per_group",
     "doc_winnow_fingerprint",
     "window_tumbling_hourly",
-    "doc_chunk_overlap",
-    "sample_weighted_topk",
-    "text_hashed_embed",
-    "text_lm_surprisal",
     "text_lang_id",
     "dedup_minhash_signatures",
     "dedup_simhash",

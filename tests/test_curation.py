@@ -60,10 +60,8 @@ def test_curate_synthetic_stages(spark):
 
 def test_curate_near_dup_keeper_longest(spark):
     """near_dup_keeper='longest' keeps the LONGEST member of each
-    near-dup component (ties -> min id) instead of the min id; the
-    incremental path rejects the policy loudly (landing is
-    first-wins, so a later longer member could never displace an
-    already-landed keeper)."""
+    near-dup component (ties -> min id) instead of the min id; unknown
+    policies raise in both batch and incremental mode."""
     import pytest as _pytest
 
     docs = _mk_docs(
@@ -94,10 +92,75 @@ def test_curate_near_dup_keeper_longest(spark):
     import tempfile as _tf
 
     state = CurationState(_tf.mkdtemp() + "/st")
-    with _pytest.raises(ValueError, match="batch-curate"):
+    with _pytest.raises(ValueError, match="unknown near_dup_keeper"):
         curate_increment(
-            docs, state, cfg=CurationConfig(near_dup_keeper="longest")
+            docs, state, cfg=CurationConfig(near_dup_keeper="shortest")
         )
+
+
+def test_curate_increment_keeper_longest_matches_batch_on_empty_state(spark):
+    """curate_increment honors near_dup_keeper='longest' for the
+    WITHIN-BATCH component stage: on a history-free state the kept set
+    matches batch curate(near_dup_keeper='longest') exactly."""
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curate_increment,
+    )
+    import tempfile as _tf
+
+    docs = _mk_docs(
+        spark,
+        [
+            (1, "web", GOOD),
+            (2, "web", GOOD + " with one tiny extra suffix appended here"),
+            (7, "books", "call it what you want but the story of the sea is "
+                         "the story of the men who sailed it for the wind"),
+        ],
+    )
+    cfg = CurationConfig(near_dup_jaccard=0.5, near_dup_keeper="longest")
+    batch_kept = {
+        r["doc_id"] for r in curate(docs, cfg=cfg).after_near_dedup.collect()
+    }
+    state = CurationState(_tf.mkdtemp() + "/st")
+    inc_kept = {
+        r["doc_id"]
+        for r in curate_increment(docs, state, cfg=cfg).collect()
+    }
+    assert inc_kept == batch_kept == {2, 7}
+
+
+def test_curate_increment_keeper_longest_history_still_first_wins(spark):
+    """The vs-history half stays FIRST-WINS under 'longest': a later,
+    LONGER near-dup of an already-landed keeper is dropped (the landed
+    corpus is immutable), while the batch's own components still elect
+    their longest member."""
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curate_increment,
+    )
+    import tempfile as _tf
+
+    cfg = CurationConfig(near_dup_jaccard=0.5, near_dup_keeper="longest")
+    state = CurationState(_tf.mkdtemp() + "/st")
+    b1 = _mk_docs(spark, [(1, "web", GOOD)])
+    assert {r["doc_id"] for r in curate_increment(b1, state, cfg=cfg).collect()} == {1}
+
+    other = (
+        "call it what you want but the story of the sea is the story of "
+        "the men who sailed it for the love of the wind and the salt"
+    )
+    b2 = _mk_docs(
+        spark,
+        [
+            # LONGER near-dup of landed doc 1 -> still dropped (history wins)
+            (10, "web", GOOD + " with one tiny extra suffix appended here"),
+            # fresh within-batch near-dup pair -> the LONGER member 12 wins
+            (11, "books", other),
+            (12, "books", other + " and the long nights far from home"),
+        ],
+    )
+    kept2 = {r["doc_id"] for r in curate_increment(b2, state, cfg=cfg).collect()}
+    assert kept2 == {12}
 
 
 def test_curate_contamination_mode_excise_spans(spark):
@@ -1182,6 +1245,64 @@ def test_curate_increment_boilerplate_gate_matches_batch(spark, tmp_path):
     batch_kept = {r["doc_id"] for r in both.after_near_dedup.collect()}
     both.unpersist()
     assert batch_kept == kept1 | kept2
+
+
+def test_curate_stream_boilerplate_gate_parity_and_replay(spark, tmp_path):
+    """Streaming twin of the incremental boilerplate gate: epochs driven
+    through curation_epoch_apply drop a mostly-template doc on HISTORY
+    frequency exactly like curate_increment does, and a full replay of
+    the epoch is idempotent because the epoch-tag exclusion hides the
+    replayed epoch's own shingle appends from its history counts."""
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curation_epoch_apply,
+    )
+
+    footer = (
+        "all of the rights in this page are reserved to the company "
+        "and its owners for all time without any further notice given"
+    )
+    fillers = [
+        "the river ran low in the summer and the children walked the dry "
+        "bed to find the smooth stones they liked to paint in the shade",
+        "a letter came from the north with news of the harvest and the "
+        "roads and the prices the grain would fetch at the winter fair",
+        "the old mill turned again after the rains and the miller sang "
+        "as the wheel groaned back into its slow and steady work",
+        "maps of the coast were drawn again that year because the storm "
+        "had moved the sand and cut a new channel through the bar",
+        "the teacher kept the window open so the class could hear the "
+        "band practice its slow march for the festival in the square",
+    ]
+    cfg = CurationConfig(max_boiler_frac=0.6, boiler_min_docs=3)
+    state = CurationState(str(tmp_path / "state"))
+    out = str(tmp_path / "out")
+    apply_fn = curation_epoch_apply(state, out, cfg=cfg)
+
+    apply_fn(
+        _mk_docs(spark, [(i, "web", f"{f} {footer}") for i, f in enumerate(fillers)]),
+        0,
+    )
+    ep0 = {r["doc_id"] for r in spark.read.parquet(f"{out}/epoch=0").collect()}
+    assert ep0 == {0, 1, 2, 3, 4}, "low-coverage templated docs stay"
+
+    b2 = _mk_docs(
+        spark,
+        [
+            (10, "web", "the final page reads " + footer),
+            (11, "web", GOOD),
+        ],
+    )
+    apply_fn(b2, 1)
+    ep1 = {r["doc_id"] for r in spark.read.parquet(f"{out}/epoch=1").collect()}
+    assert ep1 == {11}, "mostly-footer doc drops on HISTORY frequency"
+
+    # full epoch replay (crash after state append, before commit ack):
+    # identical output — its own epoch-tagged shingle rows are excluded
+    # from the history counts, so the gate sees the same frequencies
+    apply_fn(b2, 1)
+    replay = {r["doc_id"] for r in spark.read.parquet(f"{out}/epoch=1").collect()}
+    assert replay == ep1
 
 
 def test_curate_lm_bigram_gate_drops_scrambled_order(spark):

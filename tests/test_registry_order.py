@@ -49,13 +49,19 @@ DRIVER_CAP = 50
 # totals -> rate -> md5-threshold chain decides every copy it emits.
 # Born deprioritized in round 6: text_paragraph_dedup,
 # doc_span_decontaminate (compositions of checked families).
+# Round 7 rotated in the six never-driver-checked queries
+# (doc_span_decontaminate, text_paragraph_dedup, text_lm_surprisal,
+# doc_chunk_overlap, sample_weighted_topk, text_hashed_embed),
+# displacing text_tfidf_top_terms / embed_quantize_int8 /
+# doc_pack_sequences / agg_cube / dedup_embed_near / dedup_latest_wins
+# — each with multi-round driver-green history and a checked
+# containment sibling (see registry.DEPRIORITIZED rationale).
 MUST_BE_CHECKED = {
     "q1_pricing_summary",
     "agg_approx_distinct",
     "dedup_bloom_prefilter",
     "text_lm_bigram",
     "agg_rollup",
-    "agg_cube",
     "agg_approx_percentile",
     "agg_salted_skew",
     "join_broadcast_dim",
@@ -76,12 +82,10 @@ MUST_BE_CHECKED = {
     "type_coercion_parity",
     "null_policy",
     "rename_fanin_union",
-    "dedup_latest_wins",
     "cdc_apply_final_state",
     "csv_roundtrip_nation",
     "dedup_exact_groups",
     "dedup_lsh_jaccard",
-    "dedup_embed_near",
     "dedup_exact_substring",
     "embed_cosine_topk",
     "embed_ivf_topk",
@@ -91,15 +95,18 @@ MUST_BE_CHECKED = {
     "dedup_cluster_best_keeper",
     "sample_stratified_split",
     "text_pii_redact",
-    "text_tfidf_top_terms",
-    "embed_quantize_int8",
     "text_repetition_stats",
-    "doc_pack_sequences",
     "doc_contamination_check",
     "doc_corpus_contamination",
     "sample_mixture_epochs",
     "funnel_window_3step",
     "multimodal_features",
+    "doc_span_decontaminate",
+    "text_paragraph_dedup",
+    "text_lm_surprisal",
+    "doc_chunk_overlap",
+    "sample_weighted_topk",
+    "text_hashed_embed",
 }
 
 
