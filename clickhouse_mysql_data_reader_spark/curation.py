@@ -368,6 +368,70 @@ def _near_dup_drop_ids(
     )
 
 
+def _decontamination_stage(
+    deduped: DataFrame,
+    benchmark: DataFrame | None,
+    cfg: CurationConfig,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Benchmark decontamination under the configured mode — shared by
+    batch ``curate`` (stage 5) and ``curate_increment`` so the two
+    paths cannot drift. The stage is a pure per-doc function of
+    (doc text, benchmark): it never consults corpus state, so applying
+    it per batch composes to exactly the batch-over-concatenation
+    result. The benchmark side is always the broadcast small side; the
+    corpus is scanned, never shuffled on content."""
+    if benchmark is None:
+        return deduped
+    if cfg.contamination_mode == "excise_spans":
+        # surgical form: cut benchmark-colliding spans, keep the rest
+        # of the doc
+        from clickhouse_mysql_data_reader_spark.operators.text import (
+            span_decontaminate,
+        )
+
+        excised = span_decontaminate(
+            deduped,
+            benchmark,
+            text_col=text_col,
+            id_col=id_col,
+            window=cfg.contamination_window,
+        )
+        # only docs that actually collided get the normalized-token
+        # rebuild; everything else keeps its raw text verbatim (the
+        # excision is surgical, not a corpus-wide lossy rewrite)
+        touched = excised.filter(F.col("n_dropped") > 0).select(
+            id_col, F.col(text_col).alias("_excised_text")
+        )
+        return (
+            deduped.join(touched, id_col, "left")
+            .withColumn(
+                text_col, F.coalesce(F.col("_excised_text"), F.col(text_col))
+            )
+            .drop("_excised_text")
+        )
+    if cfg.contamination_mode == "drop_docs":
+        # corpus docs contaminated BY benchmark content leave; the
+        # corpus-side operator broadcasts the BENCHMARK's shingles (the
+        # small side)
+        contam = corpus_contamination(
+            corpus=deduped,
+            benchmark=benchmark,
+            text_col=text_col,
+            id_col=id_col,
+            flag_threshold=cfg.contamination_threshold,
+        )
+        leaky = contam.filter(F.col("flag_contaminated")).select(
+            F.col("doc_id").alias(id_col)
+        )
+        return deduped.join(leaky, id_col, "left_anti")
+    raise ValueError(
+        f"unknown contamination_mode {cfg.contamination_mode!r}: "
+        "expected 'drop_docs' or 'excise_spans'"
+    )
+
+
 def curate(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
@@ -457,56 +521,7 @@ def curate(
     deduped = boiled.join(drop_ids, id_col, "left_anti")
 
     # --- stage 5: decontamination vs the benchmark --------------------
-    if benchmark is not None and cfg.contamination_mode == "excise_spans":
-        # surgical form: cut benchmark-colliding spans, keep the rest
-        # of the doc; same broadcast direction (benchmark fingerprints
-        # are the small side), corpus never shuffles on content
-        from clickhouse_mysql_data_reader_spark.operators.text import (
-            span_decontaminate,
-        )
-
-        excised = span_decontaminate(
-            deduped,
-            benchmark,
-            text_col=text_col,
-            id_col=id_col,
-            window=cfg.contamination_window,
-        )
-        # only docs that actually collided get the normalized-token
-        # rebuild; everything else keeps its raw text verbatim (the
-        # excision is surgical, not a corpus-wide lossy rewrite)
-        touched = excised.filter(F.col("n_dropped") > 0).select(
-            id_col, F.col(text_col).alias("_excised_text")
-        )
-        clean = (
-            deduped.join(touched, id_col, "left")
-            .withColumn(
-                text_col, F.coalesce(F.col("_excised_text"), F.col(text_col))
-            )
-            .drop("_excised_text")
-        )
-    elif benchmark is not None and cfg.contamination_mode == "drop_docs":
-        # corpus docs contaminated BY benchmark content leave; the
-        # corpus-side operator broadcasts the BENCHMARK's shingles (the
-        # small side) — the corpus is scanned, never broadcast/shuffled
-        contam = corpus_contamination(
-            corpus=deduped,
-            benchmark=benchmark,
-            text_col=text_col,
-            id_col=id_col,
-            flag_threshold=cfg.contamination_threshold,
-        )
-        leaky = contam.filter(F.col("flag_contaminated")).select(
-            F.col("doc_id").alias(id_col)
-        )
-        clean = deduped.join(leaky, id_col, "left_anti")
-    elif benchmark is not None:
-        raise ValueError(
-            f"unknown contamination_mode {cfg.contamination_mode!r}: "
-            "expected 'drop_docs' or 'excise_spans'"
-        )
-    else:
-        clean = deduped
+    clean = _decontamination_stage(deduped, benchmark, cfg, text_col, id_col)
 
     # --- stage 6: mixture shaping (optional) --------------------------
     if cfg.mixture_weights is not None and cfg.mixture_epochs:
@@ -1227,6 +1242,7 @@ def curate_increment(
     new_docs: DataFrame,
     state: CurationState,
     cfg: CurationConfig = CurationConfig(),
+    benchmark: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     update_state: bool = True,
@@ -1271,6 +1287,19 @@ def curate_increment(
     will NOT append it itself, regardless of ``update_state``.
     ``curation_epoch_apply`` uses this to defer the append until
     after its epoch output commits.
+
+    ``benchmark``: decontamination in the batch stage order (after the
+    near-dup merge, same ``contamination_mode`` semantics as batch
+    ``curate`` via the shared ``_decontamination_stage``). The stage
+    is a pure per-doc function of (text, benchmark) — no history
+    interaction — so per-batch application composes exactly; the STATE
+    lands the decontaminated survivors only. KNOWN DELTA vs
+    batch-over-concatenation: a contaminated doc never lands, so it
+    cannot suppress a CLEAN near-dup arriving in a LATER batch the way
+    a contaminated within-run keeper does in one batch run — the
+    incremental path keeps that later clean copy (errs toward keeping
+    a clean document; the contamination gate itself judged it clean).
+    Within one batch the stage order matches batch mode exactly.
     """
     if (cfg.minhash_k, cfg.lsh_bands) != (state.minhash_k, state.lsh_bands):
         # a mismatch is silent data corruption, not an error state the
@@ -1406,6 +1435,7 @@ def curate_increment(
         comps0 = connected_components(pairs0.select("doc_a", "doc_b"))
         drop0 = _near_dup_drop_ids(comps0, boiled0, cfg, text_col, id_col)
         kept = boiled0.join(drop0, id_col, "left_anti")
+        kept = _decontamination_stage(kept, benchmark, cfg, text_col, id_col)
         if update_state:
             kept = state.write(kept, text_col=text_col, id_col=id_col,
                                mode="append", epoch_id=epoch_id, run_id=run_id)
@@ -1557,6 +1587,7 @@ def curate_increment(
         vs_hist.join(drop_in, id_col, "left_anti")
         .join(drop_hist, id_col, "left_anti")
     )
+    kept = _decontamination_stage(kept, benchmark, cfg, text_col, id_col)
     if update_state:
         # act on the frame write() returns: it is checkpointed, so the
         # result cannot re-read the state this call just appended to
@@ -1571,6 +1602,7 @@ def curate_stream(
     state: CurationState,
     out_dir: str,
     cfg: CurationConfig = CurationConfig(),
+    benchmark: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     run_id: str | None = None,
@@ -1626,8 +1658,8 @@ def curate_stream(
     location, and calls start().
     """
     apply_fn = curation_epoch_apply(
-        state, out_dir, cfg=cfg, text_col=text_col, id_col=id_col, run_id=run_id,
-        compact_every=compact_every,
+        state, out_dir, cfg=cfg, benchmark=benchmark, text_col=text_col,
+        id_col=id_col, run_id=run_id, compact_every=compact_every,
     )
     return stream_docs.writeStream.foreachBatch(apply_fn)
 
@@ -1636,6 +1668,7 @@ def curation_epoch_apply(
     state: CurationState,
     out_dir: str,
     cfg: CurationConfig = CurationConfig(),
+    benchmark: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     run_id: str | None = None,
@@ -1659,6 +1692,7 @@ def curation_epoch_apply(
             batch_df,
             state,
             cfg=cfg,
+            benchmark=benchmark,
             text_col=text_col,
             id_col=id_col,
             update_state=False,

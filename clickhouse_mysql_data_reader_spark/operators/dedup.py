@@ -254,6 +254,36 @@ def jaccard_pairs(
     long-lived session (the bench loop, a notebook) doesn't accumulate
     stale cached relations. No persist happens by default.
     """
+    out = _pair_intersections(shingles, candidates, storage).withColumn(
+        # raw double division, NOT rounded: both engines lower
+        # int/int to the identical IEEE double op, so the value is
+        # bit-deterministic — unlike round(), whose half-way
+        # behavior differs across engines. The when() guard keeps
+        # ANSI mode from throwing on a degenerate |A u B| = 0 row
+        # (only reachable via duplicate shingle rows, e.g. a
+        # replayed state append): NULL jaccard fails every >=
+        # threshold filter, so degenerate rows drop out instead of
+        # killing the job. With distinct shingles and doc_a !=
+        # doc_b the union size is provably >= 1 and the guard
+        # never fires.
+        "jaccard",
+        F.when(
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")) > 0,
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        ),
+    )
+    return out.filter(
+        (F.col("jaccard") >= min_jaccard) & (F.col("n_inter") >= min_inter)
+    ).select("doc_a", "doc_b", "n_inter", "jaccard")
+
+
+def _pair_intersections(
+    shingles: DataFrame, candidates: DataFrame | None, storage
+) -> DataFrame:
+    """Shared verify core of ``jaccard_pairs`` / ``containment_pairs``:
+    (doc_a, doc_b, n_inter, n_a, n_b) for co-shingled (or candidate)
+    pairs. The metric on top is the only thing the two operators
+    differ in, so they cannot drift on the join machinery."""
     if storage is not None:
         shingles = shingles.persist(storage)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -281,31 +311,51 @@ def jaccard_pairs(
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
-    out = (
+    return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .withColumn(
-            # raw double division, NOT rounded: both engines lower
-            # int/int to the identical IEEE double op, so the value is
-            # bit-deterministic — unlike round(), whose half-way
-            # behavior differs across engines. The when() guard keeps
-            # ANSI mode from throwing on a degenerate |A u B| = 0 row
-            # (only reachable via duplicate shingle rows, e.g. a
-            # replayed state append): NULL jaccard fails every >=
-            # threshold filter, so degenerate rows drop out instead of
-            # killing the job. With distinct shingles and doc_a !=
-            # doc_b the union size is provably >= 1 and the guard
-            # never fires.
-            "jaccard",
-            F.when(
-                (F.col("n_a") + F.col("n_b") - F.col("n_inter")) > 0,
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-            ),
-        )
+    )
+
+
+def containment_pairs(
+    shingles: DataFrame,
+    candidates: DataFrame | None = None,
+    min_containment: float = 0.0,
+    min_inter: int = 1,
+    storage=None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT over candidate pairs (or all
+    co-shingled pairs when candidates is None): |A ∩ B| / min(|A|, |B|)
+    — the sub-document duplicate metric. A truncated or excerpted copy
+    of a long document scores near 1.0 here while its symmetric Jaccard
+    can sit far below any dedup threshold (the intersection is divided
+    by the LONG doc's union), so Jaccard-threshold passes systematically
+    keep truncated duplicates; containment catches them (the one-sided
+    overlap move of RefinedWeb/Gopher-style near-dedup, Broder 1997's
+    containment measure).
+
+    Same verify core as ``jaccard_pairs`` (shared
+    ``_pair_intersections`` — candidate-driven join, never all-pairs;
+    ``storage``/persist contract identical, caller-owned). Returns
+    (doc_a, doc_b, n_inter, containment); feed pairs to
+    ``connected_components``/``component_keepers`` exactly like the
+    Jaccard path.
+    """
+    out = _pair_intersections(shingles, candidates, storage).withColumn(
+        # least(n_a, n_b) >= 1 whenever the pair exists (each doc has at
+        # least its own intersecting shingles), but duplicate shingle
+        # rows from a replayed state append could still degenerate —
+        # same NULL-drops-the-row guard as jaccard_pairs
+        "containment",
+        F.when(
+            F.least(F.col("n_a"), F.col("n_b")) > 0,
+            F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")),
+        ),
     )
     return out.filter(
-        (F.col("jaccard") >= min_jaccard) & (F.col("n_inter") >= min_inter)
-    ).select("doc_a", "doc_b", "n_inter", "jaccard")
+        (F.col("containment") >= min_containment)
+        & (F.col("n_inter") >= min_inter)
+    ).select("doc_a", "doc_b", "n_inter", "containment")
 
 
 def contamination_check(

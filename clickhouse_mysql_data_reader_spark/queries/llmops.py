@@ -183,6 +183,45 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment_near",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_inter,
+           n_inter / least(sa.n_sh, sb.n_sh) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter >= 3 AND n_inter / least(sa.n_sh, sb.n_sh) >= 0.5
+    """,
+    doc="Exact 3-gram CONTAINMENT (|A∩B| / min(|A|,|B|), Broder 1997) "
+    "for co-shingled pairs: a truncated/excerpted copy of a long doc "
+    "scores ~1.0 here while its symmetric Jaccard can sit far below any "
+    "dedup threshold — the sub-document-duplicate metric Jaccard-only "
+    "passes systematically miss. Shares jaccard_pairs' verify core "
+    "(candidate-driven join, never all-pairs).",
+)
+def dedup_containment_near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from clickhouse_mysql_data_reader_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, "text", "doc_id", k=3)
+    return containment_pairs(
+        sh, min_inter=3, min_containment=0.5,
+        storage=StorageLevel.MEMORY_AND_DISK,
+    )
+
+
+@register(
     "dedup_simhash",
     f"""
     WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),

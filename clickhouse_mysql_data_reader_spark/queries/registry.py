@@ -280,7 +280,19 @@ QUERIES: dict[str, QueryDef] = {}
 #     cdc_apply_final_state (operators/cdc.py latest_change_per_key —
 #     same WindowExec, plus the delete filter on top); driver-green
 #     r1-r6
+# ...and one more round-7 displacement to admit n-gram CONTAINMENT
+# near-dup (dedup_containment_near — the sub-document-duplicate metric,
+# |A∩B|/min(|A|,|B|); truncated copies score ~1.0 while their Jaccard
+# sits below any threshold — a new unique capability) into the checked
+# 50:
+#   - embed_cosine_topk: its zip_with dot-product + per-query
+#     row_number top-k arithmetic is hash-verified INSIDE the checked
+#     embed_ivf_topk (the identical cosine ranking runs over the probed
+#     cells) and dedup_embed_near_multiprobe; driver-green r1-r6 on an
+#     unchanged plan, still a bench headline, and the exact-baseline
+#     recall tests pin it against the IVF path every CI run.
 DEPRIORITIZED = (
+    "embed_cosine_topk",
     "sample_mixture_weights",
     "dedup_cluster_components",
     "text_tfidf_top_terms",

@@ -218,6 +218,73 @@ def test_curate_contamination_mode_excise_spans(spark):
         )
 
 
+def test_curate_increment_decontaminates_each_batch(spark, tmp_path):
+    """curate_increment(benchmark=...): the shared decontamination stage
+    runs per batch in the batch stage order — contaminated docs never
+    land in state (drop_docs), a history-free increment matches batch
+    curate with the same benchmark, and excise_spans rewrites exactly
+    the colliding docs' text while clean docs stay verbatim."""
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curate_increment,
+    )
+
+    passage = (
+        "the committee shall convene on the first monday of every month "
+        "to review the petitions submitted by the residents of the town"
+    )
+    body = (
+        "the miller wrote a long letter about the harvest and the roads "
+        "and the prices the grain would fetch at the winter fair this year"
+    )
+    bench = _mk_docs(spark, [(100, "eval", passage)])
+    cfg = CurationConfig(contamination_threshold=0.3)
+
+    b1 = _mk_docs(spark, [(1, "web", GOOD), (2, "web", "as noted " + passage)])
+    state = CurationState(str(tmp_path / "drop_state"))
+    kept1 = {
+        r["doc_id"]
+        for r in curate_increment(b1, state, cfg=cfg, benchmark=bench).collect()
+    }
+    assert kept1 == {1}, "contaminated doc dropped in the bootstrap batch"
+    assert {r["doc_id"] for r in state.fingerprints(spark).collect()} == {1}
+
+    # history-free parity with batch curate under the same benchmark
+    batch_kept = {
+        r["doc_id"]
+        for r in curate(b1, benchmark=bench, cfg=cfg).after_decontamination.collect()
+    }
+    assert batch_kept == kept1
+
+    # steady-state path (state exists now): contamination still drops
+    b2 = _mk_docs(
+        spark,
+        [
+            (10, "web", "minutes record that " + passage),
+            (11, "web", "call it what you want but the story of the sea is "
+                        "the story of the men who sailed it for the wind"),
+        ],
+    )
+    kept2 = {
+        r["doc_id"]
+        for r in curate_increment(b2, state, cfg=cfg, benchmark=bench).collect()
+    }
+    assert kept2 == {11}
+    assert {r["doc_id"] for r in state.fingerprints(spark).collect()} == {1, 11}
+
+    # excise mode: only the quoting doc is rewritten, clean text verbatim
+    ex_state = CurationState(str(tmp_path / "ex_state"))
+    ex_cfg = CurationConfig(contamination_mode="excise_spans")
+    b3 = _mk_docs(spark, [(20, "web", body + " " + passage), (21, "web", GOOD)])
+    out = {
+        r["doc_id"]: r["text"]
+        for r in curate_increment(b3, ex_state, cfg=ex_cfg, benchmark=bench).collect()
+    }
+    assert set(out) == {20, 21}
+    assert "committee" not in out[20] and "miller" in out[20]
+    assert out[21] == GOOD
+
+
 def test_curate_mixture_epochs_replicates_and_packs(spark):
     """cfg.mixture_epochs: a source whose mixture target exceeds one
     pass over it is REPLICATED (copy_no rows), every replica gets its

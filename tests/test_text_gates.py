@@ -193,3 +193,48 @@ def test_gate_columns_rejects_internal_name_collision(spark):
     out = gopher_gate_columns(ok, "text", min_words=10)
     assert set(out.columns) == {"doc_id", "text", "extra", "pass_gopher"}
     assert out.collect()[0]["pass_gopher"] is True
+
+
+def test_containment_catches_truncated_copy_jaccard_misses(spark):
+    """The sub-document-duplicate case: doc 2 is a truncated copy of
+    long doc 1. Its containment is 1.0 (every shingle of the short doc
+    appears in the long one) while its Jaccard sits well below a 0.8
+    dedup threshold — exactly the pair a Jaccard-only pass keeps."""
+    from clickhouse_mysql_data_reader_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        shingle_table,
+    )
+
+    head = (
+        "the survey team walked the north ridge at dawn and marked the "
+        "line where the old fence had fallen in the storm last winter"
+    )
+    tail = (
+        "and later that week the clerk copied the notes into the ledger "
+        "and filed the map with the county office for the record books"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, head + " " + tail),  # long original
+            (2, head),               # truncated copy (first half only)
+            (3, "a completely different account of the harvest feast "
+                "held in the village square when the rains finally came"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingle_table(docs, "text", "doc_id", k=3)
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(sh, min_inter=3).collect()
+    }
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(sh, min_inter=3).collect()
+    }
+    assert cont[(1, 2)] == 1.0, "every shingle of the truncated copy is contained"
+    assert jac[(1, 2)] < 0.8, "symmetric Jaccard misses the same pair"
+    assert (1, 3) not in cont and (2, 3) not in cont
+    # threshold filter keeps only the contained pair
+    kept = containment_pairs(sh, min_inter=3, min_containment=0.9).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in kept} == {(1, 2)}
