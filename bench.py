@@ -273,6 +273,10 @@ def main() -> None:
         "text_paragraph_dedup": time_query("text_paragraph_dedup"),
         "sample_mixture_epochs": time_query("sample_mixture_epochs"),
         "doc_span_decontaminate": time_query("doc_span_decontaminate"),
+        # round-7 operator additions: containment near-dup through the
+        # AllPairs prefix-filter candidate path (the scale plan the
+        # checked query now runs)
+        "dedup_containment_near": time_query("dedup_containment_near"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from clickhouse_mysql_data_reader_spark.operators.dedup import (
+    containment_pairs,
+    containment_prefix_candidates,
     content_fingerprint,
     corpus_contamination,
     jaccard_pairs,
@@ -131,6 +133,21 @@ class CurationConfig:
     classifier_model: tuple | None = None
     min_quality_prob: float = 0.5
     near_dup_jaccard: float = 0.8
+    # opt-in SECOND near-dup edge type: exact n-gram CONTAINMENT
+    # (|A∩B|/min(|A|,|B|), Broder 1997) at this threshold, candidates
+    # from AllPairs prefix filtering (operators/dedup.py
+    # containment_prefix_candidates — exact, never all-pairs). Catches
+    # the sub-document duplicates the Jaccard threshold systematically
+    # keeps: a truncated/excerpted copy of a long doc has containment
+    # ~1.0 but Jaccard far below near_dup_jaccard (the intersection is
+    # divided by the LONG doc's union). Edges from both metrics are
+    # unioned before connected components, so a truncated copy merges
+    # into its original's component and the keeper policy ("longest"
+    # keeps the untruncated one) resolves it. Batch curate() only —
+    # containment vs an already-landed corpus would need the landed
+    # docs' full shingle sets, which the incremental state (MinHash
+    # signatures + band hashes) deliberately does not keep; None = off.
+    near_dup_containment: float | None = None
     # keeper policy for the near-dup merge: "min_id" keeps each
     # component's smallest doc id (the classic deterministic label);
     # "longest" keeps the member with the greatest text length (ties ->
@@ -173,6 +190,12 @@ class CurationConfig:
     mixture_epochs: bool = False
     pack_budget: int = 128
     pack_shards: int = 8
+    # operators/dedup.py optimal_lsh_bands(minhash_k, near_dup_jaccard)
+    # picks the band count minimizing integrated S-curve error at the
+    # Jaccard threshold — a driver-side helper, deliberately not called
+    # implicitly (incremental states pin these values at first landing,
+    # so a silent re-derivation under a changed default would brick
+    # every existing state's parameter check)
     minhash_k: int = 16
     lsh_bands: int = 4
 
@@ -492,6 +515,16 @@ def curate(
     # jaccard_pairs' storage parameter).
     sh = shingle_table(exact, text_col, id_col)
     boiled = exact
+    if cfg.near_dup_containment is not None and cfg.max_boiler_frac is None:
+        from pyspark import StorageLevel
+
+        # the containment edge type adds four more consumers of the
+        # shingle relation (frequency agg, prefix build, probe side,
+        # verify core) on top of MinHash — persist it even when the
+        # boilerplate gate (which persists below) is off; same
+        # caller-owned lifecycle via CurationResult.unpersist()
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(sh)
     if cfg.max_boiler_frac is not None:
         from pyspark import StorageLevel
 
@@ -516,7 +549,24 @@ def curate(
     sigs = minhash_signatures(sh, num_hashes=cfg.minhash_k)
     cands = lsh_candidate_pairs(sigs, num_hashes=cfg.minhash_k, bands=cfg.lsh_bands)
     near_pairs = jaccard_pairs(sh, candidates=cands, min_jaccard=cfg.near_dup_jaccard)
-    comps = connected_components(near_pairs.select("doc_a", "doc_b"))
+    edges = near_pairs.select("doc_a", "doc_b")
+    if cfg.near_dup_containment is not None:
+        # second edge type: containment via exact prefix-filter
+        # candidates — the truncated-copy pairs LSH banding under-
+        # recalls (collision probability tracks JACCARD, low by
+        # construction for short-inside-long pairs). Union of edge sets
+        # feeds one components pass; distinct() only shuffles the pair
+        # relation, which is many orders smaller than the corpus.
+        c_cands = containment_prefix_candidates(
+            sh, min_containment=cfg.near_dup_containment
+        )
+        c_pairs = containment_pairs(
+            sh, candidates=c_cands, min_containment=cfg.near_dup_containment
+        )
+        edges = edges.unionByName(
+            c_pairs.select("doc_a", "doc_b")
+        ).distinct()
+    comps = connected_components(edges)
     drop_ids = _near_dup_drop_ids(comps, boiled, cfg, text_col, id_col)
     deduped = boiled.join(drop_ids, id_col, "left_anti")
 
@@ -1316,6 +1366,18 @@ def curate_increment(
         raise ValueError(
             f"unknown near_dup_keeper {cfg.near_dup_keeper!r}: "
             "expected 'min_id' or 'longest'"
+        )
+    if cfg.near_dup_containment is not None:
+        # containment vs HISTORY needs every landed doc's full shingle
+        # set; the incremental state deliberately keeps only MinHash
+        # signatures + band hashes (bounded per doc). Silently running
+        # the within-batch half alone would miss cross-batch truncated
+        # copies — the pairs the metric exists to find — so reject
+        # loudly instead of degrading.
+        raise ValueError(
+            "near_dup_containment is batch curate() only: the landed "
+            "state keeps MinHash signatures, not full shingle sets, so "
+            "containment against history cannot be computed incrementally"
         )
     spark = new_docs.sparkSession
     if state.exists(spark):

@@ -167,6 +167,56 @@ def band_table(
     ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
 
 
+def optimal_lsh_bands(
+    num_hashes: int,
+    threshold: float,
+    fp_weight: float = 0.5,
+    _steps: int = 200,
+) -> int:
+    """Pick the band count minimizing the weighted integrated LSH
+    error at a target Jaccard ``threshold`` — the standard S-curve
+    analysis (Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets"
+    ch. 3; same objective datasketch's public optimizer integrates).
+
+    For b bands of r = num_hashes // b rows, a pair with Jaccard s
+    collides with probability p(s) = 1 - (1 - s^r)^b. The false-positive
+    mass is the integral of p(s) below the threshold; the false-negative
+    mass is the integral of 1 - p(s) above it (midpoint quadrature,
+    ``_steps`` cells — plenty for a monotone smooth integrand picked
+    from <= num_hashes discrete candidates). ``fp_weight`` in [0, 1]
+    trades the two: weight FP high when the verify stage is the cost
+    center (every candidate pays an exact Jaccard), FN high when recall
+    is the product requirement (dedup misses poison training data).
+
+    Driver-side arithmetic over O(num_hashes * _steps) floats — use it
+    to choose ``lsh_bands``/``CurationConfig.lsh_bands`` BEFORE the job;
+    nothing here touches a DataFrame. Only divisors of num_hashes are
+    candidates (band_table needs equal-width bands)."""
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if not (0.0 <= fp_weight <= 1.0):
+        raise ValueError(f"fp_weight must be in [0, 1], got {fp_weight}")
+    best_b, best_err = 1, float("inf")
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        fp = fn = 0.0
+        for i in range(_steps):
+            s = (i + 0.5) / _steps
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p
+            else:
+                fn += 1.0 - p
+        err = (fp_weight * fp + (1.0 - fp_weight) * fn) / _steps
+        if err < best_err:
+            best_b, best_err = b, err
+    return best_b
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 16,
@@ -356,6 +406,88 @@ def containment_pairs(
         (F.col("containment") >= min_containment)
         & (F.col("n_inter") >= min_inter)
     ).select("doc_a", "doc_b", "n_inter", "containment")
+
+
+def containment_prefix_candidates(
+    shingles: DataFrame, min_containment: float
+) -> DataFrame:
+    """Candidate pairs for a containment >= ``min_containment`` join via
+    PREFIX FILTERING (Bayardo/Ma/Srikant, "Scaling Up All Pairs
+    Similarity Search", WWW 2007) — the exact candidate generator for
+    containment, where banded MinHash-LSH is the WRONG tool: LSH
+    collision probability tracks JACCARD, and the interesting
+    containment pairs (short doc inside long doc) have low Jaccard by
+    construction, so LSH banding systematically under-recalls exactly
+    the pairs containment exists to find.
+
+    The filter: order every doc's shingles by ascending corpus
+    document-frequency (rarest first, ties by hash); a doc's PREFIX is
+    its first floor((1-t)*|A|) + 1 shingles. If containment(A,B) >= t
+    with |A| <= |B|, then A shares >= ceil(t*|A|) shingles with B, and
+    a shared set that large cannot fit entirely inside A's suffix
+    (|A| - prefix_len < t*|A|) — so at least one PREFIX shingle of the
+    smaller doc appears in B. Joining every doc's prefix against the
+    full shingle relation therefore finds every qualifying pair: NO
+    false negatives, exactness pinned by test against the all-pairs
+    baseline.
+
+    Scale shape: the prefix table is ~(1-t) of the shingle relation
+    (t=0.9 -> 10% + 1 row per doc), and its join keys are each doc's
+    RAREST shingles — the frequency ordering steers the join away from
+    hot boilerplate shingles, so bucket sizes stay small exactly where
+    the co-shingle self-join explodes. One frequency aggregate + one
+    per-doc sort_array slice (bounded by doc shingle count, map-side
+    groupBy — no window) + one equi-join. Feed the result to
+    ``containment_pairs(candidates=...)`` for the exact verify.
+
+    The slice takes ONE MARGIN SHINGLE beyond the analytic bound:
+    ``1.0 - t`` in binary floating point can round DOWN (e.g.
+    ``1 - 0.3 == 0.699…``), which would shorten the prefix by one and
+    admit a false negative for pairs sitting exactly at the threshold;
+    the FP error is ~1e-16·|A|, so it can shift ``floor`` by at most
+    one integer for any physical doc — +1 shingle restores exactness
+    unconditionally. Requires set-semantics shingles
+    (``shingle_table(distinct=True)``): duplicate rows would inflate
+    ``size(_arr)`` past the set size the containment metric counts.
+    """
+    if not (0.0 < min_containment <= 1.0):
+        raise ValueError(
+            f"min_containment must be in (0, 1], got {min_containment}"
+        )
+    freq = shingles.groupBy("sh_h").agg(F.count(F.lit(1)).alias("_df"))
+    prefix = (
+        shingles.join(freq, "sh_h")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_df"), F.col("sh_h")))
+            ).alias("_arr")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.slice(
+                    F.col("_arr"),
+                    1,
+                    F.floor(
+                        (1.0 - F.lit(min_containment)) * F.size("_arr")
+                    ).cast("int")
+                    + 2,
+                )
+            ).alias("_p"),
+        )
+        .select("doc_id", F.col("_p.sh_h").alias("sh_h"))
+    )
+    other = shingles.select(F.col("doc_id").alias("_od"), "sh_h")
+    return (
+        prefix.join(other, "sh_h")
+        .filter(F.col("doc_id") != F.col("_od"))
+        .select(
+            F.least("doc_id", "_od").alias("doc_a"),
+            F.greatest("doc_id", "_od").alias("doc_b"),
+        )
+        .distinct()
+    )
 
 
 def contamination_check(

@@ -203,21 +203,30 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "for co-shingled pairs: a truncated/excerpted copy of a long doc "
     "scores ~1.0 here while its symmetric Jaccard can sit far below any "
     "dedup threshold — the sub-document-duplicate metric Jaccard-only "
-    "passes systematically miss. Shares jaccard_pairs' verify core "
-    "(candidate-driven join, never all-pairs).",
+    "passes systematically miss. Candidates come from AllPairs PREFIX "
+    "FILTERING (Bayardo et al., WWW'07) — exact, so the all-co-shingled "
+    "oracle still hash-matches — which joins only each doc's rarest "
+    "floor((1-t)|A|)+1 shingles against the corpus: the scale path that "
+    "steers the self-join away from hot boilerplate shingles.",
 )
 def dedup_containment_near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     from clickhouse_mysql_data_reader_spark.operators.dedup import (
         containment_pairs,
+        containment_prefix_candidates,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs, "text", "doc_id", k=3)
+    # one persist shared by the candidate generator (freq + prefix +
+    # probe side) and the verify core (sizes + both join sides) —
+    # caller-owned, released by bench.py's clearCache between queries
+    sh = shingle_table(docs, "text", "doc_id", k=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cands = containment_prefix_candidates(sh, min_containment=0.5)
     return containment_pairs(
-        sh, min_inter=3, min_containment=0.5,
-        storage=StorageLevel.MEMORY_AND_DISK,
+        sh, candidates=cands, min_inter=3, min_containment=0.5
     )
 
 

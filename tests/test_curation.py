@@ -98,6 +98,59 @@ def test_curate_near_dup_keeper_longest(spark):
         )
 
 
+def test_curate_near_dup_containment_catches_truncated_copy(spark):
+    """near_dup_containment adds a SECOND near-dup edge type: a
+    truncated copy of a long doc (containment 1.0, Jaccard ~0.5 — far
+    below the 0.8 Jaccard threshold, so the LSH->Jaccard pass keeps
+    both) merges into the original's component; with
+    near_dup_keeper='longest' the untruncated original is the keeper.
+    Incremental mode rejects the option loudly (history keeps MinHash
+    signatures, not shingle sets)."""
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curate_increment,
+    )
+    import tempfile as _tf
+
+    head = (
+        "the survey team walked the north ridge at dawn and marked the "
+        "line where the old fence had fallen in the storm last winter"
+    )
+    tail = (
+        "and later that week the clerk copied the notes into the ledger "
+        "and filed the map with the county office for the record books"
+    )
+    docs = _mk_docs(
+        spark,
+        [
+            (1, "web", head + " " + tail),  # long original
+            (2, "web", head),               # truncated copy
+            (7, "books", "call it what you want but the story of the sea is "
+                         "the story of the men who sailed it for the wind"),
+        ],
+    )
+    # Jaccard-only at 0.8: the truncated pair survives (the miss)
+    jac_only = curate(docs, cfg=CurationConfig(near_dup_jaccard=0.8))
+    assert {r["doc_id"] for r in jac_only.after_near_dedup.collect()} == {1, 2, 7}
+    # containment edge merges the pair; 'longest' keeps the original
+    both = curate(
+        docs,
+        cfg=CurationConfig(
+            near_dup_jaccard=0.8,
+            near_dup_containment=0.9,
+            near_dup_keeper="longest",
+        ),
+    )
+    assert {r["doc_id"] for r in both.after_near_dedup.collect()} == {1, 7}
+    both.unpersist()
+
+    state = CurationState(_tf.mkdtemp() + "/st")
+    with pytest.raises(ValueError, match="near_dup_containment"):
+        curate_increment(
+            docs, state, cfg=CurationConfig(near_dup_containment=0.9)
+        )
+
+
 def test_curate_increment_keeper_longest_matches_batch_on_empty_state(spark):
     """curate_increment honors near_dup_keeper='longest' for the
     WITHIN-BATCH component stage: on a history-free state the kept set

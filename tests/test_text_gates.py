@@ -6,6 +6,7 @@ test_oracle_queries.py; these tests pin per-RULE behavior."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from clickhouse_mysql_data_reader_spark.operators.text import (
@@ -238,3 +239,85 @@ def test_containment_catches_truncated_copy_jaccard_misses(spark):
     # threshold filter keeps only the contained pair
     kept = containment_pairs(sh, min_inter=3, min_containment=0.9).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in kept} == {(1, 2)}
+
+
+def _containment_corpus(spark):
+    """Corpus with the shapes prefix filtering must not lose: a
+    truncated copy (high containment, low Jaccard), a mid-document
+    excerpt, heavy shared boilerplate across otherwise-unrelated docs
+    (the hot-shingle case the frequency ordering exists to dodge), and
+    a fully unrelated doc."""
+    head = (
+        "the survey team walked the north ridge at dawn and marked the "
+        "line where the old fence had fallen in the storm last winter"
+    )
+    mid = (
+        "and later that week the clerk copied the notes into the ledger "
+        "and filed the map with the county office for the record books"
+    )
+    boiler = "click here to subscribe to our newsletter for more stories"
+    return spark.createDataFrame(
+        [
+            (1, head + " " + mid + " " + boiler),
+            (2, head),                       # truncated copy of 1
+            (3, mid + " " + boiler),         # mid+tail excerpt of 1
+            (4, boiler + " fresh harvest recipes from the valley farms"),
+            (5, boiler + " weekly weather outlook for the coastal towns"),
+            (6, "a completely different account of the harvest feast "
+                "held in the village square when the rains finally came"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_containment_prefix_candidates_exact_vs_all_pairs(spark):
+    """Prefix filtering (Bayardo et al., WWW'07) is an EXACT candidate
+    generator for containment >= t: verified pairs through the prefix
+    candidates must equal the all-co-shingled-pairs baseline at every
+    threshold — including the truncated-copy pair whose Jaccard is low
+    (the case LSH banding systematically under-recalls)."""
+    from clickhouse_mysql_data_reader_spark.operators.dedup import (
+        containment_pairs,
+        containment_prefix_candidates,
+        shingle_table,
+    )
+
+    sh = shingle_table(_containment_corpus(spark), "text", "doc_id", k=3)
+    # 0.3 and 0.7 are FP-adversarial: double(1 - t) rounds DOWN for
+    # them, the case the prefix slice's margin shingle exists for
+    for t in (0.3, 0.5, 0.7, 0.9, 1.0):
+        base = {
+            (r["doc_a"], r["doc_b"]): (r["n_inter"], r["containment"])
+            for r in containment_pairs(
+                sh, min_inter=1, min_containment=t
+            ).collect()
+        }
+        cands = containment_prefix_candidates(sh, min_containment=t)
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["n_inter"], r["containment"])
+            for r in containment_pairs(
+                sh, candidates=cands, min_inter=1, min_containment=t
+            ).collect()
+        }
+        assert got == base, f"prefix filter lost/invented pairs at t={t}"
+    # the hard pair survives the tightest threshold
+    assert (1, 2) in got, "truncated copy must reach containment 1.0"
+
+
+def test_containment_prefix_candidates_validation_and_plan(spark):
+    from clickhouse_mysql_data_reader_spark.operators.dedup import (
+        containment_prefix_candidates,
+        shingle_table,
+    )
+
+    sh = shingle_table(_containment_corpus(spark), "text", "doc_id", k=3)
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="min_containment"):
+            containment_prefix_candidates(sh, min_containment=bad)
+    # prefix build is a map-side-combinable aggregate + equi-join:
+    # no Window (per-doc slice rides groupBy/sort_array), no cartesian
+    plan = containment_prefix_candidates(
+        sh, min_containment=0.9
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
