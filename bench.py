@@ -273,10 +273,15 @@ def main() -> None:
         "text_paragraph_dedup": time_query("text_paragraph_dedup"),
         "sample_mixture_epochs": time_query("sample_mixture_epochs"),
         "doc_span_decontaminate": time_query("doc_span_decontaminate"),
-        # round-7 operator additions: containment near-dup through the
-        # AllPairs prefix-filter candidate path (the scale plan the
-        # checked query now runs)
+        # round-7 operator additions: containment near-dup both ways —
+        # the co-shingle verify (the right plan at low thresholds /
+        # template-free corpora) next to the AllPairs prefix-filter
+        # path (the scale plan for high thresholds over template-heavy
+        # corpora; see the dedup_containment_prefix registry doc)
         "dedup_containment_near": time_query("dedup_containment_near"),
+        "dedup_containment_prefix": time_query("dedup_containment_prefix"),
+        "dedup_jaccard_prefix": time_query("dedup_jaccard_prefix"),
+        "text_bm25_topk": time_query("text_bm25_topk"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

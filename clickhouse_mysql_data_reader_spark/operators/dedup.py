@@ -454,6 +454,44 @@ def containment_prefix_candidates(
         raise ValueError(
             f"min_containment must be in (0, 1], got {min_containment}"
         )
+    return _prefix_filter_candidates(shingles, 1.0 - min_containment)
+
+
+def jaccard_prefix_candidates(
+    shingles: DataFrame, min_jaccard: float
+) -> DataFrame:
+    """EXACT candidate pairs for a Jaccard >= ``min_jaccard`` join via
+    the same AllPairs prefix filter — the deterministic alternative to
+    banded MinHash-LSH: LSH trades false negatives for speed (a pair
+    whose bands never collide is silently lost; recall is a
+    probability, not a guarantee), while the prefix filter provably
+    emits a superset of every qualifying pair, so
+    ``jaccard_pairs(candidates=...)`` on top is EXACT near-dup at
+    scale.
+
+    The Jaccard bound is TIGHTER than containment's: J(A,B) >= t with
+    |A| <= |B| forces |A∩B| >= t(|A|+|B|)/(1+t) >= 2t|A|/(1+t), so the
+    prefix only needs floor(((1-t)/(1+t))*|A|) + 1 shingles — ~11% of
+    each doc at t=0.8 (vs 20% for containment at the same t). Same
+    margin shingle for FP rounding, same rarest-first frequency
+    ordering steering the join off hot shingles, same set-semantics
+    requirement (``shingle_table(distinct=True)``) as
+    ``containment_prefix_candidates``; both share
+    ``_prefix_filter_candidates`` so the machinery cannot drift.
+    """
+    if not (0.0 < min_jaccard <= 1.0):
+        raise ValueError(f"min_jaccard must be in (0, 1], got {min_jaccard}")
+    return _prefix_filter_candidates(
+        shingles, (1.0 - min_jaccard) / (1.0 + min_jaccard)
+    )
+
+
+def _prefix_filter_candidates(shingles: DataFrame, frac: float) -> DataFrame:
+    """Shared AllPairs core: each doc's prefix is its
+    floor(frac*|A|) + 2 rarest shingles (the +1 margin covers FP
+    rounding of ``frac``, see containment_prefix_candidates), joined
+    against the full shingle relation; slice length past |A| is
+    harmless (slice clamps). Emits normalized (doc_a < doc_b) pairs."""
     freq = shingles.groupBy("sh_h").agg(F.count(F.lit(1)).alias("_df"))
     prefix = (
         shingles.join(freq, "sh_h")
@@ -469,10 +507,7 @@ def containment_prefix_candidates(
                 F.slice(
                     F.col("_arr"),
                     1,
-                    F.floor(
-                        (1.0 - F.lit(min_containment)) * F.size("_arr")
-                    ).cast("int")
-                    + 2,
+                    F.floor(F.lit(frac) * F.size("_arr")).cast("int") + 2,
                 )
             ).alias("_p"),
         )

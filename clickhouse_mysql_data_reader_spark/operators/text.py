@@ -378,6 +378,108 @@ def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str, top_k: int = 3) -
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    top_k: int = 10,
+    k1_num: int = 6,
+    k1_den: int = 5,
+    b_num: int = 3,
+    b_den: int = 4,
+    scale: int = 1000,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query by BM25 (Robertson et
+    al., TREC-3 Okapi), in the repo's scaled-INTEGER determinism idiom.
+
+    Two deliberate substitutions keep every step bit-identical across
+    engines (the same reasoning as ``tfidf_top_terms``):
+
+    - idf is the Robertson/Spärck Jones ODDS without the log:
+      ``((2N - 2df + 1) * scale) div (2df + 1)`` — the exact integer
+      form of (N - df + 0.5)/(df + 0.5). ln() would route through libm
+      whose last-ulp differences can flip near-tie rankings AND make
+      the per-doc double sum order-dependent.
+    - the tf saturation uses rational k1 = k1_num/k1_den (default 6/5
+      = 1.2) and b = b_num/b_den (default 3/4), cleared to integers:
+      with dl_norm = (dl * scale * N) div total_tokens (≈ scale *
+      dl/avgdl),
+
+        num = tf * (k1_num + k1_den) * b_den * scale
+        den = k1_den*b_den*scale*tf + k1_num*(b_den - b_num)*scale
+              + k1_num*b_num*dl_norm
+        term_score = (idf_int * num) div den   -- DECIMAL(38,0) product
+
+      which is floor of idf_int * tf(k1+1) / (tf + k1(1-b+b*dl/avgdl))
+      up to the dl quantization. The product runs in DECIMAL(38,0) so
+      web-scale N (idf_int ~ 2*scale*N) cannot overflow int64.
+
+    Per-doc score = SUM of per-term BIGINT scores — integer addition
+    commutes exactly, so aggregation order (which Spark does not
+    promise) cannot change the hash.
+
+    Plan at 100 TB: tokens are filtered to the query's terms BEFORE the
+    tf aggregate (the scan emits ~|query| rows per doc, not the full
+    token stream), df/idf is a per-term aggregate over that filtered
+    relation (<= |query| rows -> broadcast join), doc length is the
+    zero-shuffle ``token_count`` expression riding the same scan, the
+    (N, total_tokens) totals are a broadcast 1-row frame, and the final
+    top-k is orderBy+limit (TakeOrderedAndProject — never a global
+    sort). Ties break (score desc, doc_id asc), fully deterministic.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    from clickhouse_mysql_data_reader_spark.util import fan_out
+
+    base = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("tk"),
+    ).select("doc_id", "tk", F.size("tk").cast("long").alias("dl"))
+    totals = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tok"),
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("tk").alias("term"))
+        .filter(F.col("term").isin(list(query_terms)))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1p = k1_num + k1_den
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "idf_int",
+            F.expr(f"((2*n_docs - 2*df + 1) * {scale}) div (2*df + 1)"),
+        )
+        .withColumn("dl_norm", F.expr(f"(dl * {scale} * n_docs) div total_tok"))
+        .withColumn(
+            "term_score",
+            F.expr(
+                f"CAST(CAST(idf_int AS DECIMAL(38,0))"
+                f" * (tf * {k1p} * {b_den} * {scale}) AS DECIMAL(38,0))"
+                f" div ({k1_den}*{b_den}*{scale}*tf"
+                f" + {k1_num}*({b_den}-{b_num})*{scale}"
+                f" + {k1_num}*{b_num}*dl_norm)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("term_score").cast("long").alias("score"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(top_k)
+    )
+
+
 def _longest_equal_run(arr: Column) -> Column:
     """Length of the longest run of equal elements in the SORTED array —
     i.e. the multiplicity of the most frequent element. A single

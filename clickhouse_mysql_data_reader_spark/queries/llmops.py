@@ -203,13 +203,59 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "for co-shingled pairs: a truncated/excerpted copy of a long doc "
     "scores ~1.0 here while its symmetric Jaccard can sit far below any "
     "dedup threshold — the sub-document-duplicate metric Jaccard-only "
-    "passes systematically miss. Candidates come from AllPairs PREFIX "
-    "FILTERING (Bayardo et al., WWW'07) — exact, so the all-co-shingled "
-    "oracle still hash-matches — which joins only each doc's rarest "
-    "floor((1-t)|A|)+1 shingles against the corpus: the scale path that "
-    "steers the self-join away from hot boilerplate shingles.",
+    "passes systematically miss. Shares jaccard_pairs' verify core "
+    "(candidate-driven join, never all-pairs). At this LOW threshold "
+    "(0.5) the co-shingle join IS the right plan — the prefix-filter "
+    "variant (dedup_containment_prefix) pays its frequency-ordering "
+    "shuffles for a prefix that is still half of every doc, measured "
+    "3x slower at sf0.1 with identical output.",
 )
 def dedup_containment_near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from clickhouse_mysql_data_reader_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, "text", "doc_id", k=3)
+    return containment_pairs(
+        sh, min_inter=3, min_containment=0.5,
+        storage=StorageLevel.MEMORY_AND_DISK,
+    )
+
+
+@register(
+    "dedup_containment_prefix",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_inter,
+           n_inter / least(sa.n_sh, sb.n_sh) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter >= 3 AND n_inter / least(sa.n_sh, sb.n_sh) >= 0.9
+    """,
+    doc="The SAME containment metric at a HIGH threshold (0.9) through "
+    "AllPairs PREFIX FILTERING (Bayardo et al., WWW'07): candidates "
+    "join only each doc's rarest floor((1-t)|A|)+2 shingles (~10% at "
+    "t=0.9) against the corpus — exact (the all-co-shingled oracle "
+    "hash-matches), and the frequency ordering steers the join away "
+    "from hot boilerplate shingles, so bucket sizes stay bounded where "
+    "the co-shingle self-join explodes as sum(df^2) on template "
+    "clusters. On the template-free sf0.1 synthetic it measures 1.4x "
+    "the co-shingle plan (2.6s vs 1.9s — the structural win has "
+    "nothing to prune locally); at web scale the quadratic hot-shingle "
+    "term is the whole cost, which is why curate(near_dup_containment=)"
+    " routes through this path.",
+)
+def dedup_containment_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     from clickhouse_mysql_data_reader_spark.operators.dedup import (
@@ -224,10 +270,52 @@ def dedup_containment_near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_table(docs, "text", "doc_id", k=3).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cands = containment_prefix_candidates(sh, min_containment=0.5)
+    cands = containment_prefix_candidates(sh, min_containment=0.9)
     return containment_pairs(
-        sh, candidates=cands, min_inter=3, min_containment=0.5
+        sh, candidates=cands, min_inter=3, min_containment=0.9
     )
+
+
+@register(
+    "dedup_jaccard_prefix",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_inter,
+           n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter >= 3
+      AND n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+    doc="EXACT Jaccard >= 0.5 near-dup through the AllPairs prefix "
+    "filter — the deterministic alternative to MinHash-LSH: LSH recall "
+    "is probabilistic (a pair whose bands never collide is silently "
+    "lost), the prefix filter provably emits a superset of every "
+    "qualifying pair. The Jaccard bound is tighter than containment's "
+    "(prefix = floor(((1-t)/(1+t))|A|)+2 rarest shingles, ~11% at "
+    "t=0.8), and the all-co-shingled oracle hash-verifies exactness.",
+)
+def dedup_jaccard_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from clickhouse_mysql_data_reader_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_prefix_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, "text", "doc_id", k=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cands = jaccard_prefix_candidates(sh, min_jaccard=0.5)
+    return jaccard_pairs(sh, candidates=cands, min_inter=3, min_jaccard=0.5)
 
 
 @register(
@@ -889,6 +977,59 @@ def text_tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_top_terms(docs, "text", "doc_id", top_k=3)
+
+
+_BM25_TERMS = ("vector", "merge", "scan", "query")
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+    base AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM norm),
+    dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM base),
+    totals AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) AS total_tok FROM dls),
+    tf AS (
+      SELECT b.doc_id, d.dl, t.term, CAST(count(*) AS BIGINT) AS tf
+      FROM base b JOIN dls d USING (doc_id), UNNEST(b.tk) AS t(term)
+      WHERE t.term IN ({_BM25_IN})
+      GROUP BY b.doc_id, d.dl, t.term
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+      -- HUGEINT (int128), NOT DECIMAL: DuckDB's // on DECIMAL operands
+      -- lowers to DOUBLE division (no floor), while // on HUGEINT is
+      -- exact integer division — the twin of Spark's DECIMAL(38,0) div
+      SELECT tf.doc_id,
+             CAST((CAST(((2*n_docs - 2*df + 1) * 1000) // (2*df + 1)
+                        AS HUGEINT)
+                   * (tf * 11 * 4 * 1000))
+                  // (5*4*1000*tf + 6*(4-3)*1000
+                      + 6*3*((dl * 1000 * n_docs) // total_tok))
+                  AS BIGINT) AS term_score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN totals
+    )
+    SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+    doc="BM25 top-10 retrieval for a fixed 4-term query in the "
+    "scaled-integer determinism idiom: RSJ odds idf without the log "
+    "(((2N-2df+1)*1000) div (2df+1) — libm-free, so near-tie rankings "
+    "can't flip on a ulp) and rational k1=6/5, b=3/4 cleared to "
+    "integers with a DECIMAL(38,0) product (web-scale N can't overflow "
+    "int64). Tokens are filtered to the query's terms BEFORE the tf "
+    "aggregate; df joins broadcast (<= |query| rows); final top-k is "
+    "TakeOrderedAndProject, never a global sort.",
+)
+def text_bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "text", "doc_id", list(_BM25_TERMS), top_k=10)
 
 
 @register(

@@ -291,7 +291,25 @@ QUERIES: dict[str, QueryDef] = {}
 #     cells) and dedup_embed_near_multiprobe; driver-green r1-r6 on an
 #     unchanged plan, still a bench headline, and the exact-baseline
 #     recall tests pin it against the IVF path every CI run.
+# Born deprioritized in round 7: text_bm25_topk (BM25 retrieval in the
+# scaled-integer idiom) — its explode + tf/df aggregates + broadcast
+# term join + TakeOrderedAndProject are each the final stage of a
+# checked family member (text_lm_surprisal's explode/count/broadcast
+# chain, text_vocab_topk's top-k); full DuckDB oracle in pytest every
+# CI run. Also dedup_containment_prefix — the SAME metric as the
+# checked dedup_containment_near through the AllPairs prefix-filter
+# candidate path (exactness pinned against the all-pairs baseline in
+# test_text_gates.py at five thresholds; full DuckDB oracle; benched
+# next to its checked sibling in bench.py extras).
+# ...and dedup_jaccard_prefix — the Jaccard form of the same AllPairs
+# family (exact near-dup with no LSH false negatives; tighter
+# (1-t)/(1+t) prefix bound), exactness pinned in test_text_gates.py
+# and the co-shingle machinery hash-verified by the checked
+# dedup_containment_near/dedup_lsh_jaccard.
 DEPRIORITIZED = (
+    "text_bm25_topk",
+    "dedup_containment_prefix",
+    "dedup_jaccard_prefix",
     "embed_cosine_topk",
     "sample_mixture_weights",
     "dedup_cluster_components",

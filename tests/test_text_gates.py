@@ -321,3 +321,82 @@ def test_containment_prefix_candidates_validation_and_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_bm25_topk_ranking_validation_and_plan(spark):
+    """BM25 semantics the oracle can't pin alone: saturation (20x one
+    term does NOT swamp a doc matching all terms), absence filtering,
+    deterministic ties, validation, and the scale plan shape (term
+    filter BEFORE the tf aggregate, top-k as TakeOrderedAndProject,
+    no Window)."""
+    from clickhouse_mysql_data_reader_spark.operators.text import bm25_topk
+
+    filler = "the quick brown fox jumps over the lazy dog near the river "
+    docs = spark.createDataFrame(
+        [
+            # matches all 3 query terms once each
+            (1, filler * 2 + "alpha beta gamma"),
+            # 20x one term, same length scale: saturation must keep
+            # this BELOW the all-terms doc (idf sums beat tf stuffing)
+            (2, filler * 2 + "alpha " * 20),
+            # no query terms at all -> must not appear
+            (3, filler * 3),
+            # short doc with two terms: length normalization boosts it
+            (4, "alpha beta " + filler),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, "text", "doc_id", ["alpha", "beta", "gamma"], top_k=10)
+    rows = out.collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 3 not in ids, "doc without any query term must be absent"
+    assert ids[0] == 1, "doc matching ALL terms outranks the term-stuffed one"
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["n_terms"] == 3 and by_id[2]["n_terms"] == 1
+    assert by_id[4]["n_terms"] == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="query_terms"):
+        bm25_topk(docs, "text", "doc_id", [])
+    with _pytest.raises(ValueError, match="top_k"):
+        bm25_topk(docs, "text", "doc_id", ["alpha"], top_k=0)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, "top-k must not be a global sort"
+    assert "Window" not in plan
+    # the only nested-loop allowed is the BROADCAST of the 1-row
+    # (n_docs, total_tok) totals frame (the tfidf idiom); an
+    # unbroadcast cartesian would be a scale killer
+    assert "CartesianProduct" not in plan
+    assert plan.count("NestedLoopJoin") == plan.count("BroadcastNestedLoopJoin")
+
+
+def test_jaccard_prefix_candidates_exact_vs_all_pairs(spark):
+    """The Jaccard form of the AllPairs prefix filter is exact at its
+    TIGHTER bound (prefix ~ (1-t)/(1+t) of each doc): verified pairs
+    through the candidates equal the all-co-shingled baseline at every
+    threshold — the deterministic alternative to MinHash-LSH, whose
+    recall is probabilistic."""
+    from clickhouse_mysql_data_reader_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_prefix_candidates,
+        shingle_table,
+    )
+
+    sh = shingle_table(_containment_corpus(spark), "text", "doc_id", k=3)
+    for t in (0.3, 0.5, 0.7, 0.9):
+        base = {
+            (r["doc_a"], r["doc_b"]): (r["n_inter"], r["jaccard"])
+            for r in jaccard_pairs(sh, min_inter=1, min_jaccard=t).collect()
+        }
+        cands = jaccard_prefix_candidates(sh, min_jaccard=t)
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["n_inter"], r["jaccard"])
+            for r in jaccard_pairs(
+                sh, candidates=cands, min_inter=1, min_jaccard=t
+            ).collect()
+        }
+        assert got == base, f"jaccard prefix filter lost/invented pairs at t={t}"
+    with pytest.raises(ValueError, match="min_jaccard"):
+        jaccard_prefix_candidates(sh, min_jaccard=0.0)
