@@ -30,6 +30,7 @@ from clickhouse_mysql_data_reader_spark.operators.dedup import (
     content_fingerprint,
     corpus_contamination,
     jaccard_pairs,
+    jaccard_prefix_candidates,
     lsh_candidate_pairs,
     minhash_signatures,
     shingle_table,
@@ -133,6 +134,20 @@ class CurationConfig:
     classifier_model: tuple | None = None
     min_quality_prob: float = 0.5
     near_dup_jaccard: float = 0.8
+    # opt-in: generate near-dup candidates with the EXACT AllPairs
+    # prefix filter (operators/dedup.py jaccard_prefix_candidates)
+    # instead of banded MinHash-LSH. LSH recall is probabilistic — a
+    # duplicate pair whose bands never collide is silently kept, and
+    # the miss rate at the threshold is set by the S-curve, not by the
+    # data — while the prefix filter provably emits a superset of
+    # every pair with Jaccard >= near_dup_jaccard, so the dedup is
+    # exact. Costs the frequency-ordering shuffles instead of the
+    # signature aggregation; the prefix is floor(((1-t)/(1+t))|A|)+2
+    # rarest shingles (~11% of each doc at t=0.8). Batch curate()
+    # only: the incremental state deliberately lands MinHash
+    # signatures + band hashes (bounded per doc), not the full shingle
+    # sets an exact vs-history join would need.
+    near_dup_exact: bool = False
     # opt-in SECOND near-dup edge type: exact n-gram CONTAINMENT
     # (|A∩B|/min(|A|,|B|), Broder 1997) at this threshold, candidates
     # from AllPairs prefix filtering (operators/dedup.py
@@ -515,12 +530,15 @@ def curate(
     # jaccard_pairs' storage parameter).
     sh = shingle_table(exact, text_col, id_col)
     boiled = exact
-    if cfg.near_dup_containment is not None and cfg.max_boiler_frac is None:
+    if (
+        cfg.near_dup_containment is not None or cfg.near_dup_exact
+    ) and cfg.max_boiler_frac is None:
         from pyspark import StorageLevel
 
-        # the containment edge type adds four more consumers of the
-        # shingle relation (frequency agg, prefix build, probe side,
-        # verify core) on top of MinHash — persist it even when the
+        # the prefix-filter paths (containment edge type and/or exact
+        # Jaccard candidates) add four more consumers of the shingle
+        # relation (frequency agg, prefix build, probe side, verify
+        # core) on top of MinHash — persist it even when the
         # boilerplate gate (which persists below) is off; same
         # caller-owned lifecycle via CurationResult.unpersist()
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
@@ -545,9 +563,17 @@ def curate(
             boiler_drop.select(F.col(id_col).alias("doc_id")), "doc_id", "left_anti"
         )
 
-    # --- stage 4: near-dup merge (LSH -> Jaccard -> components) ------
-    sigs = minhash_signatures(sh, num_hashes=cfg.minhash_k)
-    cands = lsh_candidate_pairs(sigs, num_hashes=cfg.minhash_k, bands=cfg.lsh_bands)
+    # --- stage 4: near-dup merge (candidates -> Jaccard -> components)
+    # candidate generation: banded MinHash-LSH (probabilistic recall,
+    # cheapest) or the exact AllPairs prefix filter (near_dup_exact —
+    # provably no missed pair); both feed the same exact Jaccard verify
+    if cfg.near_dup_exact:
+        cands = jaccard_prefix_candidates(sh, min_jaccard=cfg.near_dup_jaccard)
+    else:
+        sigs = minhash_signatures(sh, num_hashes=cfg.minhash_k)
+        cands = lsh_candidate_pairs(
+            sigs, num_hashes=cfg.minhash_k, bands=cfg.lsh_bands
+        )
     near_pairs = jaccard_pairs(sh, candidates=cands, min_jaccard=cfg.near_dup_jaccard)
     edges = near_pairs.select("doc_a", "doc_b")
     if cfg.near_dup_containment is not None:
@@ -1378,6 +1404,14 @@ def curate_increment(
             "near_dup_containment is batch curate() only: the landed "
             "state keeps MinHash signatures, not full shingle sets, so "
             "containment against history cannot be computed incrementally"
+        )
+    if cfg.near_dup_exact:
+        # same state limitation: exact prefix-filter candidates vs
+        # history would need the landed corpus's full shingle relation
+        raise ValueError(
+            "near_dup_exact is batch curate() only: the landed state "
+            "keeps MinHash signatures + band hashes, not the full "
+            "shingle sets the exact AllPairs join needs against history"
         )
     spark = new_docs.sparkSession
     if state.exists(spark):

@@ -151,6 +151,44 @@ def test_curate_near_dup_containment_catches_truncated_copy(spark):
         )
 
 
+def test_curate_near_dup_exact_candidates(spark):
+    """near_dup_exact=True swaps banded MinHash-LSH for the exact
+    AllPairs prefix filter. On a corpus whose duplicate pair LSH DOES
+    find, both modes keep the same set (the verify stage is identical);
+    the exact mode's guarantee (no band-collision misses) is pinned
+    operator-level in test_text_gates.py. Incremental mode rejects the
+    flag loudly (state keeps signatures, not shingle sets)."""
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curate_increment,
+    )
+    import tempfile as _tf
+
+    docs = _mk_docs(
+        spark,
+        [
+            (1, "web", GOOD),
+            (2, "web", GOOD + " with one tiny extra suffix appended here"),
+            (7, "books", "call it what you want but the story of the sea is "
+                         "the story of the men who sailed it for the wind"),
+        ],
+    )
+    by_lsh = curate(docs, cfg=CurationConfig(near_dup_jaccard=0.5))
+    by_exact = curate(
+        docs, cfg=CurationConfig(near_dup_jaccard=0.5, near_dup_exact=True)
+    )
+    lsh_kept = {r["doc_id"] for r in by_lsh.after_near_dedup.collect()}
+    exact_kept = {r["doc_id"] for r in by_exact.after_near_dedup.collect()}
+    assert exact_kept == lsh_kept == {1, 7}
+    by_exact.unpersist()
+
+    state = CurationState(_tf.mkdtemp() + "/st")
+    with pytest.raises(ValueError, match="near_dup_exact"):
+        curate_increment(
+            docs, state, cfg=CurationConfig(near_dup_exact=True)
+        )
+
+
 def test_curate_increment_keeper_longest_matches_batch_on_empty_state(spark):
     """curate_increment honors near_dup_keeper='longest' for the
     WITHIN-BATCH component stage: on a history-free state the kept set
