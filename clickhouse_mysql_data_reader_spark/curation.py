@@ -530,9 +530,8 @@ def curate(
     # jaccard_pairs' storage parameter).
     sh = shingle_table(exact, text_col, id_col)
     boiled = exact
-    if (
-        cfg.near_dup_containment is not None or cfg.near_dup_exact
-    ) and cfg.max_boiler_frac is None:
+    prefix_paths_on = cfg.near_dup_containment is not None or cfg.near_dup_exact
+    if prefix_paths_on and cfg.max_boiler_frac is None:
         from pyspark import StorageLevel
 
         # the prefix-filter paths (containment edge type and/or exact
@@ -562,13 +561,36 @@ def curate(
         sh = sh.join(
             boiler_drop.select(F.col(id_col).alias("doc_id")), "doc_id", "left_anti"
         )
+        if prefix_paths_on:
+            # the POST-filter sh now feeds the same 4-6 prefix/verify
+            # consumers; only the pre-filter frame is cached above, so
+            # without this each consumer re-runs the coverage subtree
+            # plus the anti-join shuffle
+            sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(sh)
 
     # --- stage 4: near-dup merge (candidates -> Jaccard -> components)
     # candidate generation: banded MinHash-LSH (probabilistic recall,
     # cheapest) or the exact AllPairs prefix filter (near_dup_exact —
     # provably no missed pair); both feed the same exact Jaccard verify
+    sorted_arr = None
+    if cfg.near_dup_exact and cfg.near_dup_containment is not None:
+        from pyspark import StorageLevel
+
+        from clickhouse_mysql_data_reader_spark.operators.dedup import (
+            rarest_sorted_shingles,
+        )
+
+        # both prefix forms slice the SAME rarest-first array — compute
+        # its two heavy shuffles (frequency agg + per-doc collect) once
+        sorted_arr = rarest_sorted_shingles(sh).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        persisted.append(sorted_arr)
     if cfg.near_dup_exact:
-        cands = jaccard_prefix_candidates(sh, min_jaccard=cfg.near_dup_jaccard)
+        cands = jaccard_prefix_candidates(
+            sh, min_jaccard=cfg.near_dup_jaccard, sorted_arrays=sorted_arr
+        )
     else:
         sigs = minhash_signatures(sh, num_hashes=cfg.minhash_k)
         cands = lsh_candidate_pairs(
@@ -584,7 +606,9 @@ def curate(
         # feeds one components pass; distinct() only shuffles the pair
         # relation, which is many orders smaller than the corpus.
         c_cands = containment_prefix_candidates(
-            sh, min_containment=cfg.near_dup_containment
+            sh,
+            min_containment=cfg.near_dup_containment,
+            sorted_arrays=sorted_arr,
         )
         c_pairs = containment_pairs(
             sh, candidates=c_cands, min_containment=cfg.near_dup_containment
@@ -1318,13 +1342,16 @@ def curate_increment(
     new_docs: DataFrame,
     state: CurationState,
     cfg: CurationConfig = CurationConfig(),
-    benchmark: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     update_state: bool = True,
     epoch_id: int | None = None,
     run_id: str | None = None,
     line_fps_out: dict | None = None,
+    # LAST, not beside cfg: a pre-round-7 caller passing text_col/id_col
+    # positionally must keep binding them to the same slots (a mid-
+    # signature insertion would silently hand text_col to benchmark)
+    benchmark: DataFrame | None = None,
 ) -> DataFrame:
     """Curate a NEW batch against the landed state of everything kept so
     far — the production shape of the pipeline (daily increments over a
@@ -1698,11 +1725,12 @@ def curate_stream(
     state: CurationState,
     out_dir: str,
     cfg: CurationConfig = CurationConfig(),
-    benchmark: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     run_id: str | None = None,
     compact_every: int | None = None,
+    # last for positional-caller compatibility (see curate_increment)
+    benchmark: DataFrame | None = None,
 ):
     """Continuous curation: each micro-batch of a streaming document
     source is curated incrementally against the landed state (gates,
@@ -1764,11 +1792,12 @@ def curation_epoch_apply(
     state: CurationState,
     out_dir: str,
     cfg: CurationConfig = CurationConfig(),
-    benchmark: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     run_id: str | None = None,
     compact_every: int | None = None,
+    # last for positional-caller compatibility (see curate_increment)
+    benchmark: DataFrame | None = None,
 ):
     """The per-epoch body of ``curate_stream``, exposed so the replay
     contract is directly testable (call it twice with the same

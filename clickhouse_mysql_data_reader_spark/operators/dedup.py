@@ -409,7 +409,9 @@ def containment_pairs(
 
 
 def containment_prefix_candidates(
-    shingles: DataFrame, min_containment: float
+    shingles: DataFrame,
+    min_containment: float,
+    sorted_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs for a containment >= ``min_containment`` join via
     PREFIX FILTERING (Bayardo/Ma/Srikant, "Scaling Up All Pairs
@@ -454,11 +456,15 @@ def containment_prefix_candidates(
         raise ValueError(
             f"min_containment must be in (0, 1], got {min_containment}"
         )
-    return _prefix_filter_candidates(shingles, 1.0 - min_containment)
+    return _prefix_filter_candidates(
+        shingles, 1.0 - min_containment, sorted_arrays
+    )
 
 
 def jaccard_prefix_candidates(
-    shingles: DataFrame, min_jaccard: float
+    shingles: DataFrame,
+    min_jaccard: float,
+    sorted_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT candidate pairs for a Jaccard >= ``min_jaccard`` join via
     the same AllPairs prefix filter — the deterministic alternative to
@@ -482,18 +488,21 @@ def jaccard_prefix_candidates(
     if not (0.0 < min_jaccard <= 1.0):
         raise ValueError(f"min_jaccard must be in (0, 1], got {min_jaccard}")
     return _prefix_filter_candidates(
-        shingles, (1.0 - min_jaccard) / (1.0 + min_jaccard)
+        shingles, (1.0 - min_jaccard) / (1.0 + min_jaccard), sorted_arrays
     )
 
 
-def _prefix_filter_candidates(shingles: DataFrame, frac: float) -> DataFrame:
-    """Shared AllPairs core: each doc's prefix is its
-    floor(frac*|A|) + 2 rarest shingles (the +1 margin covers FP
-    rounding of ``frac``, see containment_prefix_candidates), joined
-    against the full shingle relation; slice length past |A| is
-    harmless (slice clamps). Emits normalized (doc_a < doc_b) pairs."""
+def rarest_sorted_shingles(shingles: DataFrame) -> DataFrame:
+    """(doc_id, _arr) where _arr is the doc's shingles as (df, sh_h)
+    structs sorted rarest-first — the shared base of both prefix-filter
+    forms. It costs the two heaviest shuffles of candidate generation
+    (the corpus-wide frequency aggregate + the per-doc collect), so a
+    caller running BOTH metric forms (e.g. curate with near_dup_exact
+    and near_dup_containment together) should compute it once, persist
+    it, and pass it via ``sorted_arrays=`` instead of paying it twice
+    for two different slice lengths of the same array."""
     freq = shingles.groupBy("sh_h").agg(F.count(F.lit(1)).alias("_df"))
-    prefix = (
+    return (
         shingles.join(freq, "sh_h")
         .groupBy("doc_id")
         .agg(
@@ -501,6 +510,21 @@ def _prefix_filter_candidates(shingles: DataFrame, frac: float) -> DataFrame:
                 F.collect_list(F.struct(F.col("_df"), F.col("sh_h")))
             ).alias("_arr")
         )
+    )
+
+
+def _prefix_filter_candidates(
+    shingles: DataFrame, frac: float, sorted_arrays: DataFrame | None = None
+) -> DataFrame:
+    """Shared AllPairs core: each doc's prefix is its
+    floor(frac*|A|) + 2 rarest shingles (the +1 margin covers FP
+    rounding of ``frac``, see containment_prefix_candidates), joined
+    against the full shingle relation; slice length past |A| is
+    harmless (slice clamps). Emits normalized (doc_a < doc_b) pairs."""
+    if sorted_arrays is None:
+        sorted_arrays = rarest_sorted_shingles(shingles)
+    prefix = (
+        sorted_arrays
         .select(
             "doc_id",
             F.explode(

@@ -231,12 +231,20 @@ def component_keepers(
     giant cluster (boilerplate crossing every LSH band) still
     partial-aggregates across tasks instead of buffering in one; AQE
     splits the join-back if the cluster is big enough to matter. The
-    tie-break rides inside one struct comparison: min((-score, id)) is
-    the max-score member with the smallest id among equals. Negating
-    the SCORE (validated numeric — it is a quality/length metric by
-    contract) instead of the id keeps the id column untouched, so
-    string doc ids (URLs, UUIDs — common in crawl corpora) order
-    correctly instead of silently casting to null under unary minus.
+    tie-break rides inside one struct comparison: min((score IS NULL,
+    -score, id)) is the max-score member with the smallest id among
+    equals. Negating the SCORE (validated numeric — it is a
+    quality/length metric by contract) instead of the id keeps the id
+    column untouched, so string doc ids (URLs, UUIDs — common in crawl
+    corpora) order correctly instead of silently casting to null under
+    unary minus. The leading IS-NULL flag exists because struct
+    comparison sorts a NULL field FIRST ascending: without it a
+    NULL-score member would win every min() and be elected keeper over
+    every genuinely-scored member — the exact inversion of the
+    operator's contract. NULL scores (and NaN doubles, which sort
+    GREATEST so -NaN... is still NaN and loses the min) therefore only
+    become keeper when the whole component is unscored, where the id
+    tie-break decides.
     """
     score_type = attrs.schema[score_col].dataType
     if not isinstance(score_type, NumericType):
@@ -251,6 +259,7 @@ def component_keepers(
         .agg(
             F.min(
                 F.struct(
+                    F.col(score_col).isNull().alias("unscored"),
                     (-F.col(score_col)).alias("neg_s"),
                     F.col(id_col).alias("kid"),
                 )

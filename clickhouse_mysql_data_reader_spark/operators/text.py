@@ -432,6 +432,18 @@ def bm25_topk(
         raise ValueError("query_terms must be non-empty")
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
+    # tokens() lowercases and whitespace-splits the corpus, so a query
+    # term carrying case or internal whitespace would match NOTHING —
+    # silently, because an empty isin() result is a legal frame.
+    # Normalize the case here (mirroring the corpus side) and reject
+    # multi-word strings loudly: BM25 is bag-of-TERMS; phrase queries
+    # need their words passed individually.
+    query_terms = [t.lower() for t in query_terms]
+    bad = [t for t in query_terms if not t or t.split() != [t]]
+    if bad:
+        raise ValueError(
+            f"query_terms must be single non-empty tokens, got {bad!r}"
+        )
     from clickhouse_mysql_data_reader_spark.util import fan_out
 
     base = fan_out(df).select(

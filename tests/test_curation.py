@@ -189,6 +189,47 @@ def test_curate_near_dup_exact_candidates(spark):
         )
 
 
+def test_curate_exact_and_containment_combined(spark):
+    """near_dup_exact + near_dup_containment together: the two prefix
+    forms share one persisted rarest-first array (curation.py stage 4),
+    and the result must equal running the union of both edge types —
+    the Jaccard-duplicate pair AND the truncated-copy pair each merge,
+    'longest' keeps the untruncated originals."""
+    head = (
+        "the survey team walked the north ridge at dawn and marked the "
+        "line where the old fence had fallen in the storm last winter"
+    )
+    tail = (
+        "and later that week the clerk copied the notes into the ledger "
+        "and filed the map with the county office for the record books"
+    )
+    docs = _mk_docs(
+        spark,
+        [
+            (1, "web", head + " " + tail),   # long original
+            (2, "web", head),                # truncated copy (containment edge)
+            (3, "web", head + " " + tail + " extra suffix words here"),
+            # ^ jaccard near-dup of 1 (and longest -> the keeper)
+            (7, "books", "call it what you want but the story of the sea "
+                         "is the story of the men who sailed it for wind"),
+        ],
+    )
+    res = curate(
+        docs,
+        cfg=CurationConfig(
+            near_dup_jaccard=0.5,
+            near_dup_exact=True,
+            near_dup_containment=0.9,
+            near_dup_keeper="longest",
+        ),
+    )
+    kept = {r["doc_id"] for r in res.after_near_dedup.collect()}
+    # {1,2,3} all merge into one component (1-3 via jaccard, 1-2 via
+    # containment); 3 is longest
+    assert kept == {3, 7}
+    res.unpersist()
+
+
 def test_curate_increment_keeper_longest_matches_batch_on_empty_state(spark):
     """curate_increment honors near_dup_keeper='longest' for the
     WITHIN-BATCH component stage: on a history-free state the kept set

@@ -112,6 +112,33 @@ def test_cc_component_keepers_string_ids(spark):
     assert sorted(d for d, r in rows.items() if r["is_keeper"]) == ["url/b", "x/1"]
 
 
+def test_cc_component_keepers_null_and_nan_scores_lose(spark):
+    """A NULL (or NaN) score must NEVER beat a real score: struct
+    comparison sorts a NULL field FIRST ascending, so the min()
+    aggregate needs the leading is-null flag — without it the unscored
+    member wins every component and the genuinely-scored docs are all
+    marked drops (the exact inversion of the keeper contract). An
+    all-unscored component still elects a keeper by the id tie-break."""
+    from clickhouse_mysql_data_reader_spark.operators.graph import component_keepers
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (7, 7), (8, 7), (20, 20), (21, 20)],
+        "doc_id long, component long",
+    )
+    attrs = spark.createDataFrame(
+        [
+            (1, 100.0), (2, None),            # NULL loses to 100
+            (7, float("nan")), (8, 5.0),      # NaN loses to 5
+            (20, None), (21, None),           # all unscored -> min id
+        ],
+        "doc_id long, score double",
+    )
+    rows = {r["doc_id"]: r for r in component_keepers(comps, attrs, "score").collect()}
+    assert {d: r["keeper_id"] for d, r in rows.items()} == {
+        1: 1, 2: 1, 7: 8, 8: 8, 20: 20, 21: 20,
+    }
+
+
 def test_cc_component_keepers_non_numeric_score_raises(spark):
     from clickhouse_mysql_data_reader_spark.operators.graph import component_keepers
 
