@@ -251,6 +251,41 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_unpivot",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty'   AS metric, sum_qty   AS val FROM s
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS val FROM s
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc'  AS metric, sum_disc  AS val FROM s
+    """,
+    doc="UNPIVOT (wide->long, the inverse of agg_pivot): aggregate "
+    "first, then melt the metric columns with Spark's native unpivot "
+    "(Expand — one pass, no join/union re-scan; the UNION ALL oracle "
+    "spells out the same relation). Wide->long reshaping feeds every "
+    "metrics/feature-store export where downstream wants one "
+    "(key, metric, value) row per cell.",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        F.sum(_dec("l_discount")).cast("double").alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "metric", "val"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins
 # ---------------------------------------------------------------------------

@@ -306,10 +306,15 @@ QUERIES: dict[str, QueryDef] = {}
 # (1-t)/(1+t) prefix bound), exactness pinned in test_text_gates.py
 # and the co-shingle machinery hash-verified by the checked
 # dedup_containment_near/dedup_lsh_jaccard.
+# ...and agg_unpivot — wide->long reshaping, the inverse of the
+# deprioritized agg_pivot (same conditional-aggregation family; the
+# unpivot itself is one Expand, the plan the checked agg_rollup
+# hash-verifies); full UNION ALL oracle in pytest every CI run.
 DEPRIORITIZED = (
     "text_bm25_topk",
     "dedup_containment_prefix",
     "dedup_jaccard_prefix",
+    "agg_unpivot",
     "embed_cosine_topk",
     "sample_mixture_weights",
     "dedup_cluster_components",

@@ -400,3 +400,66 @@ def test_jaccard_prefix_candidates_exact_vs_all_pairs(spark):
         assert got == base, f"jaccard prefix filter lost/invented pairs at t={t}"
     with pytest.raises(ValueError, match="min_jaccard"):
         jaccard_prefix_candidates(sh, min_jaccard=0.0)
+
+
+def test_prefix_filter_exactness_randomized(spark):
+    """Adversarial randomized guard for the AllPairs prefix-filter
+    math: random shingle-set corpora (skewed doc sizes, a planted hot
+    shingle, subset/superset docs) x random thresholds, with the
+    QUALIFYING PAIR SET computed exactly in Python from the same
+    definitions. The Spark candidates must be a superset of every
+    qualifying pair for BOTH metric forms — the no-false-negatives
+    property everything downstream relies on. Fixed seed: failures
+    reproduce."""
+    import numpy as np
+
+    from clickhouse_mysql_data_reader_spark.operators.dedup import (
+        containment_prefix_candidates,
+        jaccard_prefix_candidates,
+    )
+
+    rng = np.random.default_rng(1337)
+    for trial in range(6):
+        n_docs = int(rng.integers(4, 12))
+        docs = {}
+        for d in range(n_docs):
+            size = int(rng.integers(1, 30))
+            # small shingle universe -> dense overlaps; shingle 7 is hot
+            s = set(int(x) for x in rng.integers(0, 40, size)) | {7}
+            docs[d] = s
+        # plant a subset doc (containment 1.0) of a random host
+        host = int(rng.integers(0, n_docs))
+        if len(docs[host]) > 2:
+            docs[n_docs] = set(list(docs[host])[: len(docs[host]) // 2])
+        rows = [(d, h) for d, ss in docs.items() for h in ss]
+        sh = spark.createDataFrame(rows, "doc_id long, sh_h long")
+        t = float(rng.uniform(0.05, 1.0))
+
+        def exact_pairs(metric):
+            out = set()
+            ids = sorted(docs)
+            for i, a in enumerate(ids):
+                for b in ids[i + 1:]:
+                    inter = len(docs[a] & docs[b])
+                    if inter == 0:
+                        continue
+                    if metric == "containment":
+                        v = inter / min(len(docs[a]), len(docs[b]))
+                    else:
+                        v = inter / len(docs[a] | docs[b])
+                    if v >= t:
+                        out.add((a, b))
+            return out
+
+        got_c = {
+            (r["doc_a"], r["doc_b"])
+            for r in containment_prefix_candidates(sh, t).collect()
+        }
+        missing_c = exact_pairs("containment") - got_c
+        assert not missing_c, f"trial {trial} t={t}: containment lost {missing_c}"
+        got_j = {
+            (r["doc_a"], r["doc_b"])
+            for r in jaccard_prefix_candidates(sh, t).collect()
+        }
+        missing_j = exact_pairs("jaccard") - got_j
+        assert not missing_j, f"trial {trial} t={t}: jaccard lost {missing_j}"
