@@ -731,6 +731,67 @@ def test_curate_stream_replayed_epoch_is_idempotent(spark, tmp_path):
     assert {r["doc_id"] for r in state.fingerprints(spark).collect()} == {1, 12}
 
 
+def test_curate_stream_decontaminates_each_epoch_and_replays(spark, tmp_path):
+    """benchmark= flows through curate_stream's epoch body: every
+    epoch's output excludes benchmark-contaminated docs, the landed
+    state keeps only decontaminated survivors (so they can't suppress
+    later clean docs), and a full epoch replay reproduces the same
+    decontaminated set — the streaming twin of
+    test_curate_increment_decontaminates_each_batch."""
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curation_epoch_apply,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark question about the ancient fortress "
+               "gate and the seven keys that open the hidden door")],
+        "doc_id long, text string",
+    )
+    state = CurationState(str(tmp_path / "state"))
+    out = str(tmp_path / "out")
+    cfg = CurationConfig(near_dup_jaccard=0.5, contamination_threshold=0.3)
+    apply_fn = curation_epoch_apply(state, out, cfg=cfg, benchmark=bench)
+
+    b1 = _mk_docs(
+        spark,
+        [
+            # near-verbatim copy of the benchmark item -> dropped
+            (1, "web", "the secret benchmark question about the ancient "
+                       "fortress gate and the seven keys that open the "
+                       "hidden door"),
+            (2, "web", GOOD),
+        ],
+    )
+    apply_fn(b1, 0)
+    kept0 = {r["doc_id"] for r in spark.read.parquet(f"{out}/epoch=0").collect()}
+    assert kept0 == {2}, "contaminated doc must not land"
+    assert {r["doc_id"] for r in state.fingerprints(spark).collect()} == {2}
+
+    # replay epoch 0 (crash-after-state-append): same decontaminated set
+    apply_fn(b1, 0)
+    replay = {r["doc_id"] for r in spark.read.parquet(f"{out}/epoch=0").collect()}
+    assert replay == {2}
+
+    # a LATER epoch's contaminated doc is also dropped, and because the
+    # epoch-0 contaminated doc never landed, a clean doc arriving later
+    # is judged only against kept history
+    b2 = _mk_docs(
+        spark,
+        [
+            (10, "web", "the secret benchmark question about the ancient "
+                        "fortress gate and the seven keys that open the "
+                        "hidden door indeed"),
+            (11, "books", "call it what you want but the story of the sea "
+                          "is the story of the men who sailed it for wind"),
+        ],
+    )
+    apply_fn(b2, 1)
+    kept1 = {r["doc_id"] for r in spark.read.parquet(f"{out}/epoch=1").collect()}
+    assert kept1 == {11}
+    assert {r["doc_id"] for r in state.fingerprints(spark).collect()} == {2, 11}
+
+
 def test_curate_stream_line_dedup_lands_and_replays(spark, tmp_path):
     """Streaming epochs with dedup_lines on: the batch's line
     fingerprints land AFTER the epoch output commits (via the
