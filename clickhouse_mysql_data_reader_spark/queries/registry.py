@@ -310,7 +310,13 @@ QUERIES: dict[str, QueryDef] = {}
 # deprioritized agg_pivot (same conditional-aggregation family; the
 # unpivot itself is one Expand, the plan the checked agg_rollup
 # hash-verifies); full UNION ALL oracle in pytest every CI run.
+# ...and q3_shipping_priority (TPC-H Q3) — a COMPOSITION of three
+# checked families (join_broadcast_dim's broadcast star join,
+# q1_pricing_summary's exact-decimal revenue aggregate, the
+# TakeOrderedAndProject top-k that closes text_vocab_topk); full
+# oracle in pytest every CI run.
 DEPRIORITIZED = (
+    "q3_shipping_priority",
     "text_bm25_topk",
     "dedup_containment_prefix",
     "dedup_jaccard_prefix",
