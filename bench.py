@@ -37,6 +37,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 RESPLIT = os.environ.get("SPARK_GRAFT_RESPLIT", "1") != "0"
 
+T_START = time.perf_counter()
+try:
+    LOAD_BEFORE = open("/proc/loadavg").read().split()[:3]
+except OSError:
+    LOAD_BEFORE = None
+
 
 def _resplit(spark, sf_dir: str) -> str:
     """Re-land every table into a multi-file parquet layout so scan
@@ -285,16 +291,35 @@ def main() -> None:
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    # Sub-millisecond runs round to 0.0; exclude them from the spread
+    # denominator and skip the noise line entirely if nothing remains.
     spreads = {
         k: (max(v) - min(v)) / min(v) for k, v in raw_runs.items() if min(v) > 0
     }
-    med_spread = sorted(spreads.values())[len(spreads) // 2]
-    worst = max(spreads, key=spreads.get)
-    noise = (
-        f"min-of-3 reported; in-session (max-min)/min spread: median "
-        f"{med_spread:.0%}, worst {spreads[worst]:.0%} ({worst}) — "
-        "cross-round deltas under the spread are host noise, not plan changes"
-    )
+    if spreads:
+        med_spread = sorted(spreads.values())[len(spreads) // 2]
+        worst = max(spreads, key=spreads.get)
+        noise = (
+            f"min-of-3 reported; in-session (max-min)/min spread: median "
+            f"{med_spread:.0%}, worst {spreads[worst]:.0%} ({worst}) — "
+            "cross-round deltas under the spread are host noise, not plan changes"
+        )
+    else:
+        noise = "min-of-3 reported; all runs sub-millisecond, spread undefined"
+    # Host-load stamp (round 8): the r6/r7 "regression" saga was host
+    # CPU steal — two rounds of attribution work a loadavg stamp makes
+    # unnecessary. Recorded before the session starts (module scope
+    # below) and after the measured runs finish.
+    try:
+        load_after = open("/proc/loadavg").read().split()[:3]
+    except OSError:
+        load_after = None
+    # The bulky raw-runs evidence goes on its OWN line FIRST: round 7's
+    # single giant line overflowed the driver's tail capture and cut
+    # the headline keys out of BENCH_r07.json. The compact headline
+    # object must be the LAST stdout line so a tail parse always sees
+    # it; raw runs stay recoverable from the earlier line.
+    print(json.dumps({"bench_evidence": {"runs": raw_runs, "order_probe": order_probe}}))
     print(
         json.dumps(
             {
@@ -303,9 +328,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extras": extras,
-                "runs": raw_runs,
-                "order_probe": order_probe,
                 "noise": noise,
+                "load": {
+                    "before": LOAD_BEFORE,
+                    "after": load_after,
+                    "wall_sec": round(time.perf_counter() - T_START, 1),
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "layout": "resplit" if RESPLIT else "source-files",
             }

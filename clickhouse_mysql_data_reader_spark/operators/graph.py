@@ -47,7 +47,7 @@ import tempfile
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import NumericType
+from pyspark.sql.types import IntegralType, NumericType
 
 
 def _ensure_checkpoint_dir(spark) -> None:
@@ -254,13 +254,22 @@ def component_keepers(
             "scores (e.g. timestamps) to a numeric column first."
         )
     scored = components.join(attrs.select(id_col, score_col), id_col)
+    # Unary minus on an integral type's MIN_VALUE overflows — wraps
+    # silently (wrong keeper) without ANSI mode, fails the job with it.
+    # Widen integrals to DECIMAL(20,0) first (holds -Long.MIN_VALUE
+    # exactly, unlike a double cast which rounds past 2^53 and could
+    # invent spurious score ties); fractional/decimal negation is
+    # symmetric and needs no widening.
+    score_expr = F.col(score_col)
+    if isinstance(score_type, IntegralType):
+        score_expr = score_expr.cast("decimal(20,0)")
     best = (
         scored.groupBy("component")
         .agg(
             F.min(
                 F.struct(
                     F.col(score_col).isNull().alias("unscored"),
-                    (-F.col(score_col)).alias("neg_s"),
+                    (-score_expr).alias("neg_s"),
                     F.col(id_col).alias("kid"),
                 )
             ).alias("b")

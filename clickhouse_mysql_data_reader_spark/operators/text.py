@@ -378,6 +378,46 @@ def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str, top_k: int = 3) -
     )
 
 
+def bm25_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collection statistics for frozen-stats BM25 scoring: one row per
+    distinct term, (term, df, n_docs, total_tok). Land it once
+    (``.write.parquet``) over the reference corpus, then pass it to
+    ``bm25_topk(stats=...)`` so every subsequent batch scores against
+    the SAME distribution — the ``lm_surprisal(counts=)`` / DSIR
+    deployment shape.
+
+    n_docs/total_tok are denormalized onto every row (constant columns)
+    so the landed table is self-contained — one parquet table, no
+    sidecar totals file; ``bm25_topk`` re-derives them with a 1-row
+    max aggregate, never a corpus scan.
+
+    Plan: one tokenize scan -> explode(array_distinct) -> per-term
+    count (map-side combinable, vocab-sized result) + a broadcast
+    crossJoin of the 1-row totals aggregate. At 100 TB the output is
+    vocab-sized, not corpus-sized.
+    """
+    from clickhouse_mysql_data_reader_spark.util import fan_out
+
+    base = fan_out(df).select(
+        tokens(F.col(text_col)).alias("tk")
+    ).select("tk", F.size("tk").cast("long").alias("dl"))
+    totals = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tok"),
+    )
+    dfreq = (
+        base.select(F.explode(F.array_distinct("tk")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return dfreq.crossJoin(F.broadcast(totals))
+
+
 def bm25_topk(
     df: DataFrame,
     text_col: str,
@@ -389,6 +429,7 @@ def bm25_topk(
     b_num: int = 3,
     b_den: int = 4,
     scale: int = 1000,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents for a bag-of-terms query by BM25 (Robertson et
     al., TREC-3 Okapi), in the repo's scaled-INTEGER determinism idiom.
@@ -400,7 +441,15 @@ def bm25_topk(
       ``((2N - 2df + 1) * scale) div (2df + 1)`` — the exact integer
       form of (N - df + 0.5)/(df + 0.5). ln() would route through libm
       whose last-ulp differences can flip near-tie rankings AND make
-      the per-doc double sum order-dependent.
+      the per-doc double sum order-dependent. RANKING CAVEAT for
+      multi-term queries: per-doc scores SUM per-term contributions,
+      so dropping the log weights rare terms LINEARLY in the odds
+      where standard BM25 weights them logarithmically — a doc
+      matching one very rare term can outrank a doc matching several
+      moderately rare terms where log-BM25 would not. Single-term
+      rankings are identical (the odds is a monotone rescaling of its
+      log). Use this when cross-engine hash-stability matters more
+      than textbook multi-term ordering; it is not drop-in log-BM25.
     - the tf saturation uses rational k1 = k1_num/k1_den (default 6/5
       = 1.2) and b = b_num/b_den (default 3/4), cleared to integers:
       with dl_norm = (dl * scale * N) div total_tokens (≈ scale *
@@ -427,6 +476,19 @@ def bm25_topk(
     (N, total_tokens) totals are a broadcast 1-row frame, and the final
     top-k is orderBy+limit (TakeOrderedAndProject — never a global
     sort). Ties break (score desc, doc_id asc), fully deterministic.
+
+    ``stats`` freezes the collection statistics (the same deployment
+    move as ``lm_surprisal(counts=)`` / DSIR's ``logratios``): pass a
+    landed ``bm25_stats(...)`` table — (term, df, n_docs, total_tok),
+    written to parquet once — and df/idf, N, and avgdl all come from
+    that REFERENCE distribution instead of being recounted from ``df``,
+    so scoring a daily batch is batch-composition-independent: the same
+    document gets the same score no matter which batch it arrives in.
+    Only tf and dl (per-document facts) are computed from the scored
+    frame. A scored term missing from the frozen vocabulary gets df=0
+    (maximal idf — the standard unseen-term convention). On the corpus
+    the stats were built from, results are IDENTICAL to the derived
+    form (pinned by test).
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
@@ -450,20 +512,50 @@ def bm25_topk(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("tk"),
     ).select("doc_id", "tk", F.size("tk").cast("long").alias("dl"))
-    totals = base.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("total_tok"),
-    )
     tf = (
         base.select("doc_id", "dl", F.explode("tk").alias("term"))
         .filter(F.col("term").isin(list(query_terms)))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if stats is not None:
+        # frozen collection statistics: N/total_tok from the landed
+        # table via a 1-row max aggregate (the columns are constant by
+        # construction — bm25_stats denormalizes the totals so one
+        # parquet table is self-contained), df via a left join so a
+        # term outside the frozen vocabulary scores at df=0. The
+        # in-plan guard raises on an empty/zero stats table instead of
+        # letting NULL totals null out every score silently.
+        totals = stats.agg(
+            F.max("n_docs").alias("_n"), F.max("total_tok").alias("_t")
+        ).select(
+            F.when(F.col("_n") > 0, F.col("_n"))
+            .otherwise(
+                F.raise_error(F.lit("bm25_topk: empty/zero frozen stats table"))
+            )
+            .alias("n_docs"),
+            F.when(F.col("_t") > 0, F.col("_t"))
+            .otherwise(
+                F.raise_error(F.lit("bm25_topk: empty/zero frozen stats table"))
+            )
+            .alias("total_tok"),
+        )
+        dfreq = stats.select("term", "df").filter(
+            F.col("term").isin(list(query_terms))
+        )
+        tf_df = tf.join(F.broadcast(dfreq), "term", "left").withColumn(
+            "df", F.coalesce(F.col("df"), F.lit(0).cast("long"))
+        )
+    else:
+        totals = base.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_tok"),
+        )
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        tf_df = tf.join(F.broadcast(dfreq), "term")
     k1p = k1_num + k1_den
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf_df
         .crossJoin(F.broadcast(totals))
         .withColumn(
             "idf_int",

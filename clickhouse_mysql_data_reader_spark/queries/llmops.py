@@ -38,7 +38,7 @@ from clickhouse_mysql_data_reader_spark.operators.text import (
     quality_features,
     stopword_ratio,
 )
-from clickhouse_mysql_data_reader_spark.queries.registry import register
+from clickhouse_mysql_data_reader_spark.queries.registry import QUERIES, register
 from clickhouse_mysql_data_reader_spark.sources.parquet import load_table
 
 NUM_HASHES = 16
@@ -1030,6 +1030,39 @@ def text_bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, "text", "doc_id", list(_BM25_TERMS), top_k=10)
+
+
+@register(
+    "text_bm25_frozen",
+    # Same oracle as text_bm25_topk: frozen stats BUILT FROM the scored
+    # corpus are definitionally equal to the derived statistics, so the
+    # two Spark plans (recount vs frozen-table join) must hash-match
+    # the one SQL. What differs — and what this query driver-checks —
+    # is the deployment PLAN: df/N/avgdl come from the bm25_stats
+    # relation (left join + 1-row max agg), not from the scored frame.
+    QUERIES["text_bm25_topk"].oracle,
+    doc="BM25 top-10 through the FROZEN-STATS deployment path "
+    "(bm25_topk(stats=bm25_stats(corpus))): collection statistics land "
+    "once and daily batches score against the same distribution, so a "
+    "document's score is batch-composition-independent — the "
+    "lm_surprisal(counts=)/DSIR deployment shape. Built here from the "
+    "scored corpus itself, making results provably identical to "
+    "text_bm25_topk (also pinned vs the derived form in "
+    "test_bm25_frozen_stats); unseen query terms take df=0 (maximal "
+    "idf). Plan: vocab-sized stats relation joins broadcast; totals "
+    "are a 1-row max aggregate over it, never a corpus rescan.",
+)
+def text_bm25_frozen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.text import (
+        bm25_stats,
+        bm25_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, "text", "doc_id", list(_BM25_TERMS), top_k=10,
+        stats=bm25_stats(docs, "text", "doc_id"),
+    )
 
 
 @register(

@@ -315,12 +315,56 @@ QUERIES: dict[str, QueryDef] = {}
 # q1_pricing_summary's exact-decimal revenue aggregate, the
 # TakeOrderedAndProject top-k that closes text_vocab_topk); full
 # oracle in pytest every CI run.
+# Round 8 ROTATION (per the round-7 verdict): the five round-7-born
+# queries that have NEVER had a driver row rotate INTO the checked 50 —
+# dedup_containment_prefix + dedup_jaccard_prefix (they carry the new
+# AllPairs exactness guarantee), text_bm25_topk, q3_shipping_priority,
+# agg_unpivot. Five members with multi-round driver-green history on
+# unchanged plans rotate out, each hash-covered by a checked containing
+# query or family sibling:
+#   - join_range_bands: non-equi family keeps join_asof_attrib checked
+#     (the harder plan: banded-bucket equi-prejoin + per-left latest
+#     window on top of the same range predicate); range_bands'
+#     inequality-join machinery is the band-overlap stage INSIDE the
+#     checked asof bucketing; driver-green r2-r7 on an unchanged plan
+#   - text_gopher_rules: its rule expressions are scan-stage column
+#     arithmetic over the SAME tokens/stopword/char-class helpers the
+#     checked text_quality_score hash-verifies (stopword_ratio,
+#     alpha_ratio, n_tokens); the symbol/bullet/ellipsis ratios are the
+#     same idiom (regexp-count over text) the checked text_pii_redact
+#     and text_repetition-family pin; shuffle-free plan guard stays in
+#     pytest; driver-green r5-r7
+#   - doc_contamination_check: direction dual of the still-checked
+#     doc_corpus_contamination — the identical shingle broadcast-semi
+#     machinery with build/probe sides swapped (benchmark-side report
+#     vs corpus-side drop, the direction curate() uses); the round-7
+#     stream-level parity test additionally pins both directions
+#     against each other every CI run; driver-green r3-r7
+#   - sample_stratified_split: its md5 hash-bucket draw is the
+#     machinery every OTHER checked sampling query hash-verifies —
+#     sample_source_cap (same per-stratum threshold), sample_shuffle_
+#     order (same salt+md5 ordering), sample_mixture_epochs (same
+#     runtime hex threshold), sample_weighted_topk (same uniform
+#     draw); the sampling family keeps four checked members;
+#     driver-green r3-r7
+#   - text_repetition_stats: in-row scan-stage expression family
+#     anchored by the checked text_quality_score (shared tokens
+#     helper, same ratio idiom); its duplicate-line fraction is the
+#     line-fingerprint arithmetic the checked text_line_dedup
+#     hash-verifies corpus-wide; still a bench headline every round;
+#     driver-green r3-r7
+# Born deprioritized in round 8: text_bm25_frozen — the frozen-stats
+# deployment path of the now-checked text_bm25_topk (identical oracle
+# by construction: stats built from the scored corpus equal the
+# derived statistics); the frozen-vs-derived equality is additionally
+# pinned by test_text_gates.py::test_bm25_frozen_stats every CI run.
 DEPRIORITIZED = (
-    "q3_shipping_priority",
-    "text_bm25_topk",
-    "dedup_containment_prefix",
-    "dedup_jaccard_prefix",
-    "agg_unpivot",
+    "text_bm25_frozen",
+    "join_range_bands",
+    "text_gopher_rules",
+    "doc_contamination_check",
+    "sample_stratified_split",
+    "text_repetition_stats",
     "embed_cosine_topk",
     "sample_mixture_weights",
     "dedup_cluster_components",

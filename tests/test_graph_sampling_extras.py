@@ -139,6 +139,32 @@ def test_cc_component_keepers_null_and_nan_scores_lose(spark):
     }
 
 
+def test_cc_component_keepers_long_min_value_score(spark):
+    """Unary minus on Long.MIN_VALUE overflows (wraps to itself without
+    ANSI mode, making the WORST-scored member look best; fails the job
+    with ANSI on). Integral scores are widened to DECIMAL(20,0) before
+    negation so the type's MIN_VALUE orders correctly — and the
+    widening must not round away genuine low-bit differences the way a
+    double cast would past 2^53."""
+    from clickhouse_mysql_data_reader_spark.operators.graph import component_keepers
+
+    lmin = -(2**63)
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 10), (11, 10)], "doc_id long, component long"
+    )
+    attrs = spark.createDataFrame(
+        [
+            (1, lmin), (2, 0),  # MIN_VALUE must LOSE to 0
+            # adjacent huge longs past 2^53: a double cast would tie
+            # them and let min-id 10 win; exact widening keeps 11
+            (10, 2**62), (11, 2**62 + 1),
+        ],
+        "doc_id long, score long",
+    )
+    rows = {r["doc_id"]: r for r in component_keepers(comps, attrs, "score").collect()}
+    assert {d: r["keeper_id"] for d, r in rows.items()} == {1: 2, 2: 2, 10: 11, 11: 11}
+
+
 def test_cc_component_keepers_non_numeric_score_raises(spark):
     from clickhouse_mysql_data_reader_spark.operators.graph import component_keepers
 

@@ -372,6 +372,73 @@ def test_bm25_topk_ranking_validation_and_plan(spark):
     assert plan.count("NestedLoopJoin") == plan.count("BroadcastNestedLoopJoin")
 
 
+def test_bm25_frozen_stats(spark):
+    """bm25_topk(stats=...) — the frozen-stats deployment shape (the
+    lm_surprisal(counts=)/DSIR move):
+
+    1. stats built FROM the scored corpus => results identical to the
+       derived form (the equality the registry's text_bm25_frozen
+       driver query rides);
+    2. batch-composition independence — scoring a SUBSET against the
+       full-corpus stats reproduces the full-corpus scores for the
+       surviving docs, where the derived form recounts df/avgdl from
+       the subset and shifts them;
+    3. a query term outside the frozen vocabulary takes df=0 (maximal
+       idf) instead of dropping the doc;
+    4. an empty stats table raises in-plan, not silent NULL scores.
+    """
+    from clickhouse_mysql_data_reader_spark.operators.text import (
+        bm25_stats,
+        bm25_topk,
+    )
+
+    filler = "the quick brown fox jumps over the lazy dog near the river "
+    docs = spark.createDataFrame(
+        [
+            (1, filler * 2 + "alpha beta gamma"),
+            (2, filler * 2 + "alpha " * 20),
+            (3, filler * 3),
+            (4, "alpha beta " + filler),
+        ],
+        "doc_id long, text string",
+    )
+    q = ["alpha", "beta", "gamma"]
+    stats = bm25_stats(docs, "text", "doc_id")
+    derived = bm25_topk(docs, "text", "doc_id", q, top_k=10).collect()
+    frozen = bm25_topk(docs, "text", "doc_id", q, top_k=10, stats=stats).collect()
+    assert [tuple(r) for r in derived] == [tuple(r) for r in frozen]
+
+    # (2) freeze full-corpus stats, score only docs {2, 4}: their
+    # scores must equal the full-corpus run's — the derived form would
+    # recompute df(beta)=1, df(gamma)=0 and a different avgdl
+    full_by_id = {r["doc_id"]: r["score"] for r in frozen}
+    sub = docs.filter("doc_id in (2, 4)")
+    sub_frozen = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(sub, "text", "doc_id", q, top_k=10, stats=stats).collect()
+    }
+    assert sub_frozen == {k: v for k, v in full_by_id.items() if k in (2, 4)}
+    sub_derived = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(sub, "text", "doc_id", q, top_k=10).collect()
+    }
+    assert sub_derived != sub_frozen, "derived stats shift with the batch"
+
+    # (3) unseen-in-frozen-vocab query term: df=0 keeps the doc, with
+    # maximal idf — build stats WITHOUT doc 1 (the only 'gamma' doc)
+    stats_no1 = bm25_stats(docs.filter("doc_id != 1"), "text", "doc_id")
+    out = bm25_topk(docs, "text", "doc_id", ["gamma"], top_k=10, stats=stats_no1)
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows] == [1] and rows[0]["score"] > 0
+
+    # (4) empty stats table raises in-plan
+    import pytest as _pytest
+
+    empty = stats.filter("1 = 0")
+    with _pytest.raises(Exception, match="frozen stats"):
+        bm25_topk(docs, "text", "doc_id", q, stats=empty).collect()
+
+
 def test_jaccard_prefix_candidates_exact_vs_all_pairs(spark):
     """The Jaccard form of the AllPairs prefix filter is exact at its
     TIGHTER bound (prefix ~ (1-t)/(1+t) of each doc): verified pairs
