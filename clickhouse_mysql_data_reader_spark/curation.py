@@ -29,10 +29,12 @@ from clickhouse_mysql_data_reader_spark.operators.dedup import (
     containment_prefix_candidates,
     content_fingerprint,
     corpus_contamination,
+    cross_prefix_candidates,
     jaccard_pairs,
     jaccard_prefix_candidates,
     lsh_candidate_pairs,
     minhash_signatures,
+    prefix_shingles,
     shingle_table,
 )
 from clickhouse_mysql_data_reader_spark.operators.graph import (
@@ -143,10 +145,12 @@ class CurationConfig:
     # every pair with Jaccard >= near_dup_jaccard, so the dedup is
     # exact. Costs the frequency-ordering shuffles instead of the
     # signature aggregation; the prefix is floor(((1-t)/(1+t))|A|)+2
-    # rarest shingles (~11% of each doc at t=0.8). Batch curate()
-    # only: the incremental state deliberately lands MinHash
-    # signatures + band hashes (bounded per doc), not the full shingle
-    # sets an exact vs-history join would need.
+    # rarest shingles (~11% of each doc at t=0.8). In curate_increment
+    # the state must be prefix-enabled: construct CurationState with
+    # jaccard_exact_threshold=near_dup_jaccard so write() lands each
+    # batch's AllPairs prefixes — the exact cross-history candidate
+    # source (on a pre-prefix landed state, backfill once with
+    # state.ensure_prefixes).
     near_dup_exact: bool = False
     # opt-in SECOND near-dup edge type: exact n-gram CONTAINMENT
     # (|A∩B|/min(|A|,|B|), Broder 1997) at this threshold, candidates
@@ -158,17 +162,26 @@ class CurationConfig:
     # divided by the LONG doc's union). Edges from both metrics are
     # unioned before connected components, so a truncated copy merges
     # into its original's component and the keeper policy ("longest"
-    # keeps the untruncated one) resolves it. Batch curate() only —
-    # containment vs an already-landed corpus would need the landed
-    # docs' full shingle sets, which the incremental state (MinHash
-    # signatures + band hashes) deliberately does not keep; None = off.
+    # keeps the untruncated one) resolves it. In curate_increment the
+    # state must be prefix-enabled (CurationState
+    # containment_threshold=near_dup_containment) and history always
+    # wins: a NEW truncated copy of a landed doc drops, but a landed
+    # truncated copy also suppresses a longer original arriving later
+    # (first-wins — the increment keeper semantics documented under
+    # near_dup_keeper). None = off.
     near_dup_containment: float | None = None
     # keeper policy for the near-dup merge: "min_id" keeps each
     # component's smallest doc id (the classic deterministic label);
     # "longest" keeps the member with the greatest text length (ties ->
     # min id) via operators/graph.component_keepers — production passes
     # prefer it because the longest copy is usually the least-truncated
-    # one. In curate_increment the policy governs the WITHIN-BATCH
+    # one. CONTENT-LOSS HAZARD with near_dup_containment: a containment
+    # edge merges a truncated copy into its original's component, and
+    # "min_id" then elects whichever member has the smaller id — if
+    # that's the truncated copy, the longer original is DROPPED, the
+    # exact loss the containment edge exists to prevent. curate()
+    # therefore warns on the combination; set "longest" (or a
+    # score-based component_keepers call) when containment is on. In curate_increment the policy governs the WITHIN-BATCH
     # component stage only; the vs-history half is inherently
     # FIRST-WINS (the landed corpus is immutable — an already-landed
     # keeper cannot be displaced by a longer member arriving in a later
@@ -213,6 +226,25 @@ class CurationConfig:
     # every existing state's parameter check)
     minhash_k: int = 16
     lsh_bands: int = 4
+
+    def __post_init__(self) -> None:
+        # See the near_dup_keeper comment: containment edges exist to
+        # merge truncated copies into their originals so "longest" can
+        # keep the untruncated one — under "min_id" the truncated copy
+        # wins whenever its id is smaller, silently losing content.
+        # Warn (not raise): min_id remains a valid deterministic label
+        # for pipelines that post-process components themselves.
+        if self.near_dup_containment is not None and self.near_dup_keeper == "min_id":
+            import warnings
+
+            warnings.warn(
+                "near_dup_containment with near_dup_keeper='min_id' can "
+                "elect a truncated copy as keeper and drop the longer "
+                "original — the content loss the containment edge is "
+                "meant to prevent. Set near_dup_keeper='longest'.",
+                UserWarning,
+                stacklevel=2,
+            )
 
 
 @dataclass
@@ -406,6 +438,48 @@ def _near_dup_drop_ids(
     )
 
 
+def _near_dup_edge_set(
+    sh: DataFrame,
+    cfg: CurationConfig,
+    sigs: DataFrame | None = None,
+    sorted_arrays: DataFrame | None = None,
+) -> DataFrame:
+    """Within-relation near-dup EDGES under cfg's candidate policy —
+    shared by batch ``curate``, the increment BOOTSTRAP, and the
+    increment's WITHIN-BATCH stage, so the three cannot drift on what
+    counts as a duplicate pair: Jaccard edges from banded MinHash-LSH
+    (default) or the exact AllPairs prefix filter (``near_dup_exact``),
+    optionally unioned with exact containment edges
+    (``near_dup_containment``). ``sigs``: precomputed MinHash
+    signatures (the increment lands bands from the same frame — don't
+    aggregate twice); ``sorted_arrays``: the shared rarest-first
+    relation when the caller persists it for multiple prefix slices."""
+    if cfg.near_dup_exact:
+        cands = jaccard_prefix_candidates(
+            sh, min_jaccard=cfg.near_dup_jaccard, sorted_arrays=sorted_arrays
+        )
+    else:
+        if sigs is None:
+            sigs = minhash_signatures(sh, num_hashes=cfg.minhash_k)
+        cands = lsh_candidate_pairs(
+            sigs, num_hashes=cfg.minhash_k, bands=cfg.lsh_bands
+        )
+    edges = jaccard_pairs(
+        sh, candidates=cands, min_jaccard=cfg.near_dup_jaccard
+    ).select("doc_a", "doc_b")
+    if cfg.near_dup_containment is not None:
+        c_cands = containment_prefix_candidates(
+            sh,
+            min_containment=cfg.near_dup_containment,
+            sorted_arrays=sorted_arrays,
+        )
+        c_pairs = containment_pairs(
+            sh, candidates=c_cands, min_containment=cfg.near_dup_containment
+        )
+        edges = edges.unionByName(c_pairs.select("doc_a", "doc_b")).distinct()
+    return edges
+
+
 def _decontamination_stage(
     deduped: DataFrame,
     benchmark: DataFrame | None,
@@ -587,35 +661,14 @@ def curate(
             StorageLevel.MEMORY_AND_DISK
         )
         persisted.append(sorted_arr)
-    if cfg.near_dup_exact:
-        cands = jaccard_prefix_candidates(
-            sh, min_jaccard=cfg.near_dup_jaccard, sorted_arrays=sorted_arr
-        )
-    else:
-        sigs = minhash_signatures(sh, num_hashes=cfg.minhash_k)
-        cands = lsh_candidate_pairs(
-            sigs, num_hashes=cfg.minhash_k, bands=cfg.lsh_bands
-        )
-    near_pairs = jaccard_pairs(sh, candidates=cands, min_jaccard=cfg.near_dup_jaccard)
-    edges = near_pairs.select("doc_a", "doc_b")
-    if cfg.near_dup_containment is not None:
-        # second edge type: containment via exact prefix-filter
-        # candidates — the truncated-copy pairs LSH banding under-
-        # recalls (collision probability tracks JACCARD, low by
-        # construction for short-inside-long pairs). Union of edge sets
-        # feeds one components pass; distinct() only shuffles the pair
-        # relation, which is many orders smaller than the corpus.
-        c_cands = containment_prefix_candidates(
-            sh,
-            min_containment=cfg.near_dup_containment,
-            sorted_arrays=sorted_arr,
-        )
-        c_pairs = containment_pairs(
-            sh, candidates=c_cands, min_containment=cfg.near_dup_containment
-        )
-        edges = edges.unionByName(
-            c_pairs.select("doc_a", "doc_b")
-        ).distinct()
+    # candidate policy + optional containment edge type: the shared
+    # helper (also the increments' within-batch stage). Containment
+    # edges exist because banded LSH under-recalls truncated-copy
+    # pairs (collision probability tracks JACCARD, low by construction
+    # for short-inside-long); the union feeds one components pass and
+    # distinct() only shuffles the pair relation, many orders smaller
+    # than the corpus.
+    edges = _near_dup_edge_set(sh, cfg, sorted_arrays=sorted_arr)
     comps = connected_components(edges)
     drop_ids = _near_dup_drop_ids(comps, boiled, cfg, text_col, id_col)
     deduped = boiled.join(drop_ids, id_col, "left_anti")
@@ -728,6 +781,10 @@ class CurationState:
     - ``bands``:        (doc_id, band_id, band_hash) LSH buckets (near-dup
       candidate generation)
     - ``shingles``:     (doc_id, sh_h) shingle hashes (Jaccard verify)
+    - ``prefixes``:     (doc_id, sh_h) AllPairs prefix shingles — OPTIONAL
+      (lands only when ``jaccard_exact_threshold``/
+      ``containment_threshold`` is set); the exact candidate source for
+      ``near_dup_exact``/``near_dup_containment`` in increments
 
     All three are plain parquet — partition/bucket them by their join
     key at real scale. ``append`` adds a new batch's rows; state grows
@@ -757,10 +814,36 @@ class CurationState:
         lsh_bands: int = 4,
         bloom_bits: int | None = None,
         bloom_hashes: int = 7,
+        jaccard_exact_threshold: float | None = None,
+        containment_threshold: float | None = None,
     ):
         self.state_dir = str(state_dir)
         self.minhash_k = minhash_k
         self.lsh_bands = lsh_bands
+        # Opt-in EXACT near-dup support for increments: when either
+        # threshold is set, write() additionally lands a ``prefixes``
+        # table — each kept doc's AllPairs prefix shingles
+        # (operators/dedup.py prefix_shingles) at the LOOSER of the two
+        # enabled fractions — so later batches generate exact cross-
+        # history candidates by bucket-joining batch shingles against
+        # landed prefixes (and batch prefixes against landed shingles)
+        # instead of re-sorting the whole corpus per increment.
+        # Storage cost: ~frac of the shingle table on top of it
+        # (jaccard t=0.8 -> ~11%, containment t=0.9 -> ~10%); probe
+        # cost per increment: one extra scan of the landed shingles +
+        # prefixes with the batch side broadcast. The thresholds are
+        # pinned in ``_prefix_params.json`` (a prefix landed at frac f
+        # is exact for any probe frac <= f, but a SILENT threshold
+        # change would land under-length prefixes for future batches —
+        # so equality is enforced, like minhash_k/lsh_bands).
+        self.jaccard_exact_threshold = (
+            float(jaccard_exact_threshold)
+            if jaccard_exact_threshold is not None
+            else None
+        )
+        self.containment_threshold = (
+            float(containment_threshold) if containment_threshold is not None else None
+        )
         # Opt-in incremental Bloom filter over landed fingerprints
         # (operators/membership.py): maintained ON WRITE so
         # curate_increment's history anti-join can route definite-miss
@@ -791,7 +874,7 @@ class CurationState:
     # in batch curate() over the concatenated corpus). Listed in
     # _TABLES so compact()/crash-recovery cover it; exists() still
     # probes only the three doc tables (line state is independent).
-    _TABLES = ("fingerprints", "shingles", "bands", "line_fps")
+    _TABLES = ("fingerprints", "shingles", "bands", "line_fps", "prefixes")
 
     def _recover_crashed_compact(self, spark, names=None) -> list[str]:
         """Roll back a compact() interrupted between its two renames.
@@ -1089,8 +1172,142 @@ class CurationState:
         )
         self._write_bloom(spark, payload)
 
+    # ---- landed AllPairs prefixes (exact near-dup vs history) --------
+    # Correctness invariant: every landed doc's prefix rows are present
+    # whenever the doc's shingles are (write() lands prefixes in the
+    # same sequence; ensure_prefixes backfills a missing table from the
+    # landed shingles). Extra/duplicate prefix rows are harmless — the
+    # candidate join is distinct() and the metric verify (which reads
+    # the epoch-excluded SHINGLE table) settles every candidate — but a
+    # MISSING doc's prefix can silently miss a cross-history pair,
+    # which is exactly the guarantee the table exists to provide; hence
+    # the manifest check that rejects prefix-less writers.
+
+    def _prefix_frac(self) -> float | None:
+        """The slice fraction the landed prefixes are derived with: the
+        LOOSER (max) of the enabled metrics' bounds, so the one table
+        serves both probes (a longer prefix is a candidate superset —
+        exact either way, see operators/dedup.py prefix_shingles)."""
+        fracs = []
+        if self.jaccard_exact_threshold is not None:
+            t = self.jaccard_exact_threshold
+            fracs.append((1.0 - t) / (1.0 + t))
+        if self.containment_threshold is not None:
+            fracs.append(1.0 - self.containment_threshold)
+        return max(fracs) if fracs else None
+
+    def _sync_prefix_params(self, spark) -> None:
+        """Mirror of _sync_bloom_params for the prefix thresholds: the
+        first prefix-enabled user lands ``_prefix_params.json``
+        atomically; later instances must match. A separate manifest
+        (not _params.json) because — like the bloom — exact near-dup
+        can be enabled later in a state's life (``ensure_prefixes``
+        backfills the table from the landed shingles)."""
+        import json
+
+        jvm, fs = self._fs(spark)
+        path = jvm.org.apache.hadoop.fs.Path(f"{self.state_dir}/_prefix_params.json")
+        mine = {
+            "jaccard_exact_threshold": self.jaccard_exact_threshold,
+            "containment_threshold": self.containment_threshold,
+        }
+
+        def validate() -> None:
+            stream = fs.open(path)
+            try:
+                landed = json.loads(
+                    jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+                )
+            finally:
+                stream.close()
+            if (self.jaccard_exact_threshold, self.containment_threshold) == (
+                None,
+                None,
+            ):
+                raise ValueError(
+                    f"CurationState({self.state_dir}) has landed exact-"
+                    f"near-dup prefixes ({landed}) but this instance was "
+                    "constructed without the thresholds — writes that skip "
+                    "the prefix append would leave landed docs invisible "
+                    "to every later exact/containment history probe "
+                    "(silently missed cross-batch duplicates); construct "
+                    "with the landed thresholds"
+                )
+            if (
+                landed.get("jaccard_exact_threshold"),
+                landed.get("containment_threshold"),
+            ) != (self.jaccard_exact_threshold, self.containment_threshold):
+                raise ValueError(
+                    f"CurationState({self.state_dir}) constructed with "
+                    f"{mine} but the landed prefixes were derived with "
+                    f"{landed}; a looser landed fraction stays exact but a "
+                    "silent threshold change would land under-length "
+                    "prefixes for future batches — use the landed "
+                    "thresholds (or a fresh state for new ones)"
+                )
+
+        if fs.exists(path):
+            validate()
+            return
+        if self._prefix_frac() is None:
+            return
+        try:
+            out = fs.create(path, False)  # atomic first-writer-wins
+            try:
+                out.write(bytearray(json.dumps(mine).encode("utf-8")))
+            finally:
+                out.close()
+        except Exception:
+            if not fs.exists(path):
+                raise
+            validate()
+
+    def prefixes_exist(self, spark) -> bool:
+        """True once a prefix batch has fully landed — probed separately
+        from ``exists()`` because the table only exists for
+        exact-near-dup states (and may be enabled later)."""
+        self._recover_crashed_compact(spark, ("prefixes",))
+        return self._table_landed(spark, "prefixes")
+
+    def prefixes(
+        self, spark, exclude_epoch: int | None = None, run_id: str | None = None
+    ) -> DataFrame:
+        """The landed (doc_id, sh_h) prefix history, with the same
+        replayed-epoch exclusion as the doc tables. (A backfilled row
+        of an excluded epoch can surface here — tagged ("", -1) by
+        ``ensure_prefixes`` — but the candidates it generates die in
+        the metric verify, whose shingle read IS epoch-excluded.)"""
+        return self._read(spark, "prefixes", exclude_epoch, run_id)
+
+    def ensure_prefixes(self, spark) -> None:
+        """Backfill the prefix table from the FULL landed shingle
+        history when exact near-dup is enabled on a state that landed
+        batches before (or a crashed write left shingles without
+        prefixes). One rarest-sort pass over the landed shingles — the
+        corpus-wide cost write() amortizes per batch, paid once here.
+        OFFLINE op like compact(): quiesce writers first."""
+        from clickhouse_mysql_data_reader_spark.operators.dedup import (
+            prefix_shingles,
+        )
+
+        frac = self._prefix_frac()
+        if frac is None:
+            return
+        self._sync_prefix_params(spark)
+        if self.prefixes_exist(spark) or not self.exists(spark):
+            return
+        rows = prefix_shingles(
+            self.shingles(spark).dropDuplicates(["doc_id", "sh_h"]), frac
+        )
+        rows.withColumns(
+            {"_epoch": F.lit(-1).cast("long"), "_run": F.lit("")}
+        ).write.mode("error").parquet(self._path("prefixes"))
+
     def _derive(self, kept: DataFrame, text_col: str, id_col: str):
-        from clickhouse_mysql_data_reader_spark.operators.dedup import band_table
+        from clickhouse_mysql_data_reader_spark.operators.dedup import (
+            band_table,
+            prefix_shingles,
+        )
 
         fp = kept.select(
             F.col(id_col).alias("doc_id"),
@@ -1102,7 +1319,11 @@ class CurationState:
             num_hashes=self.minhash_k,
             bands=self.lsh_bands,
         )
-        return fp, sh, bands
+        frac = self._prefix_frac()
+        # batch-local rarest-first ordering is exact for all later
+        # probes (one-sided prefix theorem — see prefix_shingles)
+        prefixes = prefix_shingles(sh, frac) if frac is not None else None
+        return fp, sh, bands, prefixes
 
     def write(self, kept: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               mode: str = "append", epoch_id: int | None = None,
@@ -1150,10 +1371,11 @@ class CurationState:
 
         self.sync_params(kept.sparkSession)
         self._sync_bloom_params(kept.sparkSession)
+        self._sync_prefix_params(kept.sparkSession)
         kept = kept.localCheckpoint()
         etag = F.lit(-1 if epoch_id is None else int(epoch_id)).alias("_epoch")
         rtag = F.lit(run_id or "").alias("_run")
-        fp, sh, bands = self._derive(kept, text_col, id_col)
+        fp, sh, bands, prefixes = self._derive(kept, text_col, id_col)
         if self.bloom_bits is not None:
             # BEFORE the fingerprints append (see the bloom invariant
             # note above): a crash between bloom and fingerprints adds
@@ -1195,6 +1417,19 @@ class CurationState:
             bands.withColumns({"_epoch": etag, "_run": rtag}).write.mode(mode).parquet(
                 self._path("bands")
             )
+            if prefixes is not None:
+                # Crash window: a failure after the shingle commit but
+                # before this one leaves the batch's docs without
+                # prefix rows — cross-history pairs where the CRASHED
+                # doc is the smaller side can then be missed by later
+                # exact probes (the other side, batch-prefix vs landed
+                # shingles, still fires). Same remedy as every other
+                # mid-sequence crash documented above: retry with
+                # (run_id, epoch_id) tags so the replay excludes and
+                # re-appends its own rows.
+                prefixes.withColumns(
+                    {"_epoch": etag, "_run": rtag}
+                ).write.mode(mode).parquet(self._path("prefixes"))
         finally:
             sh.unpersist()
         return kept
@@ -1361,12 +1596,18 @@ def curate_increment(
     Within-batch: the same gates + exact dedup + LSH near-dup merge as
     ``curate``, including the configured ``near_dup_keeper`` policy for
     the batch's own components ("longest" elects the best in-batch
-    representative exactly like batch mode). Against history: exact
-    dups leave via an anti-join on the fingerprint; near-dups leave via
-    LSH bucket collisions with the state's band table, Jaccard-verified
-    against the state's shingles — history ALWAYS wins regardless of
-    keeper policy (the kept corpus is immutable), so cross dups drop
-    the NEW doc even when it is longer than the landed keeper. The state tables are joined on their keys only —
+    representative exactly like batch mode) and the configured
+    candidate policy (``near_dup_exact`` — AllPairs prefix filter,
+    provably no missed pair — and the ``near_dup_containment`` second
+    edge type; both need a prefix-enabled ``CurationState``, see its
+    ctor). Against history: exact dups leave via an anti-join on the
+    fingerprint; near-dups leave via LSH bucket collisions with the
+    state's band table (or, under ``near_dup_exact``/containment, via
+    the exact two-sided prefix join against the landed shingles +
+    prefixes), metric-verified against the state's shingles — history
+    ALWAYS wins regardless of keeper policy (the kept corpus is
+    immutable), so cross dups drop the NEW doc even when it is longer
+    than the landed keeper. The state tables are joined on their keys only —
     the historical corpus text is never re-read, and the per-batch cost
     scales with |batch| + |state rows touched by its join keys|, not
     with |corpus|.
@@ -1420,25 +1661,31 @@ def curate_increment(
             f"unknown near_dup_keeper {cfg.near_dup_keeper!r}: "
             "expected 'min_id' or 'longest'"
         )
-    if cfg.near_dup_containment is not None:
-        # containment vs HISTORY needs every landed doc's full shingle
-        # set; the incremental state deliberately keeps only MinHash
-        # signatures + band hashes (bounded per doc). Silently running
-        # the within-batch half alone would miss cross-batch truncated
-        # copies — the pairs the metric exists to find — so reject
-        # loudly instead of degrading.
+    if cfg.near_dup_exact and state.jaccard_exact_threshold != cfg.near_dup_jaccard:
+        # the landed prefixes were sliced for the state's threshold; a
+        # looser probe threshold would need LONGER prefixes than were
+        # landed — silently missed cross-history pairs, not an error
+        # the joins would surface. Equality enforced (the manifest
+        # pins the on-disk truth; this catches in-memory drift).
         raise ValueError(
-            "near_dup_containment is batch curate() only: the landed "
-            "state keeps MinHash signatures, not full shingle sets, so "
-            "containment against history cannot be computed incrementally"
+            f"near_dup_exact at jaccard={cfg.near_dup_jaccard} but the "
+            f"state lands prefixes for jaccard_exact_threshold="
+            f"{state.jaccard_exact_threshold}; construct CurationState "
+            "with jaccard_exact_threshold matching cfg.near_dup_jaccard "
+            "(on an already-landed pre-prefix state, run "
+            "state.ensure_prefixes(spark) once to backfill)"
         )
-    if cfg.near_dup_exact:
-        # same state limitation: exact prefix-filter candidates vs
-        # history would need the landed corpus's full shingle relation
+    if (
+        cfg.near_dup_containment is not None
+        and state.containment_threshold != cfg.near_dup_containment
+    ):
         raise ValueError(
-            "near_dup_exact is batch curate() only: the landed state "
-            "keeps MinHash signatures + band hashes, not the full "
-            "shingle sets the exact AllPairs join needs against history"
+            f"near_dup_containment={cfg.near_dup_containment} but the "
+            f"state lands prefixes for containment_threshold="
+            f"{state.containment_threshold}; construct CurationState "
+            "with containment_threshold matching cfg.near_dup_containment "
+            "(on an already-landed pre-prefix state, run "
+            "state.ensure_prefixes(spark) once to backfill)"
         )
     spark = new_docs.sparkSession
     if state.exists(spark):
@@ -1446,6 +1693,17 @@ def curate_increment(
         # check above cannot catch a session that reconstructs the
         # state handle with the wrong values
         state.sync_params(spark)
+        state._sync_prefix_params(spark)
+        if (cfg.near_dup_exact or cfg.near_dup_containment is not None) and (
+            not state.prefixes_exist(spark)
+        ):
+            raise ValueError(
+                "exact/containment near-dup vs history needs the landed "
+                "prefix table, which this state has not written — run "
+                "state.ensure_prefixes(spark) once (offline; one "
+                "rarest-sort pass over the landed shingles) to backfill, "
+                "then increments maintain it per batch"
+            )
 
     # --- stage 0 (optional): incremental corpus-level line dedup ------
     # The C4 line pass in daily-batch form (operators/text.py
@@ -1548,14 +1806,14 @@ def curate_increment(
             sh0 = sh0.join(
                 bdrop0.select(F.col(id_col).alias("doc_id")), "doc_id", "left_anti"
             )
-        sigs0 = minhash_signatures(sh0, num_hashes=cfg.minhash_k)
-        cands0 = lsh_candidate_pairs(
-            sigs0, num_hashes=cfg.minhash_k, bands=cfg.lsh_bands
-        )
-        pairs0 = jaccard_pairs(
-            sh0, candidates=cands0, min_jaccard=cfg.near_dup_jaccard
-        )
-        comps0 = connected_components(pairs0.select("doc_a", "doc_b"))
+        # same candidate policy + containment edge type as batch
+        # curate() via the shared helper — batch one IS the corpus so
+        # far, so the bootstrap's survivor set equals a batch run over
+        # the (one-batch) concatenation under any cfg (parity-pinned).
+        # sorted_arrays is left to recompute per slice off the
+        # checkpointed sh0: a batch-sized freq agg + collect, not the
+        # corpus-scale pass batch mode persists.
+        comps0 = connected_components(_near_dup_edge_set(sh0, cfg))
         drop0 = _near_dup_drop_ids(comps0, boiled0, cfg, text_col, id_col)
         kept = boiled0.join(drop0, id_col, "left_anti")
         kept = _decontamination_stage(kept, benchmark, cfg, text_col, id_col)
@@ -1667,44 +1925,108 @@ def curate_increment(
     sigs_new = minhash_signatures(sh_new, num_hashes=cfg.minhash_k)
     bands_new = band_table(sigs_new, num_hashes=cfg.minhash_k, bands=cfg.lsh_bands)
 
-    # within batch: standard LSH self-join -> Jaccard -> components
-    cands_in = lsh_candidate_pairs(sigs_new, num_hashes=cfg.minhash_k, bands=cfg.lsh_bands)
-    pairs_in = jaccard_pairs(sh_new, candidates=cands_in, min_jaccard=cfg.near_dup_jaccard)
-    comps = connected_components(pairs_in.select("doc_a", "doc_b"))
+    # within batch: cfg's candidate policy (LSH default, exact AllPairs
+    # under near_dup_exact) + optional containment edges — the shared
+    # helper, same edge semantics as batch curate(). The rarest-first
+    # relation backs up to three prefix slices below (within-batch
+    # jaccard/containment + the cross-history batch prefixes);
+    # localCheckpoint it once — batch-sized, the function's established
+    # discipline — instead of re-running its freq agg + collect per
+    # slice.
+    exactish = cfg.near_dup_exact or cfg.near_dup_containment is not None
+    sorted_arr_new = None
+    if exactish:
+        from clickhouse_mysql_data_reader_spark.operators.dedup import (
+            rarest_sorted_shingles,
+        )
+
+        sorted_arr_new = rarest_sorted_shingles(sh_new).localCheckpoint()
+    comps = connected_components(
+        _near_dup_edge_set(sh_new, cfg, sigs=sigs_new, sorted_arrays=sorted_arr_new)
+    )
     drop_in = _near_dup_drop_ids(comps, vs_hist, cfg, text_col, id_col)
 
-    # vs history: bucket-join new bands against state bands (keyed on
-    # (band_id, band_hash) — only colliding buckets move), then verify
-    # with Jaccard over new + state shingles of the candidate docs only
-    cands_hist = (
-        bands_new.alias("n")
-        .join(
-            state.bands(spark, exclude_epoch=epoch_id, run_id=run_id).alias("h"),
-            (F.col("n.band_id") == F.col("h.band_id"))
-            & (F.col("n.band_hash") == F.col("h.band_hash")),
+    # vs history, Jaccard metric: candidates from the LSH bucket-join
+    # (new bands vs state bands on (band_id, band_hash) — only
+    # colliding buckets move) or, under near_dup_exact, from the exact
+    # two-sided prefix join (batch prefixes vs landed shingles + landed
+    # prefixes vs batch shingles — operators/dedup.py
+    # cross_prefix_candidates; provably no missed pair, the history
+    # side streams and is never shuffled when AQE broadcasts the
+    # batch-sized side).
+    hist_sh_full = state.shingles(spark, exclude_epoch=epoch_id, run_id=run_id)
+    if exactish:
+        hist_prefixes = state.prefixes(spark, exclude_epoch=epoch_id, run_id=run_id)
+    if cfg.near_dup_exact:
+        frac_j = (1.0 - cfg.near_dup_jaccard) / (1.0 + cfg.near_dup_jaccard)
+        cands_hist = cross_prefix_candidates(
+            sh_new,
+            hist_sh_full,
+            frac_j,
+            prefix_new=prefix_shingles(sh_new, frac_j, sorted_arrays=sorted_arr_new),
+            prefix_hist=hist_prefixes,
         )
-        .select(F.col("n.doc_id").alias("doc_a"), F.col("h.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    else:
+        cands_hist = (
+            bands_new.alias("n")
+            .join(
+                state.bands(spark, exclude_epoch=epoch_id, run_id=run_id).alias("h"),
+                (F.col("n.band_id") == F.col("h.band_id"))
+                & (F.col("n.band_hash") == F.col("h.band_hash")),
+            )
+            .select(F.col("n.doc_id").alias("doc_a"), F.col("h.doc_id").alias("doc_b"))
+            .distinct()
+        )
+    # vs history, containment metric (optional second drop set): exact
+    # cross candidates at the containment bound; the landed prefixes
+    # are sliced at the LOOSER of the enabled fractions (see
+    # CurationState._prefix_frac) so one landed table serves both
+    # probes exactly. History always wins — the NEW doc drops — so a
+    # landed truncated copy suppresses a longer original arriving
+    # later (first-wins, the documented increment semantics); run
+    # batch curate with keeper='longest' where that loss matters.
+    c_cands_hist = None
+    if cfg.near_dup_containment is not None:
+        frac_c = 1.0 - cfg.near_dup_containment
+        c_cands_hist = cross_prefix_candidates(
+            sh_new,
+            hist_sh_full,
+            frac_c,
+            prefix_new=prefix_shingles(sh_new, frac_c, sorted_arrays=sorted_arr_new),
+            prefix_hist=hist_prefixes,
+        )
     # dropDuplicates AFTER the semi-join cut (candidate docs only — tiny):
     # a replayed epoch's double-append leaves duplicate state shingle
     # rows, which are harmless for the anti/semi joins but would inflate
-    # Jaccard's per-doc counts
-    sh_hist = (
-        state.shingles(spark, exclude_epoch=epoch_id, run_id=run_id)
-        .join(
-            cands_hist.select(F.col("doc_b").alias("doc_id")).distinct(),
-            "doc_id",
-            "left_semi",
+    # the metric verifies' per-doc counts. One shingle pull serves both
+    # metric verifies (the candidate-doc sets are unioned first).
+    cand_docs = cands_hist.select(F.col("doc_b").alias("doc_id"))
+    if c_cands_hist is not None:
+        cand_docs = cand_docs.unionByName(
+            c_cands_hist.select(F.col("doc_b").alias("doc_id"))
         )
+    sh_hist = (
+        hist_sh_full
+        .join(cand_docs.distinct(), "doc_id", "left_semi")
         .dropDuplicates(["doc_id", "sh_h"])
     )
+    verify_rel = sh_new.unionByName(sh_hist)
     pairs_hist = jaccard_pairs(
-        sh_new.unionByName(sh_hist),
+        verify_rel,
         candidates=cands_hist,
         min_jaccard=cfg.near_dup_jaccard,
     )
-    drop_hist = pairs_hist.select(F.col("doc_a").alias(id_col)).distinct()
+    drop_hist = pairs_hist.select(F.col("doc_a").alias(id_col))
+    if c_cands_hist is not None:
+        c_pairs_hist = containment_pairs(
+            verify_rel,
+            candidates=c_cands_hist,
+            min_containment=cfg.near_dup_containment,
+        )
+        drop_hist = drop_hist.unionByName(
+            c_pairs_hist.select(F.col("doc_a").alias(id_col))
+        )
+    drop_hist = drop_hist.distinct()
 
     kept = (
         vs_hist.join(drop_in, id_col, "left_anti")

@@ -513,17 +513,28 @@ def rarest_sorted_shingles(shingles: DataFrame) -> DataFrame:
     )
 
 
-def _prefix_filter_candidates(
+def prefix_shingles(
     shingles: DataFrame, frac: float, sorted_arrays: DataFrame | None = None
 ) -> DataFrame:
-    """Shared AllPairs core: each doc's prefix is its
+    """Each doc's AllPairs PREFIX as (doc_id, sh_h) rows: its
     floor(frac*|A|) + 2 rarest shingles (the +1 margin covers FP
-    rounding of ``frac``, see containment_prefix_candidates), joined
-    against the full shingle relation; slice length past |A| is
-    harmless (slice clamps). Emits normalized (doc_a < doc_b) pairs."""
+    rounding of ``frac``, see containment_prefix_candidates); slice
+    length past |A| is harmless (slice clamps).
+
+    Exactness note that makes the INCREMENTAL use sound: the one-sided
+    prefix theorem (if the pair's overlap >= ceil((1-frac')|A|) with
+    frac' <= frac, the overlap cannot fit in A's suffix, so a prefix
+    shingle of A lies in B's FULL set) holds for ANY per-doc ordering
+    of A's shingles — rarest-first is purely a join-size heuristic,
+    never a correctness requirement — and for any probe fraction
+    frac' <= the frac the prefix was built with (shorter needed prefix
+    is a subset of the landed longer one). A prefix table landed by
+    one batch with that batch's frequency ordering therefore stays an
+    exact candidate source for every later batch and for any
+    equal-or-tighter threshold."""
     if sorted_arrays is None:
         sorted_arrays = rarest_sorted_shingles(shingles)
-    prefix = (
+    return (
         sorted_arrays
         .select(
             "doc_id",
@@ -537,6 +548,63 @@ def _prefix_filter_candidates(
         )
         .select("doc_id", F.col("_p.sh_h").alias("sh_h"))
     )
+
+
+def cross_prefix_candidates(
+    sh_new: DataFrame,
+    sh_hist: DataFrame,
+    frac: float,
+    prefix_new: DataFrame | None = None,
+    prefix_hist: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT AllPairs candidates ACROSS two shingle relations — the
+    incremental form of ``_prefix_filter_candidates``: every pair
+    (a in new, b in hist) whose overlap meets the ``frac`` bound is
+    emitted (superset; the metric verify filters). Two one-sided
+    joins cover both size orders:
+
+    - |A| <= |B|: a prefix shingle of the NEW doc appears somewhere in
+      the hist doc's FULL shingle set -> prefix(new) equi-join sh_hist;
+    - |B| < |A|: a prefix shingle of the HIST doc appears in the new
+      doc's full set -> prefix(hist) equi-join sh_new.
+
+    ``prefix_hist`` is the reason this scales: pass the LANDED prefix
+    table (CurationState ``prefixes`` — derived once per batch at
+    write time, ~frac of the shingle rows) instead of re-sorting the
+    whole history every increment. Per-batch cost is then one scan of
+    the landed shingles + prefixes with the BATCH side broadcast on
+    sh_h (batch-sized relations — AQE picks the broadcast; the history
+    side streams, it is never shuffled). A landed prefix built at a
+    LOOSER fraction than ``frac`` is still exact (see
+    ``prefix_shingles``); the caller validates that via the state's
+    parameter manifest. Returns (doc_a=new id, doc_b=hist id) pairs,
+    distinct; ids must not collide across the two relations (the
+    CurationState contract)."""
+    if prefix_new is None:
+        prefix_new = prefix_shingles(sh_new, frac)
+    if prefix_hist is None:
+        prefix_hist = prefix_shingles(sh_hist, frac)
+    c1 = prefix_new.select(F.col("doc_id").alias("doc_a"), "sh_h").join(
+        sh_hist.select(F.col("doc_id").alias("doc_b"), "sh_h"), "sh_h"
+    )
+    c2 = sh_new.select(F.col("doc_id").alias("doc_a"), "sh_h").join(
+        prefix_hist.select(F.col("doc_id").alias("doc_b"), "sh_h"), "sh_h"
+    )
+    return (
+        c1.unionByName(c2)
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _prefix_filter_candidates(
+    shingles: DataFrame, frac: float, sorted_arrays: DataFrame | None = None
+) -> DataFrame:
+    """Shared AllPairs core within ONE relation: each doc's prefix
+    (``prefix_shingles``) joined against the full shingle relation.
+    Emits normalized (doc_a < doc_b) pairs."""
+    prefix = prefix_shingles(shingles, frac, sorted_arrays)
     other = shingles.select(F.col("doc_id").alias("_od"), "sh_h")
     return (
         prefix.join(other, "sh_h")

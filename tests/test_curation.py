@@ -98,6 +98,21 @@ def test_curate_near_dup_keeper_longest(spark):
         )
 
 
+def test_containment_with_min_id_keeper_warns():
+    """near_dup_containment + near_dup_keeper='min_id' can elect a
+    truncated copy (smaller id) and drop the longer original — the
+    content loss the containment edge exists to prevent. The config
+    warns on construction; 'longest' stays silent."""
+    import warnings as _warnings
+
+    with pytest.warns(UserWarning, match="truncated copy"):
+        CurationConfig(near_dup_containment=0.9)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        CurationConfig(near_dup_containment=0.9, near_dup_keeper="longest")
+        CurationConfig()  # containment off: min_id default is fine
+
+
 def test_curate_near_dup_containment_catches_truncated_copy(spark):
     """near_dup_containment adds a SECOND near-dup edge type: a
     truncated copy of a long doc (containment 1.0, Jaccard ~0.5 — far
@@ -144,6 +159,9 @@ def test_curate_near_dup_containment_catches_truncated_copy(spark):
     assert {r["doc_id"] for r in both.after_near_dedup.collect()} == {1, 7}
     both.unpersist()
 
+    # increments need a prefix-enabled state: a default state (no
+    # containment_threshold) must reject the flag loudly, not silently
+    # run the within-batch half alone
     state = CurationState(_tf.mkdtemp() + "/st")
     with pytest.raises(ValueError, match="near_dup_containment"):
         curate_increment(
@@ -157,7 +175,8 @@ def test_curate_near_dup_exact_candidates(spark):
     find, both modes keep the same set (the verify stage is identical);
     the exact mode's guarantee (no band-collision misses) is pinned
     operator-level in test_text_gates.py. Incremental mode rejects the
-    flag loudly (state keeps signatures, not shingle sets)."""
+    flag on a state that is not prefix-enabled (no
+    jaccard_exact_threshold -> no landed prefix table to probe)."""
     from clickhouse_mysql_data_reader_spark.curation import (
         CurationState,
         curate_increment,
@@ -228,6 +247,176 @@ def test_curate_exact_and_containment_combined(spark):
     # containment); 3 is longest
     assert kept == {3, 7}
     res.unpersist()
+
+
+_INC_HEAD = (
+    "the survey team walked the north ridge at dawn and marked the "
+    "line where the old fence had fallen in the storm last winter"
+)
+_INC_TAIL = (
+    "and later that week the clerk copied the notes into the ledger "
+    "and filed the map with the county office for the record books"
+)
+_INC_OTHER = (
+    "call it what you want but the story of the sea is the story of "
+    "the men who sailed it for the wind and the tide and the stars"
+)
+
+
+def _prefix_state(tmpdir, **kw):
+    from clickhouse_mysql_data_reader_spark.curation import CurationState
+
+    return CurationState(str(tmpdir) + "/st", **kw)
+
+
+def test_curate_increment_exact_containment_bootstrap_parity(spark, tmp_path):
+    """Exact + containment near-dup in INCREMENTAL mode, bootstrap
+    (history-free prefix-enabled state): the kept set must equal batch
+    curate() under the identical cfg — the batch≡increment parity the
+    round-7 verdict asked to pin. Also checks the state landed the new
+    ``prefixes`` table for the kept docs."""
+    from clickhouse_mysql_data_reader_spark.curation import curate_increment
+
+    cfg = CurationConfig(
+        near_dup_jaccard=0.5,
+        near_dup_exact=True,
+        near_dup_containment=0.9,
+        near_dup_keeper="longest",
+    )
+    docs = _mk_docs(
+        spark,
+        [
+            (1, "web", _INC_HEAD + " " + _INC_TAIL),
+            (2, "web", _INC_HEAD),                      # truncated copy of 1
+            (3, "web", _INC_HEAD + " " + _INC_TAIL + " extra suffix words here"),
+            (7, "books", _INC_OTHER),
+        ],
+    )
+    batch = curate(docs, cfg=cfg)
+    batch_kept = {r["doc_id"] for r in batch.after_near_dedup.collect()}
+    batch.unpersist()
+
+    state = _prefix_state(
+        tmp_path, jaccard_exact_threshold=0.5, containment_threshold=0.9
+    )
+    inc_kept = {
+        r["doc_id"] for r in curate_increment(docs, state, cfg=cfg).collect()
+    }
+    assert inc_kept == batch_kept == {3, 7}
+    # the prefix table landed for exactly the kept docs
+    pfx_docs = {r["doc_id"] for r in state.prefixes(spark).select("doc_id").distinct().collect()}
+    assert pfx_docs == {3, 7}
+
+
+def test_curate_increment_containment_vs_history(spark, tmp_path):
+    """Cross-BATCH truncated copy: batch 1 lands the long original,
+    batch 2 carries a truncated copy (containment ~1.0, Jaccard far
+    below threshold). With near_dup_containment the increment drops
+    it via the landed-prefix cross join; without, it slips through —
+    the exact gap the landed prefix table closes."""
+    from clickhouse_mysql_data_reader_spark.curation import curate_increment
+
+    b1 = _mk_docs(spark, [(1, "web", _INC_HEAD + " " + _INC_TAIL), (7, "books", _INC_OTHER)])
+    b2 = _mk_docs(spark, [(10, "web", _INC_HEAD), (11, "books", "totally fresh words "
+                          "about mountains and meadows and morning frost on glass")])
+
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")  # min_id keeper warning, irrelevant here
+        cfg = CurationConfig(near_dup_jaccard=0.8, near_dup_containment=0.9)
+        state = _prefix_state(tmp_path, containment_threshold=0.9)
+        kept1 = {r["doc_id"] for r in curate_increment(b1, state, cfg=cfg).collect()}
+        assert kept1 == {1, 7}
+        kept2 = {r["doc_id"] for r in curate_increment(b2, state, cfg=cfg).collect()}
+        assert kept2 == {11}, "truncated copy of landed doc must drop"
+
+        # control: containment off -> the truncated copy survives
+        state2 = _prefix_state(str(tmp_path) + "_ctl")
+        cfg_off = CurationConfig(near_dup_jaccard=0.8)
+        curate_increment(b1, state2, cfg=cfg_off)
+        kept2_off = {
+            r["doc_id"] for r in curate_increment(b2, state2, cfg=cfg_off).collect()
+        }
+        assert kept2_off == {10, 11}
+
+
+def test_curate_increment_exact_vs_history_catches_lsh_miss(spark, tmp_path):
+    """near_dup_exact in increments: with lsh_bands=1 (one 16-hash
+    band — a 0.8-Jaccard pair collides only if ALL 16 minhashes agree,
+    which this pair's don't), the LSH history path MISSES the
+    cross-batch near-dup; the exact prefix path must catch it. This is
+    the no-band-collision-miss guarantee, now cross-history."""
+    from clickhouse_mysql_data_reader_spark.curation import curate_increment
+
+    long_a = _INC_HEAD + " " + _INC_TAIL
+    long_b = long_a + " extra suffix words here"  # high-Jaccard pair
+    b1 = _mk_docs(spark, [(1, "web", long_a), (7, "books", _INC_OTHER)])
+    b2 = _mk_docs(spark, [(10, "web", long_b)])
+
+    # control first: plain LSH increment at bands=1 misses the pair
+    cfg_lsh = CurationConfig(near_dup_jaccard=0.5, lsh_bands=1)
+    s_lsh = _prefix_state(str(tmp_path) + "_lsh", lsh_bands=1)
+    curate_increment(b1, s_lsh, cfg=cfg_lsh)
+    kept_lsh = {r["doc_id"] for r in curate_increment(b2, s_lsh, cfg=cfg_lsh).collect()}
+
+    cfg_exact = CurationConfig(
+        near_dup_jaccard=0.5, lsh_bands=1, near_dup_exact=True
+    )
+    s_exact = _prefix_state(
+        str(tmp_path) + "_ex", lsh_bands=1, jaccard_exact_threshold=0.5
+    )
+    curate_increment(b1, s_exact, cfg=cfg_exact)
+    kept_exact = {
+        r["doc_id"] for r in curate_increment(b2, s_exact, cfg=cfg_exact).collect()
+    }
+    assert kept_exact == set(), "exact cross-history path must drop the near-dup"
+    assert kept_lsh == {10}, (
+        "expected the engineered single-band LSH miss; if this fails the "
+        "fixture needs a new pair, not the product a fix"
+    )
+
+
+def test_curate_increment_prefix_state_validation_and_backfill(spark, tmp_path):
+    """The prefix-state contract: (a) cfg-vs-state threshold mismatch
+    raises; (b) a landed prefix manifest rejects a prefix-less writer
+    instance; (c) enabling exact near-dup on an ALREADY-LANDED
+    pre-prefix state raises until ensure_prefixes backfills from the
+    landed shingles, after which increments work and maintain it."""
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curate_increment,
+    )
+
+    docs = _mk_docs(spark, [(1, "web", _INC_HEAD + " " + _INC_TAIL), (7, "books", _INC_OTHER)])
+
+    # (a) mismatch: state pinned at 0.5, cfg probes 0.8
+    s = _prefix_state(str(tmp_path) + "_a", jaccard_exact_threshold=0.5)
+    with pytest.raises(ValueError, match="jaccard_exact_threshold"):
+        curate_increment(
+            docs, s, cfg=CurationConfig(near_dup_jaccard=0.8, near_dup_exact=True)
+        )
+
+    # (c) pre-prefix landed state: land with a plain state first
+    plain = CurationState(str(tmp_path) + "_c/st")
+    curate_increment(docs, plain, cfg=CurationConfig())
+    upgraded = CurationState(str(tmp_path) + "_c/st", jaccard_exact_threshold=0.5)
+    cfg_exact = CurationConfig(near_dup_jaccard=0.5, near_dup_exact=True)
+    b2 = _mk_docs(spark, [(10, "web", _INC_HEAD + " " + _INC_TAIL + " extra suffix words")])
+    with pytest.raises(ValueError, match="ensure_prefixes"):
+        curate_increment(b2, upgraded, cfg=cfg_exact)
+    upgraded.ensure_prefixes(spark)
+    kept = {r["doc_id"] for r in curate_increment(b2, upgraded, cfg=cfg_exact).collect()}
+    assert kept == set(), "backfilled prefixes must catch the landed near-dup"
+
+    # (b) the manifest now exists; a prefix-less instance must not write
+    downgraded = CurationState(str(tmp_path) + "_c/st")
+    with pytest.raises(ValueError, match="prefix"):
+        curate_increment(
+            _mk_docs(spark, [(20, "web", "some novel words entirely")]),
+            downgraded,
+            cfg=CurationConfig(),
+        )
 
 
 def test_curate_increment_keeper_longest_matches_batch_on_empty_state(spark):
