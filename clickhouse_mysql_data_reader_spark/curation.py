@@ -227,6 +227,50 @@ class CurationConfig:
     minhash_k: int = 16
     lsh_bands: int = 4
 
+    @classmethod
+    def with_tuned_lsh(
+        cls, num_hashes: int = 16, fp_weight: float = 0.5, **kw
+    ) -> "CurationConfig":
+        """Config with ``lsh_bands`` chosen by the S-curve tuner
+        (operators/dedup.py ``optimal_lsh_bands``) for the config's own
+        ``near_dup_jaccard`` threshold — the principled alternative to
+        hand-picking the band count: the tuner minimizes the weighted
+        integral of false-positive mass (verify-stage cost) below the
+        threshold and false-negative mass (missed duplicates) above it
+        over the divisors of ``num_hashes``. ``fp_weight`` toward 1
+        when the exact-Jaccard verify is the cost center, toward 0 when
+        recall is the product requirement.
+
+        LANDED-STATE CAVEAT (why the tuner is never auto-applied): an
+        incremental/streaming ``CurationState`` pins (minhash_k,
+        lsh_bands) in its on-disk manifest at first write — band hashes
+        derived with different parameters can NEVER match the landed
+        ones, so re-tuning an EXISTING state's bands silently kills its
+        cross-history near-dup detection (the write path rejects the
+        mismatch loudly). Tune ONCE, before the first batch lands, and
+        construct every later ``CurationState`` with the same values:
+
+            cfg = CurationConfig.with_tuned_lsh(near_dup_jaccard=0.8)
+            state = CurationState(dir_, minhash_k=cfg.minhash_k,
+                                  lsh_bands=cfg.lsh_bands)
+        """
+        if "lsh_bands" in kw or "minhash_k" in kw:
+            raise ValueError(
+                "with_tuned_lsh picks lsh_bands (and minhash_k = "
+                "num_hashes) itself — pass num_hashes=/fp_weight= to "
+                "steer it, or construct CurationConfig directly"
+            )
+        from clickhouse_mysql_data_reader_spark.operators.dedup import (
+            optimal_lsh_bands,
+        )
+
+        threshold = kw.get("near_dup_jaccard", cls.near_dup_jaccard)
+        return cls(
+            minhash_k=num_hashes,
+            lsh_bands=optimal_lsh_bands(num_hashes, threshold, fp_weight),
+            **kw,
+        )
+
     def __post_init__(self) -> None:
         # See the near_dup_keeper comment: containment edges exist to
         # merge truncated copies into their originals so "longest" can

@@ -154,8 +154,8 @@ def stateful_latest_wins_tws(
     no such dependency). Checked eagerly here — without it the query
     dies at start with an opaque 'driver worker crashed'.
 
-    (Install attempted 2026-08-14 in the build container: ``pip
-    install protobuf`` fails — no network route to any index
+    (Install retried 2026-08-15 in the build container: ``pip
+    install protobuf`` still fails — no network route to any index
     ("Name or service not known"), so the streaming integration test
     remains environment-gated; the processor logic itself is executed
     in CI via a stubbed ValueState handle, tests/test_stateful.py.)

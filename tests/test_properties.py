@@ -174,6 +174,35 @@ def test_optimal_lsh_bands_known_shape_and_extremes():
         optimal_lsh_bands(16, 0.8, fp_weight=1.5)
 
 
+def test_curation_config_with_tuned_lsh():
+    """CurationConfig.with_tuned_lsh — the recommended tune-before-
+    first-landing flow: lsh_bands comes from the tuner at the config's
+    own threshold, minhash_k mirrors num_hashes (the state-manifest
+    pair), and hand-passing either pinned parameter is rejected so the
+    landed-state caveat can't be bypassed by accident."""
+    import pytest
+
+    from clickhouse_mysql_data_reader_spark.curation import CurationConfig
+    from clickhouse_mysql_data_reader_spark.operators.dedup import (
+        optimal_lsh_bands,
+    )
+
+    cfg = CurationConfig.with_tuned_lsh(near_dup_jaccard=0.7)
+    assert cfg.minhash_k == 16
+    assert cfg.lsh_bands == optimal_lsh_bands(16, 0.7)
+    assert cfg.near_dup_jaccard == 0.7
+    # default threshold comes from the dataclass default
+    assert (
+        CurationConfig.with_tuned_lsh().lsh_bands
+        == optimal_lsh_bands(16, CurationConfig().near_dup_jaccard)
+    )
+    # other knobs pass through
+    assert CurationConfig.with_tuned_lsh(num_hashes=64, dedup_lines=True).dedup_lines
+    for banned in ({"lsh_bands": 4}, {"minhash_k": 16}):
+        with pytest.raises(ValueError, match="with_tuned_lsh"):
+            CurationConfig.with_tuned_lsh(**banned)
+
+
 from hypothesis import given as _given, settings as _settings
 from hypothesis import strategies as _st
 
