@@ -288,6 +288,12 @@ def main() -> None:
         "dedup_containment_prefix": time_query("dedup_containment_prefix"),
         "dedup_jaccard_prefix": time_query("dedup_jaccard_prefix"),
         "text_bm25_topk": time_query("text_bm25_topk"),
+        # round-8 operator additions: the two TPC-H compositions join
+        # the headline next to q1/q3 — Q5's local-supplier six-table
+        # join is the broadest join plan in the registry and Q18's
+        # HAVING-semi-join reuses the lineitem exchange (AQE)
+        "q5_local_supplier_volume": time_query("q5_local_supplier_volume"),
+        "q18_large_volume_customer": time_query("q18_large_volume_customer"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
