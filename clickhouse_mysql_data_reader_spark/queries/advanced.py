@@ -276,6 +276,47 @@ def csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jsonl_roundtrip_documents",
+    """
+    SELECT doc_id, lang, source, n_chars, md5(text) AS fp
+    FROM documents
+    """,
+    doc="JSONL source/sink surface (sources/jsonl.py): write the "
+    "documents table through the JSONL sink and read it back with an "
+    "explicit schema (zero-inference path) under PERMISSIVE mode — "
+    "every row must survive the round-trip byte-exactly, verified by "
+    "a per-document md5 of the text next to every scalar column. "
+    "JSONL is how LLM corpora actually move between pipeline stages; "
+    "the oracle is the identity query over the original parquet, so "
+    "any escaping/encoding loss in the round-trip hash-fails.",
+)
+def jsonl_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.sources.jsonl import (
+        quarantine_split,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"cmdrs_jsonl_roundtrip_{tag}")
+    write_jsonl(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ),
+        path,
+    )
+    back = read_jsonl(
+        spark,
+        path,
+        schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    good, _bad = quarantine_split(back)
+    return good.select(
+        "doc_id", "lang", "source", "n_chars", F.md5("text").alias("fp")
+    )
+
+
+@register(
     "agg_salted_skew",
     """
     SELECT l_returnflag,

@@ -364,9 +364,16 @@ QUERIES: dict[str, QueryDef] = {}
 # fact-fact shuffle join, q1's exact-decimal aggregate idiom, semi-join
 # of the checked cdc/semi family, TakeOrderedAndProject top-k); full
 # DuckDB oracles in pytest every CI run; rotation candidates for r9.
+# And jsonl_roundtrip_documents — the JSONL source/sink surface
+# (sources/jsonl.py). Same write-then-read-back roundtrip plan family
+# as the checked csv_roundtrip_nation (explicit-schema zero-inference
+# scan, K2-style sink); the JSONL-specific machinery (PERMISSIVE
+# corrupt-record quarantine, malformed-line policies) is pinned by
+# dedicated unit tests in test_sources.py. Rotation candidate for r9.
 DEPRIORITIZED = (
     "q5_local_supplier_volume",
     "q18_large_volume_customer",
+    "jsonl_roundtrip_documents",
     "text_bm25_frozen",
     "join_range_bands",
     "text_gopher_rules",

@@ -13,6 +13,11 @@ from pyspark.sql import types as T
 
 from clickhouse_mysql_data_reader_spark.schema.typemap import ColumnSpec
 from clickhouse_mysql_data_reader_spark.sources.csv import read_csv, sniff_dialect
+from clickhouse_mysql_data_reader_spark.sources.jsonl import (
+    quarantine_split,
+    read_jsonl,
+    write_jsonl,
+)
 from clickhouse_mysql_data_reader_spark.sources.jdbc import (
     JdbcSourceConfig,
     build_select,
@@ -154,3 +159,87 @@ def test_sniff_dialect_clear_error_and_extensionless_fallback(tmp_path):
     (d / "part-00000").write_text("id,v\n1,a\n2,b\n")
     delimiter, has_header = sniff_dialect(str(d))
     assert delimiter == ","
+
+
+# ---------------------------------------------------------------------------
+# JSONL source/sink (sources/jsonl.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_permissive_quarantine_split(spark, tmp_path):
+    """A malformed line lands in the quarantine frame with the raw
+    bytes preserved; good rows parse clean and drop the corrupt col."""
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello"}\n'
+        '{"doc_id": 2, "text": "wor\n'  # truncated mid-record
+        '{"doc_id": 3, "text": "third"}\n'
+    )
+    df = read_jsonl(spark, str(p), schema="doc_id bigint, text string")
+    good, bad = quarantine_split(df)
+    assert "_corrupt_record" not in good.columns
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 3]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert bad_rows[0]["raw_line"] == '{"doc_id": 2, "text": "wor'
+    # unparseable line => data columns all NULL alongside the raw bytes
+    assert bad_rows[0]["doc_id"] is None and bad_rows[0]["text"] is None
+
+
+def test_jsonl_dropmalformed_and_failfast(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"doc_id": 1}\nnot json at all\n{"doc_id": 2}\n')
+    dropped = read_jsonl(
+        spark, str(p), schema="doc_id bigint", mode="DROPMALFORMED"
+    )
+    assert sorted(r["doc_id"] for r in dropped.collect()) == [1, 2]
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_jsonl(spark, str(p), schema="doc_id bigint", mode="FAILFAST").collect()
+    with pytest.raises(ValueError, match="mode must be one of"):
+        read_jsonl(spark, str(p), schema="doc_id bigint", mode="LENIENT")
+
+
+def test_jsonl_explicit_schema_runs_no_inference_job(spark, tmp_path):
+    """Same zero-extra-pass guarantee as the CSV source: an explicit
+    schema must not launch any job at frame-build time."""
+    p = tmp_path / "probe.jsonl"
+    p.write_text("\n".join(f'{{"id": {i}, "v": "n{i}"}}' for i in range(50)) + "\n")
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    sc.setJobGroup("jsonl_no_infer", "schema given")
+    read_jsonl(spark, str(p), schema="id bigint, v string")  # build only
+    assert tracker.getJobIdsForGroup("jsonl_no_infer") == []
+
+    sc.setJobGroup("jsonl_infer", "inference")
+    read_jsonl(spark, str(p))  # inference path pays a sampled scan
+    assert len(tracker.getJobIdsForGroup("jsonl_infer")) >= 1
+    sc.setJobGroup(None, None)
+
+
+def test_jsonl_roundtrip_preserves_hostile_text(spark, tmp_path):
+    """Newlines, quotes, backslashes, unicode, and NULLs survive the
+    write->read round-trip byte-exactly (what the registry query
+    verifies corpus-wide via md5)."""
+    hostile = [
+        (1, 'line1\nline2\ttab "quoted" back\\slash'),
+        (2, "unicode: é中文 \U0001f600 end"),
+        (3, None),
+        (4, ""),
+    ]
+    src = spark.createDataFrame(hostile, "doc_id bigint, text string")
+    out = os.path.join(str(tmp_path), "round")
+    write_jsonl(src, out, num_files=1)
+    back = read_jsonl(spark, out, schema="doc_id bigint, text string")
+    good, bad = quarantine_split(back)
+    assert bad.collect() == []
+    got = {r["doc_id"]: r["text"] for r in good.collect()}
+    # Spark's json writer drops null-valued fields per line; a missing
+    # key reads back as NULL, and empty string stays empty — both pinned.
+    assert got == {k: v for k, v in hostile}
+
+
+def test_jsonl_quarantine_requires_corrupt_column(spark):
+    df = spark.createDataFrame([(1,)], "doc_id bigint")
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        quarantine_split(df)
