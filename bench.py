@@ -294,6 +294,9 @@ def main() -> None:
         # HAVING-semi-join reuses the lineitem exchange (AQE)
         "q5_local_supplier_volume": time_query("q5_local_supplier_volume"),
         "q18_large_volume_customer": time_query("q18_large_volume_customer"),
+        # SRP-LSH cosine near-dup — quantizer-free banding, timed next
+        # to its IVF-blocked sibling dedup_embed_near (in extras)
+        "dedup_embed_near_srp": time_query("dedup_embed_near_srp"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -838,3 +838,152 @@ def semantic_dedup(
     )
     drops = decisions.filter(~F.col("keep")).select(id_col)
     return corpus.join(drops, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Signed-random-projection (SRP) LSH — cosine near-dup without a quantizer
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for SRP projections: floor(x * 2^16) per dimension
+#: makes every projection an exact integer sum (|x| <= ~8 -> |xq| < 2^19,
+#: 64 dims -> |dot| < 2^25, exact in double on BOTH engines), so the
+#: sign decision — and therefore every band bucket — is bit-identical
+#: between Spark and any SQL oracle. Raw float dot products differ in
+#: the last ulp across engines, which would flip near-zero signs.
+SRP_SCALE = 65536
+
+
+def srp_hyperplanes(dim: int, n_bits: int, seed: str = "srp") -> list[list[int]]:
+    """Deterministic +-1 hyperplanes from md5 parity (Charikar 2002,
+    STOC — sign-random-projection LSH for cosine). Driver-side and
+    tiny (n_bits x dim ints); reproducible across sessions/clusters so
+    fingerprints written by one run join against another's."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{seed}:{b}:{d}".encode()).digest()[0] & 1 else -1
+            for d in range(dim)
+        ]
+        for b in range(n_bits)
+    ]
+
+
+def srp_band_table(
+    vectors: DataFrame,
+    dim: int,
+    n_bits: int = 32,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "srp",
+) -> DataFrame:
+    """(vid, band_idx, band_val) — each vector lands in ``n_bands``
+    LSH buckets keyed by ``band_bits = n_bits / n_bands`` SRP sign
+    bits. P(two vectors share one bit) = 1 - theta/pi, so a band
+    matches with that to the band_bits-th power — the usual S-curve:
+    near-identical vectors (cos >= 0.95) collide in some band with
+    high probability, unrelated ones almost never do.
+
+    Everything is expression-level: the per-dimension fixed-point
+    quantization is one ``transform``, each bit one ``zip_with`` +
+    ``aggregate`` fold (JVM codegen), and the explode emits exactly
+    n_bands rows per vector. No shuffle until the candidate join.
+    """
+    if n_bits % n_bands:
+        raise ValueError(f"n_bits={n_bits} not divisible by n_bands={n_bands}")
+    band_bits = n_bits // n_bands
+    planes = srp_hyperplanes(dim, n_bits, seed)
+    vq = F.transform(
+        as_double_array(vec_col), lambda x: F.floor(x * F.lit(SRP_SCALE))
+    )
+    e = vectors.select(F.col(id_col).alias("vid"), vq.alias("vq"))
+
+    def bit(b: int) -> Column:
+        w = F.array(*[F.lit(float(v)) for v in planes[b]])
+        proj = F.aggregate(
+            F.zip_with(F.col("vq"), w, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
+
+    bands = [
+        sum(
+            (bit(j * band_bits + i) * F.lit(1 << i) for i in range(band_bits)),
+            start=F.lit(0),
+        )
+        for j in range(n_bands)
+    ]
+    return e.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"), bands[j].alias("band_val")
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("vid", "b.band_idx", "b.band_val")
+
+
+def near_dup_pairs_srp(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    n_bits: int = 32,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "srp",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP-LSH banding.
+
+    The quantizer-free sibling of :func:`near_dup_pairs`: where that
+    operator blocks on an IVF cell (needs trained centroids and misses
+    across cell borders), this one blocks on sign-random-projection
+    bands — no training pass, and recall is a tunable S-curve in
+    (n_bits, n_bands) rather than a cell-boundary artifact. The right
+    tool for HIGH thresholds (cos >= ~0.9, the near-dup regime);
+    at low thresholds the curve flattens and IVF blocking wins.
+
+    100 TB shape: band buckets bound the self-join exactly like
+    MinHash-LSH banding on text (operators/dedup.py) — candidates
+    scale with sum(|bucket|^2) per band, never |corpus|^2, and the
+    bucket key (band_idx, band_val) is uniform by construction
+    (md5-derived hyperplanes), so no salting is needed. Verification
+    re-scores only candidate pairs with the exact rounded cosine, so
+    banding can only LOSE pairs (no false positives) — recall vs the
+    exact baseline is pinned in tests/test_similarity_extras.py.
+    """
+    bt = srp_band_table(
+        corpus, dim, n_bits=n_bits, n_bands=n_bands,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    a, b = bt.alias("a"), bt.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
+        .distinct()
+    )
+    e = corpus.select(
+        F.col(id_col).alias("vid"), as_double_array(vec_col).alias("v")
+    )
+    return (
+        cand.join(e.withColumnRenamed("vid", "vec_a").withColumnRenamed("v", "va"), "vec_a")
+        .join(e.withColumnRenamed("vid", "vec_b").withColumnRenamed("v", "vb"), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

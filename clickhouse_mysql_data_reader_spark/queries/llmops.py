@@ -573,6 +573,106 @@ def dedup_embed_near_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame
     return near_dup_pairs_multiprobe(emb, threshold=0.35, n_probe=2, cell_col="label")
 
 
+def _srp_oracle_ctes(dim: int = 64, n_bits: int = 32, n_bands: int = 4) -> str:
+    """Shared CTE block for the SRP oracles: the SAME md5-derived +-1
+    hyperplanes as operators.similarity.srp_hyperplanes, inlined as SQL
+    literals, applied to the SAME floor(x*2^16) fixed-point quantization
+    — so every sign bit (and therefore every band bucket) is an exact
+    integer decision in both engines."""
+    from clickhouse_mysql_data_reader_spark.operators.similarity import (
+        SRP_SCALE,
+        srp_hyperplanes,
+    )
+
+    planes = srp_hyperplanes(dim, n_bits)
+    band_bits = n_bits // n_bands
+
+    def plane_lit(b: int) -> str:
+        return "[" + ", ".join(f"{w}.0" for w in planes[b]) + "]"
+
+    def band_expr(j: int) -> str:
+        terms = [
+            f"(CASE WHEN list_dot_product(vq, {plane_lit(j * band_bits + i)}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(band_bits)
+        ]
+        return " + ".join(terms)
+
+    bands = ", ".join(band_expr(j) for j in range(n_bands))
+    return f"""
+      e AS (SELECT vec_id,
+                   list_transform(embedding::DOUBLE[], x -> floor(x * {SRP_SCALE})) AS vq,
+                   embedding::DOUBLE[] AS v
+            FROM embeddings),
+      fp AS (SELECT vec_id, v, [{bands}] AS bands FROM e),
+      bt AS (SELECT vec_id, j - 1 AS band_idx, bands[j] AS band_val
+             FROM fp, UNNEST(range(1, {n_bands} + 1)) AS t(j))
+    """
+
+
+@register(
+    "embed_srp_bands",
+    f"""
+    WITH {_srp_oracle_ctes()}
+    SELECT vec_id AS vid, CAST(band_idx AS INT) AS band_idx,
+           CAST(band_val AS BIGINT) AS band_val
+    FROM bt
+    """,
+    doc="SRP-LSH band table (Charikar 2002): 32 sign-random-projection "
+    "bits per vector packed into 4 8-bit band buckets. Element-wise "
+    "exact-checked against the oracle — validates every hyperplane "
+    "sign decision, the same verification depth dedup_minhash_"
+    "signatures gives MinHash. The fixed-point floor(x*2^16) "
+    "quantization makes each sign an exact integer comparison, immune "
+    "to cross-engine float fold differences.",
+)
+def embed_srp_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.similarity import srp_band_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bt = srp_band_table(emb, dim=64)
+    return bt.select(
+        "vid",
+        F.col("band_idx").cast("int").alias("band_idx"),
+        F.col("band_val").cast("long").alias("band_val"),
+    )
+
+
+@register(
+    "dedup_embed_near_srp",
+    f"""
+    WITH {_srp_oracle_ctes()},
+      cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+               FROM bt a
+               JOIN bt b ON a.band_idx = b.band_idx
+                        AND a.band_val = b.band_val
+                        AND a.vec_id < b.vec_id)
+    SELECT c.vec_a, c.vec_b,
+           round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.vec_a
+    JOIN e eb ON eb.vec_id = c.vec_b
+    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
+    """,
+    doc="Embedding near-dup pairs via SRP-LSH banding — the "
+    "quantizer-free sibling of dedup_embed_near: no trained centroids, "
+    "no cell-border misses; recall is the (n_bits, n_bands) S-curve "
+    "(high at the cos>=0.9 near-dup regime; pinned vs the exact "
+    "baseline in tests/test_similarity_extras.py with planted dups). "
+    "Band buckets bound the self-join (sum(|bucket|^2), never "
+    "|corpus|^2) with md5-uniform keys — no salting needed. The "
+    "verify stage re-scores candidates with the exact rounded cosine, "
+    "so banding only loses pairs, never invents them.",
+)
+def dedup_embed_near_srp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.similarity import (
+        near_dup_pairs_srp,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return near_dup_pairs_srp(emb, threshold=0.35, dim=64)
+
+
 @register(
     "doc_winnow_fingerprint",
     f"""

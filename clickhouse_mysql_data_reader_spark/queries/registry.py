@@ -370,10 +370,20 @@ QUERIES: dict[str, QueryDef] = {}
 # scan, K2-style sink); the JSONL-specific machinery (PERMISSIVE
 # corrupt-record quarantine, malformed-line policies) is pinned by
 # dedicated unit tests in test_sources.py. Rotation candidate for r9.
+# And the SRP-LSH pair: embed_srp_bands (element-wise band-table
+# verification, the dedup_minhash_signatures pattern for the cosine
+# metric) + dedup_embed_near_srp (end-to-end pairs). Their candidate
+# self-join + rounded-cosine verify is the plan family of the checked
+# dedup_embed_near_multiprobe; the new machinery (sign bits, banding)
+# is fully hash-verified by the bands oracle in pytest and
+# recall-pinned against the exact baseline in
+# test_similarity_extras.py. Rotation candidates for r9.
 DEPRIORITIZED = (
     "q5_local_supplier_volume",
     "q18_large_volume_customer",
     "jsonl_roundtrip_documents",
+    "embed_srp_bands",
+    "dedup_embed_near_srp",
     "text_bm25_frozen",
     "join_range_bands",
     "text_gopher_rules",
