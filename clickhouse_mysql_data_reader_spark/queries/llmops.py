@@ -2196,6 +2196,38 @@ def text_gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_blocklist_gate",
+    f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents),
+    f AS (
+      SELECT doc_id, tk,
+             list_filter(tk, x -> x IN ('slow', 'stream', 'vector')) AS hits
+      FROM t
+    )
+    SELECT doc_id,
+           len(tk) AS n_tokens,
+           len(hits) AS block_hits,
+           len(hits) / len(tk) AS block_ratio,
+           (len(hits) = 0) AS passed,
+           coalesce(array_to_string(list_sort(list_distinct(hits)), ','), '')
+             AS hit_terms
+    FROM f
+    """,
+    doc="C4-style blocklist gate (Raffel et al. 2020 §2.2): drop any "
+    "page containing a blocklist token. Token-boundary matching, one "
+    "scan, zero shuffles — the cheapest/highest-drop-rate gate, so it "
+    "belongs first in the curation chain at 100 TB. Blocklist drawn "
+    "from the synthetic corpus vocabulary so the flag varies; the "
+    "operator default is a real spam/adult list.",
+)
+def text_blocklist_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.text import blocklist_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return blocklist_gate(docs, "text", "doc_id", blocklist=("slow", "stream", "vector"))
+
+
+@register(
     "text_boilerplate_ngrams",
     f"""
     WITH {_SHINGLE_CTE},

@@ -378,12 +378,17 @@ QUERIES: dict[str, QueryDef] = {}
 # is fully hash-verified by the bands oracle in pytest and
 # recall-pinned against the exact baseline in
 # test_similarity_extras.py. Rotation candidates for r9.
+# And text_blocklist_gate (C4 bad-words filter) — scan-stage
+# token-array fold of the checked text_quality_score/text_pii_redact
+# family (shared tokens helper, same filter-over-array idiom);
+# full DuckDB oracle in pytest. Rotation candidate for r9.
 DEPRIORITIZED = (
     "q5_local_supplier_volume",
     "q18_large_volume_customer",
     "jsonl_roundtrip_documents",
     "embed_srp_bands",
     "dedup_embed_near_srp",
+    "text_blocklist_gate",
     "text_bm25_frozen",
     "join_range_bands",
     "text_gopher_rules",

@@ -530,3 +530,30 @@ def test_prefix_filter_exactness_randomized(spark):
         }
         missing_j = exact_pairs("jaccard") - got_j
         assert not missing_j, f"trial {trial} t={t}: jaccard lost {missing_j}"
+
+
+# ---------------------------------------------------------------------------
+# C4-style blocklist gate
+# ---------------------------------------------------------------------------
+
+
+def test_blocklist_gate_token_boundaries(spark):
+    from clickhouse_mysql_data_reader_spark.operators.text import blocklist_gate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the casino opened a lottery stand"),   # two hits
+            (2, "classic cassino-free text"),            # substring must NOT trip
+            (3, "PILLS Pills pills"),                    # case-normalized, 3 hits 1 term
+            (4, "perfectly clean text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in blocklist_gate(docs, "text", "doc_id").collect()}
+    assert out[1]["block_hits"] == 2 and out[1]["hit_terms"] == "casino,lottery"
+    assert out[2]["passed"] and out[2]["block_hits"] == 0 and out[2]["hit_terms"] == ""
+    assert out[3]["block_hits"] == 3 and out[3]["hit_terms"] == "pills"
+    assert not out[3]["passed"]
+    assert out[4]["passed"]
+    with pytest.raises(ValueError, match="non-empty"):
+        blocklist_gate(docs, "text", "doc_id", blocklist=())
