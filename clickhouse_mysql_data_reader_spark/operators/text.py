@@ -1047,6 +1047,75 @@ def chunk_documents(
     )
 
 
+def chunk_retrieve_topk(
+    docs: DataFrame,
+    query: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    dim: int = 64,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """RAG retrieval over raw text, end-to-end: chunk -> hashed-BoW
+    embed -> cosine-ranked top-k chunks for a query string. The full
+    index-free retrieval pipeline when no learned embeddings exist —
+    compose with ``ivf_topk``/SRP banding once chunk vectors are landed.
+
+    Ranking statistic: counts are integers and the query vector is a
+    constant, so cos^2 ordering is computed EXACTLY as
+    ``scale * dot^2 div |c|^2`` (one integer division; the bm25_topk
+    determinism idiom) — no sqrt, no float fold, bit-identical across
+    engines. dot >= 0 always (count vectors), so cos^2 order == cos
+    order. Ties break on (doc_id, chunk_id).
+
+    Scale shape: chunking and embedding ride the scan (zero shuffles,
+    see ``chunk_documents``/``hashed_bow_expr``); the only distributed
+    op is the final top-k, which plans as TakeOrderedAndProject
+    (per-partition heaps, never a global sort).
+    """
+    import hashlib
+
+    q_toks = query.lower().split()
+    if not q_toks:
+        raise ValueError("chunk_retrieve_topk: query must contain tokens")
+    qv = [0] * dim
+    for t in q_toks:
+        # mirrors token_bucket: 60-bit md5 prefix mod dim
+        qv[int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % dim] += 1
+    chunks = chunk_documents(docs, text_col, id_col, chunk_tokens, overlap)
+    cnt = hashed_bow_expr(F.col("chunk_text"), dim, normalize=False)
+    qlit = F.array(*[F.lit(float(w)) for w in qv])
+    scored = chunks.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.aggregate(
+            F.zip_with(cnt, qlit, lambda c, q: c * q), F.lit(0.0), lambda a, x: a + x
+        )
+        .cast("decimal(38,0)")
+        .alias("_dot"),
+        F.aggregate(cnt, F.lit(0.0), lambda a, c: a + c * c)
+        .cast("decimal(38,0)")
+        .alias("_sumsq"),
+    )
+    score = F.when(
+        F.col("_sumsq") > 0,
+        F.expr(f"(_dot * _dot * {scale}) div _sumsq"),
+    ).otherwise(F.lit(0))
+    return (
+        scored.select(
+            "doc_id",
+            "chunk_id",
+            "n_chunk_tokens",
+            score.cast("long").alias("score_x1e6"),
+        )
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc(), F.col("chunk_id").asc())
+        .limit(k)
+    )
+
+
 def lm_surprisal(
     docs: DataFrame,
     reference: DataFrame | None,

@@ -1645,6 +1645,75 @@ def doc_chunk_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, "text", "doc_id", chunk_tokens=64, overlap=8)
 
 
+def _rag_query_vector_sql(query: str = "vector stream join", dim: int = 64) -> str:
+    """The oracle's query-vector literal, derived from the SAME md5
+    bucket recipe as operators.text.token_bucket so the two sides
+    cannot drift."""
+    import hashlib
+
+    qv = [0] * dim
+    for t in query.split():
+        qv[int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % dim] += 1
+    return "[" + ", ".join(f"{w}.0" for w in qv) + "]"
+
+
+@register(
+    "rag_chunk_retrieve",
+    f"""
+    WITH normc AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+    tokc AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM normc),
+    cn AS (
+      SELECT doc_id, tk,
+             greatest(1, CAST(ceil((len(tk) - 8) / 56.0) AS BIGINT)) AS n_chunks
+      FROM tokc
+    ),
+    ch AS (
+      SELECT doc_id, i AS chunk_id, tk[i*56+1 : i*56+64] AS chunk_tk
+      FROM cn, UNNEST(range(0, n_chunks)) AS u(i)
+    ),
+    b AS (
+      SELECT doc_id, chunk_id, CAST(len(chunk_tk) AS BIGINT) AS n_chunk_tokens,
+             list_transform(chunk_tk,
+                            tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT % 64) AS bk
+      FROM ch
+    ),
+    c AS (
+      SELECT doc_id, chunk_id, n_chunk_tokens,
+             list_transform(range(0, 64),
+                            q -> CAST(len(list_filter(bk, x -> x = q)) AS DOUBLE)) AS cnt
+      FROM b
+    ),
+    s AS (
+      SELECT doc_id, chunk_id, n_chunk_tokens,
+             list_dot_product(cnt, {_rag_query_vector_sql()}) AS dot,
+             list_dot_product(cnt, cnt) AS sumsq
+      FROM c
+    )
+    SELECT doc_id, chunk_id, n_chunk_tokens,
+           CASE WHEN sumsq > 0
+                THEN CAST(CAST(dot * dot * 1000000 AS HUGEINT)
+                          // CAST(sumsq AS HUGEINT) AS BIGINT)
+                ELSE 0 END AS score_x1e6
+    FROM s
+    ORDER BY score_x1e6 DESC, doc_id ASC, chunk_id ASC
+    LIMIT 10
+    """,
+    doc="Index-free RAG retrieval end-to-end: 64-token chunking (8 "
+    "overlap) -> hashed-BoW chunk vectors -> cosine-ranked top-10 "
+    "chunks for the query 'vector stream join'. Ranking uses the "
+    "exact-integer cos^2 statistic scale*dot^2 div |c|^2 (counts are "
+    "integers, the query vector a constant, dot >= 0) — no sqrt, no "
+    "float fold, bit-identical across engines; full (doc, chunk) "
+    "tie-break. Chunking + embedding ride the scan; the only "
+    "distributed op is TakeOrderedAndProject.",
+)
+def rag_chunk_retrieve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.text import chunk_retrieve_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_retrieve_topk(docs, "vector stream join", k=10)
+
+
 @register(
     "sample_weighted_topk",
     """

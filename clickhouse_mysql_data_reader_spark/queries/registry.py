@@ -389,6 +389,11 @@ DEPRIORITIZED = (
     "embed_srp_bands",
     "dedup_embed_near_srp",
     "text_blocklist_gate",
+    # index-free RAG retrieval: composition of three checked families
+    # (doc_chunk_overlap's chunking, text_hashed_embed's hashed-BoW
+    # fold, text_vocab_topk's TakeOrderedAndProject); exact-integer
+    # rank statistic per the checked text_bm25_topk idiom
+    "rag_chunk_retrieve",
     "text_bm25_frozen",
     "join_range_bands",
     "text_gopher_rules",

@@ -557,3 +557,21 @@ def test_blocklist_gate_token_boundaries(spark):
     assert out[4]["passed"]
     with pytest.raises(ValueError, match="non-empty"):
         blocklist_gate(docs, "text", "doc_id", blocklist=())
+
+
+def test_chunk_retrieve_topk_ranks_relevant_chunks_first(spark):
+    from clickhouse_mysql_data_reader_spark.operators.text import chunk_retrieve_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "vector stream join " * 4),       # pure query words
+            (2, "scan filter merge batch " * 4),  # none
+            (3, "vector scan filter merge stream batch row column " * 2),  # some
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_retrieve_topk(docs, "vector stream join", k=3).collect()
+    assert [r["doc_id"] for r in out] == [1, 3, 2]
+    assert out[0]["score_x1e6"] > out[1]["score_x1e6"] > out[2]["score_x1e6"] == 0
+    with pytest.raises(ValueError, match="query must contain tokens"):
+        chunk_retrieve_topk(docs, "   ")
