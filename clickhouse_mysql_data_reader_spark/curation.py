@@ -69,6 +69,16 @@ class CurationConfig:
     # defaults (keyword names of gopher_rules).
     apply_gopher: bool = False
     gopher_thresholds: dict | None = None
+    # opt-in C4 bad-words gate (operators/text.py blocklist_gate,
+    # Raffel et al. 2020 §2.2): drop any doc containing one of these
+    # tokens (token-boundary match on normalized text). Runs FIRST —
+    # it is the cheapest gate with the highest drop rate on web text,
+    # so every later stage sees a smaller corpus; pure expression on
+    # the scan, zero shuffles, stateless (works identically in batch,
+    # increment, and streaming). None/empty = off. The operator's
+    # DEFAULT_BLOCKLIST is a starter spam/adult list; production
+    # pipelines pass their own.
+    blocklist: tuple[str, ...] | None = None
     # opt-in corpus-level boilerplate gate (operators/text.py
     # ngram_boilerplate): drop docs whose shingle coverage by
     # corpus-wide frequent fragments exceeds this (templated
@@ -344,7 +354,22 @@ def _row_stages(
 
         docs = docs.withColumn(text_col, collapse_repeated_lines(F.col(text_col)))
 
-    gate = gate_columns(docs, text_col)
+    if cfg.blocklist:
+        # C4 bad-words gate FIRST (Raffel et al. 2020 §2.2): the
+        # cheapest test with the highest drop rate on web text, so
+        # every later stage sees a smaller corpus. Token-boundary
+        # matching via the same expression core as the oracle-checked
+        # text_blocklist_gate query (operators/text.py blocklist_gate)
+        # — one in-row array fold on the scan, zero shuffles.
+        from clickhouse_mysql_data_reader_spark.operators.text import (
+            blocklist_pass_expr,
+        )
+
+        gated_in = docs.filter(blocklist_pass_expr(F.col(text_col), cfg.blocklist))
+    else:
+        gated_in = docs
+
+    gate = gate_columns(gated_in, text_col)
     gated = gate.filter(F.col("quality_score") >= cfg.min_quality_score)
     if cfg.drop_repetitive:
         gated = gated.filter(~F.col("flag_repetitive"))

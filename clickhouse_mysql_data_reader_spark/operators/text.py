@@ -310,6 +310,22 @@ DEFAULT_BLOCKLIST = (
 )
 
 
+def blocklist_hits_expr(text: Column, blocklist: tuple[str, ...]) -> Column:
+    """Array of blocklisted tokens in ``text`` (token-boundary match
+    over normalized tokens) — the shared expression core of
+    ``blocklist_gate`` and the curation pipeline's gate, so the two
+    cannot drift."""
+    if not blocklist:
+        raise ValueError("blocklist must be non-empty")
+    return F.filter(tokens(text), lambda t: t.isin(*blocklist))
+
+
+def blocklist_pass_expr(text: Column, blocklist: tuple[str, ...]) -> Column:
+    """True iff ``text`` contains NO blocklisted token — the C4 drop
+    rule as one boolean scan-stage expression."""
+    return F.size(blocklist_hits_expr(text, blocklist)) == 0
+
+
 def blocklist_gate(
     df: DataFrame,
     text_col: str,
@@ -327,10 +343,8 @@ def blocklist_gate(
     cheapest test with the highest drop rate on web text, and running
     it before the shuffling stages shrinks everything downstream.
     """
-    if not blocklist:
-        raise ValueError("blocklist_gate: blocklist must be non-empty")
     tk = tokens(F.col(text_col))
-    hits_arr = F.filter(tk, lambda t: t.isin(*blocklist))
+    hits_arr = blocklist_hits_expr(F.col(text_col), blocklist)
     return df.select(
         F.col(id_col),
         F.size(tk).alias("n_tokens"),

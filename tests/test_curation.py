@@ -1972,3 +1972,34 @@ def test_curate_collapse_lines_cleaner_runs_everywhere(spark):
     state = CurationState(_tf.mkdtemp() + "/st")
     inc = curate_increment(docs, state, cfg, update_state=False).collect()
     assert inc[0]["text"] == GOOD + "\nsame nav line"
+
+
+def test_curate_blocklist_gate_batch_and_increment_parity(spark, tmp_path):
+    """Opt-in C4 bad-words gate: a doc containing a blocklisted token
+    is dropped before any other gate; the gate is stateless, so daily
+    increments equal the batch run over the concatenation by
+    construction — pinned here anyway."""
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curate_increment,
+    )
+
+    spammy = GOOD + " casino"
+    docs = _mk_docs(spark, [(1, "web", GOOD), (2, "web", spammy)])
+
+    base = CurationConfig(near_dup_jaccard=0.5)
+    kept = {r["doc_id"] for r in curate(docs, cfg=base).quality_gated.collect()}
+    assert kept == {1, 2}, "sanity: gate off keeps the spammy doc"
+
+    cfg = CurationConfig(near_dup_jaccard=0.5, blocklist=("casino", "lottery"))
+    res = curate(docs, cfg=cfg)
+    assert {r["doc_id"] for r in res.quality_gated.collect()} == {1}
+    batch_kept = {r["doc_id"] for r in res.after_near_dedup.collect()}
+
+    # increments: same two docs split over two batches, same config
+    state = CurationState(os.path.join(str(tmp_path), "bl_state"))
+    inc1 = curate_increment(_mk_docs(spark, [(1, "web", GOOD)]), state, cfg=cfg)
+    kept1 = {r["doc_id"] for r in inc1.collect()}
+    inc2 = curate_increment(_mk_docs(spark, [(2, "web", spammy)]), state, cfg=cfg)
+    kept2 = {r["doc_id"] for r in inc2.collect()}
+    assert (kept1 | kept2) == batch_kept == {1}
