@@ -16,6 +16,7 @@ from clickhouse_mysql_data_reader_spark.sources.csv import read_csv, sniff_diale
 from clickhouse_mysql_data_reader_spark.sources.jsonl import (
     quarantine_split,
     read_jsonl,
+    read_jsonl_stream,
     write_jsonl,
 )
 from clickhouse_mysql_data_reader_spark.sources.jdbc import (
@@ -243,3 +244,33 @@ def test_jsonl_quarantine_requires_corrupt_column(spark):
     df = spark.createDataFrame([(1,)], "doc_id bigint")
     with pytest.raises(ValueError, match="_corrupt_record"):
         quarantine_split(df)
+
+
+def test_jsonl_stream_matches_batch_and_quarantines(spark, tmp_path):
+    """Streaming twin of the batch JSONL read: same rows, and a
+    malformed line lands in the corrupt column instead of killing the
+    stream."""
+    d = tmp_path / "drops"
+    d.mkdir()
+    (d / "a.jsonl").write_text('{"doc_id": 1, "text": "one"}\n{"doc_id": 2, "text": "two"}\n')
+    (d / "b.jsonl").write_text('broken line\n{"doc_id": 3, "text": "three"}\n')
+    stream = read_jsonl_stream(
+        spark, str(d), schema="doc_id bigint, text string", max_files_per_trigger=1
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("jsonl_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from jsonl_stream_t").collect()
+    good = sorted(r["doc_id"] for r in rows if r["_corrupt_record"] is None)
+    bad = [r["_corrupt_record"] for r in rows if r["_corrupt_record"] is not None]
+    assert good == [1, 2, 3]
+    assert bad == ["broken line"]
+    with pytest.raises(ValueError, match="mode must be one of"):
+        read_jsonl_stream(spark, str(d), schema="doc_id bigint", mode="NOPE")
