@@ -1,0 +1,90 @@
+"""Table profiling — per-column data-quality stats in ONE scan.
+
+The operational complement of the migration path (schema/typemap.py):
+after landing a table, `profile_table` answers "did the copy make
+sense" — row count, null counts, exact distinct cardinalities, min/max
+— the checks the reference's users run by hand against the destination
+(`SELECT count(*)` parity checks, docs/manual.md:436-443) and every
+warehouse bakes into ingest monitoring.
+
+Plan shape: ALL columns' aggregates are computed in a single
+`agg(...)` — one scan, one partial/final aggregate with a 1-row
+result — then the wide row is unpivoted driver-side into one row per
+column (a constant-size `explode` over a dim-length literal array, no
+second scan, no join). Profiling N columns costs the same scan as
+profiling one. count(DISTINCT a), count(DISTINCT b), ... in one agg
+triggers Catalyst's multi-distinct Expand (one extra shuffle of the
+expanded keys); at 100 TB swap `exact_distinct=False` to
+approx_count_distinct and the Expand disappears.
+
+Values are reported as strings so heterogeneous column types fit one
+output schema — the same move DESCRIBE/summary() makes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """One row per profiled column:
+    (column, n_rows, n_nulls, n_distinct, min_value, max_value).
+
+    ``columns`` defaults to every column of ``df``. ``exact_distinct``
+    uses count(DISTINCT col); False switches to approx_count_distinct
+    (HLL, no Expand shuffle) for cardinality monitoring at scale.
+    NULL-only columns report empty-string min/max (string-typed output;
+    the n_nulls == n_rows row is the real signal).
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_table: no columns to profile")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_table: unknown columns {missing}")
+
+    distinct_fn = F.countDistinct if exact_distinct else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    for c in cols:
+        aggs.extend(
+            [
+                F.count(F.when(F.col(c).isNull(), 1)).alias(f"_nulls_{c}"),
+                distinct_fn(F.col(c)).alias(f"_dist_{c}"),
+                # aggregate on the NATIVE type (numeric/date ordering),
+                # stringify the 1-row RESULT only — casting before the
+                # min/max would make '10' sort below '9'
+                F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+            ]
+        )
+    wide = df.agg(*aggs)
+    stacked = wide.select(
+        "_n_rows",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"_nulls_{c}").alias("n_nulls"),
+                        F.col(f"_dist_{c}").alias("n_distinct"),
+                        F.coalesce(F.col(f"_min_{c}"), F.lit("")).alias("min_value"),
+                        F.coalesce(F.col(f"_max_{c}"), F.lit("")).alias("max_value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s"),
+    )
+    return stacked.select(
+        F.col("s.column").alias("column"),
+        F.col("_n_rows").alias("n_rows"),
+        "s.n_nulls",
+        "s.n_distinct",
+        "s.min_value",
+        "s.max_value",
+    )

@@ -317,6 +317,58 @@ def jsonl_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_orders_table",
+    """
+    WITH n AS (SELECT count(*) AS n_rows FROM orders)
+    SELECT * FROM (
+      SELECT 'o_orderkey' AS "column", n.n_rows,
+             CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+             coalesce(CAST(min(o_orderkey) AS VARCHAR), '') AS min_value,
+             coalesce(CAST(max(o_orderkey) AS VARCHAR), '') AS max_value
+      FROM orders, n GROUP BY n.n_rows
+      UNION ALL
+      SELECT 'o_custkey', n.n_rows,
+             CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT),
+             CAST(count(DISTINCT o_custkey) AS BIGINT),
+             coalesce(CAST(min(o_custkey) AS VARCHAR), ''),
+             coalesce(CAST(max(o_custkey) AS VARCHAR), '')
+      FROM orders, n GROUP BY n.n_rows
+      UNION ALL
+      SELECT 'o_orderstatus', n.n_rows,
+             CAST(count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS BIGINT),
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+             coalesce(min(o_orderstatus), ''),
+             coalesce(max(o_orderstatus), '')
+      FROM orders, n GROUP BY n.n_rows
+      UNION ALL
+      SELECT 'o_orderpriority', n.n_rows,
+             CAST(count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS BIGINT),
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+             coalesce(min(o_orderpriority), ''),
+             coalesce(max(o_orderpriority), '')
+      FROM orders, n GROUP BY n.n_rows
+    )
+    """,
+    doc="Post-landing data-quality profile (operators/profile.py): row "
+    "count, per-column null count, exact distinct cardinality, native-"
+    "type min/max — the reference users' manual count(*) parity checks "
+    "(docs/manual.md:436-443) as one operator. ALL columns profile in "
+    "ONE scan/aggregate (a 1-row wide result unpivoted by a constant "
+    "explode — profiling N columns costs the scan of one); the exact "
+    "multi-distinct pays Catalyst's Expand shuffle, and "
+    "exact_distinct=False swaps in HLL for the 100 TB monitoring path.",
+)
+def profile_orders_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.profile import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+@register(
     "agg_salted_skew",
     """
     SELECT l_returnflag,

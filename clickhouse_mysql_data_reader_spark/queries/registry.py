@@ -394,6 +394,12 @@ DEPRIORITIZED = (
     # fold, text_vocab_topk's TakeOrderedAndProject); exact-integer
     # rank statistic per the checked text_bm25_topk idiom
     "rag_chunk_retrieve",
+    # single-scan table profiling: its count/countDistinct/min/max
+    # aggregates are the q1/agg_approx_distinct plan family (the exact
+    # multi-distinct Expand is the machinery the checked
+    # agg_approx_distinct's exact anchors hash-verify) and the
+    # constant-explode unpivot is the agg_unpivot Expand
+    "profile_orders_table",
     "text_bm25_frozen",
     "join_range_bands",
     "text_gopher_rules",

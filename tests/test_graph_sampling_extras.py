@@ -769,3 +769,36 @@ def test_weighting_and_shuffle_guards(spark):
         ccnet_buckets(docs.select("doc_id", "text"), thresholds=(20.0, 5.0))
     with _pytest.raises(ValueError, match="hist_bucket_tokens"):
         corpus_stats(docs, hist_bucket_tokens=0)
+
+
+# ---------------------------------------------------------------------------
+# profile_table (operators/profile.py)
+# ---------------------------------------------------------------------------
+
+
+def test_profile_table_stats_and_null_only_column(spark):
+    from clickhouse_mysql_data_reader_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(10, "b", None), (2, None, None), (10, "a", None)],
+        "k long, s string, dead string",
+    )
+    out = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(out) == {"k", "s", "dead"}
+    assert all(r["n_rows"] == 3 for r in out.values())
+    # native-type ordering: min of [10, 2, 10] is 2, not lexicographic '10'
+    assert out["k"]["min_value"] == "2" and out["k"]["max_value"] == "10"
+    assert out["k"]["n_distinct"] == 2 and out["k"]["n_nulls"] == 0
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["dead"]["n_nulls"] == 3 and out["dead"]["n_distinct"] == 0
+    assert out["dead"]["min_value"] == "" and out["dead"]["max_value"] == ""
+
+    approx = {r["column"]: r for r in profile_table(df, exact_distinct=False).collect()}
+    assert approx["k"]["n_distinct"] >= 1  # HLL estimate, no Expand
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown columns"):
+        profile_table(df, ["nope"])
+    with _pytest.raises(ValueError, match="no columns"):
+        profile_table(df.select(), [])
