@@ -630,7 +630,10 @@ def embed_srp_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_mysql_data_reader_spark.operators.similarity import srp_band_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    bt = srp_band_table(emb, dim=64)
+    # the expression path: SQL-transparent, so the oracle verifies every
+    # hyperplane sign; the arrow path is hash-verified end-to-end by
+    # dedup_embed_near_srp and bit-equality-pinned in pytest
+    bt = srp_band_table(emb, dim=64, impl="expr")
     return bt.select(
         "vid",
         F.col("band_idx").cast("int").alias("band_idx"),

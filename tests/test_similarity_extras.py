@@ -107,3 +107,20 @@ def test_srp_rejects_bad_band_split(spark):
     df, _, _ = _planted_corpus(spark, n_base=2, n_dups=0)
     with pytest.raises(ValueError, match="not divisible"):
         srp_band_table(df, DIM, n_bits=32, n_bands=5)
+
+
+def test_srp_arrow_and_expr_paths_bit_identical(spark):
+    """The arrow matmul and the Catalyst expression fold compute the
+    SAME exact integer sums (fixed-point quantization), so every band
+    value must match bit-for-bit — including negative components and
+    values that floor to adjacent integers."""
+    df, _, _ = _planted_corpus(spark, n_base=40, n_dups=10, noise=0.3, seed=11)
+    expr_bt = sorted(
+        tuple(r) for r in srp_band_table(df, DIM, impl="expr").collect()
+    )
+    arrow_bt = sorted(
+        tuple(r) for r in srp_band_table(df, DIM, impl="arrow").collect()
+    )
+    assert expr_bt == arrow_bt
+    with pytest.raises(ValueError, match="impl must be"):
+        srp_band_table(df, DIM, impl="numpy")
