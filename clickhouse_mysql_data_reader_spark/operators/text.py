@@ -28,6 +28,27 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+#: GPT-2-style pre-tokenizer split, reduced to the RE2-compatible core
+#: (no lookarounds, so the same pattern runs in Spark's Java regex and
+#: any RE2-based oracle engine): contractions, letter runs, SINGLE
+#: digits (the modern digit-split rule), punctuation runs.
+BPE_PRESPLIT_RE = r"'[a-z]+|[a-z]+|[0-9]|[^a-z0-9\s']+"
+
+
+def bpe_pretokens(col: Column) -> Column:
+    """GPT-2-ish pre-tokenizer pieces of normalized text — the units a
+    BPE vocabulary merges within. Piece COUNT is the practical
+    upper-bound token budget (every BPE merge only shrinks it), a much
+    tighter estimate than chars/4 for code/punctuation-heavy text."""
+    return F.regexp_extract_all(
+        normalize_text(col), F.lit(BPE_PRESPLIT_RE), F.lit(0)
+    )
+
+
+def bpe_pretoken_count(col: Column) -> Column:
+    return F.size(bpe_pretokens(col))
+
+
 def bpe_token_estimate(col: Column) -> Column:
     """BPE-ish token-count estimate: ~1 token per 4 chars of normalized
     text (the industry rule of thumb), as a cheap pre-tokenizer budget

@@ -2268,6 +2268,43 @@ def text_gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_token_budget",
+    f"""
+    WITH t AS (SELECT doc_id, {_NORM} AS nt FROM documents)
+    SELECT doc_id,
+           CAST(len(string_split(nt, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(nt,
+               '''[a-z]+|[a-z]+|[0-9]|[^a-z0-9\\s'']+')) AS BIGINT)
+             AS n_bpe_pretokens,
+           CAST(ceil(length(nt) / 4.0) AS BIGINT) AS est_chars_div4
+    FROM t
+    """,
+    doc="Token budgeting three ways: whitespace tokens, GPT-2-style "
+    "regex pre-tokenizer pieces (the RE2-compatible core — "
+    "contractions, letter runs, single digits, punctuation runs; the "
+    "piece count upper-bounds the true BPE token count since merges "
+    "only shrink it), and the chars/4 rule of thumb. All scan-stage "
+    "expressions, zero shuffles — the budget gate that decides packing "
+    "and mixture token accounting upstream of any real tokenizer.",
+)
+def text_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.text import (
+        bpe_pretoken_count,
+        bpe_token_estimate,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).cast("long").alias("n_ws_tokens"),
+        bpe_pretoken_count(t).cast("long").alias("n_bpe_pretokens"),
+        bpe_token_estimate(t).alias("est_chars_div4"),
+    )
+
+
+@register(
     "text_blocklist_gate",
     f"""
     WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents),

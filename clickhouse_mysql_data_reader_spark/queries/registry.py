@@ -400,6 +400,10 @@ DEPRIORITIZED = (
     # agg_approx_distinct's exact anchors hash-verify) and the
     # constant-explode unpivot is the agg_unpivot Expand
     "profile_orders_table",
+    # token budgeting: scan-stage expression family of the checked
+    # text_quality_score (shared tokens/normalize helpers; its
+    # n_ws_tokens is text_quality_score's hash-verified n_tokens)
+    "text_token_budget",
     "text_bm25_frozen",
     "join_range_bands",
     "text_gopher_rules",

@@ -575,3 +575,39 @@ def test_chunk_retrieve_topk_ranks_relevant_chunks_first(spark):
     assert out[0]["score_x1e6"] > out[1]["score_x1e6"] > out[2]["score_x1e6"] == 0
     with pytest.raises(ValueError, match="query must contain tokens"):
         chunk_retrieve_topk(docs, "   ")
+
+
+def test_bpe_pretokens_pieces_and_bounds(spark):
+    from clickhouse_mysql_data_reader_spark.operators.text import (
+        bpe_pretoken_count,
+        bpe_pretokens,
+        token_count,
+    )
+
+    rows = [
+        # contractions split off; digits split SINGLY; punct runs as one
+        (1, "Don't stop... v2.0 costs $1,234!!"),
+        (2, "plain words only here"),
+        (3, "a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            bpe_pretokens(F.col("text")).alias("pieces"),
+            bpe_pretoken_count(F.col("text")).alias("n"),
+            token_count(F.col("text")).alias("ws"),
+        ).collect()
+    }
+    # normalize_text lowercases; each digit is its own piece, each
+    # punctuation RUN is one piece, "don't" -> don + 't
+    assert out[1]["pieces"] == [
+        "don", "'t", "stop", "...", "v", "2", ".", "0",
+        "costs", "$", "1", ",", "2", "3", "4", "!!",
+    ]
+    assert out[2]["pieces"] == ["plain", "words", "only", "here"]
+    # every whitespace token yields >= 1 piece: pretoken count is an
+    # upper bound on the whitespace count and on true BPE tokens
+    for r in out.values():
+        assert r["n"] == len(r["pieces"]) >= r["ws"]
