@@ -287,6 +287,122 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q14_promo_effect",
+    """
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(1 - l_discount AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+           CAST(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(1 - l_discount AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS DOUBLE)
+             AS promo_pct
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+    doc="TPC-H Q14 (promotion effect; p_type is a plain category in this "
+    "schema so the LIKE 'PROMO%' prefix degenerates to equality — "
+    "reference airline.ontime shows the same conditional-share shape). "
+    "One month of lineitem joins part on partkey; both revenue sums are "
+    "exact decimal, and the percentage divides the two ALREADY-CAST "
+    "doubles so both engines divide bit-identical operands. Scale: the "
+    "month filter prunes the fact scan, part projects to two columns "
+    "(AQE picks broadcast when the dim fits, shuffle-hash when it "
+    "doesn't), and the final agg is a single map-side-combined row.",
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,4)")
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(disc_price).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+                "promo_pct"
+            ),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 10
+            AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 20
+            AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 30
+            AND l_quantity BETWEEN 20 AND 30))
+    """,
+    doc="TPC-H Q19 (discounted revenue, adapted to this schema's "
+    "brand/size/quantity columns — no shipmode/shipinstruct in the "
+    "testdata): an OR-of-ANDs predicate spanning BOTH join sides. The "
+    "scale point is what Catalyst does with the disjunction: CNF "
+    "conversion (PushExtraPredicateThroughJoin) derives the per-side "
+    "residuals — (brand,size) bounds onto the part scan and the "
+    "l_quantity envelope onto the lineitem scan as PushedFilters — so "
+    "each side prunes BEFORE the partkey hash join instead of "
+    "evaluating the full disjunction on the joined stream. Output is "
+    "one exact-decimal row.",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+
+    def _branch(brand: str, size_hi: int, q_lo: int, q_hi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    cond = (F.col("p_partkey") == F.col("l_partkey")) & (
+        _branch("Brand#1", 10, 1, 11)
+        | _branch("Brand#13", 20, 10, 20)
+        | _branch("Brand#25", 30, 20, 30)
+    )
+    return li.join(part, cond).agg(
+        F.sum(
+            _dec("l_extendedprice")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@register(
     "agg_count_distinct",
     """
     SELECT o_orderpriority,

@@ -385,6 +385,15 @@ QUERIES: dict[str, QueryDef] = {}
 DEPRIORITIZED = (
     "q5_local_supplier_volume",
     "q18_large_volume_customer",
+    # TPC-H Q14/Q19 (born deprioritized, round 8): compositions of
+    # checked families like Q3/Q5/Q18 — q1's exact-decimal revenue
+    # idiom over a date-pruned fact scan joined to the part dim
+    # (Q14's conditional share = the agg_pivot CASE-sum family; Q19's
+    # OR-of-ANDs join is the join_theta family with CNF per-side
+    # pushdown, plan-guarded in test_plans.py); full DuckDB oracles in
+    # pytest every CI run. Rotation candidates for r9.
+    "q14_promo_effect",
+    "q19_disjunctive_revenue",
     "jsonl_roundtrip_documents",
     "embed_srp_bands",
     "dedup_embed_near_srp",

@@ -307,3 +307,23 @@ def test_mixture_epochs_replication_rides_the_scan(spark, sf_correct):
     assert "Python" not in plan
     for m in re.finditer(r"hashpartitioning\(([a-zA-Z_#0-9]+)", plan):
         assert m.group(1).split("#")[0] == "source", m.group(0)
+
+
+def test_q19_disjunction_pushes_per_side_residuals(spark, sf_correct):
+    # the OR-of-ANDs spans both join sides; CNF conversion must derive
+    # each side's residual and push it into that side's parquet scan —
+    # the quantity envelope onto lineitem, the brand/size disjunction
+    # onto part — so both prune BEFORE the partkey join
+    plan = _formatted(
+        entrymod.queries()["q19_disjunctive_revenue"](spark, sf_correct)
+    )
+    # the PushedFilters line follows each scan's Location line in the
+    # formatted detail section
+    li_scan = plan[plan.index("lineitem.parquet") :][:600]
+    assert re.search(
+        r"PushedFilters:.*GreaterThanOrEqual\(l_quantity,1\.0\)", li_scan
+    ), "lineitem scan lost the per-side quantity residual"
+    part_scan = plan[plan.index("part.parquet") :][:600]
+    assert re.search(
+        r"PushedFilters:.*EqualTo\(p_brand,Brand#1\)", part_scan
+    ), "part scan lost the per-side brand/size residual"
