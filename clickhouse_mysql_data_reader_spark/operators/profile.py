@@ -88,3 +88,87 @@ def profile_table(
         "s.min_value",
         "s.max_value",
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str | None = "source",
+) -> DataFrame:
+    """Snapshot-over-snapshot drift report: one row per source with
+    (source, n_added, n_removed, n_changed, n_unchanged, chars_added,
+    chars_removed, chars_delta).
+
+    The monitoring twin of `profile_table` for the CDC/curation paths:
+    after re-landing or re-curating a corpus, it answers "what actually
+    moved" — the check the reference's users run by hand with paired
+    count(*)/checksum queries against source and destination
+    (docs/manual.md:436-443), here as one plan over both snapshots.
+
+    Plan shape for 100 TB: each side is map-side projected to
+    (id, md5 fingerprint, length, source) — four narrow columns, the
+    text never shuffles — then ONE full-outer shuffle join on the id
+    (AQE handles skew/coalesce) and a map-side-combined aggregate whose
+    state is one row per (source, status). `added` rows take the new
+    side's source, `removed` the old side's; `changed` reports the new
+    source (a doc that moved sources counts as changed there, keeping
+    every id in exactly one bucket). Ids must be unique per snapshot —
+    duplicate ids multiply join rows and the report would double-count.
+    """
+    if id_col == "_cd_id":
+        raise ValueError("corpus_diff: id_col collides with internal name")
+
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        cols = [
+            F.col(id_col).alias("_cd_id"),
+            F.md5(F.col(text_col)).alias(f"_{tag}_fp"),
+            F.length(F.col(text_col)).cast("long").alias(f"_{tag}_len"),
+        ]
+        if source_col is not None:
+            cols.append(F.col(source_col).alias(f"_{tag}_src"))
+        return df.select(*cols)
+
+    j = _side(old, "old").join(_side(new, "new"), "_cd_id", "full_outer")
+    status = (
+        F.when(F.col("_old_fp").isNull(), F.lit("added"))
+        .when(F.col("_new_fp").isNull(), F.lit("removed"))
+        .when(F.col("_old_fp") != F.col("_new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    src = (
+        F.coalesce(F.col("_new_src"), F.col("_old_src"))
+        if source_col is not None
+        else F.lit("")
+    )
+    tagged = j.select(
+        src.alias("source"),
+        status.alias("_status"),
+        F.col("_old_len"),
+        F.col("_new_len"),
+    )
+
+    def _n(st: str):
+        return (
+            F.count(F.when(F.col("_status") == st, 1))
+            .cast("long")
+            .alias(f"n_{st}")
+        )
+
+    def _chars(st: str, expr):
+        return F.coalesce(
+            F.sum(F.when(F.col("_status") == st, expr)), F.lit(0)
+        ).cast("long")
+
+    return tagged.groupBy("source").agg(
+        _n("added"),
+        _n("removed"),
+        _n("changed"),
+        _n("unchanged"),
+        _chars("added", F.col("_new_len")).alias("chars_added"),
+        _chars("removed", F.col("_old_len")).alias("chars_removed"),
+        _chars("changed", F.col("_new_len") - F.col("_old_len")).alias(
+            "chars_delta"
+        ),
+    )

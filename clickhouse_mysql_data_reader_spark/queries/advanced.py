@@ -369,6 +369,66 @@ def profile_orders_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 0
+    ), new AS (
+      SELECT doc_id, source, text FROM documents WHERE doc_id % 11 <> 0
+    ), o AS (
+      SELECT doc_id, source, md5(text) AS fp, length(text) AS len FROM old
+    ), nn AS (
+      SELECT doc_id, source, md5(text) AS fp, length(text) AS len FROM new
+    ), j AS (
+      SELECT coalesce(nn.source, o.source) AS source,
+             CASE WHEN o.fp IS NULL THEN 'added'
+                  WHEN nn.fp IS NULL THEN 'removed'
+                  WHEN o.fp <> nn.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             o.len AS old_len, nn.len AS new_len
+      FROM o FULL OUTER JOIN nn ON o.doc_id = nn.doc_id
+    )
+    SELECT source,
+           CAST(count(CASE WHEN status = 'added' THEN 1 END) AS BIGINT) AS n_added,
+           CAST(count(CASE WHEN status = 'removed' THEN 1 END) AS BIGINT) AS n_removed,
+           CAST(count(CASE WHEN status = 'changed' THEN 1 END) AS BIGINT) AS n_changed,
+           CAST(count(CASE WHEN status = 'unchanged' THEN 1 END) AS BIGINT) AS n_unchanged,
+           CAST(coalesce(sum(CASE WHEN status = 'added' THEN new_len END), 0) AS BIGINT) AS chars_added,
+           CAST(coalesce(sum(CASE WHEN status = 'removed' THEN old_len END), 0) AS BIGINT) AS chars_removed,
+           CAST(coalesce(sum(CASE WHEN status = 'changed' THEN new_len - old_len END), 0) AS BIGINT) AS chars_delta
+    FROM j
+    GROUP BY source
+    """,
+    doc="Snapshot-over-snapshot corpus drift report (operators/"
+    "profile.py corpus_diff): per-source added/removed/changed/"
+    "unchanged doc counts and character deltas — the paired count(*)/"
+    "checksum parity check the reference's users run by hand after a "
+    "migration (docs/manual.md:436-443), as one plan over both "
+    "snapshots. The 'old' snapshot is a deterministic derivation of "
+    "documents (doc_id%7 removed, doc_id%5 text-mutated) and 'new' "
+    "drops doc_id%11, so all four statuses are exercised. Scale: each "
+    "side projects to (id, md5 fp, length, source) at the scan — text "
+    "never shuffles — then one full-outer id join (AQE-coalesced) and "
+    "a map-side-combined agg with one row per (source, status).",
+)
+def corpus_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.profile import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 5 == 0, F.upper(F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    new = docs.filter(F.col("doc_id") % 11 != 0).select("doc_id", "source", "text")
+    return corpus_diff(old, new)
+
+
+@register(
     "agg_salted_skew",
     """
     SELECT l_returnflag,

@@ -394,6 +394,13 @@ DEPRIORITIZED = (
     # pytest every CI run. Rotation candidates for r9.
     "q14_promo_effect",
     "q19_disjunctive_revenue",
+    # corpus snapshot diff (born deprioritized, round 8): the
+    # full-outer id join is the cdc_apply/join_outer_coalesce plan
+    # family and the md5-fingerprint compare is the machinery the
+    # checked text_line_dedup/dedup_exact_groups hash-verify; the
+    # conditional-count agg is the agg_pivot CASE-sum family. Full
+    # DuckDB oracle in pytest every CI run; rotation candidate for r9.
+    "corpus_snapshot_diff",
     "jsonl_roundtrip_documents",
     "embed_srp_bands",
     "dedup_embed_near_srp",

@@ -802,3 +802,53 @@ def test_profile_table_stats_and_null_only_column(spark):
         profile_table(df, ["nope"])
     with _pytest.raises(ValueError, match="no columns"):
         profile_table(df.select(), [])
+
+
+def test_corpus_diff_statuses_source_moves_and_global_mode(spark):
+    from clickhouse_mysql_data_reader_spark.operators.profile import corpus_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "web", "alpha"),       # unchanged
+            (2, "web", "beta"),        # changed (text differs in new)
+            (3, "books", "gamma"),     # removed
+            (5, "web", "delta"),       # changed AND moved to books:
+        ],                             #   counts under the NEW source
+        "doc_id long, source string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "web", "alpha"),
+            (2, "web", "beta2"),
+            (4, "books", "epsilon!"),  # added
+            (5, "books", "delta99"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r for r in corpus_diff(old, new).collect()}
+    assert out["web"]["n_unchanged"] == 1
+    assert out["web"]["n_changed"] == 1
+    assert out["web"]["chars_delta"] == 1      # beta -> beta2
+    assert out["books"]["n_added"] == 1
+    assert out["books"]["n_removed"] == 1
+    assert out["books"]["n_changed"] == 1      # the moved doc
+    assert out["books"]["chars_added"] == 8    # epsilon!
+    assert out["books"]["chars_removed"] == 5  # gamma
+    assert out["books"]["chars_delta"] == 2    # delta -> delta99
+
+    # global mode: one row, every status summed
+    g = corpus_diff(old, new, source_col=None).collect()
+    assert len(g) == 1 and g[0]["source"] == ""
+    assert (
+        g[0]["n_added"],
+        g[0]["n_removed"],
+        g[0]["n_changed"],
+        g[0]["n_unchanged"],
+    ) == (1, 1, 2, 1)
+
+    with pytest.raises(ValueError, match="collides"):
+        corpus_diff(
+            old.withColumnRenamed("doc_id", "_cd_id"),
+            new.withColumnRenamed("doc_id", "_cd_id"),
+            id_col="_cd_id",
+        )
