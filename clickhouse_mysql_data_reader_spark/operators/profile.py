@@ -172,3 +172,77 @@ def corpus_diff(
             "chars_delta"
         ),
     )
+
+
+def anomaly_zscore(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    threshold: int = 3,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-key z-score outlier report with EXACT arithmetic: one row per
+    key — (key, n_events, n_anomalies, mean_x1e6, max_value_x1e6) —
+    where a row is anomalous iff |x - mean| > threshold * stddev_samp
+    of its key's population.
+
+    The monitoring sibling of `profile_table`/`corpus_diff` for metric
+    streams (the reference's users watch per-type event rates the same
+    way). Floating-point mean/stddev would make the FLAG itself
+    engine-dependent at the boundary, so the z-test is multiplied out
+    into integers (the repo's scaled-integer idiom, cf. text.py BM25):
+    x scales HALF_UP to 1e-6 ticks (both engines round double->decimal
+    identically), and with S = sum(v), Q = sum(v^2), n per key,
+
+        |x - mean| > t*sqrt((nQ - S^2) / (n(n-1)))
+        <=> (n*v - S)^2 * (n-1) > t^2 * n * (n*Q - S^2)
+
+    evaluated in DECIMAL(38,0) — the DuckDB twin is HUGEINT. Headroom:
+    |v| <= 1e12 (|x| <= 1e6) and n <= 2e6 keep every term under 1e37;
+    n=1 keys flag nothing (both sides are 0). `threshold` is an integer
+    so t^2 stays exact.
+
+    Plan shape for 100 TB: per-key (n, S, Q) is a map-side-combined
+    aggregate with one row per key; the tiny stats frame BROADCASTS
+    back onto the events (explicit hint), so the fact table is scanned
+    twice but never shuffled; the final per-key count is a second
+    map-side-combined agg. No window functions, no sort.
+    """
+    if threshold < 0 or int(threshold) != threshold:
+        raise ValueError("anomaly_zscore: threshold must be a non-negative int")
+    dec = "decimal(38,0)"
+    v = (F.col(value_col).cast("decimal(18,6)") * scale).cast(dec)
+    vals = df.select(F.col(key_col).alias("_az_key"), v.alias("_az_v"))
+    stats = vals.groupBy("_az_key").agg(
+        F.count(F.lit(1)).cast(dec).alias("_az_n"),
+        F.sum("_az_v").cast(dec).alias("_az_s"),
+        F.sum((F.col("_az_v") * F.col("_az_v")).cast(dec)).cast(dec).alias("_az_q"),
+    )
+    joined = vals.join(F.broadcast(stats), "_az_key")
+    n, s, q = F.col("_az_n"), F.col("_az_s"), F.col("_az_q")
+    dev = (n * F.col("_az_v")).cast(dec) - s
+    lhs = ((dev * dev).cast(dec) * (n - 1)).cast(dec)
+    rhs = (
+        (F.lit(threshold * threshold).cast(dec) * n).cast(dec)
+        * ((n * q).cast(dec) - (s * s).cast(dec))
+    ).cast(dec)
+    return (
+        joined.groupBy("_az_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(lhs > rhs, 1)).alias("n_anomalies"),
+            # constant within the group; min() keeps it deterministic
+            F.min(s).alias("_az_sum"),
+            F.min(n).alias("_az_cnt"),
+            F.max(F.col("_az_v")).cast("long").alias("max_value_x1e6"),
+        )
+        .select(
+            F.col("_az_key").alias(key_col),
+            "n_events",
+            "n_anomalies",
+            # `div` truncates exactly (the HUGEINT-// oracle twin);
+            # a decimal(38,0) CAST would round HALF_UP instead
+            F.expr("_az_sum div _az_cnt").alias("mean_x1e6"),
+            "max_value_x1e6",
+        )
+    )

@@ -429,6 +429,46 @@ def corpus_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "anomaly_events_zscore",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS val
+      FROM events
+    ), st AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             sum(val) AS ssum,
+             sum(val * val) AS qsum
+      FROM v GROUP BY event_type
+    )
+    SELECT v.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(CASE WHEN (n * val - ssum) * (n * val - ssum) * (n - 1)
+                              > 9 * n * (n * qsum - ssum * ssum)
+                      THEN 1 END) AS BIGINT) AS n_anomalies,
+           CAST(min(ssum) // min(n) AS BIGINT) AS mean_x1e6,
+           CAST(max(val) AS BIGINT) AS max_value_x1e6
+    FROM v JOIN st ON v.event_type = st.event_type
+    GROUP BY v.event_type
+    """,
+    doc="Per-type z-score anomaly report over the events stream "
+    "(operators/profile.py anomaly_zscore): |x - mean| > 3*stddev_samp "
+    "with the test multiplied out into DECIMAL(38,0)/HUGEINT integers "
+    "so the FLAG itself is engine-exact (float stddev would make "
+    "boundary rows engine-dependent). Scale: per-key (n, S, Q) stats "
+    "are a map-side-combined one-row-per-key aggregate that BROADCASTS "
+    "back onto the fact scan — events never shuffle — and the final "
+    "count is a second map-side agg. No window, no sort.",
+)
+def anomaly_events_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.profile import anomaly_zscore
+
+    events = load_table(spark, sf_dir, "events")
+    return anomaly_zscore(events, "event_type", "value", threshold=3)
+
+
+@register(
     "agg_salted_skew",
     """
     SELECT l_returnflag,

@@ -401,6 +401,13 @@ DEPRIORITIZED = (
     # conditional-count agg is the agg_pivot CASE-sum family. Full
     # DuckDB oracle in pytest every CI run; rotation candidate for r9.
     "corpus_snapshot_diff",
+    # z-score anomaly report (born deprioritized, round 8): broadcast
+    # of a tiny per-key stats agg back onto the fact scan — the
+    # join_broadcast_dim plan family — and the scaled-integer exact
+    # test is the checked text_bm25_topk/text_lm_surprisal idiom
+    # (DECIMAL(38,0) vs HUGEINT twin). Full DuckDB oracle in pytest
+    # every CI run; rotation candidate for r9.
+    "anomaly_events_zscore",
     "jsonl_roundtrip_documents",
     "embed_srp_bands",
     "dedup_embed_near_srp",

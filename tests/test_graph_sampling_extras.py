@@ -852,3 +852,34 @@ def test_corpus_diff_statuses_source_moves_and_global_mode(spark):
             new.withColumnRenamed("doc_id", "_cd_id"),
             id_col="_cd_id",
         )
+
+
+def test_anomaly_zscore_matches_numpy_and_broadcasts(spark):
+    import numpy as np
+
+    from clickhouse_mysql_data_reader_spark.operators.profile import anomaly_zscore
+
+    rows = [("a", float(x)) for x in [1, 2, 3, 2, 1, 2, 3, 2, 50]] + [
+        ("b", 5.0),          # n=1: variance undefined, must flag nothing
+        ("c", 7.0),
+        ("c", 7.0),          # zero variance: equal values never flag
+    ]
+    df = spark.createDataFrame(rows, "k string, value double")
+    out = {r["k"]: r for r in anomaly_zscore(df, "k", "value", threshold=2).collect()}
+
+    a = np.array([1, 2, 3, 2, 1, 2, 3, 2, 50], dtype=float)
+    expect_a = int((np.abs(a - a.mean()) > 2 * a.std(ddof=1)).sum())
+    assert out["a"]["n_anomalies"] == expect_a > 0
+    assert out["a"]["n_events"] == 9
+    assert out["a"]["mean_x1e6"] == int(a.sum() * 10**6) // 9
+    assert out["a"]["max_value_x1e6"] == 50_000_000
+    assert out["b"]["n_anomalies"] == 0 and out["b"]["n_events"] == 1
+    assert out["c"]["n_anomalies"] == 0
+
+    with pytest.raises(ValueError, match="non-negative int"):
+        anomaly_zscore(df, "k", "value", threshold=-1)
+
+    # scale guard: the stats frame joins back by BROADCAST — the fact
+    # side must never shuffle on the key
+    plan = anomaly_zscore(df, "k", "value")._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
