@@ -174,12 +174,43 @@ def corpus_diff(
     )
 
 
+def anomaly_stats(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Landable per-key moment statistics for `anomaly_zscore(stats=)`:
+    (key, n_obs, sum_x, sum_sq) as DECIMAL(38,0) scaled-integer ticks.
+
+    The frozen-estimator deployment shape shared with `bm25_stats` and
+    the LM scorers: land the reference window's stats ONCE, then score
+    every subsequent batch against the SAME distribution — the flags
+    stay batch-composition-independent (a batch that is itself mostly
+    anomalous would otherwise inflate its own stddev and hide them).
+    """
+    dec = "decimal(38,0)"
+    v = (F.col(value_col).cast("decimal(18,6)") * scale).cast(dec)
+    return (
+        df.select(F.col(key_col).alias("key"), v.alias("_as_v"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("n_obs"),
+            F.sum("_as_v").cast(dec).alias("sum_x"),
+            F.sum((F.col("_as_v") * F.col("_as_v")).cast(dec))
+            .cast(dec)
+            .alias("sum_sq"),
+        )
+    )
+
+
 def anomaly_zscore(
     df: DataFrame,
     key_col: str,
     value_col: str,
     threshold: int = 3,
     scale: int = 10**6,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Per-key z-score outlier report with EXACT arithmetic: one row per
     key — (key, n_events, n_anomalies, mean_x1e6, max_value_x1e6) —
@@ -207,17 +238,38 @@ def anomaly_zscore(
     back onto the events (explicit hint), so the fact table is scanned
     twice but never shuffled; the final per-key count is a second
     map-side-combined agg. No window functions, no sort.
+
+    ``stats`` deploys against a FROZEN distribution: pass a landed
+    `anomaly_stats(...)` table — (key, n_obs, sum_x, sum_sq) — and each
+    batch row is tested against that reference window instead of the
+    batch's own moments (flags become batch-composition-independent;
+    a mostly-anomalous batch can no longer inflate its own stddev and
+    hide). Keys absent from the stats table are dropped — an inner
+    join, like the LM scorers' frozen vocab. `mean_x1e6` then reports
+    the frozen mean; `n_events`/`n_anomalies`/`max_value_x1e6` remain
+    batch-side.
     """
     if threshold < 0 or int(threshold) != threshold:
         raise ValueError("anomaly_zscore: threshold must be a non-negative int")
     dec = "decimal(38,0)"
     v = (F.col(value_col).cast("decimal(18,6)") * scale).cast(dec)
     vals = df.select(F.col(key_col).alias("_az_key"), v.alias("_az_v"))
-    stats = vals.groupBy("_az_key").agg(
-        F.count(F.lit(1)).cast(dec).alias("_az_n"),
-        F.sum("_az_v").cast(dec).alias("_az_s"),
-        F.sum((F.col("_az_v") * F.col("_az_v")).cast(dec)).cast(dec).alias("_az_q"),
-    )
+    if stats is None:
+        stats = vals.groupBy("_az_key").agg(
+            F.count(F.lit(1)).cast(dec).alias("_az_n"),
+            F.sum("_az_v").cast(dec).alias("_az_s"),
+            F.sum((F.col("_az_v") * F.col("_az_v")).cast(dec)).cast(dec).alias("_az_q"),
+        )
+    else:
+        missing = {"key", "n_obs", "sum_x", "sum_sq"} - set(stats.columns)
+        if missing:
+            raise ValueError(f"anomaly_zscore: stats table missing {sorted(missing)}")
+        stats = stats.select(
+            F.col("key").alias("_az_key"),
+            F.col("n_obs").cast(dec).alias("_az_n"),
+            F.col("sum_x").cast(dec).alias("_az_s"),
+            F.col("sum_sq").cast(dec).alias("_az_q"),
+        )
     joined = vals.join(F.broadcast(stats), "_az_key")
     n, s, q = F.col("_az_n"), F.col("_az_s"), F.col("_az_q")
     dev = (n * F.col("_az_v")).cast(dec) - s

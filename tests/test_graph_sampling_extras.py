@@ -883,3 +883,49 @@ def test_anomaly_zscore_matches_numpy_and_broadcasts(spark):
     # side must never shuffle on the key
     plan = anomaly_zscore(df, "k", "value")._jdf.queryExecution().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_anomaly_zscore_frozen_stats_deployment(spark):
+    from clickhouse_mysql_data_reader_spark.operators.profile import (
+        anomaly_stats,
+        anomaly_zscore,
+    )
+
+    ref_rows = [("a", float(x)) for x in [1, 2, 3, 2, 1, 2, 3, 2, 50]] + [
+        ("c", 7.0),
+        ("c", 7.0),
+    ]
+    ref = spark.createDataFrame(ref_rows, "k string, value double")
+
+    # frozen == derived when scoring the reference window itself
+    derived = sorted(map(tuple, anomaly_zscore(ref, "k", "value", 2).collect()))
+    frozen = sorted(
+        map(
+            tuple,
+            anomaly_zscore(
+                ref, "k", "value", 2, stats=anomaly_stats(ref, "k", "value")
+            ).collect(),
+        )
+    )
+    assert derived == frozen
+
+    # a mostly-anomalous batch hides its outliers from its OWN stddev
+    # but not from the frozen reference distribution; unseen keys drop
+    batch = spark.createDataFrame(
+        [("c", 7.0), ("c", 200.0), ("c", 210.0), ("zz", 1.0)],
+        "k string, value double",
+    )
+    self_scored = {r["k"]: r for r in anomaly_zscore(batch, "k", "value", 2).collect()}
+    ref_scored = {
+        r["k"]: r
+        for r in anomaly_zscore(
+            batch, "k", "value", 2, stats=anomaly_stats(ref, "k", "value")
+        ).collect()
+    }
+    assert self_scored["c"]["n_anomalies"] == 0       # inflated own stddev
+    assert ref_scored["c"]["n_anomalies"] == 2        # frozen sigma=0 ref
+    assert ref_scored["c"]["mean_x1e6"] == 7_000_000  # frozen mean
+    assert "zz" in self_scored and "zz" not in ref_scored
+
+    with pytest.raises(ValueError, match="stats table missing"):
+        anomaly_zscore(batch, "k", "value", stats=ref)
