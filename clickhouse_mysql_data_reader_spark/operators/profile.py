@@ -298,3 +298,62 @@ def anomaly_zscore(
             "max_value_x1e6",
         )
     )
+
+
+def anomaly_flags(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    threshold: int = 3,
+    scale: int = 10**6,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Per-ROW twin of `anomaly_zscore`: the input rows back, plus
+    (value_x1e6, is_anomaly). Same exact DECIMAL(38,0) test, same
+    frozen-stats contract.
+
+    Stateless when ``stats`` is a landed `anomaly_stats` table — just a
+    broadcast stream-static join plus scan-stage expressions — so it
+    runs UNCHANGED inside Structured Streaming (the per-key-report twin
+    can't: its final aggregate is stateful). ``stats=None`` derives the
+    moments from ``df`` itself, which is batch-only (a self-aggregating
+    stream-stream join is unsupported by design — freeze first).
+    is_anomaly is NULL for keys absent from the stats table (unseen key
+    == no distribution to test against; a silent False would hide
+    exactly the rows a monitor most wants to see).
+    """
+    if threshold < 0 or int(threshold) != threshold:
+        raise ValueError("anomaly_flags: threshold must be a non-negative int")
+    if "_az_key" in df.columns or "_az_v" in df.columns:
+        raise ValueError("anomaly_flags: input collides with internal _az_ names")
+    dec = "decimal(38,0)"
+    v = (F.col(value_col).cast("decimal(18,6)") * scale).cast(dec)
+    if stats is None:
+        stats = anomaly_stats(df, key_col, value_col, scale=scale)
+    missing = {"key", "n_obs", "sum_x", "sum_sq"} - set(stats.columns)
+    if missing:
+        raise ValueError(f"anomaly_flags: stats table missing {sorted(missing)}")
+    st = stats.select(
+        F.col("key").alias("_az_key"),
+        F.col("n_obs").cast(dec).alias("_az_n"),
+        F.col("sum_x").cast(dec).alias("_az_s"),
+        F.col("sum_sq").cast(dec).alias("_az_q"),
+    )
+    tagged = df.withColumn("_az_v", v)
+    joined = tagged.join(
+        F.broadcast(st), tagged[key_col] == st["_az_key"], "left"
+    )
+    n, s, q = F.col("_az_n"), F.col("_az_s"), F.col("_az_q")
+    dev = (n * F.col("_az_v")).cast(dec) - s
+    lhs = ((dev * dev).cast(dec) * (n - 1)).cast(dec)
+    rhs = (
+        (F.lit(threshold * threshold).cast(dec) * n).cast(dec)
+        * ((n * q).cast(dec) - (s * s).cast(dec))
+    ).cast(dec)
+    return joined.select(
+        *[tagged[c] for c in df.columns],
+        F.col("_az_v").cast("long").alias("value_x1e6"),
+        F.when(n.isNull(), F.lit(None).cast("boolean"))
+        .otherwise(lhs > rhs)
+        .alias("is_anomaly"),
+    )

@@ -395,3 +395,52 @@ def test_cdc_pump_fanin_tables_apply_serially_per_destination(spark, tmp_path):
     _await_done(q)
     got = {r["id"]: r["str"] for r in store.read(spark, "db", "merged").collect()}
     assert got == {100 + t: f"t{t}-v" for t in range(6)}, got
+
+
+def test_anomaly_flags_stream_matches_batch(spark, tmp_path):
+    """anomaly_flags(stats=frozen) is stateless — a broadcast
+    stream-static join plus scan expressions — so the SAME call runs in
+    a streaming query and must flag the SAME rows as the batch twin."""
+    from clickhouse_mysql_data_reader_spark.operators.profile import (
+        anomaly_flags,
+        anomaly_stats,
+    )
+
+    ref = spark.createDataFrame(
+        [("click", float(x)) for x in [1, 2, 3, 2, 1, 2, 3, 2]]
+        + [("view", 5.0), ("view", 6.0), ("view", 7.0)],
+        "k string, value double",
+    )
+    stats = anomaly_stats(ref, "k", "value")
+    batch = spark.createDataFrame(
+        [(1, "click", 2.0), (2, "click", 40.0), (3, "view", 6.0), (4, "new", 1.0)],
+        "event_id long, k string, value double",
+    )
+
+    expected = {
+        (r["event_id"], r["value_x1e6"], r["is_anomaly"])
+        for r in anomaly_flags(batch, "k", "value", threshold=2, stats=stats).collect()
+    }
+    assert expected == {
+        (1, 2_000_000, False),
+        (2, 40_000_000, True),
+        (3, 6_000_000, False),
+        (4, 1_000_000, None),  # unseen key: NULL, not a silent False
+    }
+
+    stream = _stream_from(spark, batch, tmp_path, "anom_src")
+    q = (
+        anomaly_flags(stream, "k", "value", threshold=2, stats=stats)
+        .writeStream.format("memory")
+        .queryName("anom_flags_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["event_id"], r["value_x1e6"], r["is_anomaly"])
+        for r in spark.sql("select * from anom_flags_t").collect()
+    }
+    assert got == expected
