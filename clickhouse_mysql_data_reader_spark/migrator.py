@@ -229,6 +229,29 @@ class Migrator:
             db, table, dst_db, dst_table, location, ddl, src_rows, dst_rows
         )
 
+    def check_drift(self, db: str, table: str):
+        """Schema drift between the CURRENT source table and what was
+        previously landed at the destination: `schema_diff(landed,
+        current)` (schema/drift.py), [] when nothing changed.
+
+        The mechanical replacement for the reference's diff-DESCRIBE-
+        by-eye re-migration workflow: run before an incremental
+        re-land; all-safe changes (nullable adds, lossless widenings)
+        can proceed via parquet schema merge, any unsafe one means
+        re-migrate. Nullability verdicts reflect what the engines
+        REPORT (landed parquet reads back nullable), so type changes
+        are the primary signal here.
+        """
+        from clickhouse_mysql_data_reader_spark.schema.drift import schema_diff
+
+        if not self.cfg.dst.parquet_dir:
+            raise ValueError("check_drift: needs dst-parquet-dir (landed schema)")
+        dst_db, dst_table = self.resolver.resolve(db, table)
+        location = os.path.join(self.cfg.dst.parquet_dir, dst_db, dst_table)
+        landed = self.spark.read.parquet(location).schema
+        current = self.apply_column_policy(self.read_source(db, table)).schema
+        return schema_diff(landed, current)
+
     def migrate_all(self) -> list[MigrationReport]:
         """The per-table loop of tablemigrator.py:121-178."""
         reports = []

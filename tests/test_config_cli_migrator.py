@@ -320,3 +320,29 @@ def test_cli_create_table_json_template(spark, capsys):
     names = [f["name"] for f in tmpl["schema"]["fields"]]
     assert "r_regionkey" in names
     assert tmpl["table"] == "region" and "CREATE TABLE" in tmpl["ddl"]
+
+
+def test_check_drift_clean_then_source_drops_column(spark, tmp_path):
+    dst = str(tmp_path / "landed")
+    argv = [
+        "--migrate-table",
+        "--src-parquet-dir", SF,
+        "--src-schemas", "db",
+        "--src-tables", "nation",
+        "--dst-parquet-dir", dst,
+    ]
+    mig = _mig(spark, argv)
+    mig.migrate_table("db", "nation")
+    assert mig.check_drift("db", "nation") == []
+
+    # the source "loses" a column (simulated via the skip policy):
+    # drift must flag it as an unsafe removal
+    drifted = _mig(spark, argv + ["--column-skip", "n_name"])
+    changes = drifted.check_drift("db", "nation")
+    assert [(c.kind, c.column, c.safe) for c in changes] == [
+        ("removed", "n_name", False)
+    ]
+
+    no_dst = _mig(spark, argv[:-2])
+    with pytest.raises(ValueError, match="dst-parquet-dir"):
+        no_dst.check_drift("db", "nation")

@@ -115,3 +115,63 @@ def test_prefix_match_and_resolver():
     assert r2.resolve("db", "t") == ("db", "ch_t")
     r3 = NameResolver(rename_map={("a", "b"): ("x", "y")})
     assert r3.resolve("a", "b") == ("x", "y")
+
+
+# schema drift (schema/drift.py)
+
+
+def test_schema_diff_classifies_changes():
+    from pyspark.sql import types as T
+
+    from clickhouse_mysql_data_reader_spark.schema.drift import (
+        evolution_safe,
+        schema_diff,
+    )
+
+    old = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("qty", T.FloatType(), True),
+            T.StructField("price", T.DecimalType(10, 2), True),
+            T.StructField("note", T.StringType(), True),
+            T.StructField("gone", T.StringType(), True),
+            T.StructField("d", T.DateType(), True),
+        ]
+    )
+    new = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),          # widen: safe
+            T.StructField("qty", T.DoubleType(), True),        # widen: safe
+            T.StructField("price", T.DecimalType(12, 2), True),# widen: safe
+            T.StructField("note", T.StringType(), False),      # tighten: unsafe
+            T.StructField("d", T.TimestampType(), True),       # date->ts: safe
+            T.StructField("extra", T.StringType(), True),      # nullable add: safe
+        ]
+    )
+    by = {(c.kind, c.column): c for c in schema_diff(old, new)}
+    assert by[("type_changed", "id")].safe
+    assert by[("type_changed", "qty")].safe
+    assert by[("type_changed", "price")].safe
+    assert by[("type_changed", "d")].safe
+    assert by[("added", "extra")].safe
+    assert not by[("removed", "gone")].safe
+    assert not by[("nullability_changed", "note")].safe
+    assert not evolution_safe(old, new)
+
+    # narrowing / scale-loss / required-add are unsafe
+    o2 = T.StructType([T.StructField("v", T.LongType(), True)])
+    assert not schema_diff(o2, T.StructType([T.StructField("v", T.IntegerType(), True)]))[0].safe
+    assert not schema_diff(
+        T.StructType([T.StructField("v", T.DecimalType(10, 4), True)]),
+        T.StructType([T.StructField("v", T.DecimalType(12, 2), True)]),
+    )[0].safe
+    assert not schema_diff(o2, T.StructType(
+        [T.StructField("v", T.LongType(), True), T.StructField("w", T.LongType(), False)]
+    ))[0].safe
+    # long fits decimal(20,0) but not decimal(18,0)
+    assert schema_diff(o2, T.StructType([T.StructField("v", T.DecimalType(20, 0), True)]))[0].safe
+    assert not schema_diff(o2, T.StructType([T.StructField("v", T.DecimalType(18, 0), True)]))[0].safe
+    # atomic -> string is the reference's own degrade move: safe
+    assert schema_diff(o2, T.StructType([T.StructField("v", T.StringType(), True)]))[0].safe
+    # identical schemas: no drift, trivially safe
+    assert schema_diff(old, old) == [] and evolution_safe(old, old)
