@@ -297,6 +297,13 @@ def main() -> None:
         # SRP-LSH cosine near-dup — quantizer-free banding, timed next
         # to its IVF-blocked sibling dedup_embed_near (in extras)
         "dedup_embed_near_srp": time_query("dedup_embed_near_srp"),
+        # round-8 monitoring/analytics additions: conditional-share and
+        # disjunctive-pushdown TPC-H compositions, the full-outer
+        # snapshot diff, and the broadcast-stats exact z-score report
+        "q14_promo_effect": time_query("q14_promo_effect"),
+        "q19_disjunctive_revenue": time_query("q19_disjunctive_revenue"),
+        "corpus_snapshot_diff": time_query("corpus_snapshot_diff"),
+        "anomaly_events_zscore": time_query("anomaly_events_zscore"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -1071,3 +1071,66 @@ def near_dup_pairs_srp(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def centroid_drift(
+    old: DataFrame,
+    new: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 10**9,
+) -> DataFrame:
+    """Per-label embedding-distribution drift between two corpus
+    snapshots: (label, n_old, n_new, centroid_cos) where centroid_cos
+    is the cosine between the label's old and new mean vectors (counts
+    cancel in cosine, so unnormalized per-dimension SUMS suffice).
+
+    The embedding-space twin of profile.corpus_diff — after re-encoding
+    a corpus or landing a new batch, a label whose centroid swings away
+    from cos~1 has drifted (encoder change, data shift, label
+    contamination). Exactness: float sums are partition-order-dependent,
+    so each element is first quantized to integer ticks with the
+    bit-deterministic double pipeline quantize_int8 established
+    (floor(x*scale + 0.5)); per-(label, dim) tick sums are exact BIGINTs
+    (headroom: |x|<=1 ticks 1e9, 1e9 rows/label => 1e18 < int64 max),
+    the dot/norm products ride DECIMAL(38,0) (HUGEINT twin), and the
+    final cosine divides identical doubles in both engines.
+
+    Plan shape for 100 TB: posexplode fans each row into dim elements
+    ONCE at the scan, the (label, dim) partial aggregate is map-side
+    combined down to labels x dims rows, and everything after operates
+    on that tiny frame (broadcast-sized join + final per-label agg).
+    Vectors themselves never shuffle.
+    """
+    dec = "decimal(38,0)"
+
+    def _sums(df: DataFrame, tag: str) -> DataFrame:
+        el = df.select(
+            F.col(label_col).alias("_cd_label"),
+            F.posexplode(F.col(vec_col)).alias("_cd_pos", "_cd_x"),
+        )
+        t = F.floor(F.col("_cd_x").cast("double") * scale + F.lit(0.5)).cast("long")
+        return el.groupBy("_cd_label", "_cd_pos").agg(
+            F.sum(t).alias(f"_s_{tag}"),
+            F.count(F.lit(1)).alias(f"_n_{tag}"),
+        )
+
+    j = _sums(old, "old").join(_sums(new, "new"), ["_cd_label", "_cd_pos"])
+    so = F.col("_s_old").cast(dec)
+    sn = F.col("_s_new").cast(dec)
+    per_label = j.groupBy("_cd_label").agg(
+        F.min("_n_old").alias("n_old"),
+        F.min("_n_new").alias("n_new"),
+        F.sum((so * sn).cast(dec)).cast(dec).alias("_dot"),
+        F.sum((so * so).cast(dec)).cast(dec).alias("_no2"),
+        F.sum((sn * sn).cast(dec)).cast(dec).alias("_nn2"),
+    )
+    denom = F.sqrt(F.col("_no2").cast("double") * F.col("_nn2").cast("double"))
+    return per_label.select(
+        F.col("_cd_label").alias(label_col),
+        "n_old",
+        "n_new",
+        F.when(denom == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("_dot").cast("double") / denom, 6))
+        .alias("centroid_cos"),
+    )

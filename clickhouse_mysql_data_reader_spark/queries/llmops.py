@@ -1196,6 +1196,55 @@ def embed_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embed_centroid_drift",
+    """
+    WITH base AS (
+      SELECT vec_id, label, r.i AS pos,
+             CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000000000 + 0.5)
+                  AS BIGINT) AS t
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+    ),
+    o AS (SELECT label, pos, CAST(sum(t) AS HUGEINT) AS s, count(*) AS n
+          FROM base WHERE vec_id % 2 = 0 GROUP BY label, pos),
+    nn AS (SELECT label, pos, CAST(sum(t) AS HUGEINT) AS s, count(*) AS n
+           FROM base WHERE vec_id % 2 = 1 GROUP BY label, pos),
+    j AS (SELECT o.label, o.s AS so, nn.s AS sn, o.n AS n_old, nn.n AS n_new
+          FROM o JOIN nn ON o.label = nn.label AND o.pos = nn.pos),
+    agg AS (SELECT label, min(n_old) AS n_old, min(n_new) AS n_new,
+                   sum(so * sn) AS dot, sum(so * so) AS no2, sum(sn * sn) AS nn2
+            FROM j GROUP BY label)
+    SELECT label, CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+           CASE WHEN sqrt(CAST(no2 AS DOUBLE) * CAST(nn2 AS DOUBLE)) = 0 THEN 0.0
+                ELSE round(CAST(dot AS DOUBLE)
+                     / sqrt(CAST(no2 AS DOUBLE) * CAST(nn2 AS DOUBLE)), 6)
+           END AS centroid_cos
+    FROM agg
+    """,
+    doc="Per-label embedding-distribution drift "
+    "(operators/similarity.py centroid_drift): cosine between each "
+    "label's old- and new-snapshot centroids — the embedding-space "
+    "twin of corpus_snapshot_diff for encoder/data-shift monitoring. "
+    "Float sums are partition-order-dependent, so elements quantize to "
+    "integer ticks first (the quantize_int8 bit-deterministic double "
+    "pipeline); (label, dim) tick sums are exact BIGINTs, dot/norm "
+    "products ride DECIMAL(38,0)/HUGEINT, and the final cosine divides "
+    "identical doubles. Scale: one posexplode at the scan, map-side "
+    "combine to labels x dims rows; vectors never shuffle. The two "
+    "snapshots here are the even/odd vec_id halves.",
+)
+def embed_centroid_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.similarity import (
+        centroid_drift,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+
+
+@register(
     "text_repetition_stats",
     f"""
     WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),

@@ -408,6 +408,13 @@ DEPRIORITIZED = (
     # (DECIMAL(38,0) vs HUGEINT twin). Full DuckDB oracle in pytest
     # every CI run; rotation candidate for r9.
     "anomaly_events_zscore",
+    # embedding centroid drift (born deprioritized, round 8): the
+    # posexplode + map-side (label, dim) aggregate is the
+    # embed_cell_assign/centroid plan family and the scaled-integer
+    # exactness is the quantize_int8 / anomaly_events_zscore idiom;
+    # full DuckDB oracle in pytest every CI run. Rotation candidate
+    # for r9.
+    "embed_centroid_drift",
     "jsonl_roundtrip_documents",
     "embed_srp_bands",
     "dedup_embed_near_srp",

@@ -124,3 +124,42 @@ def test_srp_arrow_and_expr_paths_bit_identical(spark):
     assert expr_bt == arrow_bt
     with pytest.raises(ValueError, match="impl must be"):
         srp_band_table(df, DIM, impl="numpy")
+
+
+def test_centroid_drift_numpy_crosscheck_and_edges(spark):
+    from clickhouse_mysql_data_reader_spark.operators.similarity import (
+        centroid_drift,
+    )
+
+    rng = np.random.RandomState(7)
+    old_rows = [(int(i % 3), rng.randn(8).astype("float32").tolist()) for i in range(30)]
+    new_rows = [(int(i % 3), rng.randn(8).astype("float32").tolist()) for i in range(24)]
+    schema = "label int, embedding array<float>"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+
+    out = {r["label"]: r for r in centroid_drift(old, new).collect()}
+    for lab in (0, 1, 2):
+        # numpy reference on the SAME integer ticks the operator uses
+        t_old = np.floor(
+            np.array([v for l, v in old_rows if l == lab], dtype=np.float64) * 1e9 + 0.5
+        ).sum(axis=0)
+        t_new = np.floor(
+            np.array([v for l, v in new_rows if l == lab], dtype=np.float64) * 1e9 + 0.5
+        ).sum(axis=0)
+        expect = float(
+            t_old @ t_new / np.sqrt((t_old @ t_old) * (t_new @ t_new))
+        )
+        assert out[lab]["centroid_cos"] == pytest.approx(expect, abs=1e-6)
+        assert out[lab]["n_old"] == sum(1 for l, _ in old_rows if l == lab)
+        assert out[lab]["n_new"] == sum(1 for l, _ in new_rows if l == lab)
+
+    # identical snapshots: exactly 1.0; zero-vector label: 0.0 guard;
+    # labels missing from either side drop (inner join)
+    same = centroid_drift(old, old).collect()
+    assert all(r["centroid_cos"] == 1.0 for r in same)
+    z = spark.createDataFrame([(9, [0.0] * 8)], schema)
+    zz = centroid_drift(z, z).collect()
+    assert zz[0]["centroid_cos"] == 0.0
+    only_old = spark.createDataFrame([(42, [1.0] * 8)], schema)
+    assert centroid_drift(only_old, new).count() == 0
