@@ -357,3 +357,94 @@ def anomaly_flags(
         .otherwise(lhs > rhs)
         .alias("is_anomaly"),
     )
+
+
+def validate_table(df: DataFrame, rules: list[tuple]) -> DataFrame:
+    """Declarative data-quality gate: one row per rule with
+    (rule, column, n_checked, n_violations, passed).
+
+    Rules are (kind, column, *args) tuples:
+
+    - ("not_null", col)              — NULLs are violations
+    - ("unique", col)                — rows beyond the first per value
+    - ("in_range", col, lo, hi)      — non-NULL values outside [lo, hi]
+    - ("matches", col, regex)        — non-NULL strings not rlike regex
+    - ("in_set", col, [v1, v2, ...]) — non-NULL values outside the set
+
+    The programmatic form of the reference users' post-migration
+    spot-checks (count(*) / SELECT DISTINCT eyeballing,
+    docs/manual.md:436-443). All row-level rules evaluate in ONE
+    scan-stage aggregate (adding a rule costs an expression, not a
+    pass); each `unique` rule adds a count(DISTINCT) to the same agg —
+    Catalyst's multi-distinct Expand, one extra shuffle of key state,
+    swap to a dedicated groupBy-count pass only if a 100 TB column's
+    key cardinality approaches the row count. The result is a 1-row
+    wide aggregate unpivoted by a constant explode (the profile_table
+    shape), so the report itself never shuffles data.
+    """
+    if not rules:
+        raise ValueError("validate_table: no rules")
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    specs: list[tuple[str, str]] = []  # (rule_label, agg alias)
+    for i, rule in enumerate(rules):
+        kind, col = rule[0], rule[1]
+        if col not in df.columns:
+            raise ValueError(f"validate_table: unknown column {col!r}")
+        c = F.col(col)
+        alias = f"_v{i}"
+        if kind == "not_null":
+            bad = F.count(F.when(c.isNull(), 1))
+            label = "not_null"
+        elif kind == "unique":
+            # violations = rows beyond the first per distinct value;
+            # NULLs count as one shared value (SQL count(DISTINCT)
+            # ignores NULLs, so add the null bucket back explicitly)
+            bad = (
+                F.count(c)
+                - F.countDistinct(c)
+                + F.greatest(
+                    F.count(F.when(c.isNull(), 1)) - F.lit(1), F.lit(0)
+                )
+            )
+            label = "unique"
+        elif kind == "in_range":
+            lo, hi = rule[2], rule[3]
+            bad = F.count(F.when(c.isNotNull() & ~c.between(lo, hi), 1))
+            label = f"in_range[{lo},{hi}]"
+        elif kind == "matches":
+            bad = F.count(F.when(c.isNotNull() & ~c.rlike(rule[2]), 1))
+            label = f"matches[{rule[2]}]"
+        elif kind == "in_set":
+            vals = list(rule[2])
+            if not vals:
+                raise ValueError("validate_table: in_set needs values")
+            bad = F.count(F.when(c.isNotNull() & ~c.isin(vals), 1))
+            label = "in_set[" + ",".join(str(v) for v in vals) + "]"
+        else:
+            raise ValueError(f"validate_table: unknown rule kind {kind!r}")
+        aggs.append(bad.cast("long").alias(alias))
+        specs.append((label, alias))
+
+    wide = df.agg(*aggs)
+    stacked = wide.select(
+        "_n_rows",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(label).alias("rule"),
+                        F.lit(rules[i][1]).alias("column"),
+                        F.col(alias).alias("n_violations"),
+                    )
+                    for i, (label, alias) in enumerate(specs)
+                ]
+            )
+        ).alias("s"),
+    )
+    return stacked.select(
+        F.col("s.rule").alias("rule"),
+        F.col("s.column").alias("column"),
+        F.col("_n_rows").alias("n_checked"),
+        F.col("s.n_violations").alias("n_violations"),
+        (F.col("s.n_violations") == 0).alias("passed"),
+    )

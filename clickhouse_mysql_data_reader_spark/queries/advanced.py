@@ -469,6 +469,67 @@ def anomaly_events_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "validate_orders_rules",
+    """
+    WITH n AS (SELECT count(*) AS n_rows FROM orders)
+    SELECT rule, "column", n_checked, n_violations, n_violations = 0 AS passed
+    FROM (
+      SELECT 'not_null' AS rule, 'o_orderkey' AS "column", n.n_rows AS n_checked,
+             CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_violations
+      FROM orders, n GROUP BY n.n_rows
+      UNION ALL
+      SELECT 'unique', 'o_orderkey', n.n_rows,
+             CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+                  + greatest(count(CASE WHEN o_orderkey IS NULL THEN 1 END) - 1, 0)
+               AS BIGINT)
+      FROM orders, n GROUP BY n.n_rows
+      UNION ALL
+      SELECT 'in_range[0,100000]', 'o_totalprice', n.n_rows,
+             CAST(count(CASE WHEN o_totalprice IS NOT NULL
+                              AND NOT o_totalprice BETWEEN 0 AND 100000
+                         THEN 1 END) AS BIGINT)
+      FROM orders, n GROUP BY n.n_rows
+      UNION ALL
+      SELECT 'in_set[O,F]', 'o_orderstatus', n.n_rows,
+             CAST(count(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('O', 'F')
+                         THEN 1 END) AS BIGINT)
+      FROM orders, n GROUP BY n.n_rows
+      UNION ALL
+      SELECT 'matches[^[1-5]-[A-Z ]+$]', 'o_orderpriority', n.n_rows,
+             CAST(count(CASE WHEN o_orderpriority IS NOT NULL
+                              AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                         THEN 1 END) AS BIGINT)
+      FROM orders, n GROUP BY n.n_rows
+    )
+    """,
+    doc="Declarative data-quality gate (operators/profile.py "
+    "validate_table): not_null / unique / in_range / in_set / matches "
+    "rules over orders, one report row per rule — the programmatic "
+    "form of the reference users' post-migration spot checks "
+    "(docs/manual.md:436-443). All rules evaluate in ONE scan-stage "
+    "aggregate (adding a rule costs an expression, not a pass); the "
+    "unique rule's count(DISTINCT) is the only shuffle-bearing term, "
+    "and the report unpivots a 1-row wide agg by constant explode "
+    "(the profile_table shape).",
+)
+def validate_orders_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.profile import validate_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return validate_table(
+        orders,
+        [
+            ("not_null", "o_orderkey"),
+            ("unique", "o_orderkey"),
+            ("in_range", "o_totalprice", 0, 100000),
+            ("in_set", "o_orderstatus", ["O", "F"]),
+            ("matches", "o_orderpriority", "^[1-5]-[A-Z ]+$"),
+        ],
+    )
+
+
+@register(
     "agg_salted_skew",
     """
     SELECT l_returnflag,

@@ -415,6 +415,12 @@ DEPRIORITIZED = (
     # full DuckDB oracle in pytest every CI run. Rotation candidate
     # for r9.
     "embed_centroid_drift",
+    # declarative validation rules (born deprioritized, round 8): the
+    # one-scan wide aggregate + constant-explode unpivot is exactly
+    # the checked profile_orders_table plan family (same module, same
+    # Expand-for-distinct machinery); full DuckDB oracle in pytest
+    # every CI run. Rotation candidate for r9.
+    "validate_orders_rules",
     "jsonl_roundtrip_documents",
     "embed_srp_bands",
     "dedup_embed_near_srp",

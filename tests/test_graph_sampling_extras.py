@@ -929,3 +929,57 @@ def test_anomaly_zscore_frozen_stats_deployment(spark):
 
     with pytest.raises(ValueError, match="stats table missing"):
         anomaly_zscore(batch, "k", "value", stats=ref)
+
+
+def test_validate_table_rules_and_errors(spark):
+    from clickhouse_mysql_data_reader_spark.operators.profile import validate_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5.0, "x-1"),
+            (2, "a", 50.0, "x-2"),
+            (2, None, -1.0, "y-3"),
+            (None, "b", None, "bad"),
+        ],
+        "id long, cat string, v double, code string",
+    )
+    out = {
+        (r["rule"], r["column"]): r
+        for r in validate_table(
+            df,
+            [
+                ("not_null", "id"),
+                ("unique", "id"),
+                ("unique", "cat"),
+                ("in_range", "v", 0, 10),
+                ("in_set", "cat", ["a", "b"]),
+                ("matches", "code", "^[xy]-[0-9]$"),
+            ],
+        ).collect()
+    }
+    assert all(r["n_checked"] == 4 for r in out.values())
+    assert out[("not_null", "id")]["n_violations"] == 1
+    # id: values 1,2,2,NULL -> one dup beyond first; single NULL is fine
+    assert out[("unique", "id")]["n_violations"] == 1
+    # cat: a,a,NULL,b -> one dup; single NULL bucket adds nothing
+    assert out[("unique", "cat")]["n_violations"] == 1
+    # v: 50 and -1 out of range; NULL skipped
+    assert out[("in_range[0,10]", "v")]["n_violations"] == 2
+    assert out[("in_set[a,b]", "cat")]["n_violations"] == 0
+    assert out[("in_set[a,b]", "cat")]["passed"] is True
+    assert out[("matches[^[xy]-[0-9]$]", "code")]["n_violations"] == 1
+    assert out[("matches[^[xy]-[0-9]$]", "code")]["passed"] is False
+
+    # two NULLs under unique: the shared null bucket counts dups too
+    df2 = spark.createDataFrame([(None,), (None,), (7,)], "id long")
+    u = validate_table(df2, [("unique", "id")]).collect()[0]
+    assert u["n_violations"] == 1
+
+    for bad_rules, msg in [
+        ([], "no rules"),
+        ([("not_null", "nope")], "unknown column"),
+        ([("in_set", "id", [])], "in_set needs values"),
+        ([("frobnicate", "id")], "unknown rule kind"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            validate_table(df2 if bad_rules else df, bad_rules)
