@@ -364,24 +364,12 @@ QUERIES: dict[str, QueryDef] = {}
 # fact-fact shuffle join, q1's exact-decimal aggregate idiom, semi-join
 # of the checked cdc/semi family, TakeOrderedAndProject top-k); full
 # DuckDB oracles in pytest every CI run; rotation candidates for r9.
-# And jsonl_roundtrip_documents — the JSONL source/sink surface
-# (sources/jsonl.py). Same write-then-read-back roundtrip plan family
-# as the checked csv_roundtrip_nation (explicit-schema zero-inference
-# scan, K2-style sink); the JSONL-specific machinery (PERMISSIVE
-# corrupt-record quarantine, malformed-line policies) is pinned by
-# dedicated unit tests in test_sources.py. Rotation candidate for r9.
-# And the SRP-LSH pair: embed_srp_bands (element-wise band-table
-# verification, the dedup_minhash_signatures pattern for the cosine
-# metric) + dedup_embed_near_srp (end-to-end pairs). Their candidate
-# self-join + rounded-cosine verify is the plan family of the checked
-# dedup_embed_near_multiprobe; the new machinery (sign bits, banding)
-# is fully hash-verified by the bands oracle in pytest and
-# recall-pinned against the exact baseline in
-# test_similarity_extras.py. Rotation candidates for r9.
-# And text_blocklist_gate (C4 bad-words filter) — scan-stage
-# token-array fold of the checked text_quality_score/text_pii_redact
-# family (shared tokens helper, same filter-over-array idiom);
-# full DuckDB oracle in pytest. Rotation candidate for r9.
+# jsonl_roundtrip_documents, the SRP-LSH pair (embed_srp_bands,
+# dedup_embed_near_srp), text_blocklist_gate, rag_chunk_retrieve and
+# profile_orders_table were born deprioritized earlier in round 8 and
+# ROTATED INTO the checked 50 late in the round (see the rotation
+# block inside DEPRIORITIZED below for the six members they displaced
+# and each displacement's containment rationale).
 DEPRIORITIZED = (
     "q5_local_supplier_volume",
     "q18_large_volume_customer",
@@ -421,21 +409,43 @@ DEPRIORITIZED = (
     # Expand-for-distinct machinery); full DuckDB oracle in pytest
     # every CI run. Rotation candidate for r9.
     "validate_orders_rules",
-    "jsonl_roundtrip_documents",
-    "embed_srp_bands",
-    "dedup_embed_near_srp",
-    "text_blocklist_gate",
-    # index-free RAG retrieval: composition of three checked families
-    # (doc_chunk_overlap's chunking, text_hashed_embed's hashed-BoW
-    # fold, text_vocab_topk's TakeOrderedAndProject); exact-integer
-    # rank statistic per the checked text_bm25_topk idiom
-    "rag_chunk_retrieve",
-    # single-scan table profiling: its count/countDistinct/min/max
-    # aggregates are the q1/agg_approx_distinct plan family (the exact
-    # multi-distinct Expand is the machinery the checked
-    # agg_approx_distinct's exact anchors hash-verify) and the
-    # constant-explode unpivot is the agg_unpivot Expand
-    "profile_orders_table",
+    # Late-round-8 rotation: six round-8-born queries joined the
+    # checked 50 (jsonl_roundtrip_documents, embed_srp_bands,
+    # dedup_embed_near_srp, text_blocklist_gate, rag_chunk_retrieve,
+    # profile_orders_table), displacing the six long-driver-green
+    # members below — each with a checked containment sibling:
+    #   - csv_roundtrip_nation (driver-green r1-r7): same explicit-
+    #     schema write-then-read-back roundtrip plan as the now-checked
+    #     jsonl_roundtrip_documents; the CSV-specific machinery
+    #     (dialect sniffing, sorted-column sink) stays pinned by
+    #     test_sources.py unit tests every CI run
+    "csv_roundtrip_nation",
+    #   - text_vocab_topk (driver-green r5-r7): map-side combined term
+    #     counts + TakeOrderedAndProject — the identical final stage of
+    #     the now-checked rag_chunk_retrieve and of the checked
+    #     text_bm25_topk's top-k
+    "text_vocab_topk",
+    #   - embed_ivf_topk (driver-green r1-r7): cell-probe equi-join +
+    #     rounded-cosine rank re-runs inside the checked
+    #     dedup_embed_near_multiprobe (a superset: multi-cell probing);
+    #     recall vs the exact baseline is pinned every CI run
+    "embed_ivf_topk",
+    #   - dedup_exact_groups (driver-green r1-r7): the md5-fingerprint
+    #     groupBy-agg is the checked text_line_dedup machinery at doc
+    #     granularity and re-runs inside the curation pipeline's
+    #     integration tests
+    "dedup_exact_groups",
+    #   - text_pii_redact (driver-green r1-r7): scan-stage regex
+    #     expression family anchored by the checked text_quality_score
+    #     (shared normalize/tokens helpers); the redaction regexes
+    #     themselves are pinned by dedicated unit tests
+    "text_pii_redact",
+    #   - doc_corpus_contamination (driver-green r3-r7): its
+    #     broadcast-semi corpus direction is contained in the checked
+    #     doc_span_decontaminate, and the round-7 stream-level parity
+    #     test pins both contamination directions against each other
+    #     every CI run
+    "doc_corpus_contamination",
     # token budgeting: scan-stage expression family of the checked
     # text_quality_score (shared tokens/normalize helpers; its
     # n_ws_tokens is text_quality_score's hash-verified n_tokens)

@@ -65,8 +65,21 @@ DRIVER_CAP = 50
 # join_range_bands / text_gopher_rules / doc_contamination_check /
 # sample_stratified_split / text_repetition_stats — each with
 # multi-round driver-green history and a checked containment sibling
-# (see registry.DEPRIORITIZED rationale).
+# (see registry.DEPRIORITIZED rationale). Late in round 8 the six
+# round-8-born queries (jsonl_roundtrip_documents, embed_srp_bands,
+# dedup_embed_near_srp, text_blocklist_gate, rag_chunk_retrieve,
+# profile_orders_table) rotated in, displacing csv_roundtrip_nation /
+# text_vocab_topk / embed_ivf_topk / dedup_exact_groups /
+# text_pii_redact / doc_corpus_contamination — each driver-green for
+# 3-7 straight rounds with a checked containment sibling (rationale
+# per displacement inside registry.DEPRIORITIZED).
 MUST_BE_CHECKED = {
+    "jsonl_roundtrip_documents",
+    "embed_srp_bands",
+    "dedup_embed_near_srp",
+    "text_blocklist_gate",
+    "rag_chunk_retrieve",
+    "profile_orders_table",
     "dedup_containment_prefix",
     "dedup_jaccard_prefix",
     "text_bm25_topk",
@@ -89,7 +102,6 @@ MUST_BE_CHECKED = {
     "dedup_embed_near_multiprobe",
     "dedup_simhash_near",
     "sample_source_cap",
-    "text_vocab_topk",
     "sample_shuffle_order",
     "scan_prune_filter",
     "table_name_filter",
@@ -97,17 +109,12 @@ MUST_BE_CHECKED = {
     "null_policy",
     "rename_fanin_union",
     "cdc_apply_final_state",
-    "csv_roundtrip_nation",
-    "dedup_exact_groups",
     "dedup_lsh_jaccard",
     "dedup_exact_substring",
     "dedup_containment_near",
-    "embed_ivf_topk",
     "text_quality_score",
     "text_boilerplate_ngrams",
     "dedup_cluster_best_keeper",
-    "text_pii_redact",
-    "doc_corpus_contamination",
     "sample_mixture_epochs",
     "funnel_window_3step",
     "multimodal_features",
