@@ -530,6 +530,54 @@ def validate_orders_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "anomaly_event_rate",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+      GROUP BY event_type, CAST(ts AS DATE), extract(hour FROM ts)
+    ), v AS (
+      SELECT event_type, CAST(n AS HUGEINT) * 1000000 AS val FROM hourly
+    ), st AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS cnt,
+             sum(val) AS ssum,
+             sum(val * val) AS qsum
+      FROM v GROUP BY event_type
+    )
+    SELECT v.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(CASE WHEN (cnt * val - ssum) * (cnt * val - ssum) * (cnt - 1)
+                              > 9 * cnt * (cnt * qsum - ssum * ssum)
+                      THEN 1 END) AS BIGINT) AS n_anomalies,
+           CAST(min(ssum) // min(cnt) AS BIGINT) AS mean_x1e6,
+           CAST(max(val) AS BIGINT) AS max_value_x1e6
+    FROM v JOIN st ON v.event_type = st.event_type
+    GROUP BY v.event_type
+    """,
+    doc="RATE anomaly per event type: hourly event counts (the "
+    "window_tumbling_hourly aggregate) piped into the exact z-score "
+    "detector — a two-operator composition where one hour whose volume "
+    "deviates >3 sigma from its type's hourly distribution flags. "
+    "Counts are integers so the scaled-integer test is exact end-to-"
+    "end. Scale: the hourly pre-aggregate is map-side combined down to "
+    "types x hours rows BEFORE the detector's broadcast join — the "
+    "detector's input is already tiny no matter how many raw events.",
+)
+def anomaly_event_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.profile import anomaly_zscore
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        F.hour("ts").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return anomaly_zscore(hourly, "event_type", "n", threshold=3)
+
+
+@register(
     "agg_salted_skew",
     """
     SELECT l_returnflag,

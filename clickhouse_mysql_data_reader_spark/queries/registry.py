@@ -409,6 +409,13 @@ DEPRIORITIZED = (
     # Expand-for-distinct machinery); full DuckDB oracle in pytest
     # every CI run. Rotation candidate for r9.
     "validate_orders_rules",
+    # rate anomaly composition (born deprioritized, round 8): the
+    # hourly pre-aggregate is the q1/window_tumbling_hourly
+    # HashAggregate family and the detector stage is byte-identical
+    # anomaly_zscore machinery (anomaly_events_zscore's registry
+    # sibling); full DuckDB oracle in pytest every CI run. Rotation
+    # candidate for r9.
+    "anomaly_event_rate",
     # Late-round-8 rotation: six round-8-born queries joined the
     # checked 50 (jsonl_roundtrip_documents, embed_srp_bands,
     # dedup_embed_near_srp, text_blocklist_gate, rag_chunk_retrieve,
