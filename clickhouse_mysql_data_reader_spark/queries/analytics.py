@@ -403,6 +403,255 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(extract(year FROM l_shipdate) AS INT) AS l_year,
+             l_extendedprice, l_discount
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+          OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 (volume shipping between two trading nations, both "
+    "directions kept separate). Scale shape: both nation filters "
+    "BROADCAST into supplier/customer (each join halves its side "
+    "before the facts meet), the two-year shipdate band prunes the "
+    "lineitem scan, and the cross-pair disjunction evaluates on the "
+    "already-joined narrow stream. Exact-decimal revenue; year "
+    "extraction under the pinned UTC session.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n3, n7 = "NATION_3", "NATION_7"
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(n3, n7)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        ((F.col("supp_nation") == n3) & (F.col("cust_nation") == n7))
+        | ((F.col("supp_nation") == n7) & (F.col("cust_nation") == n3))
+    )
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 (returned-item revenue; this schema's customer "
+    "carries name/acctbal/nation, the projected address/phone/comment "
+    "columns don't exist in the testdata). Scale shape: the quarter "
+    "window prunes orders at the scan and the returnflag filter prunes "
+    "lineitem; nation is an always-broadcast dim; top-20 is "
+    "TakeOrderedAndProject with the custkey tie-break making the LIMIT "
+    "frontier deterministic.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN (
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_orderpriority <> '1-URGENT'
+      ) o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 (customer order-count distribution; the o_comment "
+    "NOT-LIKE filter becomes an order-priority exclusion — this "
+    "schema has no comment column, the two-level aggregate shape is "
+    "the point). Scale shape: LEFT OUTER join keeps zero-order "
+    "customers (the distribution's head), the per-customer count is "
+    "the shuffle stage, and the second aggregate's state is a handful "
+    "of distinct counts. count(o_orderkey) counts MATCHES (NULLs from "
+    "the outer join don't count) — the Q13 semantics.",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    WITH bl AS (
+      SELECT l_partkey,
+             CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS qt,
+             l_extendedprice
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#9'
+    ), st AS (
+      SELECT l_partkey, CAST(count(*) AS HUGEINT) AS n, sum(qt) AS s
+      FROM bl GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_small
+    FROM bl JOIN st ON bl.l_partkey = st.l_partkey
+    WHERE 5 * qt * n < s
+    """,
+    doc="TPC-H Q17 (small-quantity-order revenue, the correlated "
+    "avg-quantity subquery decorrelated into a per-part aggregate + "
+    "join — exactly what a warehouse optimizer does). The l_quantity < "
+    "0.2*avg(l_quantity) comparison is multiplied out to integers "
+    "(5*q*n < sum(q), DECIMAL(38,0)/HUGEINT ticks) so the BOUNDARY "
+    "rows are engine-exact instead of float-avg-dependent. Scale "
+    "shape: brand filter prunes part before the fact join; both the "
+    "row branch and its per-part stats aggregate shuffle on the SAME "
+    "key (l_partkey), so the sort-merge re-join adds no extra "
+    "exchange (the brand-pruned scan does run twice — the standard "
+    "decorrelation trade; persist the branch if the filtered slice is "
+    "expensive to recompute); one-row result.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(38,0)"
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#9")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    bl = li.join(part, F.col("p_partkey") == F.col("l_partkey")).select(
+        "l_partkey",
+        (F.col("l_quantity").cast("decimal(18,4)") * 10000)
+        .cast(dec)
+        .alias("qt"),
+        "l_extendedprice",
+    )
+    st = bl.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("qt").cast(dec).alias("s"),
+    )
+    return (
+        bl.join(st, bl.l_partkey == st._pk)
+        .filter(
+            (F.lit(5).cast(dec) * F.col("qt")).cast(dec) * F.col("n")
+            < F.col("s")
+        )
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@register(
     "agg_count_distinct",
     """
     SELECT o_orderpriority,

@@ -382,6 +382,18 @@ DEPRIORITIZED = (
     # pytest every CI run. Rotation candidates for r9.
     "q14_promo_effect",
     "q19_disjunctive_revenue",
+    # TPC-H Q7/Q10/Q13/Q17 (born deprioritized, round 8): the same
+    # composition argument as Q3/Q5/Q14/Q18/Q19 — broadcast nation
+    # dims, date/flag-pruned fact scans, exact-decimal revenue (q1
+    # idiom), TakeOrderedAndProject top-k (Q10), left-outer +
+    # two-level aggregate (the join_outer_coalesce + q1 families,
+    # Q13), and a decorrelated per-key-stats join whose scaled-integer
+    # threshold is the anomaly_events_zscore idiom (Q17). Full DuckDB
+    # oracles in pytest every CI run. Rotation candidates for r9.
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
     # corpus snapshot diff (born deprioritized, round 8): the
     # full-outer id join is the cdc_apply/join_outer_coalesce plan
     # family and the md5-fingerprint compare is the machinery the
