@@ -1222,6 +1222,34 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_pctile_ntile",
+    """
+    SELECT event_id, event_type,
+           percent_rank() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS pct_rank,
+           CAST(ntile(4) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS INT) AS quartile
+    FROM events
+    """,
+    doc="percent_rank/ntile distribution-function family (completes "
+    "the window coverage next to rank/dense_rank/cume_dist). The "
+    "event_id tie-break makes both functions total-order deterministic; "
+    "percent_rank = (rank-1)/(n-1) is an exact integer division both "
+    "engines round identically. Scale: one shuffle on the partition "
+    "key; per-key NTILE state is O(1).",
+)
+def window_pctile_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sort / limit / set ops
 # ---------------------------------------------------------------------------

@@ -394,6 +394,12 @@ DEPRIORITIZED = (
     "q10_returned_items",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
+    # percent_rank/ntile (born deprioritized, round 8): single-window
+    # ranking family of the checked window_session_gaps and the
+    # long-green window_rank_dense (rank/dense_rank/cume_dist) — same
+    # one-shuffle plan, new scalar functions; full DuckDB oracle in
+    # pytest every CI run. Rotation candidate for r9.
+    "window_pctile_ntile",
     # corpus snapshot diff (born deprioritized, round 8): the
     # full-outer id join is the cdc_apply/join_outer_coalesce plan
     # family and the md5-fingerprint compare is the machinery the
