@@ -304,6 +304,12 @@ def main() -> None:
         "q19_disjunctive_revenue": time_query("q19_disjunctive_revenue"),
         "corpus_snapshot_diff": time_query("corpus_snapshot_diff"),
         "anomaly_events_zscore": time_query("anomaly_events_zscore"),
+        # late-round-8 TPC-H breadth + the window distribution family
+        "q7_volume_shipping": time_query("q7_volume_shipping"),
+        "q10_returned_items": time_query("q10_returned_items"),
+        "q13_customer_distribution": time_query("q13_customer_distribution"),
+        "q17_small_quantity_revenue": time_query("q17_small_quantity_revenue"),
+        "window_pctile_ntile": time_query("window_pctile_ntile"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
