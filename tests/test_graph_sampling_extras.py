@@ -983,3 +983,34 @@ def test_validate_table_rules_and_errors(spark):
     ]:
         with pytest.raises(ValueError, match=msg):
             validate_table(df2 if bad_rules else df, bad_rules)
+
+
+def test_corpus_diff_conserves_ids(spark):
+    """Conservation: every id lands in exactly one status bucket —
+    sum of all four counts == |old ids ∪ new ids| (random overlap)."""
+    import random
+
+    from clickhouse_mysql_data_reader_spark.operators.profile import corpus_diff
+
+    rng = random.Random(13)
+    old_ids = set(rng.sample(range(200), 80))
+    new_ids = set(rng.sample(range(200), 90))
+    mk = lambda i, mut: (i, f"s{i % 3}", f"text-{i}{'X' if mut else ''}")
+    old = spark.createDataFrame(
+        [mk(i, False) for i in sorted(old_ids)],
+        "doc_id long, source string, text string",
+    )
+    new = spark.createDataFrame(
+        [mk(i, i % 4 == 0) for i in sorted(new_ids)],
+        "doc_id long, source string, text string",
+    )
+    rows = corpus_diff(old, new).collect()
+    total = sum(
+        r["n_added"] + r["n_removed"] + r["n_changed"] + r["n_unchanged"]
+        for r in rows
+    )
+    assert total == len(old_ids | new_ids)
+    assert sum(r["n_added"] for r in rows) == len(new_ids - old_ids)
+    assert sum(r["n_removed"] for r in rows) == len(old_ids - new_ids)
+    both = old_ids & new_ids
+    assert sum(r["n_changed"] for r in rows) == sum(1 for i in both if i % 4 == 0)

@@ -221,3 +221,47 @@ def test_optimal_lsh_bands_monotone_in_threshold(t_lo, t_hi):
     )
 
     assert optimal_lsh_bands(16, t_hi) <= optimal_lsh_bands(16, t_lo)
+
+
+# ---------------------------------------------------------------------------
+# schema drift lattice (schema/drift.py)
+# ---------------------------------------------------------------------------
+
+from clickhouse_mysql_data_reader_spark.schema.drift import _can_upcast as _upcast
+
+_DRIFT_TYPES = [
+    T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType(),
+    T.FloatType(), T.DoubleType(), T.StringType(), T.DateType(),
+    T.TimestampType(), T.BooleanType(), T.BinaryType(),
+    T.DecimalType(10, 2), T.DecimalType(12, 2), T.DecimalType(12, 4),
+    T.DecimalType(20, 0), T.DecimalType(38, 10),
+]
+
+
+@_given(
+    a=_st.sampled_from(_DRIFT_TYPES),
+    b=_st.sampled_from(_DRIFT_TYPES),
+    c=_st.sampled_from(_DRIFT_TYPES),
+)
+@_settings(max_examples=300, deadline=None)
+def test_upcast_is_a_partial_order(a, b, c):
+    # reflexive
+    assert _upcast(a, a)
+    # antisymmetric: mutually-safe implies identical
+    if a != b:
+        assert not (_upcast(a, b) and _upcast(b, a))
+    # transitive: a lost-lessly fits b and b fits c => a fits c
+    if _upcast(a, b) and _upcast(b, c):
+        assert _upcast(a, c), f"transitivity broke: {a} -> {b} -> {c}"
+
+
+@_given(
+    a=_st.sampled_from(_DRIFT_TYPES),
+    b=_st.sampled_from(_DRIFT_TYPES),
+)
+@_settings(max_examples=200, deadline=None)
+def test_narrowing_is_never_safe(a, b):
+    # every numeric widening has an unsafe reverse; equal types aside,
+    # a safe a->b forbids dropping information on the way back
+    if a != b and _upcast(a, b):
+        assert not _upcast(b, a)
