@@ -578,6 +578,42 @@ def anomaly_event_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_lang_rollup",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct_est
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Landed mergeable distinct-count sketches (operators/"
+    "profile.py distinct_sketches + sketch_rollup): per-source "
+    "DataSketches-HLL sketch rows re-aggregated WITHOUT touching raw "
+    "data — land one sketch per (day, source) partition at 100 TB and "
+    "answer quarter-wide distincts by merging kilobyte sketches. The "
+    "oracle anchors on exact count(DISTINCT): at this column's tiny "
+    "cardinality the HLL estimate is exactly the true count (the "
+    "agg_approx_distinct exact-anchor pattern); union losslessness vs "
+    "a fresh full-data sketch is pinned separately in pytest.",
+)
+def sketch_lang_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.profile import (
+        distinct_sketches,
+        sketch_rollup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # land at (source, lang-hash-bucket) granularity, then roll up to
+    # source — the query exercises the MERGE path, not just the agg
+    landed = distinct_sketches(
+        docs.withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(4))),
+        ["source", "bucket"],
+        "lang",
+    )
+    return sketch_rollup(landed, ["source"])
+
+
+@register(
     "agg_salted_skew",
     """
     SELECT l_returnflag,

@@ -400,6 +400,12 @@ DEPRIORITIZED = (
     # one-shuffle plan, new scalar functions; full DuckDB oracle in
     # pytest every CI run. Rotation candidate for r9.
     "window_pctile_ntile",
+    # landed HLL sketch rollup (born deprioritized, round 8): the
+    # checked agg_approx_distinct anchors the sketch-estimate oracle
+    # pattern (exact anchors at tiny cardinality) and the groupBy-agg
+    # plan family; the union-losslessness property is pinned in
+    # pytest. Rotation candidate for r9.
+    "sketch_lang_rollup",
     # corpus snapshot diff (born deprioritized, round 8): the
     # full-outer id join is the cdc_apply/join_outer_coalesce plan
     # family and the md5-fingerprint compare is the machinery the

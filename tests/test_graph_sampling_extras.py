@@ -1014,3 +1014,48 @@ def test_corpus_diff_conserves_ids(spark):
     assert sum(r["n_removed"] for r in rows) == len(old_ids - new_ids)
     both = old_ids & new_ids
     assert sum(r["n_changed"] for r in rows) == sum(1 for i in both if i % 4 == 0)
+
+
+def test_distinct_sketches_land_and_rollup(spark):
+    from clickhouse_mysql_data_reader_spark.operators.profile import (
+        distinct_sketches,
+        sketch_rollup,
+    )
+
+    rows = [
+        (d, s, f"user{(i * 7 + int(d[1])) % 40}")
+        for d in ("d1", "d2", "d3")
+        for s in ("web", "app")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "day string, source string, uid string")
+
+    landed = distinct_sketches(df, ["day", "source"], "uid")
+    assert set(landed.columns) == {"day", "source", "sketch", "n_rows", "n_distinct_est"}
+    per = {(r["day"], r["source"]): r for r in landed.collect()}
+    exact_ds = {
+        (d, s): df.filter((F.col("day") == d) & (F.col("source") == s))
+        .select("uid").distinct().count()
+        for d in ("d1", "d2") for s in ("web",)
+    }
+    for k, exact in exact_ds.items():
+        assert per[k]["n_distinct_est"] == exact  # tiny cardinality: HLL exact
+        assert per[k]["n_rows"] == 200
+
+    # rollup over landed sketches == fresh sketch over the union
+    by_source = {r["source"]: r for r in sketch_rollup(landed, ["source"]).collect()}
+    fresh = {
+        r["source"]: r
+        for r in distinct_sketches(df, ["source"], "uid").collect()
+    }
+    for s in ("web", "app"):
+        assert by_source[s]["n_distinct_est"] == fresh[s]["n_distinct_est"]
+        assert by_source[s]["n_rows"] == 600
+
+    # global rollup (keys=[]) matches the full-corpus distinct
+    g = sketch_rollup(landed, []).collect()[0]
+    assert g["n_distinct_est"] == df.select("uid").distinct().count()
+    assert g["n_rows"] == 1200
+
+    with pytest.raises(ValueError, match="at least one key"):
+        distinct_sketches(df, [], "uid")
