@@ -33,9 +33,33 @@ def write_parquet(
     path: str,
     date_col: str | None = None,
     mode: str = "append",
+    replace_partitions: bool = False,
 ) -> None:
     """K1-equivalent append sink. With ``date_col``, lays out monthly
-    partitions — the same pruning contract as MergeTree's PARTITION BY."""
+    partitions — the same pruning contract as MergeTree's PARTITION BY.
+
+    ``replace_partitions=True`` (needs ``date_col``) makes a re-land
+    IDEMPOTENT at partition granularity: dynamic partition-overwrite
+    replaces ONLY the months present in ``df`` and leaves every other
+    landed month untouched — the safe daily/monthly re-run primitive
+    (a plain "overwrite" would drop the whole table; the reference's
+    recipe for a bad day is a manual DROP PARTITION + re-copy,
+    docs/manual.md). Static vs dynamic is a session conf in Spark, so
+    it is set per-write here and restored after.
+    """
+    if replace_partitions and not date_col:
+        raise ValueError("write_parquet: replace_partitions needs date_col")
+    if replace_partitions:
+        df = with_month_partition(df, date_col)
+        spark = df.sparkSession
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(conf_key, "STATIC")
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            df.write.mode("overwrite").partitionBy(YYYYMM_COL).parquet(path)
+        finally:
+            spark.conf.set(conf_key, prev)
+        return
     writer = df.write.mode(mode)
     if date_col:
         df = with_month_partition(df, date_col)

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import glob
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from clickhouse_mysql_data_reader_spark.operators.cdc import apply_cdc_batch, cdc_final_state
@@ -134,3 +136,37 @@ def test_with_month_partition_value(spark):
         F.col("d").cast("date").alias("d")
     )
     assert with_month_partition(df, "d").collect()[0]["_yyyymm"] == 201803
+
+
+def test_write_parquet_replace_partitions_is_idempotent(spark, tmp_path):
+    p = str(tmp_path / "landed")
+    day = lambda d, v: (d, v)
+    df1 = spark.createDataFrame(
+        [day("2018-01-05", "jan-a"), day("2018-01-20", "jan-b"),
+         day("2018-02-03", "feb-a")],
+        "d string, v string",
+    ).select(F.col("d").cast("date").alias("d"), "v")
+    write_parquet(df1, p, date_col="d")
+
+    # re-land ONLY February with corrected rows: January must survive
+    feb_fix = spark.createDataFrame(
+        [day("2018-02-03", "feb-FIXED"), day("2018-02-14", "feb-NEW")],
+        "d string, v string",
+    ).select(F.col("d").cast("date").alias("d"), "v")
+    write_parquet(feb_fix, p, date_col="d", replace_partitions=True)
+
+    got = {r["v"] for r in spark.read.parquet(p).collect()}
+    assert got == {"jan-a", "jan-b", "feb-FIXED", "feb-NEW"}
+
+    # re-running the same re-land changes nothing (idempotent)
+    write_parquet(feb_fix, p, date_col="d", replace_partitions=True)
+    again = {r["v"] for r in spark.read.parquet(p).collect()}
+    assert again == got
+
+    # conf restored after the write
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "STATIC"
+    ).upper() == "STATIC"
+
+    with pytest.raises(ValueError, match="needs date_col"):
+        write_parquet(feb_fix, p, replace_partitions=True)
