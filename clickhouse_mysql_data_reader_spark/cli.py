@@ -8,6 +8,9 @@ pump-data) onto the engine:
 - create-table-json-template -> print the JSON IPC template
 - migrate-table     -> Migrator.migrate_all() + reconciliation report
 - pump-data         -> streaming CDC pump over a JSON event directory
+- profile-table     -> per-column quality profile + schema drift vs the
+                       landed destination (monitoring verb beyond the
+                       reference's four; exit 1 on UNSAFE drift)
 
 Exit code is 0 only when every migrated table reconciles (the
 reference's manual acceptance check, automated).
@@ -56,6 +59,35 @@ def run(cfg: AppConfig, spark: SparkSession | None = None) -> int:
                 else:
                     print(mig.json_template_for(db, table, df))
         return 0
+
+    if verb == "profile-table":
+        from clickhouse_mysql_data_reader_spark.operators.profile import (
+            profile_table,
+        )
+
+        mig = Migrator(spark, cfg)
+        unsafe = 0
+        for db, tables in sorted(mig.discover().items()):
+            for table in tables:
+                df = mig.apply_column_policy(mig.read_source(db, table))
+                for row in profile_table(df).collect():
+                    print(json.dumps({"db": db, "table": table, **row.asDict()}))
+                if cfg.dst.parquet_dir:
+                    # drift vs the landed destination, when one exists
+                    try:
+                        changes = mig.check_drift(db, table)
+                    except Exception:
+                        continue  # nothing landed yet -> no drift row
+                    for c in changes:
+                        unsafe += 0 if c.safe else 1
+                        print(json.dumps({
+                            "db": db, "table": table, "drift": c.kind,
+                            "column": c.column, "old_type": c.old_type,
+                            "new_type": c.new_type, "safe": c.safe,
+                            "reason": c.reason,
+                        }))
+        # exit 0 only when no UNSAFE drift (profile rows are informational)
+        return 0 if unsafe == 0 else 1
 
     if verb == "migrate-table":
         mig = Migrator(spark, cfg)

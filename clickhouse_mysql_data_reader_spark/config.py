@@ -137,6 +137,7 @@ class AppConfig:
     create_table_json: bool = False
     migrate_table: bool = False
     pump_data: bool = False
+    profile_table: bool = False  # monitoring verb beyond reference parity
 
     with_create_database: bool = False
     dry: bool = False
@@ -155,13 +156,15 @@ class AppConfig:
                 ("create-table-json-template", self.create_table_json),
                 ("migrate-table", self.migrate_table),
                 ("pump-data", self.pump_data),
+                ("profile-table", self.profile_table),
             )
             if on
         ]
         if len(chosen) != 1:
             raise ValueError(
                 f"exactly one of --create-table-sql / --create-table-json-template"
-                f" / --migrate-table / --pump-data required, got {chosen or 'none'}"
+                f" / --migrate-table / --pump-data / --profile-table "
+                f"required, got {chosen or 'none'}"
             )
         return chosen[0]
 
@@ -182,6 +185,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Migrate table(s): copy existing data from the source")
     p.add_argument("--pump-data", action="store_true",
                    help="Pump CDC events into destination snapshots")
+    p.add_argument("--profile-table", action="store_true",
+                   help="Profile discovered tables (row/null/distinct/"
+                   "min/max per column) and, when a landed destination "
+                   "exists, report schema drift vs it")
     p.add_argument("--with-create-database", action="store_true",
                    help="Prepend CREATE DATABASE to each CREATE TABLE")
     p.add_argument("--dry", action="store_true",
@@ -285,6 +292,7 @@ def parse_config(argv: list[str] | None = None) -> AppConfig:
         create_table_json=args.create_table_json_template,
         migrate_table=args.migrate_table,
         pump_data=args.pump_data,
+        profile_table=args.profile_table,
         with_create_database=args.with_create_database,
         dry=args.dry,
         log_level=args.log_level,

@@ -346,3 +346,39 @@ def test_check_drift_clean_then_source_drops_column(spark, tmp_path):
     no_dst = _mig(spark, argv[:-2])
     with pytest.raises(ValueError, match="dst-parquet-dir"):
         no_dst.check_drift("db", "nation")
+
+
+def test_cli_profile_table_verb(spark, tmp_path, capsys):
+    import json as _json
+
+    from clickhouse_mysql_data_reader_spark.cli import run
+
+    dst = str(tmp_path / "landed")
+    base = [
+        "--src-parquet-dir", SF,
+        "--src-schemas", "db",
+        "--src-tables", "nation",
+        "--dst-parquet-dir", dst,
+    ]
+    # land first, then profile: profile rows + zero drift -> exit 0
+    assert run(parse_config(["--migrate-table", *base]), spark) == 0
+    capsys.readouterr()
+    assert run(parse_config(["--profile-table", *base]), spark) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    profiled = {r["column"] for r in rows if "n_nulls" in r}
+    assert {"n_nationkey", "n_name", "n_regionkey"} <= profiled
+    assert all(r["table"] == "nation" for r in rows)
+    assert not [r for r in rows if "drift" in r]
+
+    # a source that "lost" a column: drift row printed, exit 1
+    assert (
+        run(parse_config(["--profile-table", *base, "--column-skip", "n_name"]), spark)
+        == 1
+    )
+    out = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    drift = [r for r in out if r.get("drift")]
+    assert drift == [{
+        "db": "db", "table": "nation", "drift": "removed", "column": "n_name",
+        "old_type": "string", "new_type": None, "safe": False,
+        "reason": "column dropped: landed values become unreadable",
+    }]
