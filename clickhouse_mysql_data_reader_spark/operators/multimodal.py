@@ -149,8 +149,97 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.encode("text", "utf-8").alias("content"),
         F.struct(
             F.lit("application/octet-stream").alias("mime"),
-            F.lit(64).cast("int").alias("width"),
-            F.lit(64).cast("int").alias("height"),
+            # varied synthetic geometry so resize planning has work:
+            # some images land inside any reasonable box, some outside,
+            # both orientations
+            (F.lit(32) + F.col("doc_id") % 97).cast("int").alias("width"),
+            (F.lit(32) + F.col("doc_id") % 53).cast("int").alias("height"),
             (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
         ).alias("meta"),
+    )
+
+
+def resize_plan(
+    media: DataFrame, max_w: int = 224, max_h: int = 224
+) -> DataFrame:
+    """Aspect-preserving image resize *plan*: per image, the exact
+    integer target geometry — (media_id, width, height, target_w,
+    target_h, needs_resize) — computed ENTIRELY JVM-side from metadata;
+    the pixel work is the injectable step (Pillow not in container),
+    exactly like the decode seam.
+
+    The limiting side is chosen with cross-multiplied integers
+    (w*max_h >= h*max_w <=> w/max_w >= h/max_h, no float ratio), and
+    the other side scales by integer floor division — deterministic
+    and engine-exact, so the plan itself is oracle-checkable. Images
+    already inside the box pass through unscaled (upscaling is never
+    planned). Scale shape: pure scan-stage expressions on the metadata
+    struct; the binary column isn't touched, so a resize-plan audit
+    over 100 TB of media reads only the meta columns (column pruning
+    keeps bytes out of the scan entirely).
+    """
+    if max_w <= 0 or max_h <= 0:
+        raise ValueError("resize_plan: max_w/max_h must be positive")
+    w = F.col("meta.width").cast("long")
+    h = F.col("meta.height").cast("long")
+    needs = (w > max_w) | (h > max_h)
+    width_limited = (w * max_h) >= (h * max_w)
+    # floor division can hit 0 on extreme aspect ratios (a 1000x10
+    # strip into a square box) — clamp to 1px, the thinnest real image
+    tw = F.greatest(
+        F.when(~needs, w)
+        .when(width_limited, F.lit(max_w).cast("long"))
+        .otherwise(F.expr(f"div(CAST(meta.width AS BIGINT) * {max_h}, CAST(meta.height AS BIGINT))")),
+        F.lit(1).cast("long"),
+    )
+    th = F.greatest(
+        F.when(~needs, h)
+        .when(width_limited, F.expr(f"div(CAST(meta.height AS BIGINT) * {max_w}, CAST(meta.width AS BIGINT))"))
+        .otherwise(F.lit(max_h).cast("long")),
+        F.lit(1).cast("long"),
+    )
+    return media.filter(F.col("kind") == "image").select(
+        "media_id",
+        w.alias("width"),
+        h.alias("height"),
+        tw.alias("target_w"),
+        th.alias("target_h"),
+        needs.alias("needs_resize"),
+    )
+
+
+def audio_window_plan(
+    media: DataFrame, win_ms: int = 2000, hop_ms: int = 1000
+) -> DataFrame:
+    """Audio windowing *plan*: one row per (start_ms, end_ms) analysis
+    window over each clip's duration — the frame_sample_plan shape for
+    the audio modality (sliding, possibly overlapping windows instead
+    of point samples). sequence+explode runs JVM-side; the binary
+    column is carried by reference until the (injectable) feature UDF.
+    Windows start strictly inside the clip and clamp their end to the
+    duration, so a clip shorter than win_ms still yields its one
+    partial window."""
+    if win_ms <= 0 or hop_ms <= 0:
+        raise ValueError("audio_window_plan: win_ms/hop_ms must be positive")
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0)).cast("long")
+    return (
+        media.filter((F.col("kind") == "audio") & (dur > 0))
+        .select(
+            "media_id",
+            "content",
+            dur.alias("_dur"),
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(dur - 1, F.lit(0)),
+                    F.lit(hop_ms),
+                )
+            ).alias("start_ms"),
+        )
+        .select(
+            "media_id",
+            "content",
+            "start_ms",
+            F.least(F.col("start_ms") + win_ms, F.col("_dur")).alias("end_ms"),
+        )
     )

@@ -21,6 +21,7 @@ from clickhouse_mysql_data_reader_spark.operators.multimodal import (
     documents_as_media,
     extract_features,
     frame_sample_plan,
+    resize_plan,
 )
 from clickhouse_mysql_data_reader_spark.queries.registry import register
 from clickhouse_mysql_data_reader_spark.sources.parquet import load_table
@@ -77,3 +78,35 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return frame_sample_plan(media, every_ms=1000).select("media_id", "frame_ts_ms")
+
+
+@register(
+    "multimodal_resize_plan",
+    """
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             CAST(32 + doc_id % 97 AS BIGINT) AS width,
+             CAST(32 + doc_id % 53 AS BIGINT) AS height
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT media_id, width, height,
+           greatest(CASE WHEN width <= 96 AND height <= 72 THEN width
+                WHEN width * 72 >= height * 96 THEN 96
+                ELSE width * 72 // height END, 1) AS target_w,
+           greatest(CASE WHEN width <= 96 AND height <= 72 THEN height
+                WHEN width * 72 >= height * 96 THEN height * 96 // width
+                ELSE 72 END, 1) AS target_h,
+           NOT (width <= 96 AND height <= 72) AS needs_resize
+    FROM img
+    """,
+    doc="Aspect-preserving resize plan into a 96x72 box, computed "
+    "ENTIRELY from metadata with cross-multiplied integers and floor "
+    "division (no float ratio, so the plan is engine-exact and the "
+    "oracle checks the actual geometry). The pixel work is the "
+    "injectable seam, like the decode stub; at scale the audit reads "
+    "ONLY the meta columns — column pruning keeps the media bytes out "
+    "of the scan.",
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return resize_plan(media, max_w=96, max_h=72)

@@ -406,6 +406,12 @@ DEPRIORITIZED = (
     # plan family; the union-losslessness property is pinned in
     # pytest. Rotation candidate for r9.
     "sketch_lang_rollup",
+    # multimodal resize plan (born deprioritized, round 8): pure
+    # scan-stage integer geometry on the meta struct — the checked
+    # multimodal_features anchors the documents_as_media adapter and
+    # the frame-plan sibling the explode pattern; full DuckDB oracle
+    # in pytest every CI run. Rotation candidate for r9.
+    "multimodal_resize_plan",
     # corpus snapshot diff (born deprioritized, round 8): the
     # full-outer id join is the cdc_apply/join_outer_coalesce plan
     # family and the md5-fingerprint compare is the machinery the

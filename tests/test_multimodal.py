@@ -67,3 +67,63 @@ def test_frame_sample_plan_explosion(media):
     n = frames.filter(F.col("media_id") == one["media_id"]).count()
     expected = max((one["d"] - 1), 0) // 1000 + 1
     assert n == expected
+
+
+def test_resize_plan_geometry_exact(spark):
+    from clickhouse_mysql_data_reader_spark.operators.multimodal import resize_plan
+
+    rows = [
+        # (id, w, h): inside box / width-limited / height-limited /
+        # exact-fit boundary / extreme aspect
+        (1, 50, 40), (2, 400, 100), (3, 100, 400), (4, 96, 72), (5, 1000, 10),
+    ]
+    media = spark.createDataFrame(
+        [(i, "image", None, ("m", w, h, 0)) for i, w, h in rows],
+        "media_id long, kind string, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long>",
+    )
+    out = {r["media_id"]: r for r in resize_plan(media, 96, 72).collect()}
+    # numpy-free reference: exact integer math
+    expect = {}
+    for i, w, h in rows:
+        if w <= 96 and h <= 72:
+            expect[i] = (w, h, False)
+        elif w * 72 >= h * 96:
+            expect[i] = (96, max(h * 96 // w, 1), True)
+        else:
+            expect[i] = (max(w * 72 // h, 1), 72, True)
+    for i, (tw, th, nr) in expect.items():
+        r = out[i]
+        assert (r["target_w"], r["target_h"], r["needs_resize"]) == (tw, th, nr)
+        # aspect preserved within integer truncation and inside the box
+        assert r["target_w"] <= 96 and r["target_h"] <= 72
+        assert r["target_w"] >= 1 and r["target_h"] >= 1
+
+    with pytest.raises(ValueError, match="positive"):
+        resize_plan(media, 0, 10)
+
+
+def test_audio_window_plan_clamps_and_overlaps(spark):
+    from clickhouse_mysql_data_reader_spark.operators.multimodal import (
+        audio_window_plan,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(b"x"), ("m", 0, 0, 4500)),  # 5 hops
+            (2, "audio", bytearray(b"y"), ("m", 0, 0, 800)),   # shorter than win
+            (3, "video", bytearray(b"z"), ("m", 0, 0, 9999)),  # wrong kind
+            (4, "audio", bytearray(b"w"), ("m", 0, 0, 0)),     # empty clip
+        ],
+        "media_id long, kind string, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long>",
+    )
+    out = audio_window_plan(media, win_ms=2000, hop_ms=1000).collect()
+    wins = sorted((r["media_id"], r["start_ms"], r["end_ms"]) for r in out)
+    assert wins == [
+        (1, 0, 2000), (1, 1000, 3000), (1, 2000, 4000), (1, 3000, 4500),
+        (1, 4000, 4500),
+        (2, 0, 800),
+    ]
+    with pytest.raises(ValueError, match="positive"):
+        audio_window_plan(media, win_ms=0)
