@@ -327,3 +327,14 @@ def test_q19_disjunction_pushes_per_side_residuals(spark, sf_correct):
     assert re.search(
         r"PushedFilters:.*EqualTo\(p_brand,Brand#1\)", part_scan
     ), "part scan lost the per-side brand/size residual"
+
+
+def test_corpus_diff_text_never_shuffles(spark, sf_correct):
+    # both snapshot sides must project to (id, fp, len, src) BEFORE the
+    # full-outer exchange — the raw text column crossing a shuffle at
+    # 100 TB would move the whole corpus twice
+    plan = _formatted(entrymod.queries()["corpus_snapshot_diff"](spark, sf_correct))
+    for m in re.finditer(r"^\(\d+\) Exchange\n(Input \[\d+\]: \[[^\]]*\])", plan, re.M):
+        assert re.search(r"\btext#", m.group(1)) is None, (
+            "raw text column crosses an exchange: " + m.group(1)
+        )
