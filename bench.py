@@ -310,6 +310,11 @@ def main() -> None:
         "q13_customer_distribution": time_query("q13_customer_distribution"),
         "q17_small_quantity_revenue": time_query("q17_small_quantity_revenue"),
         "window_pctile_ntile": time_query("window_pctile_ntile"),
+        "embed_centroid_drift": time_query("embed_centroid_drift"),
+        "validate_orders_rules": time_query("validate_orders_rules"),
+        "anomaly_event_rate": time_query("anomaly_event_rate"),
+        "sketch_lang_rollup": time_query("sketch_lang_rollup"),
+        "multimodal_resize_plan": time_query("multimodal_resize_plan"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
