@@ -614,6 +614,54 @@ def sketch_lang_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "anomaly_events_flags",
+    """
+    WITH v AS (
+      SELECT event_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS val
+      FROM events
+    ), ref AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             sum(val) AS ssum,
+             sum(val * val) AS qsum
+      FROM v WHERE event_id % 2 = 0 GROUP BY event_type
+    )
+    SELECT b.event_id, b.event_type,
+           CAST(b.val AS BIGINT) AS value_x1e6,
+           (n * val - ssum) * (n * val - ssum) * (n - 1)
+             > 9 * n * (n * qsum - ssum * ssum) AS is_anomaly
+    FROM (SELECT * FROM v WHERE event_id % 2 = 1) b
+    JOIN ref ON b.event_type = ref.event_type
+    """,
+    doc="Per-ROW anomaly flags against a FROZEN reference window "
+    "(operators/profile.py anomaly_flags + anomaly_stats): the even "
+    "event_id half lands the per-type moment stats, the odd half is "
+    "the scored batch. The same call is stateless in Structured "
+    "Streaming (broadcast stream-static join; batch==stream parity in "
+    "test_streaming.py) — this is the deployed shape of the monitor, "
+    "driver-verified row by row via the exact DECIMAL(38,0)/HUGEINT "
+    "z-test. Every batch key is covered by the reference window here, "
+    "so no NULL verdicts (engines render nullable booleans "
+    "differently; the NULL path is unit-test pinned).",
+)
+def anomaly_events_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.profile import (
+        anomaly_flags,
+        anomaly_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = anomaly_stats(ev.filter(F.col("event_id") % 2 == 0), "event_type", "value")
+    batch = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", "value"
+    )
+    return anomaly_flags(batch, "event_type", "value", threshold=3, stats=stats).select(
+        "event_id", "event_type", "value_x1e6", "is_anomaly"
+    )
+
+
+@register(
     "agg_salted_skew",
     """
     SELECT l_returnflag,

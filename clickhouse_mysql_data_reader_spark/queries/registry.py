@@ -446,6 +446,12 @@ DEPRIORITIZED = (
     # sibling); full DuckDB oracle in pytest every CI run. Rotation
     # candidate for r9.
     "anomaly_event_rate",
+    # per-row frozen-stats flags (born deprioritized, round 8): the
+    # registry sibling of anomaly_events_zscore — identical detector
+    # expressions, per-row projection instead of the per-key report;
+    # batch==stream parity pinned in test_streaming.py. Full DuckDB
+    # oracle in pytest every CI run. Rotation candidate for r9.
+    "anomaly_events_flags",
     # Late-round-8 rotation: six round-8-born queries joined the
     # checked 50 (jsonl_roundtrip_documents, embed_srp_bands,
     # dedup_embed_near_srp, text_blocklist_gate, rag_chunk_retrieve,
