@@ -254,6 +254,32 @@ class SnapshotStore:
             return spark.createDataFrame([], T.StructType.fromJson(m["schema"]))
         return spark.read.parquet(*paths)
 
+    def profile(self, spark: SparkSession, db: str, table: str) -> DataFrame | None:
+        """Post-landing quality profile of the snapshot's CURRENT state
+        (operators/profile.py profile_table): the reference users'
+        manual `SELECT count(*)` destination check as one call against
+        the manifest-committed files. None when nothing landed yet."""
+        from clickhouse_mysql_data_reader_spark.operators.profile import (
+            profile_table,
+        )
+
+        state = self.read(spark, db, table)
+        return None if state is None else profile_table(state)
+
+    def validate(
+        self, spark: SparkSession, db: str, table: str, rules: list[tuple]
+    ) -> DataFrame | None:
+        """Declarative rule gate over the landed state (operators/
+        profile.py validate_table) — e.g. `("unique", key_col)` is the
+        invariant the latest-wins merge must uphold. None when nothing
+        landed yet."""
+        from clickhouse_mysql_data_reader_spark.operators.profile import (
+            validate_table,
+        )
+
+        state = self.read(spark, db, table)
+        return None if state is None else validate_table(state, rules)
+
     def apply(self, spark: SparkSession, db: str, table: str, changes: DataFrame) -> None:
         from clickhouse_mysql_data_reader_spark.operators.cdc import cdc_final_state
 

@@ -173,3 +173,37 @@ def test_partition_pruned_read(spark, tmp_path):
     assert none.count() == 0 and set(none.columns) == set(jan.columns)
     # default: everything
     assert store.read(spark, "db", "t").count() == 3
+
+
+def test_profile_and_validate_landed_state(spark, tmp_path):
+    store = _store(tmp_path)
+    assert store.profile(spark, "db", "t") is None  # nothing landed
+    assert store.validate(spark, "db", "t", [("unique", "id")]) is None
+
+    store.apply(
+        spark,
+        "db",
+        "t",
+        _changes(
+            spark,
+            [
+                _rows("insert", 1, 1, "2018-01-02", "a"),
+                _rows("insert", 2, 2, "2018-01-03", "b"),
+                _rows("update", 3, 1, "2018-01-02", "a2"),  # latest wins
+            ],
+        ),
+    )
+    prof = {r["column"]: r for r in store.profile(spark, "db", "t").collect()}
+    assert prof["id"]["n_rows"] == 2
+    assert prof["id"]["n_distinct"] == 2
+    assert prof["str"]["min_value"] == "a2"
+
+    # the latest-wins invariant, as a rule gate over the landed state
+    checks = {
+        r["rule"]: r
+        for r in store.validate(
+            spark, "db", "t", [("unique", "id"), ("not_null", "id")]
+        ).collect()
+    }
+    assert checks["unique"]["passed"] is True
+    assert checks["not_null"]["n_violations"] == 0
