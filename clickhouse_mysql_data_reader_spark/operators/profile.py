@@ -24,6 +24,7 @@ output schema — the same move DESCRIBE/summary() makes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -495,3 +496,83 @@ def sketch_rollup(sketches: DataFrame, keys: list[str]) -> DataFrame:
     ]
     rolled = sketches.groupBy(*keys).agg(*agg) if keys else sketches.agg(*agg)
     return rolled.select(*keys, "n_rows", "n_distinct_est")
+
+
+def value_histogram(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    bin_width: float,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Landable equi-width histogram: one row per (keys..., bin) with
+    the exact row count — the MERGEABLE quantile structure. Bins are
+    integer tick arithmetic (value -> HALF_UP 1e-6 ticks -> truncating
+    div by the bin width in ticks), so two histograms of the same
+    width merge by SUMMING counts, and the merged histogram is
+    bit-identical to one built over the concatenated data — the
+    `distinct_sketches` discipline for quantiles (no t-digest needed;
+    an equi-width histogram at a sane width is a few thousand rows per
+    key no matter how many raw values). Values must be non-negative
+    (truncating div == floor there; documented, not silently wrong —
+    negative inputs raise).
+    """
+    if bin_width <= 0:
+        raise ValueError("value_histogram: bin_width must be positive")
+    width_ticks = int(round(bin_width * scale))
+    dec = "decimal(38,0)"
+    v = (F.col(value_col).cast("decimal(18,6)") * scale).cast(dec)
+    base = df.select(*keys, v.alias("_vh_ticks")).withColumn(
+        "_vh_bin",
+        F.when(
+            F.col("_vh_ticks") < 0,
+            F.raise_error(F.lit("value_histogram: negative values unsupported")),
+        ).otherwise(F.expr(f"_vh_ticks div {width_ticks}")),
+    )
+    return (
+        base.groupBy(*keys, F.col("_vh_bin").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    keys: list[str],
+    qs: list[float],
+    bin_width: float,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Quantile estimates from a landed `value_histogram`: one row per
+    (keys..., q) with `est_upper` — the UPPER EDGE of the first bin
+    whose cumulative count reaches ceil(q*n), as 1e-6 ticks (exact
+    integers end to end; the true q-quantile is <= est_upper and >
+    est_upper - bin_width). rank/ceil arithmetic is integer, so the
+    same landed histogram yields the same estimate in any engine.
+
+    Scale shape: the cumulative window runs over BINS (thousands per
+    key), not raw rows; qs broadcast as a literal frame.
+    """
+    if not qs or any(q <= 0 or q > 1 for q in qs):
+        raise ValueError("histogram_quantile: qs must be in (0, 1]")
+    width_ticks = int(round(bin_width * scale))
+    spark = hist.sparkSession
+    qf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    w = W.partitionBy(*keys).orderBy("bin")
+    cum = hist.withColumn("_cum", F.sum("n").over(w)).withColumn(
+        "_total", F.sum("n").over(W.partitionBy(*keys))
+    )
+    # rank = ceil(q * total) exactly: (q*total) on doubles then ceil is
+    # bit-deterministic; q in (0,1] and integer totals keep it in range
+    joined = cum.join(F.broadcast(qf))
+    hit = joined.filter(
+        F.col("_cum") >= F.ceil(F.col("q") * F.col("_total"))
+    )
+    return (
+        hit.groupBy(*keys, "q")
+        .agg(F.min("bin").alias("_bin"))
+        .select(
+            *keys,
+            "q",
+            ((F.col("_bin") + 1) * width_ticks).cast("long").alias("est_upper"),
+        )
+    )

@@ -662,6 +662,50 @@ def anomaly_events_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hist_quantiles_events",
+    """
+    WITH t AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT)
+               // 5000000 AS bin
+      FROM events
+    ), hist AS (
+      SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY event_type, bin
+    ), cum AS (
+      SELECT event_type, bin, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS c,
+             sum(n) OVER (PARTITION BY event_type) AS total
+      FROM hist
+    )
+    SELECT event_type, q,
+           CAST((min(bin) + 1) * 5000000 AS BIGINT) AS est_upper
+    FROM cum, (VALUES (0.5), (0.9), (0.99)) AS qs(q)
+    WHERE c >= ceil(q * total)
+    GROUP BY event_type, q
+    """,
+    doc="Mergeable quantile estimation from landed equi-width "
+    "histograms (operators/profile.py value_histogram + "
+    "histogram_quantile): integer tick bins merge by SUMMING counts, "
+    "so per-day landed histograms answer quarter-wide quantiles "
+    "without re-scanning raw data — the quantile twin of "
+    "sketch_lang_rollup, with EXACT integer arithmetic end to end "
+    "(estimate = first bin whose cumulative count reaches ceil(q*n); "
+    "true quantile lies within one bin width below it). The "
+    "cumulative window runs over BINS, not raw rows.",
+)
+def hist_quantiles_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.profile import (
+        histogram_quantile,
+        value_histogram,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = value_histogram(ev, ["event_type"], "value", bin_width=5.0)
+    return histogram_quantile(hist, ["event_type"], [0.5, 0.9, 0.99], bin_width=5.0)
+
+
+@register(
     "agg_salted_skew",
     """
     SELECT l_returnflag,

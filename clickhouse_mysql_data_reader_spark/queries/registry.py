@@ -452,6 +452,14 @@ DEPRIORITIZED = (
     # batch==stream parity pinned in test_streaming.py. Full DuckDB
     # oracle in pytest every CI run. Rotation candidate for r9.
     "anomaly_events_flags",
+    # landed-histogram quantiles (born deprioritized, round 8): the
+    # integer tick binning is the anomaly/sketch scaled-integer idiom,
+    # the bin groupBy is the q1 HashAggregate family, and the
+    # cumulative window over bins is the checked window family; the
+    # approx-quantile semantics are anchored by the long-driver-green
+    # agg_approx_percentile. Full DuckDB oracle in pytest every CI
+    # run. Rotation candidate for r9.
+    "hist_quantiles_events",
     # Late-round-8 rotation: six round-8-born queries joined the
     # checked 50 (jsonl_roundtrip_documents, embed_srp_bands,
     # dedup_embed_near_srp, text_blocklist_gate, rag_chunk_retrieve,

@@ -1059,3 +1059,59 @@ def test_distinct_sketches_land_and_rollup(spark):
 
     with pytest.raises(ValueError, match="at least one key"):
         distinct_sketches(df, [], "uid")
+
+
+def test_value_histogram_merges_and_quantiles_bound_truth(spark):
+    import numpy as np
+
+    from clickhouse_mysql_data_reader_spark.operators.profile import (
+        histogram_quantile,
+        value_histogram,
+    )
+
+    rng = np.random.RandomState(3)
+    vals = np.round(rng.exponential(50, 500), 3)
+    rows = [("a", float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "k string, value double")
+
+    # mergeability: per-half histograms summed == full histogram
+    full = {
+        (r["bin"]): r["n"]
+        for r in value_histogram(df, ["k"], "value", 5.0).collect()
+    }
+    h1 = value_histogram(
+        spark.createDataFrame(rows[:250], "k string, value double"), ["k"], "value", 5.0
+    )
+    h2 = value_histogram(
+        spark.createDataFrame(rows[250:], "k string, value double"), ["k"], "value", 5.0
+    )
+    merged = {
+        r["bin"]: r["n"]
+        for r in h1.unionByName(h2)
+        .groupBy("k", "bin")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    assert merged == full
+
+    # estimate brackets the true quantile within one bin width
+    hist = value_histogram(df, ["k"], "value", 5.0)
+    out = {
+        r["q"]: r["est_upper"] / 1e6
+        for r in histogram_quantile(hist, ["k"], [0.5, 0.9, 0.99], 5.0).collect()
+    }
+    for q, est in out.items():
+        true = float(np.quantile(vals, q, method="inverted_cdf"))
+        assert est - 5.0 <= true <= est, (q, est, true)
+
+    with pytest.raises(ValueError, match="bin_width"):
+        value_histogram(df, ["k"], "value", 0)
+    with pytest.raises(ValueError, match="qs must be"):
+        histogram_quantile(hist, ["k"], [0.0], 5.0)
+    import pyspark
+
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+        value_histogram(
+            spark.createDataFrame([("a", -1.0)], "k string, value double"),
+            ["k"], "value", 5.0,
+        ).collect()
