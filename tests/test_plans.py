@@ -338,3 +338,39 @@ def test_corpus_diff_text_never_shuffles(spark, sf_correct):
         assert re.search(r"\btext#", m.group(1)) is None, (
             "raw text column crosses an exchange: " + m.group(1)
         )
+
+
+# queries that intentionally crossJoin a BROADCAST tiny frame (a 1-row
+# corpus total, a handful of query vectors / quantile fractions / band
+# boundaries) — the only sanctioned BroadcastNestedLoopJoin producers.
+# Everything else must stay NLJ-free, and NOTHING may CartesianProduct.
+_TINY_CROSSJOIN_OK = {
+    "dedup_embed_near_multiprobe",  # per-query probe-cell frame
+    "text_bm25_topk",               # 1-row corpus totals
+    "text_bm25_frozen",             # 1-row frozen totals
+    "text_lm_surprisal",            # 1-row token total
+    "text_lm_bigram",               # 1-row totals
+    "text_ccnet_buckets",           # 1-row thresholds
+    "hist_quantiles_events",        # 3-row quantile fractions
+    "join_range_bands",             # band-boundary frame
+    "embed_cosine_topk",            # 5-row query frame
+    "text_tfidf_top_terms",         # 1-row doc count
+    "embed_cell_assign",            # centroid frame
+}
+
+
+def test_registry_wide_plan_hygiene(spark):
+    """Every registered query's physical plan, swept: CartesianProduct
+    is banned outright, and BroadcastNestedLoopJoin may appear only in
+    the sanctioned tiny-crossJoin set above — a new query that
+    accidentally cartesians (a dropped join key, a non-equi condition
+    Catalyst can't hash) fails here before it ever reaches the driver."""
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        plan = _formatted(fn(spark, sf))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _TINY_CROSSJOIN_OK:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
