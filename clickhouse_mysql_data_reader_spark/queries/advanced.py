@@ -706,6 +706,28 @@ def hist_quantiles_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_flatten_events",
+    """
+    SELECT event_id, event_type,
+           CAST(props->>'$.k' AS BIGINT) AS k
+    FROM events
+    """,
+    doc="Semi-structured landing: the JSON props column's fields "
+    "promoted to typed columns (transforms/row_ops.py flatten_json) "
+    "with a schema INFERRED from a bounded driver-side sample — typed "
+    "columns instead of the reference CDC path's destroyed JSON values "
+    "(mysqlreader.py:253-262). from_json is JVM-side codegen; "
+    "production pins an explicit schema, inference is the exploration "
+    "/ first-landing path.",
+)
+def json_flatten_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.transforms.row_ops import flatten_json
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    return flatten_json(ev, "props")
+
+
+@register(
     "agg_salted_skew",
     """
     SELECT l_returnflag,

@@ -460,6 +460,12 @@ DEPRIORITIZED = (
     # agg_approx_percentile. Full DuckDB oracle in pytest every CI
     # run. Rotation candidate for r9.
     "hist_quantiles_events",
+    # JSON flatten (born deprioritized, round 8): the from_json /
+    # get_json_object machinery is the scalar_json_funcs family
+    # (driver-green r1-r5) at scan stage; the schema-inference driver
+    # sample is unit-pinned. Full DuckDB oracle in pytest every CI
+    # run. Rotation candidate for r9.
+    "json_flatten_events",
     # Late-round-8 rotation: six round-8-born queries joined the
     # checked 50 (jsonl_roundtrip_documents, embed_srp_bands,
     # dedup_embed_near_srp, text_blocklist_gate, rag_chunk_retrieve,

@@ -170,3 +170,49 @@ def test_write_parquet_replace_partitions_is_idempotent(spark, tmp_path):
 
     with pytest.raises(ValueError, match="needs date_col"):
         write_parquet(feb_fix, p, replace_partitions=True)
+
+
+def test_infer_json_schema_merging_and_flatten(spark):
+    from pyspark.sql import types as T
+
+    from clickhouse_mysql_data_reader_spark.transforms.row_ops import (
+        flatten_json,
+        infer_json_schema,
+    )
+
+    rows = [
+        (1, '{"a": 1, "b": "x", "nested": {"p": 1}}'),
+        (2, '{"a": 2.5, "c": [1, 2], "nested": {"q": true}}'),  # a widens
+        (3, None),                       # skipped
+        (4, "not json at all"),          # skipped
+        (5, '{"a": 3, "b": 7}'),         # b conflicts str/int -> string
+    ]
+    df = spark.createDataFrame(rows, "event_id long, props string")
+    schema = infer_json_schema(df, "props")
+    by = {f.name: f.dataType for f in schema.fields}
+    assert by["a"] == T.DoubleType()          # long + double -> double
+    assert by["b"] == T.StringType()          # string + long -> string
+    assert by["c"] == T.ArrayType(T.LongType(), True)
+    assert by["nested"] == T.StructType(
+        [
+            T.StructField("p", T.LongType(), True),
+            T.StructField("q", T.BooleanType(), True),
+        ]
+    )
+
+    flat = flatten_json(df, "props", schema=schema)
+    got = {r["event_id"]: r for r in flat.collect()}
+    assert got[1]["a"] == 1.0 and got[1]["b"] == "x" and got[1]["nested"]["p"] == 1
+    assert got[2]["c"] == [1, 2] and got[2]["nested"]["q"] is True
+    assert got[3]["a"] is None and got[4]["a"] is None
+    assert got[5]["b"] == "7"  # degraded-to-string field keeps the value
+    assert "props" not in flat.columns
+
+    with pytest.raises(ValueError, match="collide"):
+        flatten_json(
+            df.withColumnRenamed("event_id", "a"), "props", schema=schema
+        )
+    with pytest.raises(ValueError, match="no parseable JSON"):
+        infer_json_schema(
+            spark.createDataFrame([(1, "[]")], "i long, props string"), "props"
+        )
