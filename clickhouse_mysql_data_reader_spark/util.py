@@ -142,3 +142,30 @@ def plan_report(df: DataFrame) -> dict:
         "scans": scans,
         "has_aqe": "AdaptiveSparkPlan" in plan,
     }
+
+
+def suggest_shuffle_partitions(
+    df: DataFrame,
+    target_mb: int = 128,
+    min_partitions: int = 1,
+    max_partitions: int = 200_000,
+) -> int:
+    """Partition-count advice from Catalyst's own size estimate:
+    ceil(estimated_bytes / target_mb), clamped. The sizing rule every
+    100 TB tuning guide states — shuffle partitions should hold
+    ~100-200 MB each — as a function over the optimizer statistics
+    (parquet footer sizes; filter selectivity only refines it when CBO
+    column stats exist, i.e. after ANALYZE TABLE), so a job
+    can `spark.conf.set("spark.sql.shuffle.partitions",
+    suggest_shuffle_partitions(df))` before its heavy stage instead of
+    inheriting a global constant. Introspection only, never executes;
+    the estimate inherits Catalyst's optimism (post-filter sizes are
+    heuristic), so treat it as an order-of-magnitude setting, not a
+    contract — AQE coalescing cleans up the remainder at runtime.
+    """
+    if target_mb <= 0:
+        raise ValueError("suggest_shuffle_partitions: target_mb must be positive")
+    # py4j converts the Scala BigInt straight to a Python int
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n = -(-size // (target_mb * 1024 * 1024))  # ceil div
+    return max(min_partitions, min(int(n), max_partitions))

@@ -4,6 +4,8 @@ streaming rows/sec listener."""
 from __future__ import annotations
 
 import json
+
+import pytest
 import time
 
 from pyspark.sql import types as T
@@ -49,3 +51,28 @@ def test_stream_rate_listener_counts_rows(spark, tmp_path):
         assert listener.total_rows == 500
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_suggest_shuffle_partitions_scales_and_clamps(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from clickhouse_mysql_data_reader_spark.util import suggest_shuffle_partitions
+
+    p = str(tmp_path / "t")
+    # incompressible pad (hash text) so the parquet files are genuinely
+    # multi-MB — a constant pad would compress to nothing and the
+    # size-based suggestion would legitimately be 1 at every target
+    spark.range(0, 50_000).select(
+        "id",
+        F.repeat(F.sha2(F.col("id").cast("string"), 256), 8).alias("pad"),
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    at_1mb = suggest_shuffle_partitions(df, target_mb=1)
+    at_big = suggest_shuffle_partitions(df, target_mb=10_000)
+    assert at_1mb > at_big == 1          # more partitions at smaller targets
+    # halving the target ~doubles the suggestion (ceil rounding aside)
+    assert suggest_shuffle_partitions(df, 2) <= at_1mb <= 2 * suggest_shuffle_partitions(df, 2) + 1
+    assert suggest_shuffle_partitions(df, 1, min_partitions=at_1mb + 7) == at_1mb + 7
+    assert suggest_shuffle_partitions(df, 1, max_partitions=2) == 2
+    with pytest.raises(ValueError, match="target_mb"):
+        suggest_shuffle_partitions(df, 0)
