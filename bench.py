@@ -315,6 +315,8 @@ def main() -> None:
         "anomaly_event_rate": time_query("anomaly_event_rate"),
         "sketch_lang_rollup": time_query("sketch_lang_rollup"),
         "multimodal_resize_plan": time_query("multimodal_resize_plan"),
+        "hist_quantiles_events": time_query("hist_quantiles_events"),
+        "json_flatten_events": time_query("json_flatten_events"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
