@@ -1641,6 +1641,45 @@ class CurationState:
     ) -> DataFrame:
         return self._read(spark, "bands", exclude_epoch, run_id)
 
+    def growth_report(self, spark) -> dict:
+        """Per-table state-growth report: {table: {rows, docs?,
+        segments?, bytes, files}} for every LANDED sidecar table —
+        the number an operator of a daily-batch pipeline actually
+        watches (state must grow with the KEPT corpus and nothing
+        else, and a file count racing ahead of rows says `compact()`
+        is due). `segments` counts distinct (_run, _epoch) append tags
+        where present. One bounded aggregate per table over the raw
+        files (tags included — this is the only reader that WANTS
+        them); filesystem size via one ContentSummary call per table.
+        """
+        jvm, fs = self._fs(spark)
+        report: dict = {}
+        for name in self._TABLES:
+            if not self._table_landed(spark, name):
+                continue
+            self._recover_crashed_compact(spark, (name,))
+            cs = fs.getContentSummary(
+                jvm.org.apache.hadoop.fs.Path(self._path(name))
+            )
+            df = spark.read.option("mergeSchema", "true").parquet(self._path(name))
+            aggs = [F.count(F.lit(1)).alias("rows")]
+            if "doc_id" in df.columns:
+                aggs.append(F.countDistinct("doc_id").alias("docs"))
+            if "_epoch" in df.columns:
+                seg = (
+                    F.countDistinct("_run", "_epoch")
+                    if "_run" in df.columns
+                    else F.countDistinct("_epoch")
+                )
+                aggs.append(seg.alias("segments"))
+            row = df.agg(*aggs).collect()[0].asDict()
+            report[name] = {
+                **row,
+                "bytes": int(cs.getLength()),
+                "files": int(cs.getFileCount()),
+            }
+        return report
+
 
 def curate_increment(
     new_docs: DataFrame,

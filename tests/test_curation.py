@@ -2003,3 +2003,41 @@ def test_curate_blocklist_gate_batch_and_increment_parity(spark, tmp_path):
     inc2 = curate_increment(_mk_docs(spark, [(2, "web", spammy)]), state, cfg=cfg)
     kept2 = {r["doc_id"] for r in inc2.collect()}
     assert (kept1 | kept2) == batch_kept == {1}
+
+
+def test_state_growth_report_tracks_appends_and_compaction(spark, tmp_path):
+    from clickhouse_mysql_data_reader_spark.curation import CurationState
+
+    state = CurationState(str(tmp_path) + "/st")
+    docs1 = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc {i} " * 4) for i in range(1, 7)],
+        "doc_id long, text string",
+    )
+    state.write(docs1)
+    r1 = state.growth_report(spark)
+    assert set(r1) == {"fingerprints", "shingles", "bands"}
+    assert r1["fingerprints"]["rows"] == 6
+    assert r1["fingerprints"]["docs"] == 6
+    assert r1["fingerprints"]["segments"] == 1
+    assert r1["bands"]["rows"] == 6 * state.lsh_bands
+    assert all(v["bytes"] > 0 and v["files"] > 0 for v in r1.values())
+
+    docs2 = spark.createDataFrame(
+        [(i, f"epsilon zeta eta theta doc {i} " * 4) for i in range(10, 14)],
+        "doc_id long, text string",
+    )
+    state.write(docs2)
+    r2 = state.growth_report(spark)
+    # grows with the kept corpus; plain batch appends all share the
+    # ("", -1) tag, so segments stays 1 (streaming appends would add
+    # one per (run, epoch))
+    assert r2["fingerprints"]["rows"] == 10
+    assert r2["fingerprints"]["segments"] == 1
+    assert r2["shingles"]["rows"] > r1["shingles"]["rows"]
+
+    state.compact(spark)
+    r3 = state.growth_report(spark)
+    # same logical content, fewer (or equal) files after compaction
+    assert r3["fingerprints"]["rows"] == 10
+    assert r3["fingerprints"]["docs"] == 10
+    assert r3["fingerprints"]["files"] <= r2["fingerprints"]["files"]
