@@ -576,3 +576,29 @@ def histogram_quantile(
             ((F.col("_bin") + 1) * width_ticks).cast("long").alias("est_upper"),
         )
     )
+
+
+def merge_anomaly_stats(*stats: DataFrame) -> DataFrame:
+    """Union landed `anomaly_stats` tables into one — (n, S, Q) moments
+    are additive, so daily stats tables merge by per-key SUM without
+    ever re-scanning raw data (the same lifecycle as `sketch_rollup`
+    and histogram merging: land small daily facts, fold them into the
+    reference window on demand). merged(stats(day1), stats(day2)) ==
+    stats(day1 ∪ day2) exactly — integer sums, pinned by test.
+    """
+    if not stats:
+        raise ValueError("merge_anomaly_stats: no stats tables")
+    need = {"key", "n_obs", "sum_x", "sum_sq"}
+    for s in stats:
+        missing = need - set(s.columns)
+        if missing:
+            raise ValueError(f"merge_anomaly_stats: table missing {sorted(missing)}")
+    dec = "decimal(38,0)"
+    out = stats[0].select("key", "n_obs", "sum_x", "sum_sq")
+    for s in stats[1:]:
+        out = out.unionByName(s.select("key", "n_obs", "sum_x", "sum_sq"))
+    return out.groupBy("key").agg(
+        F.sum("n_obs").cast(dec).alias("n_obs"),
+        F.sum("sum_x").cast(dec).alias("sum_x"),
+        F.sum("sum_sq").cast(dec).alias("sum_sq"),
+    )

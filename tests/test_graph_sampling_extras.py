@@ -1115,3 +1115,38 @@ def test_value_histogram_merges_and_quantiles_bound_truth(spark):
             spark.createDataFrame([("a", -1.0)], "k string, value double"),
             ["k"], "value", 5.0,
         ).collect()
+
+
+def test_merge_anomaly_stats_is_exact_union(spark):
+    from clickhouse_mysql_data_reader_spark.operators.profile import (
+        anomaly_stats,
+        anomaly_zscore,
+        merge_anomaly_stats,
+    )
+
+    d1 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.5), ("b", 7.0)], "k string, value double"
+    )
+    d2 = spark.createDataFrame(
+        [("a", 50.0), ("c", 3.0), ("c", 3.25)], "k string, value double"
+    )
+    merged = merge_anomaly_stats(
+        anomaly_stats(d1, "k", "value"), anomaly_stats(d2, "k", "value")
+    )
+    fresh = anomaly_stats(d1.unionByName(d2), "k", "value")
+    as_rows = lambda df: sorted(
+        (r["key"], int(r["n_obs"]), int(r["sum_x"]), int(r["sum_sq"]))
+        for r in df.collect()
+    )
+    assert as_rows(merged) == as_rows(fresh)
+
+    # merged stats drive the detector identically to fresh stats
+    batch = spark.createDataFrame([("a", 40.0), ("a", 2.0)], "k string, value double")
+    via_merged = sorted(map(tuple, anomaly_zscore(batch, "k", "value", 2, stats=merged).collect()))
+    via_fresh = sorted(map(tuple, anomaly_zscore(batch, "k", "value", 2, stats=fresh).collect()))
+    assert via_merged == via_fresh
+
+    with pytest.raises(ValueError, match="no stats"):
+        merge_anomaly_stats()
+    with pytest.raises(ValueError, match="missing"):
+        merge_anomaly_stats(d1)
