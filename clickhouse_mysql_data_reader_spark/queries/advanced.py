@@ -728,6 +728,43 @@ def json_flatten_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_salted_skew",
+    """
+    SELECT 'flag_' || l_returnflag AS flag_label,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Skew-salted equi-join (operators/skew.py salted_join): "
+    "lineitem's 3-value l_returnflag is the textbook hot-key join — "
+    "every row of a key lands on ONE reducer in a plain shuffle join. "
+    "The skewed side salts into 8 sub-keys and the dim side replicates "
+    "8x, so each hot key spreads over 8 reducers. Semantics-preserving "
+    "and RNG-free, so the oracle is the PLAIN join+aggregate — "
+    "identical results, skew-proof plan (the agg_salted_skew pattern "
+    "at the join level; the plan-level tool for when AQE's runtime "
+    "skew split can't engage).",
+)
+def join_salted_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    dim = (
+        li.select("l_returnflag")
+        .distinct()
+        .withColumn("flag_label", F.concat(F.lit("flag_"), F.col("l_returnflag")))
+    )
+    joined = salted_join(li, dim, ["l_returnflag"], num_salts=8)
+    return joined.groupBy("flag_label").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@register(
     "agg_salted_skew",
     """
     SELECT l_returnflag,

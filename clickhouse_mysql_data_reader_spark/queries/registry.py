@@ -466,6 +466,12 @@ DEPRIORITIZED = (
     # sample is unit-pinned. Full DuckDB oracle in pytest every CI
     # run. Rotation candidate for r9.
     "json_flatten_events",
+    # salted join (born deprioritized, round 8): the salt machinery is
+    # the checked agg_salted_skew's _row_salt at the join level and
+    # the oracle is the plain join+aggregate (q1 HashAggregate
+    # family); join semantics guards are unit-pinned in test_skew.py.
+    # Rotation candidate for r9.
+    "join_salted_skew",
     # Late-round-8 rotation: six round-8-born queries joined the
     # checked 50 (jsonl_roundtrip_documents, embed_srp_bands,
     # dedup_embed_near_srp, text_blocklist_gate, rag_chunk_retrieve,
