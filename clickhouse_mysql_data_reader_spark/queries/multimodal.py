@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_mysql_data_reader_spark.operators.multimodal import (
+    audio_window_plan,
     documents_as_media,
     extract_features,
     frame_sample_plan,
@@ -110,3 +111,27 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return resize_plan(media, max_w=96, max_h=72)
+
+
+@register(
+    "multimodal_audio_windows",
+    """
+    SELECT doc_id AS media_id,
+           i AS start_ms,
+           least(i + 2000, n_chars * 10) AS end_ms
+    FROM documents,
+         UNNEST(range(0, greatest(n_chars * 10 - 1, 0) + 1, 1000)) AS t(i)
+    WHERE doc_id % 3 = 1 AND n_chars * 10 > 0
+    """,
+    doc="Audio windowing plan: sliding (start, end) analysis windows "
+    "per clip via sequence+explode — frame_sample_plan's shape for the "
+    "audio modality, with overlapping windows (2s window, 1s hop) and "
+    "the final window clamped to the clip duration. JVM-side row "
+    "explosion; the binary payload is carried by reference until the "
+    "injectable feature UDF.",
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return audio_window_plan(media, win_ms=2000, hop_ms=1000).select(
+        "media_id", "start_ms", "end_ms"
+    )

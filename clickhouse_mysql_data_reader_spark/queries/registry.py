@@ -472,6 +472,11 @@ DEPRIORITIZED = (
     # family); join semantics guards are unit-pinned in test_skew.py.
     # Rotation candidate for r9.
     "join_salted_skew",
+    # audio window plan (born deprioritized, round 8): the
+    # sequence+explode machinery is the checked multimodal family's
+    # frame plan with a window clamp; full DuckDB oracle in pytest
+    # every CI run. Rotation candidate for r9.
+    "multimodal_audio_windows",
     # Late-round-8 rotation: six round-8-born queries joined the
     # checked 50 (jsonl_roundtrip_documents, embed_srp_bands,
     # dedup_embed_near_srp, text_blocklist_gate, rag_chunk_retrieve,
