@@ -765,6 +765,50 @@ def join_salted_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_transition_topk",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY n_transitions DESC, prev_type ASC, next_type ASC
+    LIMIT 10
+    """,
+    doc="Event-transition mining: top-10 (prev, next) event-type "
+    "bigrams over per-user time-ordered streams — the "
+    "sequenceMatch-adjacent analysis next to funnel/retention "
+    "(reference users run these against the ClickHouse destination). "
+    "One shuffle on user_id for the lag window (event_id tie-break "
+    "makes same-timestamp ordering deterministic), map-side-combined "
+    "pair counts, TakeOrderedAndProject top-k with full tie-breaks.",
+)
+def events_transition_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy(
+            F.col("n_transitions").desc(),
+            F.col("prev_type").asc(),
+            F.col("next_type").asc(),
+        )
+        .limit(10)
+    )
+
+
+@register(
     "agg_salted_skew",
     """
     SELECT l_returnflag,

@@ -477,6 +477,12 @@ DEPRIORITIZED = (
     # frame plan with a window clamp; full DuckDB oracle in pytest
     # every CI run. Rotation candidate for r9.
     "multimodal_audio_windows",
+    # event transitions (born deprioritized, round 8): the per-user
+    # time-ordered lag window is the checked window_session_gaps plan
+    # (identical partition/order, different downstream fold) and the
+    # top-k is the TakeOrderedAndProject family; full DuckDB oracle in
+    # pytest every CI run. Rotation candidate for r9.
+    "events_transition_topk",
     # Late-round-8 rotation: six round-8-born queries joined the
     # checked 50 (jsonl_roundtrip_documents, embed_srp_bands,
     # dedup_embed_near_srp, text_blocklist_gate, rag_chunk_retrieve,
