@@ -809,6 +809,33 @@ def events_transition_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_conditional_funcs",
+    """
+    SELECT o_orderpriority,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderstatus = 'P') AS any_pending,
+           arg_max(o_orderstatus, o_orderkey) AS status_of_latest_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Conditional/selective aggregate surface: count_if, "
+    "bool_and/bool_or, and max_by keyed on the UNIQUE o_orderkey "
+    "(a non-unique ordering key would make max_by engine-dependent on "
+    "ties — the determinism rule every query here follows). All "
+    "map-side-combinable single-pass aggregates.",
+)
+def agg_conditional_funcs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.max_by("o_orderstatus", "o_orderkey").alias("status_of_latest_key"),
+    )
+
+
+@register(
     "agg_salted_skew",
     """
     SELECT l_returnflag,

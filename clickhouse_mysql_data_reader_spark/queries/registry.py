@@ -483,6 +483,13 @@ DEPRIORITIZED = (
     # top-k is the TakeOrderedAndProject family; full DuckDB oracle in
     # pytest every CI run. Rotation candidate for r9.
     "events_transition_topk",
+    # conditional aggregates (born deprioritized, round 8): scalar
+    # aggregate-function breadth in the q1/agg_count_distinct
+    # HashAggregate family (count_if is a CASE-sum, the bool folds are
+    # min/max over booleans, max_by keyed on the unique orderkey);
+    # full DuckDB oracle in pytest every CI run. Rotation candidate
+    # for r9.
+    "agg_conditional_funcs",
     # Late-round-8 rotation: six round-8-born queries joined the
     # checked 50 (jsonl_roundtrip_documents, embed_srp_bands,
     # dedup_embed_near_srp, text_blocklist_gate, rag_chunk_retrieve,
