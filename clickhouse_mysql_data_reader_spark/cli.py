@@ -73,11 +73,19 @@ def run(cfg: AppConfig, spark: SparkSession | None = None) -> int:
                 for row in profile_table(df).collect():
                     print(json.dumps({"db": db, "table": table, **row.asDict()}))
                 if cfg.dst.parquet_dir:
-                    # drift vs the landed destination, when one exists
+                    # drift vs the landed destination, when one exists;
+                    # ONLY a missing path means "nothing landed yet" —
+                    # any other failure (corrupt footer, permissions,
+                    # schema-merge conflict) must surface, not read as
+                    # drift-free
+                    from pyspark.errors import AnalysisException
+
                     try:
                         changes = mig.check_drift(db, table)
-                    except Exception:
-                        continue  # nothing landed yet -> no drift row
+                    except AnalysisException as ex:
+                        if "PATH_NOT_FOUND" in str(ex):
+                            continue  # nothing landed yet -> no drift row
+                        raise
                     for c in changes:
                         unsafe += 0 if c.safe else 1
                         print(json.dumps({

@@ -182,21 +182,31 @@ def resize_plan(
         raise ValueError("resize_plan: max_w/max_h must be positive")
     w = F.col("meta.width").cast("long")
     h = F.col("meta.height").cast("long")
+    has_dims = w.isNotNull() & h.isNotNull()
     needs = (w > max_w) | (h > max_h)
     width_limited = (w * max_h) >= (h * max_w)
     # floor division can hit 0 on extreme aspect ratios (a 1000x10
-    # strip into a square box) — clamp to 1px, the thinnest real image
-    tw = F.greatest(
-        F.when(~needs, w)
-        .when(width_limited, F.lit(max_w).cast("long"))
-        .otherwise(F.expr(f"div(CAST(meta.width AS BIGINT) * {max_h}, CAST(meta.height AS BIGINT))")),
-        F.lit(1).cast("long"),
+    # strip into a square box) — clamp to 1px, the thinnest real image.
+    # Missing geometry (NULL width/height — routine for scraped media)
+    # propagates NULL targets + NULL needs_resize rather than letting
+    # greatest(NULL, 1) plan a destructive 1x1 resize.
+    tw = F.when(
+        has_dims,
+        F.greatest(
+            F.when(~needs, w)
+            .when(width_limited, F.lit(max_w).cast("long"))
+            .otherwise(F.expr(f"div(CAST(meta.width AS BIGINT) * {max_h}, CAST(meta.height AS BIGINT))")),
+            F.lit(1).cast("long"),
+        ),
     )
-    th = F.greatest(
-        F.when(~needs, h)
-        .when(width_limited, F.expr(f"div(CAST(meta.height AS BIGINT) * {max_w}, CAST(meta.width AS BIGINT))"))
-        .otherwise(F.lit(max_h).cast("long")),
-        F.lit(1).cast("long"),
+    th = F.when(
+        has_dims,
+        F.greatest(
+            F.when(~needs, h)
+            .when(width_limited, F.expr(f"div(CAST(meta.height AS BIGINT) * {max_w}, CAST(meta.width AS BIGINT))"))
+            .otherwise(F.lit(max_h).cast("long")),
+            F.lit(1).cast("long"),
+        ),
     )
     return media.filter(F.col("kind") == "image").select(
         "media_id",

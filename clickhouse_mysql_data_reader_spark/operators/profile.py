@@ -124,8 +124,14 @@ def corpus_diff(
     def _side(df: DataFrame, tag: str) -> DataFrame:
         cols = [
             F.col(id_col).alias("_cd_id"),
+            # presence marker, NOT the fingerprint: a doc with NULL
+            # text is still PRESENT on its side (md5(NULL) is NULL and
+            # would misread presence)
+            F.lit(True).alias(f"_{tag}_here"),
             F.md5(F.col(text_col)).alias(f"_{tag}_fp"),
-            F.length(F.col(text_col)).cast("long").alias(f"_{tag}_len"),
+            F.coalesce(F.length(F.col(text_col)).cast("long"), F.lit(0)).alias(
+                f"_{tag}_len"
+            ),
         ]
         if source_col is not None:
             cols.append(F.col(source_col).alias(f"_{tag}_src"))
@@ -133,9 +139,11 @@ def corpus_diff(
 
     j = _side(old, "old").join(_side(new, "new"), "_cd_id", "full_outer")
     status = (
-        F.when(F.col("_old_fp").isNull(), F.lit("added"))
-        .when(F.col("_new_fp").isNull(), F.lit("removed"))
-        .when(F.col("_old_fp") != F.col("_new_fp"), F.lit("changed"))
+        F.when(F.col("_old_here").isNull(), F.lit("added"))
+        .when(F.col("_new_here").isNull(), F.lit("removed"))
+        # null-safe: NULL text -> non-NULL text (or vice versa) is a
+        # CHANGE, and NULL -> NULL is unchanged
+        .when(~F.col("_old_fp").eqNullSafe(F.col("_new_fp")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     src = (
@@ -175,6 +183,98 @@ def corpus_diff(
     )
 
 
+#: |value ticks| cap: sum_sq = sum(v^2) must stay inside DECIMAL(38,0)
+#: for n up to ~2e6, so each v^2 <= 4e30 => |v| <= 2e15 ticks (an epoch
+#: timestamp at the default 1e-6 tick is 1.7e15 — inside). Values
+#: beyond it RAISE (reduce `scale`) instead of overflowing silently.
+_Z_MAX_TICKS = 2 * 10**15
+#: conservative DOUBLE-space bound for the exact test's products: the
+#: true DECIMAL(38,0) limit is ~1e38; guarding at 1e37 leaves a 10x
+#: margin over float error in the guard itself.
+_Z_GUARD = 1e37
+
+
+def _z_ticks(value_col: str, scale: int, who: str):
+    """value -> exact integer ticks (HALF_UP via decimal(18,6), both
+    engines identical), with a loud guard instead of a silent
+    DECIMAL(38,0) overflow downstream."""
+    v = (F.col(value_col).cast("decimal(18,6)") * scale).cast("decimal(38,0)")
+    return F.when(
+        F.abs(v) > _Z_MAX_TICKS,
+        F.raise_error(
+            F.lit(
+                f"{who}: |value|*scale exceeds 2e15 ticks — the moment "
+                "sums would overflow DECIMAL(38,0); reduce `scale` "
+                "(the z-test is scale-invariant, coarser ticks lose "
+                "only sub-tick resolution)"
+            )
+        ).cast("decimal(38,0)"),
+    ).otherwise(v)
+
+
+def _z_flag(threshold: int):
+    """Shared EXACT z-test over the normalized (_az_n, _az_s, _az_q,
+    _az_v) columns: (n*v - S)^2 * (n-1) > t^2 * n * (nQ - S^2),
+    evaluated on CENTERED moments so magnitudes track the DEVIATIONS,
+    not the values' absolute offset: with the integer mean m = S div n
+    and remainder r = S - n*m (any integer m keeps the identity),
+
+        n*v - S        = n*(v - m) - r
+        n*Q - S^2      = n*(Q - m*(2S - n*m)) - r^2
+
+    A metric with mean 1.7e9 and spread 100 (epoch timestamps, counters)
+    stays tiny after centering where the raw form would overflow.
+    Remaining products are guarded in DOUBLE space (exactness is not
+    needed to detect magnitude) and RAISE with advice instead of
+    returning NULL (non-ANSI) or crashing opaquely (ANSI). n=1 keys
+    flag nothing (both sides are exactly 0).
+    """
+    dec = "decimal(38,0)"
+    n, s, q, v = (F.col(c) for c in ("_az_n", "_az_s", "_az_q", "_az_v"))
+    mu = F.expr("_az_s div _az_n").cast(dec)
+    rho = (s - (n * mu).cast(dec)).cast(dec)
+    dev = ((n * (v - mu).cast(dec)).cast(dec) - rho).cast(dec)
+    q_centered = (
+        q
+        - (
+            mu
+            * ((F.lit(2).cast(dec) * s).cast(dec) - (n * mu).cast(dec)).cast(dec)
+        ).cast(dec)
+    ).cast(dec)
+    core = ((n * q_centered).cast(dec) - (rho * rho).cast(dec)).cast(dec)
+    t2 = threshold * threshold
+    lhs = ((dev * dev).cast(dec) * (n - 1)).cast(dec)
+    rhs = ((F.lit(t2).cast(dec) * n).cast(dec) * core).cast(dec)
+    devd, nd, cored = dev.cast("double"), n.cast("double"), core.cast("double")
+    over = (F.abs(devd) * F.abs(devd) * nd > _Z_GUARD) | (
+        F.lit(float(t2)) * nd * cored > _Z_GUARD
+    )
+    return F.when(
+        over,
+        F.raise_error(
+            F.lit(
+                "anomaly z-test exceeds DECIMAL(38,0) headroom "
+                "(t * n^1.5 * max|value - mean| * scale too large); "
+                "reduce `scale` — the test is scale-invariant, coarser "
+                "ticks lose only sub-tick resolution"
+            )
+        ).cast("boolean"),
+    ).otherwise(lhs > rhs)
+
+
+def _z_stats_normalize(stats: DataFrame, who: str) -> DataFrame:
+    missing = {"key", "n_obs", "sum_x", "sum_sq"} - set(stats.columns)
+    if missing:
+        raise ValueError(f"{who}: stats table missing {sorted(missing)}")
+    dec = "decimal(38,0)"
+    return stats.select(
+        F.col("key").alias("_az_key"),
+        F.col("n_obs").cast(dec).alias("_az_n"),
+        F.col("sum_x").cast(dec).alias("_az_s"),
+        F.col("sum_sq").cast(dec).alias("_az_q"),
+    )
+
+
 def anomaly_stats(
     df: DataFrame,
     key_col: str,
@@ -191,7 +291,7 @@ def anomaly_stats(
     anomalous would otherwise inflate its own stddev and hide them).
     """
     dec = "decimal(38,0)"
-    v = (F.col(value_col).cast("decimal(18,6)") * scale).cast(dec)
+    v = _z_ticks(value_col, scale, "anomaly_stats")
     return (
         df.select(F.col(key_col).alias("key"), v.alias("_as_v"))
         .groupBy("key")
@@ -229,10 +329,16 @@ def anomaly_zscore(
         |x - mean| > t*sqrt((nQ - S^2) / (n(n-1)))
         <=> (n*v - S)^2 * (n-1) > t^2 * n * (n*Q - S^2)
 
-    evaluated in DECIMAL(38,0) — the DuckDB twin is HUGEINT. Headroom:
-    |v| <= 1e12 (|x| <= 1e6) and n <= 2e6 keep every term under 1e37;
-    n=1 keys flag nothing (both sides are 0). `threshold` is an integer
-    so t^2 stays exact.
+    evaluated in DECIMAL(38,0) on CENTERED moments (see `_z_flag`) —
+    the DuckDB twin is HUGEINT, and the uncentered oracle form is the
+    same boolean by the translation identity. Headroom: |x|*scale must
+    stay within 2e15 ticks and t * n^1.5 * (max|x - mean|*scale + 1)
+    under ~3e18 — both guarded with a clear raise (reduce `scale`; the
+    test is scale-invariant) instead of a silent NULL/overflow. n=1
+    keys flag nothing (both sides are 0). `threshold` is an integer so
+    t^2 stays exact. `mean_x1e6` divides with truncation in both
+    engines for non-negative sums (floor-vs-trunc differs on negative
+    means; the FLAG is exact either way).
 
     Plan shape for 100 TB: per-key (n, S, Q) is a map-side-combined
     aggregate with one row per key; the tiny stats frame BROADCASTS
@@ -253,7 +359,7 @@ def anomaly_zscore(
     if threshold < 0 or int(threshold) != threshold:
         raise ValueError("anomaly_zscore: threshold must be a non-negative int")
     dec = "decimal(38,0)"
-    v = (F.col(value_col).cast("decimal(18,6)") * scale).cast(dec)
+    v = _z_ticks(value_col, scale, "anomaly_zscore")
     vals = df.select(F.col(key_col).alias("_az_key"), v.alias("_az_v"))
     if stats is None:
         stats = vals.groupBy("_az_key").agg(
@@ -262,31 +368,16 @@ def anomaly_zscore(
             F.sum((F.col("_az_v") * F.col("_az_v")).cast(dec)).cast(dec).alias("_az_q"),
         )
     else:
-        missing = {"key", "n_obs", "sum_x", "sum_sq"} - set(stats.columns)
-        if missing:
-            raise ValueError(f"anomaly_zscore: stats table missing {sorted(missing)}")
-        stats = stats.select(
-            F.col("key").alias("_az_key"),
-            F.col("n_obs").cast(dec).alias("_az_n"),
-            F.col("sum_x").cast(dec).alias("_az_s"),
-            F.col("sum_sq").cast(dec).alias("_az_q"),
-        )
+        stats = _z_stats_normalize(stats, "anomaly_zscore")
     joined = vals.join(F.broadcast(stats), "_az_key")
-    n, s, q = F.col("_az_n"), F.col("_az_s"), F.col("_az_q")
-    dev = (n * F.col("_az_v")).cast(dec) - s
-    lhs = ((dev * dev).cast(dec) * (n - 1)).cast(dec)
-    rhs = (
-        (F.lit(threshold * threshold).cast(dec) * n).cast(dec)
-        * ((n * q).cast(dec) - (s * s).cast(dec))
-    ).cast(dec)
     return (
         joined.groupBy("_az_key")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.count(F.when(lhs > rhs, 1)).alias("n_anomalies"),
+            F.count(F.when(_z_flag(threshold), 1)).alias("n_anomalies"),
             # constant within the group; min() keeps it deterministic
-            F.min(s).alias("_az_sum"),
-            F.min(n).alias("_az_cnt"),
+            F.min(F.col("_az_s")).alias("_az_sum"),
+            F.min(F.col("_az_n")).alias("_az_cnt"),
             F.max(F.col("_az_v")).cast("long").alias("max_value_x1e6"),
         )
         .select(
@@ -327,35 +418,19 @@ def anomaly_flags(
         raise ValueError("anomaly_flags: threshold must be a non-negative int")
     if "_az_key" in df.columns or "_az_v" in df.columns:
         raise ValueError("anomaly_flags: input collides with internal _az_ names")
-    dec = "decimal(38,0)"
-    v = (F.col(value_col).cast("decimal(18,6)") * scale).cast(dec)
+    v = _z_ticks(value_col, scale, "anomaly_flags")
     if stats is None:
         stats = anomaly_stats(df, key_col, value_col, scale=scale)
-    missing = {"key", "n_obs", "sum_x", "sum_sq"} - set(stats.columns)
-    if missing:
-        raise ValueError(f"anomaly_flags: stats table missing {sorted(missing)}")
-    st = stats.select(
-        F.col("key").alias("_az_key"),
-        F.col("n_obs").cast(dec).alias("_az_n"),
-        F.col("sum_x").cast(dec).alias("_az_s"),
-        F.col("sum_sq").cast(dec).alias("_az_q"),
-    )
+    st = _z_stats_normalize(stats, "anomaly_flags")
     tagged = df.withColumn("_az_v", v)
     joined = tagged.join(
         F.broadcast(st), tagged[key_col] == st["_az_key"], "left"
     )
-    n, s, q = F.col("_az_n"), F.col("_az_s"), F.col("_az_q")
-    dev = (n * F.col("_az_v")).cast(dec) - s
-    lhs = ((dev * dev).cast(dec) * (n - 1)).cast(dec)
-    rhs = (
-        (F.lit(threshold * threshold).cast(dec) * n).cast(dec)
-        * ((n * q).cast(dec) - (s * s).cast(dec))
-    ).cast(dec)
     return joined.select(
         *[tagged[c] for c in df.columns],
         F.col("_az_v").cast("long").alias("value_x1e6"),
-        F.when(n.isNull(), F.lit(None).cast("boolean"))
-        .otherwise(lhs > rhs)
+        F.when(F.col("_az_n").isNull(), F.lit(None).cast("boolean"))
+        .otherwise(_z_flag(threshold))
         .alias("is_anomaly"),
     )
 
@@ -520,6 +595,11 @@ def value_histogram(
     if bin_width <= 0:
         raise ValueError("value_histogram: bin_width must be positive")
     width_ticks = int(round(bin_width * scale))
+    if width_ticks < 1:
+        raise ValueError(
+            f"value_histogram: bin_width={bin_width} rounds to zero ticks "
+            f"at scale={scale} — raise bin_width or scale"
+        )
     dec = "decimal(38,0)"
     v = (F.col(value_col).cast("decimal(18,6)") * scale).cast(dec)
     base = df.select(*keys, v.alias("_vh_ticks")).withColumn(

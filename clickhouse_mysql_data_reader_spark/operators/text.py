@@ -31,8 +31,12 @@ def token_count(col: Column) -> Column:
 #: GPT-2-style pre-tokenizer split, reduced to the RE2-compatible core
 #: (no lookarounds, so the same pattern runs in Spark's Java regex and
 #: any RE2-based oracle engine): contractions, letter runs, SINGLE
-#: digits (the modern digit-split rule), punctuation runs.
-BPE_PRESPLIT_RE = r"'[a-z]+|[a-z]+|[0-9]|[^a-z0-9\s']+"
+#: digits (the modern digit-split rule), punctuation runs. The final
+#: class INCLUDES the apostrophe (alternation order gives contractions
+#: first dibs) so standalone quotes still count as pieces — excluding
+#: it dropped them entirely and broke the >=-whitespace-tokens upper
+#: bound the budget contract promises.
+BPE_PRESPLIT_RE = r"'[a-z]+|[a-z]+|[0-9]|[^a-z0-9\s]+"
 
 
 def bpe_pretokens(col: Column) -> Column:

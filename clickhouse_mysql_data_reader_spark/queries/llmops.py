@@ -2323,7 +2323,7 @@ def text_gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(string_split(nt, ' ')) AS BIGINT) AS n_ws_tokens,
            CAST(len(regexp_extract_all(nt,
-               '''[a-z]+|[a-z]+|[0-9]|[^a-z0-9\\s'']+')) AS BIGINT)
+               '''[a-z]+|[a-z]+|[0-9]|[^a-z0-9\\s]+')) AS BIGINT)
              AS n_bpe_pretokens,
            CAST(ceil(length(nt) / 4.0) AS BIGINT) AS est_chars_div4
     FROM t

@@ -1150,3 +1150,70 @@ def test_merge_anomaly_stats_is_exact_union(spark):
         merge_anomaly_stats()
     with pytest.raises(ValueError, match="missing"):
         merge_anomaly_stats(d1)
+
+
+def test_anomaly_zscore_overflow_guard_and_scale_invariance(spark):
+    """The raw z-test products overflow DECIMAL(38,0) well below naive
+    expectations (dev^2*(n-1) ~ n^3 * spread^2); the operator must
+    RAISE with scale advice — never NULL flags or an opaque ANSI crash
+    — and the same data must score fine at a coarser scale (the test
+    is scale-invariant up to sub-tick resolution)."""
+    import numpy as np
+    import pyspark
+
+    from clickhouse_mysql_data_reader_spark.operators.profile import anomaly_zscore
+
+    rng = np.random.RandomState(11)
+    vals = np.round(rng.uniform(0, 1e6, 20_000), 3)
+    df = spark.createDataFrame([("k", float(v)) for v in vals], "k string, value double")
+
+    # n=20k with a 1e6 spread overflowed the PRE-fix raw formulation
+    # (dev^2*(n-1) ~ 1e39); centered moments compute it exactly at the
+    # default scale — pin against numpy on the same integer ticks
+    out = anomaly_zscore(df, "k", "value", threshold=3).collect()[0]
+    ticks = np.floor(vals * 1e6 + 0.5)  # HALF_UP at scale 1e6
+    z = np.abs(ticks - ticks.mean()) > 3 * ticks.std(ddof=1)
+    assert out["n_anomalies"] == int(z.sum())
+    assert out["n_events"] == 20_000
+
+    # 10x the rows pushes even the centered form past DECIMAL(38,0):
+    # the guard must RAISE with scale advice, and the coarser scale
+    # must then compute the same data fine
+    big = spark.range(0, 200_000).select(
+        F.lit("k").alias("k"),
+        (F.pmod(F.xxhash64("id"), F.lit(1_000_000_001)) / 1000.0).alias("value"),
+    )
+    with pytest.raises(
+        pyspark.errors.exceptions.base.PySparkException, match="reduce `scale`"
+    ):
+        anomaly_zscore(big, "k", "value").collect()
+    ok = anomaly_zscore(big, "k", "value", scale=10).collect()[0]
+    assert ok["n_events"] == 200_000 and ok["n_anomalies"] == 0  # uniform: no 3-sigma tail
+
+    # huge OFFSET, small spread (epoch-timestamp shape): centering
+    # keeps magnitudes tiny, so the DEFAULT scale works
+    ts = spark.createDataFrame(
+        [("t", 1.7e9 + float(x)) for x in rng.normal(0, 100, 5_000)],
+        "k string, value double",
+    )
+    r = anomaly_zscore(ts, "k", "value").collect()[0]
+    assert r["n_events"] == 5_000 and 0 <= r["n_anomalies"] < 100
+
+
+def test_corpus_diff_null_text_is_presence_not_fingerprint(spark):
+    from clickhouse_mysql_data_reader_spark.operators.profile import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "s", None), (2, "s", "x"), (3, "s", None)],
+        "doc_id long, source string, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "s", "now-filled"), (2, "s", None), (3, "s", None)],
+        "doc_id long, source string, text string",
+    )
+    r = corpus_diff(old, new).collect()[0]
+    # NULL->text and text->NULL are CHANGES (both sides present);
+    # NULL->NULL is unchanged; nothing is added/removed
+    assert (r["n_added"], r["n_removed"], r["n_changed"], r["n_unchanged"]) == (0, 0, 2, 1)
+    assert r["chars_added"] == 0 and r["chars_removed"] == 0
+    assert r["chars_delta"] == len("now-filled") - 1  # 10 - len("x")

@@ -127,3 +127,23 @@ def test_audio_window_plan_clamps_and_overlaps(spark):
     ]
     with pytest.raises(ValueError, match="positive"):
         audio_window_plan(media, win_ms=0)
+
+
+def test_resize_plan_null_geometry_propagates_null(spark):
+    from clickhouse_mysql_data_reader_spark.operators.multimodal import resize_plan
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", None, ("m", None, 50, 0)),
+            (2, "image", None, ("m", 50, None, 0)),
+            (3, "image", None, ("m", 400, 100, 0)),
+        ],
+        "media_id long, kind string, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long>",
+    )
+    out = {r["media_id"]: r for r in resize_plan(media, 96, 72).collect()}
+    for i in (1, 2):
+        # missing geometry: NULL plan, never a destructive 1x1 target
+        assert out[i]["target_w"] is None and out[i]["target_h"] is None
+        assert out[i]["needs_resize"] is None
+    assert (out[3]["target_w"], out[3]["target_h"]) == (96, 24)

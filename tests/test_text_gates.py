@@ -589,6 +589,9 @@ def test_bpe_pretokens_pieces_and_bounds(spark):
         (1, "Don't stop... v2.0 costs $1,234!!"),
         (2, "plain words only here"),
         (3, "a"),
+        # standalone apostrophes (not followed by a letter) must still
+        # count as pieces or the >=-whitespace-tokens bound breaks
+        (4, "don ' t said 'the voice'"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {
@@ -607,6 +610,9 @@ def test_bpe_pretokens_pieces_and_bounds(spark):
         "costs", "$", "1", ",", "2", "3", "4", "!!",
     ]
     assert out[2]["pieces"] == ["plain", "words", "only", "here"]
+    assert out[4]["pieces"] == [
+        "don", "'", "t", "said", "'the", "voice", "'",
+    ]
     # every whitespace token yields >= 1 piece: pretoken count is an
     # upper bound on the whitespace count and on true BPE tokens
     for r in out.values():
