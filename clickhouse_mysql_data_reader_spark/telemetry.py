@@ -63,6 +63,18 @@ class RateListener(StreamingQueryListener):
             "batch_id": p.batchId,
             "num_input_rows": p.numInputRows,
             "rows_per_sec": p.processedRowsPerSecond or 0.0,
+            # watermark-drop + state-size observability: late rows a
+            # watermarked aggregate/dedup silently discards are the #1
+            # silent-data-loss channel in a streaming pipeline — surface
+            # them per batch so an alert can fire when the late fraction
+            # spikes (e.g. an upstream producer's clock drifted)
+            "rows_dropped_by_watermark": sum(
+                int(so.numRowsDroppedByWatermark or 0)
+                for so in (p.stateOperators or [])
+            ),
+            "state_rows": sum(
+                int(so.numRowsTotal or 0) for so in (p.stateOperators or [])
+            ),
         }
         self.progress.append(rec)
         log.info(

@@ -76,3 +76,58 @@ def test_suggest_shuffle_partitions_scales_and_clamps(spark, tmp_path):
     assert suggest_shuffle_partitions(df, 1, max_partitions=2) == 2
     with pytest.raises(ValueError, match="target_mb"):
         suggest_shuffle_partitions(df, 0)
+
+
+def test_rate_listener_reports_watermark_drops_and_state(spark, tmp_path):
+    """A watermarked aggregate that receives a too-late row must surface
+    it in the listener's rows_dropped_by_watermark — the silent-loss
+    channel an operator alerts on — plus the state row count."""
+    import pyspark.sql.functions as F
+
+    listener = RateListener()
+    spark.streams.addListener(listener)
+    try:
+        src = tmp_path / "wm_src"
+        src.mkdir()
+        chk = str(tmp_path / "wm_chk")
+        # batch 1: establish event-time up to 10:59 (watermark -> 10:49)
+        with open(src / "b1.json", "w") as f:
+            for m in (30, 45, 59):
+                f.write(json.dumps({"ts": f"2024-01-01 10:{m}:00", "v": 1}) + "\n")
+        schema = T.StructType(
+            [T.StructField("ts", T.StringType()), T.StructField("v", T.LongType())]
+        )
+
+        def run_once():
+            q = (
+                spark.readStream.schema(schema)
+                .json(str(src))
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+                .withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "5 minutes"))
+                .agg(F.sum("v").alias("s"))
+                .writeStream.format("noop")
+                .option("checkpointLocation", chk)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        # batch 2: one row far behind the committed watermark -> dropped
+        with open(src / "b2.json", "w") as f:
+            f.write(json.dumps({"ts": "2024-01-01 09:00:00", "v": 1}) + "\n")
+            f.write(json.dumps({"ts": "2024-01-01 11:05:00", "v": 1}) + "\n")
+        run_once()
+
+        deadline = time.time() + 30
+        while (
+            sum(r["rows_dropped_by_watermark"] for r in listener.progress) < 1
+            and time.time() < deadline
+        ):
+            time.sleep(0.5)
+        assert sum(r["rows_dropped_by_watermark"] for r in listener.progress) == 1
+        assert any(r["state_rows"] > 0 for r in listener.progress)
+    finally:
+        spark.streams.removeListener(listener)
