@@ -1056,22 +1056,23 @@ class CurationState:
             mode
         ).parquet(self._path("line_fps"))
 
-    def sync_params(self, spark) -> None:
-        """Land ``_params.json`` on first write; on every later call,
-        raise if this instance's parameters differ from the landed
-        ones (the guard ``curate_increment`` performs against cfg only
-        covers in-memory consistency — this covers the on-disk truth).
-
-        The first write uses ``create(overwrite=false)`` — atomic on
-        HDFS-like stores — so two concurrent first writers (e.g. two
-        streams sharing a state dir) cannot both land different params
-        unseen: the loser's create fails, and it re-reads and validates
-        against the winner's manifest like any later caller.
+    def _sync_manifest(self, spark, filename: str, payload, validate) -> None:
+        """ONE land-once/validate parameter-manifest protocol shared by
+        params/bloom/prefix syncs (three near-verbatim copies had begun
+        to drift): if the manifest exists, ``validate(landed_dict)``;
+        else, when ``payload`` is not None, land it with
+        ``create(overwrite=false)`` — atomic on HDFS-like stores, so
+        two concurrent first writers cannot both land different params
+        unseen: the loser's create fails, and it re-reads and
+        validates against the winner's manifest like any later caller.
+        ``payload=None`` means this instance has nothing to land (the
+        feature is off here) — validation still runs if someone ELSE
+        landed one.
         """
         import json
 
         jvm, fs = self._fs(spark)
-        path = jvm.org.apache.hadoop.fs.Path(f"{self.state_dir}/_params.json")
+        path = jvm.org.apache.hadoop.fs.Path(f"{self.state_dir}/{filename}")
 
         def validate_landed() -> None:
             stream = fs.open(path)
@@ -1081,6 +1082,34 @@ class CurationState:
                 )
             finally:
                 stream.close()
+            validate(landed)
+
+        if fs.exists(path):
+            validate_landed()
+            return
+        if payload is None:
+            return
+        try:
+            out = fs.create(path, False)  # no-overwrite: atomic first-writer-wins
+            try:
+                out.write(bytearray(json.dumps(payload).encode("utf-8")))
+            finally:
+                out.close()
+        except Exception:
+            # Lost the create race (FileAlreadyExistsException through
+            # py4j) — converge on the winner's manifest.
+            if not fs.exists(path):
+                raise
+            validate_landed()
+
+    def sync_params(self, spark) -> None:
+        """Land ``_params.json`` on first write; on every later call,
+        raise if this instance's parameters differ from the landed
+        ones (the guard ``curate_increment`` performs against cfg only
+        covers in-memory consistency — this covers the on-disk truth).
+        """
+
+        def validate(landed: dict) -> None:
             if (landed.get("minhash_k"), landed.get("lsh_bands")) != (
                 self.minhash_k,
                 self.lsh_bands,
@@ -1092,27 +1121,12 @@ class CurationState:
                     "band hashes would never match — use the landed parameters"
                 )
 
-        if fs.exists(path):
-            validate_landed()
-            return
-        try:
-            out = fs.create(path, False)  # no-overwrite: atomic first-writer-wins
-            try:
-                out.write(
-                    bytearray(
-                        json.dumps(
-                            {"minhash_k": self.minhash_k, "lsh_bands": self.lsh_bands}
-                        ).encode("utf-8")
-                    )
-                )
-            finally:
-                out.close()
-        except Exception:
-            # Lost the create race (FileAlreadyExistsException through
-            # py4j) — converge on the winner's manifest.
-            if not fs.exists(path):
-                raise
-            validate_landed()
+        self._sync_manifest(
+            spark,
+            "_params.json",
+            {"minhash_k": self.minhash_k, "lsh_bands": self.lsh_bands},
+            validate,
+        )
 
     # ---- incremental Bloom filter over landed fingerprints ----------
     # Correctness invariant: the filter is a SUPERSET of the landed
@@ -1133,19 +1147,8 @@ class CurationState:
         were built with produces FALSE NEGATIVES, i.e. silently
         readmitted duplicates. A separate manifest (not _params.json)
         because the filter can be enabled later in a state's life."""
-        import json
 
-        jvm, fs = self._fs(spark)
-        path = jvm.org.apache.hadoop.fs.Path(f"{self.state_dir}/_bloom_params.json")
-
-        def validate() -> None:
-            stream = fs.open(path)
-            try:
-                landed = json.loads(
-                    jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-                )
-            finally:
-                stream.close()
+        def validate(landed: dict) -> None:
             if self.bloom_bits is None:
                 raise ValueError(
                     f"CurationState({self.state_dir}) has a landed Bloom "
@@ -1166,30 +1169,12 @@ class CurationState:
                     "the landed sizing"
                 )
 
-        if fs.exists(path):
-            validate()
-            return
-        if self.bloom_bits is None:
-            return
-        try:
-            out = fs.create(path, False)
-            try:
-                out.write(
-                    bytearray(
-                        json.dumps(
-                            {
-                                "bloom_bits": self.bloom_bits,
-                                "bloom_hashes": self.bloom_hashes,
-                            }
-                        ).encode("utf-8")
-                    )
-                )
-            finally:
-                out.close()
-        except Exception:
-            if not fs.exists(path):
-                raise
-            validate()
+        payload = (
+            None
+            if self.bloom_bits is None
+            else {"bloom_bits": self.bloom_bits, "bloom_hashes": self.bloom_hashes}
+        )
+        self._sync_manifest(spark, "_bloom_params.json", payload, validate)
 
     def read_bloom(self, spark) -> bytes | None:
         """The landed filter bytes, or None if never written."""
@@ -1272,23 +1257,12 @@ class CurationState:
         (not _params.json) because — like the bloom — exact near-dup
         can be enabled later in a state's life (``ensure_prefixes``
         backfills the table from the landed shingles)."""
-        import json
-
-        jvm, fs = self._fs(spark)
-        path = jvm.org.apache.hadoop.fs.Path(f"{self.state_dir}/_prefix_params.json")
         mine = {
             "jaccard_exact_threshold": self.jaccard_exact_threshold,
             "containment_threshold": self.containment_threshold,
         }
 
-        def validate() -> None:
-            stream = fs.open(path)
-            try:
-                landed = json.loads(
-                    jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-                )
-            finally:
-                stream.close()
+        def validate(landed: dict) -> None:
             if (self.jaccard_exact_threshold, self.containment_threshold) == (
                 None,
                 None,
@@ -1315,21 +1289,12 @@ class CurationState:
                     "thresholds (or a fresh state for new ones)"
                 )
 
-        if fs.exists(path):
-            validate()
-            return
-        if self._prefix_frac() is None:
-            return
-        try:
-            out = fs.create(path, False)  # atomic first-writer-wins
-            try:
-                out.write(bytearray(json.dumps(mine).encode("utf-8")))
-            finally:
-                out.close()
-        except Exception:
-            if not fs.exists(path):
-                raise
-            validate()
+        self._sync_manifest(
+            spark,
+            "_prefix_params.json",
+            mine if self._prefix_frac() is not None else None,
+            validate,
+        )
 
     def prefixes_exist(self, spark) -> bool:
         """True once a prefix batch has fully landed — probed separately
@@ -1354,7 +1319,16 @@ class CurationState:
         batches before (or a crashed write left shingles without
         prefixes). One rarest-sort pass over the landed shingles — the
         corpus-wide cost write() amortizes per batch, paid once here.
-        OFFLINE op like compact(): quiesce writers first."""
+        OFFLINE op like compact(): quiesce OTHER writers first
+        (``write()`` itself calls this before its own append, which is
+        the one legitimate concurrent caller).
+
+        Crash-safe via the compact() protocol: the backfill writes to a
+        ``prefixes__bf`` staging dir and RENAMES into place — a retry
+        after any crash deletes the stale staging dir and starts over
+        (the old mode('error') write wedged permanently on its own
+        leftovers, or worse, read a task-committed PARTIAL table as
+        landed and no-opped)."""
         from clickhouse_mysql_data_reader_spark.operators.dedup import (
             prefix_shingles,
         )
@@ -1365,12 +1339,27 @@ class CurationState:
         self._sync_prefix_params(spark)
         if self.prefixes_exist(spark) or not self.exists(spark):
             return
+        jvm, fs = self._fs(spark)
+        hp = jvm.org.apache.hadoop.fs.Path
+        final = self._path("prefixes")
+        staging = final + "__bf"
+        if fs.exists(hp(staging)):
+            fs.delete(hp(staging), True)  # crashed earlier attempt
+        if fs.exists(hp(final)):
+            # exists but not landed (prefixes_exist was False): only
+            # uncommitted leftovers — clear them or the rename nests
+            fs.delete(hp(final), True)
         rows = prefix_shingles(
             self.shingles(spark).dropDuplicates(["doc_id", "sh_h"]), frac
         )
+        # tag types must MATCH write()'s appends exactly (plain int
+        # _epoch): a long-typed backfill next to int-typed appends makes
+        # every later mergeSchema read fail with CANNOT_MERGE_SCHEMAS
         rows.withColumns(
-            {"_epoch": F.lit(-1).cast("long"), "_run": F.lit("")}
-        ).write.mode("error").parquet(self._path("prefixes"))
+            {"_epoch": F.lit(-1), "_run": F.lit("")}
+        ).write.mode("overwrite").parquet(staging)
+        if not fs.rename(hp(staging), hp(final)):
+            raise IOError(f"ensure_prefixes: rename {staging} -> {final} failed")
 
     def _derive(self, kept: DataFrame, text_col: str, id_col: str):
         from clickhouse_mysql_data_reader_spark.operators.dedup import (
@@ -1441,6 +1430,14 @@ class CurationState:
         self.sync_params(kept.sparkSession)
         self._sync_bloom_params(kept.sparkSession)
         self._sync_prefix_params(kept.sparkSession)
+        if self._prefix_frac() is not None:
+            # a prefix-enabled handle writing over a LEGACY prefix-less
+            # state must backfill the landed history FIRST: appending
+            # only this batch's prefixes would make prefixes_exist()
+            # true with older docs invisible to the landed-prefix probe
+            # direction — silently missed cross-history duplicates
+            # (no-op when prefixes already exist or nothing is landed)
+            self.ensure_prefixes(kept.sparkSession)
         kept = kept.localCheckpoint()
         etag = F.lit(-1 if epoch_id is None else int(epoch_id)).alias("_epoch")
         rtag = F.lit(run_id or "").alias("_run")

@@ -918,6 +918,20 @@ def srp_band_table(
     vq = F.transform(
         as_double_array(vec_col), lambda x: F.floor(x * F.lit(SRP_SCALE))
     )
+    # dimension guard: zip_with NULL-pads a short vector, the fold goes
+    # NULL, and when(proj > 0).otherwise(0) would SILENTLY map every
+    # bit to 0 — all malformed vectors colliding in the all-zero bucket
+    # of every band. The arrow path raises on the shape mismatch; raise
+    # identically here instead of diverging.
+    vq = F.when(
+        F.size(F.col(vec_col)) != dim,
+        F.raise_error(
+            F.lit(
+                f"srp_band_table: vector length != dim={dim} "
+                "(truncated upload / mixed encoder versions?)"
+            )
+        ).cast("array<double>"),
+    ).otherwise(vq)
     e = vectors.select(F.col(id_col).alias("vid"), vq.alias("vq"))
 
     def bit(b: int) -> Column:

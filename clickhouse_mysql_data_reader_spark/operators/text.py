@@ -339,10 +339,16 @@ def blocklist_hits_expr(text: Column, blocklist: tuple[str, ...]) -> Column:
     """Array of blocklisted tokens in ``text`` (token-boundary match
     over normalized tokens) — the shared expression core of
     ``blocklist_gate`` and the curation pipeline's gate, so the two
-    cannot drift."""
+    cannot drift. NULL text coalesces to the empty array: a NULL
+    contains no blocked words and must PASS — without the coalesce,
+    size(NULL) = -1 under Spark's legacy sizeOfNull silently fails the
+    doc with block_hits = -1 and no offending terms."""
     if not blocklist:
         raise ValueError("blocklist must be non-empty")
-    return F.filter(tokens(text), lambda t: t.isin(*blocklist))
+    return F.coalesce(
+        F.filter(tokens(text), lambda t: t.isin(*blocklist)),
+        F.array().cast("array<string>"),
+    )
 
 
 def blocklist_pass_expr(text: Column, blocklist: tuple[str, ...]) -> Column:
@@ -368,13 +374,17 @@ def blocklist_gate(
     cheapest test with the highest drop rate on web text, and running
     it before the shuffling stages shrinks everything downstream.
     """
-    tk = tokens(F.col(text_col))
+    # NULL text -> zero tokens, zero hits, passed (see
+    # blocklist_hits_expr; a bare size(tokens(NULL)) would report -1)
+    tk = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
     hits_arr = blocklist_hits_expr(F.col(text_col), blocklist)
     return df.select(
         F.col(id_col),
         F.size(tk).alias("n_tokens"),
         F.size(hits_arr).alias("block_hits"),
-        (F.size(hits_arr) / F.size(tk)).alias("block_ratio"),
+        F.when(F.size(tk) == 0, F.lit(0.0))
+        .otherwise(F.size(hits_arr) / F.size(tk))
+        .alias("block_ratio"),
         (F.size(hits_arr) == 0).alias("passed"),
         F.array_join(F.array_sort(F.array_distinct(hits_arr)), ",").alias("hit_terms"),
     )

@@ -57,7 +57,12 @@ def read_jsonl(
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     if schema is not None and mode == "PERMISSIVE" and corrupt_col not in schema.names:
-        schema = schema.add(corrupt_col, T.StringType(), True)
+        # COPY first: StructType.add mutates in place and returning
+        # self would leak the quarantine column into the CALLER'S
+        # schema object (phantom field in every later reuse)
+        schema = T.StructType(list(schema.fields)).add(
+            corrupt_col, T.StringType(), True
+        )
     reader = spark.read.option("mode", mode).option("columnNameOfCorruptRecord", corrupt_col)
     if line_sep is not None:
         reader = reader.option("lineSep", line_sep)
@@ -122,7 +127,12 @@ def read_jsonl_stream(
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     if mode == "PERMISSIVE" and corrupt_col not in schema.names:
-        schema = schema.add(corrupt_col, T.StringType(), True)
+        # COPY first: StructType.add mutates in place and returning
+        # self would leak the quarantine column into the CALLER'S
+        # schema object (phantom field in every later reuse)
+        schema = T.StructType(list(schema.fields)).add(
+            corrupt_col, T.StringType(), True
+        )
     reader = (
         spark.readStream.schema(schema)
         .option("mode", mode)

@@ -2041,3 +2041,38 @@ def test_state_growth_report_tracks_appends_and_compaction(spark, tmp_path):
     assert r3["fingerprints"]["rows"] == 10
     assert r3["fingerprints"]["docs"] == 10
     assert r3["fingerprints"]["files"] <= r2["fingerprints"]["files"]
+
+
+def test_prefix_backfill_on_legacy_state_and_crash_recovery(spark, tmp_path):
+    """(1) A prefix-enabled handle writing over a LEGACY prefix-less
+    state must backfill the landed history before appending, or older
+    docs stay invisible to the landed-prefix probe direction.
+    (2) ensure_prefixes must recover from its own crashed attempt
+    (staging leftovers) instead of wedging on mode('error')."""
+    import os
+
+    from clickhouse_mysql_data_reader_spark.curation import CurationState
+
+    sd = str(tmp_path) + "/st"
+    legacy = CurationState(sd)
+    docs1 = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc {i} " * 4) for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    legacy.write(docs1)
+
+    upgraded = CurationState(sd, jaccard_exact_threshold=0.8)
+    # simulate a crashed earlier backfill attempt: stale staging dir
+    os.makedirs(sd + "/prefixes__bf/_temporary", exist_ok=True)
+    docs2 = spark.createDataFrame(
+        [(i, f"epsilon zeta eta theta doc {i} " * 4) for i in range(10, 13)],
+        "doc_id long, text string",
+    )
+    upgraded.write(docs2)
+
+    assert not os.path.exists(sd + "/prefixes__bf")  # staging cleaned up
+    pref_docs = {
+        r["doc_id"] for r in upgraded.prefixes(spark).select("doc_id").distinct().collect()
+    }
+    # batch-1 docs BACKFILLED, batch-2 docs appended — both visible
+    assert {1, 2, 3, 4} <= pref_docs and {10, 11, 12} <= pref_docs

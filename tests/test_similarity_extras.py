@@ -163,3 +163,19 @@ def test_centroid_drift_numpy_crosscheck_and_edges(spark):
     assert zz[0]["centroid_cos"] == 0.0
     only_old = spark.createDataFrame([(42, [1.0] * 8)], schema)
     assert centroid_drift(only_old, new).count() == 0
+
+
+def test_srp_expr_path_raises_on_dim_mismatch(spark):
+    """zip_with NULL-pads short vectors and the sign fold would silently
+    map every bit to 0 (all malformed vectors colliding in one bucket);
+    both impls must RAISE instead, identically."""
+    from clickhouse_mysql_data_reader_spark.operators.similarity import (
+        srp_band_table,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, [0.5] * 8), (2, [0.5] * 4)], "vec_id long, embedding array<float>"
+    )
+    for impl in ("expr", "arrow"):
+        with pytest.raises(Exception, match="dim|shape|length"):
+            srp_band_table(bad, dim=8, n_bits=8, n_bands=2, impl=impl).collect()

@@ -274,3 +274,24 @@ def test_jsonl_stream_matches_batch_and_quarantines(spark, tmp_path):
     assert bad == ["broken line"]
     with pytest.raises(ValueError, match="mode must be one of"):
         read_jsonl_stream(spark, str(d), schema="doc_id bigint", mode="NOPE")
+
+
+def test_read_jsonl_does_not_mutate_caller_schema(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from clickhouse_mysql_data_reader_spark.sources.jsonl import (
+        read_jsonl,
+        read_jsonl_stream,
+    )
+
+    p = tmp_path / "s.jsonl"
+    p.write_text('{"a": 1}\n')
+    schema = T.StructType([T.StructField("a", T.LongType(), True)])
+    df = read_jsonl(spark, str(p), schema=schema)
+    assert "_corrupt_record" in df.columns
+    # the CALLER's object must be untouched (StructType.add mutates in
+    # place — a leaked phantom column breaks every later reuse)
+    assert schema.fieldNames() == ["a"]
+    stream = read_jsonl_stream(spark, str(tmp_path), schema=schema)
+    assert "_corrupt_record" in stream.columns
+    assert schema.fieldNames() == ["a"]

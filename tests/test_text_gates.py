@@ -617,3 +617,27 @@ def test_bpe_pretokens_pieces_and_bounds(spark):
     # upper bound on the whitespace count and on true BPE tokens
     for r in out.values():
         assert r["n"] == len(r["pieces"]) >= r["ws"]
+
+
+def test_blocklist_gate_null_and_empty_text_pass(spark):
+    from clickhouse_mysql_data_reader_spark.operators.text import (
+        blocklist_gate,
+        blocklist_pass_expr,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "clean words"), (3, "buy viagra now")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in blocklist_gate(docs, "text", "doc_id").collect()}
+    # NULL text: zero tokens, zero hits, PASSES (it contains nothing) —
+    # not the silent -1/-1/fail the legacy sizeOfNull produced
+    assert (out[1]["n_tokens"], out[1]["block_hits"], out[1]["passed"]) == (0, 0, True)
+    assert out[1]["block_ratio"] == 0.0 and out[1]["hit_terms"] == ""
+    assert out[2]["passed"] is True
+    assert out[3]["passed"] is False and out[3]["hit_terms"] == "viagra"
+
+    flags = docs.select(
+        "doc_id", blocklist_pass_expr(F.col("text"), ("viagra",)).alias("ok")
+    ).collect()
+    assert {r["doc_id"]: r["ok"] for r in flags} == {1: True, 2: True, 3: False}
