@@ -652,6 +652,100 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN CAST(0.05 AS DECIMAL(18,4))
+                         AND CAST(0.07 AS DECIMAL(18,4))
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 (forecast revenue change): the pure scan-side query — "
+    "every predicate (date band, discount band, quantity cap) pushes "
+    "into the parquet scan, the aggregate is one map-side-combined "
+    "row, and there is NO join or window anywhere. At 100 TB this is "
+    "the I/O-bound baseline the other queries are measured against. "
+    "The discount band compares DECIMAL-quantized values so the "
+    "0.05/0.07 boundary rows are engine-exact (raw double literals "
+    "would make them representation-dependent).",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & disc.between(
+                F.lit("0.05").cast("decimal(18,4)"), F.lit("0.07").cast("decimal(18,4)")
+            )
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * disc).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1 - l_discount AS DECIMAL(18,4))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier, rev
+    WHERE s_suppkey = suppkey
+      AND total_rev = (SELECT max(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 (top supplier; the reference view becomes a CTE): "
+    "quarter-pruned per-supplier revenue, then supplier(s) matching "
+    "the GLOBAL max — the scalar-subquery-against-own-aggregate shape. "
+    "Scale: the revenue aggregate is map-side-combined to one row per "
+    "supplier; the max reduces that to ONE row which joins back as a "
+    "broadcast; ties all surface (deterministic, no LIMIT). Exact "
+    "decimal end to end — the max and the equality compare the same "
+    "exact DECIMAL, so no float-equality hazard.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(
+            _dec("l_extendedprice")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+        ).alias("total_rev")
+    )
+    top = rev.agg(F.max("total_rev").alias("_max_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), rev.total_rev == F.col("_max_rev"))
+        .join(supp, F.col("s_suppkey") == F.col("suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
     "agg_count_distinct",
     """
     SELECT o_orderpriority,

@@ -390,6 +390,13 @@ DEPRIORITIZED = (
     # Q13), and a decorrelated per-key-stats join whose scaled-integer
     # threshold is the anomaly_events_zscore idiom (Q17). Full DuckDB
     # oracles in pytest every CI run. Rotation candidates for r9.
+    # Q6: the pure pushdown-scan + one-row exact-decimal aggregate
+    # (the q1 family minus the groupBy); Q15: per-key aggregate + 1-row
+    # global max broadcast back (the q18 HAVING shape against the
+    # query's OWN aggregate, exact-decimal equality). Both full DuckDB
+    # oracles in pytest every CI run; rotation candidates for r9.
+    "q6_forecast_revenue",
+    "q15_top_supplier",
     "q7_volume_shipping",
     "q10_returned_items",
     "q13_customer_distribution",
