@@ -305,9 +305,11 @@ def main() -> None:
         "corpus_snapshot_diff": time_query("corpus_snapshot_diff"),
         "anomaly_events_zscore": time_query("anomaly_events_zscore"),
         # late-round-8 TPC-H breadth + the window distribution family
+        "q6_forecast_revenue": time_query("q6_forecast_revenue"),
         "q7_volume_shipping": time_query("q7_volume_shipping"),
         "q10_returned_items": time_query("q10_returned_items"),
         "q13_customer_distribution": time_query("q13_customer_distribution"),
+        "q15_top_supplier": time_query("q15_top_supplier"),
         "q17_small_quantity_revenue": time_query("q17_small_quantity_revenue"),
         "window_pctile_ntile": time_query("window_pctile_ntile"),
         "embed_centroid_drift": time_query("embed_centroid_drift"),
