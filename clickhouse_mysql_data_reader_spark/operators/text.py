@@ -1993,3 +1993,69 @@ def collapse_repeated_lines(text: Column, min_line_chars: int = 1) -> Column:
     )
     # split("") is [""] so ln is never empty; still guard for null text
     return F.when(text.isNotNull(), collapsed)
+
+
+#: tiny function-word families per language — enough signal for a
+#: density argmax on real prose; production swaps in fastText/CLD.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": EN_STOPWORDS,
+    "fr": ("le", "la", "les", "de", "des", "et", "un", "une", "est", "dans"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "von"),
+    "es": ("el", "la", "los", "las", "de", "y", "un", "una", "es", "en"),
+}
+
+
+def lang_id_multi(
+    col: Column,
+    lang_stopwords: dict[str, tuple[str, ...]] | None = None,
+    min_ratio: float = 0.05,
+    mixed_margin: float = 0.5,
+) -> Column:
+    """Multi-language function-word ID: a struct
+    (lang, best_ratio, second_ratio, is_mixed) — argmax of per-language
+    stopword density over the SAME token array (built once, each
+    family folds over it in-place; adding a language costs one
+    expression, not a pass). ``lang`` is 'unk' when no family reaches
+    ``min_ratio``; ``is_mixed`` flags docs whose runner-up density is
+    within ``mixed_margin`` of the winner's — the code-switched /
+    concatenated-document shape a per-language corpus split must route
+    to review rather than to either bucket. Deterministic tie-break:
+    equal ratios resolve to the lexicographically smallest language
+    code. Zero shuffles, rides the scan like `lang_id` (which this
+    generalizes; that one stays as the cheap en-vs-unk gate)."""
+    langs = LANG_STOPWORDS if lang_stopwords is None else lang_stopwords
+    if not langs:
+        raise ValueError("lang_id_multi: no language families")
+    tk = F.coalesce(tokens(col), F.array().cast("array<string>"))
+    n = F.greatest(F.size(tk), F.lit(1))
+    scored = F.array(
+        *[
+            F.struct(
+                (F.size(F.filter(tk, lambda t: t.isin(*sw))) / n).alias("ratio"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, sw in sorted(langs.items())
+        ]
+    )
+    # array_sort on (ratio, lang) structs: ascending ratio, then lang —
+    # the LAST element is the winner with the lexicographically LARGEST
+    # code on ties; reverse the ordering of the lang field by sorting
+    # descending via negative? Struct sort is field-order ascending, so
+    # take the max ratio then min lang among its holders explicitly.
+    best_ratio = F.array_max(F.transform(scored, lambda s: s["ratio"]))
+    winners = F.filter(scored, lambda s: s["ratio"] == best_ratio)
+    best_lang = F.array_min(F.transform(winners, lambda s: s["lang"]))
+    runners = F.filter(scored, lambda s: s["lang"] != best_lang)
+    second_ratio = F.coalesce(
+        F.array_max(F.transform(runners, lambda s: s["ratio"])), F.lit(0.0)
+    )
+    return F.struct(
+        F.when(best_ratio >= min_ratio, best_lang).otherwise(F.lit("unk")).alias("lang"),
+        F.round(best_ratio, 6).alias("best_ratio"),
+        F.round(second_ratio, 6).alias("second_ratio"),
+        (
+            (best_ratio >= min_ratio)
+            & (second_ratio >= best_ratio * mixed_margin)
+            & (second_ratio > 0)
+        ).alias("is_mixed"),
+    )

@@ -641,3 +641,34 @@ def test_blocklist_gate_null_and_empty_text_pass(spark):
         "doc_id", blocklist_pass_expr(F.col("text"), ("viagra",)).alias("ok")
     ).collect()
     assert {r["doc_id"]: r["ok"] for r in flags} == {1: True, 2: True, 3: False}
+
+
+def test_lang_id_multi_argmax_mixed_and_unk(spark):
+    from clickhouse_mysql_data_reader_spark.operators.text import lang_id_multi
+
+    rows = [
+        (1, "the cat is in the house and it is warm"),            # en
+        (2, "le chat est dans la maison et les oiseaux"),         # fr
+        (3, "der Hund ist nicht mit der Katze und die Maus"),     # de
+        (4, "el perro y el gato es en la casa"),                  # es (la/el/de overlap fr)
+        (5, "the cat le chat the dog le chien in dans"),          # mixed en/fr
+        (6, "zzz qqq www xxx yyy"),                               # unk
+        (7, None),                                                # null -> unk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["lid"]
+        for r in df.select(
+            "doc_id", lang_id_multi(F.col("text")).alias("lid")
+        ).collect()
+    }
+    assert out[1]["lang"] == "en" and not out[1]["is_mixed"]
+    assert out[2]["lang"] == "fr"
+    assert out[3]["lang"] == "de" and not out[3]["is_mixed"]
+    assert out[4]["lang"] == "es"
+    assert out[5]["is_mixed"] and out[5]["lang"] in ("en", "fr")
+    assert out[6]["lang"] == "unk"
+    assert out[7]["lang"] == "unk" and out[7]["is_mixed"] is False
+
+    with pytest.raises(ValueError, match="no language families"):
+        lang_id_multi(F.col("text"), {})
