@@ -79,6 +79,15 @@ class CurationConfig:
     # DEFAULT_BLOCKLIST is a starter spam/adult list; production
     # pipelines pass their own.
     blocklist: tuple[str, ...] | None = None
+    # opt-in language gate (operators/text.py lang_id_multi): keep only
+    # docs whose function-word-density argmax lands in this set;
+    # ``lang_drop_mixed`` additionally drops code-switched docs whose
+    # runner-up language density nears the winner's (they pollute both
+    # per-language buckets). Pure scan-stage expression like the
+    # blocklist — stateless, so batch/increment/streaming behave
+    # identically. None = off.
+    lang_allow: tuple[str, ...] | None = None
+    lang_drop_mixed: bool = True
     # opt-in corpus-level boilerplate gate (operators/text.py
     # ngram_boilerplate): drop docs whose shingle coverage by
     # corpus-wide frequent fragments exceeds this (templated
@@ -368,6 +377,18 @@ def _row_stages(
         gated_in = docs.filter(blocklist_pass_expr(F.col(text_col), cfg.blocklist))
     else:
         gated_in = docs
+
+    if cfg.lang_allow:
+        # language gate next (still scan-stage, zero shuffles): keep
+        # the allowlisted argmax languages, optionally dropping
+        # mixed-language docs (operators/text.py lang_id_multi)
+        from clickhouse_mysql_data_reader_spark.operators.text import lang_id_multi
+
+        lid = lang_id_multi(F.col(text_col))
+        keep = lid["lang"].isin(*cfg.lang_allow)
+        if cfg.lang_drop_mixed:
+            keep = keep & ~lid["is_mixed"]
+        gated_in = gated_in.filter(keep)
 
     gate = gate_columns(gated_in, text_col)
     gated = gate.filter(F.col("quality_score") >= cfg.min_quality_score)

@@ -2076,3 +2076,46 @@ def test_prefix_backfill_on_legacy_state_and_crash_recovery(spark, tmp_path):
     }
     # batch-1 docs BACKFILLED, batch-2 docs appended — both visible
     assert {1, 2, 3, 4} <= pref_docs and {10, 11, 12} <= pref_docs
+
+
+def test_curate_language_gate(spark, tmp_path):
+    """Opt-in language gate: non-allowlisted and mixed-language docs
+    drop at the scan stage; stateless, so increments equal the batch
+    run by construction — pinned anyway."""
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationState,
+        curate_increment,
+    )
+
+    french = (
+        "le chat est dans la maison et les oiseaux sont dans le jardin "
+        "et la nuit est longue dans la ville et le vent est froid"
+    )
+    mixed = GOOD + " " + french
+    docs = _mk_docs(spark, [(1, "web", GOOD), (2, "web", french), (3, "web", mixed)])
+
+    cfg = CurationConfig(near_dup_jaccard=0.5, lang_allow=("en",))
+    res = curate(docs, cfg=cfg)
+    assert {r["doc_id"] for r in res.quality_gated.collect()} == {1}
+
+    # min_quality_score=0 isolates the LANGUAGE gate: the downstream
+    # quality score is EN-stopword-based and would drop the pure-French
+    # doc on fluency grounds, which is not what's under test here
+    keep_mixed = CurationConfig(
+        near_dup_jaccard=0.5,
+        lang_allow=("en", "fr"),
+        lang_drop_mixed=False,
+        min_quality_score=0.0,
+    )
+    assert {
+        r["doc_id"] for r in curate(docs, cfg=keep_mixed).quality_gated.collect()
+    } == {1, 2, 3}
+
+    state = CurationState(os.path.join(str(tmp_path), "lang_state"))
+    inc1 = curate_increment(_mk_docs(spark, [(1, "web", GOOD)]), state, cfg=cfg)
+    inc2 = curate_increment(
+        _mk_docs(spark, [(2, "web", french), (3, "web", mixed)]), state, cfg=cfg
+    )
+    assert {r["doc_id"] for r in inc1.collect()} | {
+        r["doc_id"] for r in inc2.collect()
+    } == {1}
