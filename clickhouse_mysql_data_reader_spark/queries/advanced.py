@@ -840,6 +840,60 @@ def agg_conditional_funcs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST(CAST(n AS HUGEINT) * 1000000
+                // sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+             AS prob_x1e6
+    FROM pairs
+    """,
+    doc="Markov transition matrix over per-user event streams: the "
+    "normalized form of events_transition_topk — P(next | prev) as "
+    "EXACT scaled-integer probabilities (n*1e6 div row total, the "
+    "truncating-div idiom) so the matrix is engine-identical. Scale: "
+    "the pair counts reduce to types^2 rows before the per-prev window "
+    "normalization, so the window runs over a tiny frame no matter "
+    "how many raw events.",
+)
+def events_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(W.partitionBy("prev_type"))
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("n * 1000000").alias("_num"),
+        total.alias("_den"),
+    ).select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("_num div _den").alias("prob_x1e6"),
+    )
+
+
+@register(
     "agg_salted_skew",
     """
     SELECT l_returnflag,

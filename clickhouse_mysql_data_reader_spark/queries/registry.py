@@ -490,6 +490,11 @@ DEPRIORITIZED = (
     # top-k is the TakeOrderedAndProject family; full DuckDB oracle in
     # pytest every CI run. Rotation candidate for r9.
     "events_transition_topk",
+    # transition matrix (born deprioritized, round 8): the normalized
+    # sibling of events_transition_topk — identical lag/pair machinery
+    # plus the scaled-integer div idiom over a types^2 frame; full
+    # DuckDB oracle in pytest every CI run. Rotation candidate for r9.
+    "events_transition_matrix",
     # conditional aggregates (born deprioritized, round 8): scalar
     # aggregate-function breadth in the q1/agg_count_distinct
     # HashAggregate family (count_if is a CASE-sum, the bool folds are
