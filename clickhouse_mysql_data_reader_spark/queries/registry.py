@@ -370,37 +370,98 @@ QUERIES: dict[str, QueryDef] = {}
 # ROTATED INTO the checked 50 late in the round (see the rotation
 # block inside DEPRIORITIZED below for the six members they displaced
 # and each displacement's containment rationale).
+# Round 9 ROTATION (per the round-8 verdict): twelve queries that had
+# NEVER had a driver row rotate INTO the checked 50, new machinery
+# first — the round-8 monitoring/analytics family (anomaly_events_
+# zscore, validate_orders_rules, corpus_snapshot_diff, hist_quantiles_
+# events, events_transition_matrix, join_salted_skew, json_flatten_
+# events, multimodal_audio_windows) and four TPC-H compositions
+# starting with the two that carry real machinery (Q17 decorrelation,
+# Q19 CNF per-side pushdown) plus the broadest join plan (Q5) and the
+# conditional-share form (Q14). Twelve members with multi-round
+# driver-green history on unchanged plans rotate out, each
+# hash-covered by a checked containing query or family sibling:
+#   - doc_chunk_overlap (driver-green r5-r8): zero-shuffle
+#     explode+slice chunking — the identical chunking stage runs
+#     INSIDE the checked rag_chunk_retrieve (operators/text.py
+#     chunk_documents is shared), and dedup_exact_substring keeps the
+#     sequence/explode/slice-over-token-arrays plan checked
+#   - sample_weighted_topk (driver-green r7-r8, pytest r5+): its
+#     md5-uniform draw is the hash_bucket machinery the still-checked
+#     sample_mixture_epochs and sample_source_cap hash-verify; its
+#     TakeOrderedAndProject is the checked text_bm25_topk /
+#     rag_chunk_retrieve top-k
+#   - sample_shuffle_order (driver-green r6-r8): same md5 draw; its
+#     rank-per-partition window is the WindowExec family the checked
+#     window_session_gaps pins; the sampling family keeps
+#     mixture_epochs + source_cap checked
+#   - doc_corpus_stats (driver-green r6-r8): plain two-level groupBy
+#     aggregate — the checked q1_pricing_summary HashAggregate family
+#     with a bounded collect_list histogram
+#   - text_lm_surprisal (driver-green r7-r8): the still-checked
+#     text_lm_bigram runs the same explode + count + broadcast-join +
+#     per-doc-agg plan family PLUS stupid backoff on top; both share
+#     the scaled-integer-div determinism trick
+#   - text_ccnet_buckets (driver-green r6-r8): pure composition —
+#     lm-surprisal scoring (bigram sibling still checked) + exact
+#     percentile thresholds (quantile semantics now carried by the
+#     rotated-in hist_quantiles_events; the exact anchors stay
+#     pytest-oracle-checked every CI run)
+#   - text_hashed_embed (driver-green r7-r8): its hashed-BoW
+#     array-fold is the scoring input the checked rag_chunk_retrieve
+#     hash-verifies end-to-end (shared hashing idiom)
+#   - text_boilerplate_ngrams (driver-green r5-r8): its shingle-table
+#     + document-frequency machinery is hash-verified by the checked
+#     dedup_containment_near / dedup_lsh_jaccard (shared shingle
+#     helpers); still a bench extras entry every round
+#   - dedup_embed_near_multiprobe (driver-green r5-r8): the embedding
+#     near-dup family keeps the SRP pair checked (embed_srp_bands +
+#     dedup_embed_near_srp, rotated in r8 and green); the IVF probe
+#     path's recall vs the exact baseline is pinned in pytest every CI
+#     run and ivfpq_probe_search stays a bench extra
+#   - doc_span_decontaminate (driver-green r7-r8): composition — the
+#     window-fingerprint + excision machinery runs INSIDE the checked
+#     dedup_exact_substring (shared _token_windows/_excise_marked),
+#     and the round-7 stream-level parity test pins both
+#     contamination directions every CI run
+#   - agg_approx_percentile (driver-green r1-r8, the longest streak):
+#     approx family keeps agg_approx_distinct checked; quantile
+#     semantics are now driver-carried by the rotated-in
+#     hist_quantiles_events; the exact p50/p90 anchors stay
+#     pytest-oracle-checked every CI run
+#   - funnel_window_3step (driver-green r1-r8): the sequential/event
+#     family is now driver-carried by the rotated-in
+#     events_transition_matrix (identical per-user time-ordered
+#     partition machinery); the funnel's conditional-agg-per-user is
+#     the CASE-sum idiom the rotated-in validate_orders_rules
+#     hash-verifies
 DEPRIORITIZED = (
-    "q5_local_supplier_volume",
+    "doc_chunk_overlap",
+    "sample_weighted_topk",
+    "sample_shuffle_order",
+    "doc_corpus_stats",
+    "text_lm_surprisal",
+    "text_ccnet_buckets",
+    "text_hashed_embed",
+    "text_boilerplate_ngrams",
+    "dedup_embed_near_multiprobe",
+    "doc_span_decontaminate",
+    "agg_approx_percentile",
+    "funnel_window_3step",
     "q18_large_volume_customer",
-    # TPC-H Q14/Q19 (born deprioritized, round 8): compositions of
-    # checked families like Q3/Q5/Q18 — q1's exact-decimal revenue
-    # idiom over a date-pruned fact scan joined to the part dim
-    # (Q14's conditional share = the agg_pivot CASE-sum family; Q19's
-    # OR-of-ANDs join is the join_theta family with CNF per-side
-    # pushdown, plan-guarded in test_plans.py); full DuckDB oracles in
-    # pytest every CI run. Rotation candidates for r9.
-    "q14_promo_effect",
-    "q19_disjunctive_revenue",
-    # TPC-H Q7/Q10/Q13/Q17 (born deprioritized, round 8): the same
-    # composition argument as Q3/Q5/Q14/Q18/Q19 — broadcast nation
-    # dims, date/flag-pruned fact scans, exact-decimal revenue (q1
-    # idiom), TakeOrderedAndProject top-k (Q10), left-outer +
-    # two-level aggregate (the join_outer_coalesce + q1 families,
-    # Q13), and a decorrelated per-key-stats join whose scaled-integer
-    # threshold is the anomaly_events_zscore idiom (Q17). Full DuckDB
-    # oracles in pytest every CI run. Rotation candidates for r9.
-    # Q6: the pure pushdown-scan + one-row exact-decimal aggregate
-    # (the q1 family minus the groupBy); Q15: per-key aggregate + 1-row
-    # global max broadcast back (the q18 HAVING shape against the
-    # query's OWN aggregate, exact-decimal equality). Both full DuckDB
-    # oracles in pytest every CI run; rotation candidates for r9.
+    # TPC-H Q6/Q7/Q10/Q13/Q15/Q18 remain deprioritized (rotation
+    # candidates for r10): the same composition argument as
+    # Q3/Q5/Q14/Q17/Q19 — broadcast nation dims, date/flag-pruned fact
+    # scans, exact-decimal revenue (q1 idiom), TakeOrderedAndProject
+    # top-k (Q10), left-outer + two-level aggregate (Q13), per-key
+    # aggregate vs 1-row global max (Q15), HAVING-semi-join (Q18),
+    # pure pushdown scan + one-row aggregate (Q6). Full DuckDB oracles
+    # in pytest every CI run.
     "q6_forecast_revenue",
     "q15_top_supplier",
     "q7_volume_shipping",
     "q10_returned_items",
     "q13_customer_distribution",
-    "q17_small_quantity_revenue",
     # percent_rank/ntile (born deprioritized, round 8): single-window
     # ranking family of the checked window_session_gaps and the
     # long-green window_rank_dense (rank/dense_rank/cume_dist) — same
@@ -419,20 +480,6 @@ DEPRIORITIZED = (
     # the frame-plan sibling the explode pattern; full DuckDB oracle
     # in pytest every CI run. Rotation candidate for r9.
     "multimodal_resize_plan",
-    # corpus snapshot diff (born deprioritized, round 8): the
-    # full-outer id join is the cdc_apply/join_outer_coalesce plan
-    # family and the md5-fingerprint compare is the machinery the
-    # checked text_line_dedup/dedup_exact_groups hash-verify; the
-    # conditional-count agg is the agg_pivot CASE-sum family. Full
-    # DuckDB oracle in pytest every CI run; rotation candidate for r9.
-    "corpus_snapshot_diff",
-    # z-score anomaly report (born deprioritized, round 8): broadcast
-    # of a tiny per-key stats agg back onto the fact scan — the
-    # join_broadcast_dim plan family — and the scaled-integer exact
-    # test is the checked text_bm25_topk/text_lm_surprisal idiom
-    # (DECIMAL(38,0) vs HUGEINT twin). Full DuckDB oracle in pytest
-    # every CI run; rotation candidate for r9.
-    "anomaly_events_zscore",
     # embedding centroid drift (born deprioritized, round 8): the
     # posexplode + map-side (label, dim) aggregate is the
     # embed_cell_assign/centroid plan family and the scaled-integer
@@ -440,12 +487,6 @@ DEPRIORITIZED = (
     # full DuckDB oracle in pytest every CI run. Rotation candidate
     # for r9.
     "embed_centroid_drift",
-    # declarative validation rules (born deprioritized, round 8): the
-    # one-scan wide aggregate + constant-explode unpivot is exactly
-    # the checked profile_orders_table plan family (same module, same
-    # Expand-for-distinct machinery); full DuckDB oracle in pytest
-    # every CI run. Rotation candidate for r9.
-    "validate_orders_rules",
     # rate anomaly composition (born deprioritized, round 8): the
     # hourly pre-aggregate is the q1/window_tumbling_hourly
     # HashAggregate family and the detector stage is byte-identical
@@ -459,42 +500,12 @@ DEPRIORITIZED = (
     # batch==stream parity pinned in test_streaming.py. Full DuckDB
     # oracle in pytest every CI run. Rotation candidate for r9.
     "anomaly_events_flags",
-    # landed-histogram quantiles (born deprioritized, round 8): the
-    # integer tick binning is the anomaly/sketch scaled-integer idiom,
-    # the bin groupBy is the q1 HashAggregate family, and the
-    # cumulative window over bins is the checked window family; the
-    # approx-quantile semantics are anchored by the long-driver-green
-    # agg_approx_percentile. Full DuckDB oracle in pytest every CI
-    # run. Rotation candidate for r9.
-    "hist_quantiles_events",
-    # JSON flatten (born deprioritized, round 8): the from_json /
-    # get_json_object machinery is the scalar_json_funcs family
-    # (driver-green r1-r5) at scan stage; the schema-inference driver
-    # sample is unit-pinned. Full DuckDB oracle in pytest every CI
-    # run. Rotation candidate for r9.
-    "json_flatten_events",
-    # salted join (born deprioritized, round 8): the salt machinery is
-    # the checked agg_salted_skew's _row_salt at the join level and
-    # the oracle is the plain join+aggregate (q1 HashAggregate
-    # family); join semantics guards are unit-pinned in test_skew.py.
-    # Rotation candidate for r9.
-    "join_salted_skew",
-    # audio window plan (born deprioritized, round 8): the
-    # sequence+explode machinery is the checked multimodal family's
-    # frame plan with a window clamp; full DuckDB oracle in pytest
-    # every CI run. Rotation candidate for r9.
-    "multimodal_audio_windows",
     # event transitions (born deprioritized, round 8): the per-user
     # time-ordered lag window is the checked window_session_gaps plan
     # (identical partition/order, different downstream fold) and the
     # top-k is the TakeOrderedAndProject family; full DuckDB oracle in
     # pytest every CI run. Rotation candidate for r9.
     "events_transition_topk",
-    # transition matrix (born deprioritized, round 8): the normalized
-    # sibling of events_transition_topk — identical lag/pair machinery
-    # plus the scaled-integer div idiom over a types^2 frame; full
-    # DuckDB oracle in pytest every CI run. Rotation candidate for r9.
-    "events_transition_matrix",
     # conditional aggregates (born deprioritized, round 8): scalar
     # aggregate-function breadth in the q1/agg_count_distinct
     # HashAggregate family (count_if is a CASE-sum, the bool folds are

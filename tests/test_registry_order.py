@@ -73,7 +73,30 @@ DRIVER_CAP = 50
 # text_pii_redact / doc_corpus_contamination — each driver-green for
 # 3-7 straight rounds with a checked containment sibling (rationale
 # per displacement inside registry.DEPRIORITIZED).
+# Round 9 rotated in the twelve never-driver-checked round-8-born
+# queries and TPC-H compositions (the eight monitoring/analytics names
+# below plus Q5/Q14/Q17/Q19 — Q17 carries the decorrelation machinery,
+# Q19 the CNF per-side pushdown), displacing doc_chunk_overlap /
+# sample_weighted_topk / sample_shuffle_order / doc_corpus_stats /
+# text_lm_surprisal / text_ccnet_buckets / text_hashed_embed /
+# text_boilerplate_ngrams / dedup_embed_near_multiprobe /
+# doc_span_decontaminate / agg_approx_percentile / funnel_window_3step
+# — each with multi-round driver-green history and a checked
+# containment sibling (rationale per displacement inside
+# registry.DEPRIORITIZED).
 MUST_BE_CHECKED = {
+    "q5_local_supplier_volume",
+    "q14_promo_effect",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "corpus_snapshot_diff",
+    "anomaly_events_zscore",
+    "validate_orders_rules",
+    "hist_quantiles_events",
+    "json_flatten_events",
+    "join_salted_skew",
+    "events_transition_matrix",
+    "multimodal_audio_windows",
     "jsonl_roundtrip_documents",
     "embed_srp_bands",
     "dedup_embed_near_srp",
@@ -90,19 +113,14 @@ MUST_BE_CHECKED = {
     "dedup_bloom_prefilter",
     "text_lm_bigram",
     "agg_rollup",
-    "agg_approx_percentile",
     "agg_salted_skew",
     "join_broadcast_dim",
     "join_shuffle_fact_fact",
-    "text_ccnet_buckets",
     "join_asof_attrib",
-    "doc_corpus_stats",
     "text_line_dedup",
     "window_session_gaps",
-    "dedup_embed_near_multiprobe",
     "dedup_simhash_near",
     "sample_source_cap",
-    "sample_shuffle_order",
     "scan_prune_filter",
     "table_name_filter",
     "type_coercion_parity",
@@ -113,17 +131,10 @@ MUST_BE_CHECKED = {
     "dedup_exact_substring",
     "dedup_containment_near",
     "text_quality_score",
-    "text_boilerplate_ngrams",
     "dedup_cluster_best_keeper",
     "sample_mixture_epochs",
-    "funnel_window_3step",
     "multimodal_features",
-    "doc_span_decontaminate",
     "text_paragraph_dedup",
-    "text_lm_surprisal",
-    "doc_chunk_overlap",
-    "sample_weighted_topk",
-    "text_hashed_embed",
 }
 
 
