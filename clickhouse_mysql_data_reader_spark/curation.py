@@ -208,6 +208,35 @@ class CurationConfig:
     # concatenation exactly on a history-free state and keep the
     # first-landed member across batches.
     near_dup_keeper: str = "min_id"
+    # opt-in THIRD near-dup edge type: embedding-cosine (semantic)
+    # near-dup at this threshold, candidates from SRP-LSH banding
+    # (operators/similarity.py srp_band_table / near_dup_pairs_srp —
+    # Charikar 2002 sign-random-projection, quantizer-free: the
+    # hyperplanes are md5-derived from (seed, bit, dim), so bands
+    # written by one session join against any other's). Catches the
+    # duplicates no shingle metric can: paraphrases, translations
+    # re-encoded to the same embedding, templated rewrites — the
+    # semantic layer modern pipelines (SemDeDup, Abbas et al. 2023)
+    # run AFTER lexical dedup. Docs must carry ``embed_col`` (an
+    # array<float/double> of length ``embed_dim``); candidates are
+    # verified with the exact rounded cosine, so banding can only
+    # LOSE pairs, never invent them. Edges union with the lexical
+    # ones before connected components, exactly like containment. In
+    # ``curate_increment`` the state must be embed-enabled (construct
+    # CurationState with matching embed_* parameters): write() then
+    # lands each kept batch's SRP bands AND embedding vectors, and
+    # later batches drop semantic dups of history via a band
+    # bucket-join + exact-cosine verify against the landed vectors —
+    # per-batch cost, history text/vectors never re-derived. None = off.
+    embed_near_cos: float | None = None
+    embed_col: str = "embedding"
+    # SRP geometry — must be set (dim) / must match the landed state's
+    # manifest in increments (all four; a mismatch means band values
+    # that can never collide, i.e. silently missed semantic dups)
+    embed_dim: int | None = None
+    embed_bits: int = 32
+    embed_srp_bands: int = 4
+    embed_seed: str = "srp"
     contamination_threshold: float = 0.5
     # decontamination policy when `benchmark` is given: "drop_docs"
     # removes any corpus doc whose shingle overlap with a benchmark
@@ -307,6 +336,17 @@ class CurationConfig:
                 "meant to prevent. Set near_dup_keeper='longest'.",
                 UserWarning,
                 stacklevel=2,
+            )
+        if self.embed_near_cos is not None and self.embed_dim is None:
+            raise ValueError(
+                "embed_near_cos needs embed_dim: the SRP hyperplanes are "
+                "a function of the vector dimensionality, and a landed "
+                "incremental state pins it in its manifest"
+            )
+        if self.embed_near_cos is not None and self.embed_bits % self.embed_srp_bands:
+            raise ValueError(
+                f"embed_bits={self.embed_bits} not divisible by "
+                f"embed_srp_bands={self.embed_srp_bands}"
             )
 
 
