@@ -610,6 +610,88 @@ def _near_dup_edge_set(
     return edges
 
 
+def _cos_verified(
+    cand: DataFrame, left_vecs: DataFrame, right_vecs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-cosine verify of (doc_a, doc_b) SRP band candidates against
+    (vid, v) vector relations — the same ``round(cosine, 6) >=
+    threshold`` decision as operators/similarity.py
+    ``near_dup_pairs_srp`` (equality pinned by test), factored out so
+    the within-batch and vs-history verifies of ``curate_increment``
+    share one formula with the batch path. Banding can only LOSE
+    pairs; every emitted edge passed the exact test."""
+    from clickhouse_mysql_data_reader_spark.operators.similarity import cosine
+
+    return (
+        cand.join(
+            left_vecs.select(F.col("vid").alias("doc_a"), F.col("v").alias("_va")),
+            "doc_a",
+        )
+        .join(
+            right_vecs.select(F.col("vid").alias("doc_b"), F.col("v").alias("_vb")),
+            "doc_b",
+        )
+        .filter(
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= F.lit(float(threshold))
+        )
+        .select("doc_a", "doc_b")
+    )
+
+
+def _semantic_edge_set(
+    docs: DataFrame,
+    cfg: CurationConfig,
+    id_col: str,
+    vecs: DataFrame | None = None,
+    bands: DataFrame | None = None,
+) -> DataFrame:
+    """Within-relation SEMANTIC (embedding-cosine) near-dup edges under
+    cfg's SRP geometry — the third edge type ``embed_near_cos``
+    enables, shared by batch ``curate``, the increment BOOTSTRAP, and
+    the increment's within-batch stage so the three cannot drift on
+    what counts as a semantic duplicate. Candidates from SRP-LSH band
+    collisions (operators/similarity.py ``srp_band_table`` — Charikar
+    2002 sign-random-projection; md5-derived hyperplanes, so bands are
+    session-independent), verified with the exact rounded cosine.
+    Result equals ``near_dup_pairs_srp(...).select(doc_a, doc_b)``
+    (pinned by test); the optional ``vecs``/``bands`` args let the
+    increment reuse its checkpointed projections instead of re-running
+    the gate plan per consumer. 100 TB shape: candidates scale with
+    sum(|band bucket|^2), never |corpus|^2 — same banding bound as the
+    MinHash-LSH stage."""
+    from clickhouse_mysql_data_reader_spark.operators.similarity import (
+        as_double_array,
+        srp_band_table,
+    )
+
+    if vecs is None:
+        vecs = docs.select(
+            F.col(id_col).alias("vid"), as_double_array(cfg.embed_col).alias("v")
+        )
+    if bands is None:
+        bands = srp_band_table(
+            vecs,
+            cfg.embed_dim,
+            n_bits=cfg.embed_bits,
+            n_bands=cfg.embed_srp_bands,
+            id_col="vid",
+            vec_col="v",
+            seed=cfg.embed_seed,
+        )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("doc_a"), F.col("b.vid").alias("doc_b"))
+        .distinct()
+    )
+    return _cos_verified(cand, vecs, vecs, cfg.embed_near_cos)
+
+
 def _decontamination_stage(
     deduped: DataFrame,
     benchmark: DataFrame | None,
@@ -691,6 +773,12 @@ def curate(
     corpus doc that is a near-verbatim copy of a benchmark doc is
     removed so eval answers don't leak into training.
     """
+    if cfg.embed_near_cos is not None and cfg.embed_col not in docs.columns:
+        raise ValueError(
+            f"embed_near_cos={cfg.embed_near_cos} needs an "
+            f"{cfg.embed_col!r} column (array<float/double>, length "
+            f"{cfg.embed_dim}) on the corpus; got {docs.columns}"
+        )
     if cfg.dedup_lines:
         # stage 0 (optional): corpus-level line dedup BEFORE the gates —
         # gates then score the cleaned text, and a doc whose every line
@@ -799,6 +887,18 @@ def curate(
     # distinct() only shuffles the pair relation, many orders smaller
     # than the corpus.
     edges = _near_dup_edge_set(sh, cfg, sorted_arrays=sorted_arr)
+    if cfg.embed_near_cos is not None:
+        # THIRD edge type: embedding-cosine (semantic) near-dups via
+        # SRP-LSH banding + exact-cosine verify — paraphrases and
+        # rewrites no shingle metric can see (SemDeDup, Abbas et al.
+        # 2023 run this AFTER lexical dedup; here the edge types union
+        # into ONE components pass, so a paraphrase chain and a
+        # truncation chain touching the same doc merge). Computed over
+        # the post-boilerplate survivors, same relation the lexical
+        # edges see.
+        edges = edges.unionByName(
+            _semantic_edge_set(boiled, cfg, id_col)
+        ).distinct()
     comps = connected_components(edges)
     drop_ids = _near_dup_drop_ids(comps, boiled, cfg, text_col, id_col)
     deduped = boiled.join(drop_ids, id_col, "left_anti")
@@ -946,10 +1046,45 @@ class CurationState:
         bloom_hashes: int = 7,
         jaccard_exact_threshold: float | None = None,
         containment_threshold: float | None = None,
+        embed_dim: int | None = None,
+        embed_bits: int = 32,
+        embed_srp_bands: int = 4,
+        embed_seed: str = "srp",
+        embed_col: str = "embedding",
     ):
         self.state_dir = str(state_dir)
         self.minhash_k = minhash_k
         self.lsh_bands = lsh_bands
+        # Opt-in SEMANTIC near-dup support for increments
+        # (cfg.embed_near_cos): when ``embed_dim`` is set, write()
+        # additionally lands ``srp_bands`` (doc_id, band_idx, band_val)
+        # and ``embeddings`` (doc_id, v) — later batches generate
+        # cross-history semantic candidates by bucket-joining their SRP
+        # bands against the landed ones and verify with the exact
+        # cosine against the landed VECTORS (storage: dim x 8 bytes per
+        # kept doc; the price of a no-false-positive verify — bands
+        # alone can only propose). The GEOMETRY (dim/bits/bands/seed)
+        # is pinned in ``_embed_params.json``: bands derived with any
+        # other geometry can never collide with the landed ones, so a
+        # mismatch means silently missed semantic dups — same
+        # first-writer-wins manifest protocol as minhash/bloom/prefix.
+        # The cosine THRESHOLD is deliberately NOT pinned: the verify
+        # is exact, so a later batch may probe at any threshold.
+        # ``embed_col`` names the vector column on incoming kept
+        # frames; cosmetic (the landed table normalizes to ``v``), so
+        # not in the manifest. Enabling on a state with landed batches
+        # needs ``backfill_embeddings`` (unlike prefixes there is
+        # nothing to derive vectors from — the state keeps no text).
+        self.embed_dim = int(embed_dim) if embed_dim is not None else None
+        if self.embed_dim is not None and embed_bits % embed_srp_bands:
+            raise ValueError(
+                f"embed_bits={embed_bits} not divisible by "
+                f"embed_srp_bands={embed_srp_bands}"
+            )
+        self.embed_bits = int(embed_bits)
+        self.embed_srp_bands = int(embed_srp_bands)
+        self.embed_seed = str(embed_seed)
+        self.embed_col = str(embed_col)
         # Opt-in EXACT near-dup support for increments: when either
         # threshold is set, write() additionally lands a ``prefixes``
         # table — each kept doc's AllPairs prefix shingles
@@ -1004,7 +1139,20 @@ class CurationState:
     # in batch curate() over the concatenated corpus). Listed in
     # _TABLES so compact()/crash-recovery cover it; exists() still
     # probes only the three doc tables (line state is independent).
-    _TABLES = ("fingerprints", "shingles", "bands", "line_fps", "prefixes")
+    # srp_bands/embeddings are the OPTIONAL fifth/sixth tables
+    # (embed_dim set): SRP band buckets + exact vectors of every KEPT
+    # doc, the cross-history semantic-dedup probe targets. Listed in
+    # _TABLES so compact()/crash-recovery/growth_report cover them;
+    # exists() still probes only the three core doc tables.
+    _TABLES = (
+        "fingerprints",
+        "shingles",
+        "bands",
+        "line_fps",
+        "prefixes",
+        "srp_bands",
+        "embeddings",
+    )
 
     def _recover_crashed_compact(self, spark, names=None) -> list[str]:
         """Roll back a compact() interrupted between its two renames.
@@ -1422,6 +1570,157 @@ class CurationState:
         if not fs.rename(hp(staging), hp(final)):
             raise IOError(f"ensure_prefixes: rename {staging} -> {final} failed")
 
+    # ---- landed SRP bands + vectors (semantic near-dup vs history) ---
+    # Correctness invariant: every landed doc's band rows AND vector
+    # row are present whenever its fingerprints are (write() lands all
+    # tables per batch; a mid-sequence crash leaves docs missing from
+    # the embed tables — cross-history semantic pairs against those
+    # docs are then MISSED, loose like every other mid-sequence crash,
+    # recoverable by replaying with (run_id, epoch_id) tags). Extra/
+    # duplicate rows are harmless: candidates are distinct()'d and the
+    # exact-cosine verify settles every candidate.
+
+    def _sync_embed_params(self, spark) -> None:
+        """Mirror of _sync_bloom_params for the SRP geometry: the first
+        embed-enabled user lands ``_embed_params.json`` atomically;
+        later instances must match — bands derived with a different
+        (dim, bits, bands, seed) can NEVER collide with the landed
+        ones, i.e. silently missed semantic duplicates, not an error
+        any join would surface. A separate manifest (not _params.json)
+        because semantic dedup can be enabled later in a state's life
+        (via ``backfill_embeddings``)."""
+        mine = {
+            "embed_dim": self.embed_dim,
+            "embed_bits": self.embed_bits,
+            "embed_srp_bands": self.embed_srp_bands,
+            "embed_seed": self.embed_seed,
+        }
+
+        def validate(landed: dict) -> None:
+            if self.embed_dim is None:
+                raise ValueError(
+                    f"CurationState({self.state_dir}) has landed semantic-"
+                    f"dedup state ({landed}) but this instance was "
+                    "constructed without embed_dim — writes that skip the "
+                    "srp_bands/embeddings appends would leave landed docs "
+                    "invisible to every later semantic history probe "
+                    "(silently missed cross-batch semantic duplicates); "
+                    "construct with the landed geometry"
+                )
+            if landed != mine:
+                raise ValueError(
+                    f"CurationState({self.state_dir}) constructed with "
+                    f"{mine} but the landed SRP bands were derived with "
+                    f"{landed}; band values would never collide — use the "
+                    "landed geometry (or a fresh state for new ones)"
+                )
+
+        self._sync_manifest(
+            spark,
+            "_embed_params.json",
+            mine if self.embed_dim is not None else None,
+            validate,
+        )
+
+    def embed_landed(self, spark) -> bool:
+        """True once a semantic batch has fully landed in BOTH embed
+        tables — probed separately from ``exists()`` because the
+        tables only exist for embed-enabled states (and may be enabled
+        later via ``backfill_embeddings``)."""
+        self._recover_crashed_compact(spark, ("srp_bands", "embeddings"))
+        return self._table_landed(spark, "srp_bands") and self._table_landed(
+            spark, "embeddings"
+        )
+
+    def srp_bands(
+        self, spark, exclude_epoch: int | None = None, run_id: str | None = None
+    ) -> DataFrame:
+        """The landed (doc_id, band_idx, band_val) SRP bucket history,
+        with the same replayed-epoch exclusion as the doc tables."""
+        return self._read(spark, "srp_bands", exclude_epoch, run_id)
+
+    def embeddings(
+        self, spark, exclude_epoch: int | None = None, run_id: str | None = None
+    ) -> DataFrame:
+        """The landed (doc_id, v: array<double>) vector history — the
+        exact-cosine verify side of the semantic probe."""
+        return self._read(spark, "embeddings", exclude_epoch, run_id)
+
+    def backfill_embeddings(
+        self, kept: DataFrame, id_col: str = "doc_id"
+    ) -> None:
+        """Enable semantic dedup on a state whose batches landed BEFORE
+        embed support: derive and land both embed tables from the
+        historical KEPT corpus, which the CALLER must supply with its
+        vector column (``embed_col``) — unlike ``ensure_prefixes``
+        there is nothing on disk to derive vectors from (the state
+        keeps keys, not content). OFFLINE op: quiesce writers first.
+        Crash-safe via the ensure_prefixes staging protocol (write to
+        ``__bf`` dirs, rename into place; a retry clears stale
+        leftovers). Rows are tagged ``("", -1)`` like any backfill —
+        epoch exclusion is settled by the exact verify, exactly as
+        documented on ``prefixes``."""
+        spark = kept.sparkSession
+        if self.embed_dim is None:
+            raise ValueError(
+                "backfill_embeddings needs an embed-enabled state — "
+                "construct CurationState with embed_dim (and the rest of "
+                "the SRP geometry) first"
+            )
+        self._sync_embed_params(spark)
+        if self.embed_landed(spark):
+            return
+        emb, srp = self._derive_embed(kept, id_col)
+        jvm, fs = self._fs(spark)
+        hp = jvm.org.apache.hadoop.fs.Path
+        for name, rows in (("embeddings", emb), ("srp_bands", srp)):
+            final = self._path(name)
+            staging = final + "__bf"
+            if fs.exists(hp(staging)):
+                fs.delete(hp(staging), True)  # crashed earlier attempt
+            if fs.exists(hp(final)):
+                # exists but not landed: uncommitted leftovers only
+                fs.delete(hp(final), True)
+            rows.withColumns(
+                {"_epoch": F.lit(-1), "_run": F.lit("")}
+            ).write.mode("overwrite").parquet(staging)
+            if not fs.rename(hp(staging), hp(final)):
+                raise IOError(
+                    f"backfill_embeddings: rename {staging} -> {final} failed"
+                )
+
+    def _derive_embed(self, kept: DataFrame, id_col: str):
+        """(embeddings, srp_bands) rows for a kept batch — the same
+        ``srp_band_table`` geometry ``_semantic_edge_set`` probes with,
+        so landed bands always collide with a matching-geometry
+        probe's."""
+        from clickhouse_mysql_data_reader_spark.operators.similarity import (
+            as_double_array,
+            srp_band_table,
+        )
+
+        if self.embed_col not in kept.columns:
+            raise ValueError(
+                "embed-enabled CurationState needs the "
+                f"{self.embed_col!r} vector column (array<float/double>, "
+                f"length {self.embed_dim}) on every kept batch; got "
+                f"{kept.columns}"
+            )
+        vecs = kept.select(
+            F.col(id_col).alias("doc_id"),
+            as_double_array(self.embed_col).alias("v"),
+        )
+        srp = srp_band_table(
+            vecs,
+            self.embed_dim,
+            n_bits=self.embed_bits,
+            n_bands=self.embed_srp_bands,
+            id_col="doc_id",
+            vec_col="v",
+            seed=self.embed_seed,
+        ).withColumnRenamed("vid", "doc_id")
+        return vecs, srp
+
     def _derive(self, kept: DataFrame, text_col: str, id_col: str):
         from clickhouse_mysql_data_reader_spark.operators.dedup import (
             band_table,
@@ -1442,7 +1741,12 @@ class CurationState:
         # batch-local rarest-first ordering is exact for all later
         # probes (one-sided prefix theorem — see prefix_shingles)
         prefixes = prefix_shingles(sh, frac) if frac is not None else None
-        return fp, sh, bands, prefixes
+        emb, srp = (
+            self._derive_embed(kept, id_col)
+            if self.embed_dim is not None
+            else (None, None)
+        )
+        return fp, sh, bands, prefixes, emb, srp
 
     def write(self, kept: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               mode: str = "append", epoch_id: int | None = None,
@@ -1491,6 +1795,27 @@ class CurationState:
         self.sync_params(kept.sparkSession)
         self._sync_bloom_params(kept.sparkSession)
         self._sync_prefix_params(kept.sparkSession)
+        self._sync_embed_params(kept.sparkSession)
+        if (
+            self.embed_dim is not None
+            and self.exists(kept.sparkSession)
+            and not self.embed_landed(kept.sparkSession)
+        ):
+            # an embed-enabled handle writing over a LEGACY embed-less
+            # state must backfill FIRST — the prefix argument above,
+            # but NOT auto-runnable here: unlike prefixes (derivable
+            # from the landed shingles) there is nothing on disk to
+            # derive vectors from, so the caller must supply the
+            # historical kept corpus. Appending only this batch would
+            # make embed_landed() true with older docs invisible to
+            # every semantic history probe (silently missed cross-batch
+            # semantic duplicates, not an error any join would surface).
+            raise ValueError(
+                f"CurationState({self.state_dir}) has landed batches but "
+                "no landed srp_bands/embeddings — run "
+                "backfill_embeddings(historical_kept_corpus) once "
+                "(offline) before embed-enabled appends"
+            )
         if self._prefix_frac() is not None:
             # a prefix-enabled handle writing over a LEGACY prefix-less
             # state must backfill the landed history FIRST: appending
@@ -1502,7 +1827,7 @@ class CurationState:
         kept = kept.localCheckpoint()
         etag = F.lit(-1 if epoch_id is None else int(epoch_id)).alias("_epoch")
         rtag = F.lit(run_id or "").alias("_run")
-        fp, sh, bands, prefixes = self._derive(kept, text_col, id_col)
+        fp, sh, bands, prefixes, emb, srp = self._derive(kept, text_col, id_col)
         if self.bloom_bits is not None:
             # BEFORE the fingerprints append (see the bloom invariant
             # note above): a crash between bloom and fingerprints adds
@@ -1533,6 +1858,23 @@ class CurationState:
                     | _np.frombuffer(prior, dtype=_np.uint8)
                 )
             self._write_bloom(kept.sparkSession, batch_bits)
+        if emb is not None:
+            # BEFORE the fingerprints append, like the bloom bits: a
+            # crash after these commits leaves embed rows for docs the
+            # doc tables never landed — semantic probes get STRICTER
+            # (extra candidates the exact-cosine verify still settles),
+            # never looser, whereas the reverse order would leave
+            # landed docs invisible to every later semantic history
+            # probe. A plain batch retry of a crash in this window sees
+            # its own partial embed append and drops the whole batch as
+            # self-dups — same documented remedy as fingerprints: pass
+            # (epoch_id, run_id) for retryable appends.
+            emb.withColumns({"_epoch": etag, "_run": rtag}).write.mode(
+                mode
+            ).parquet(self._path("embeddings"))
+            srp.withColumns({"_epoch": etag, "_run": rtag}).write.mode(
+                mode
+            ).parquet(self._path("srp_bands"))
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             fp.withColumns({"_epoch": etag, "_run": rtag}).write.mode(mode).parquet(
@@ -1770,10 +2112,13 @@ def curate_increment(
     fingerprint; near-dups leave via LSH bucket collisions with the
     state's band table (or, under ``near_dup_exact``/containment, via
     the exact two-sided prefix join against the landed shingles +
-    prefixes), metric-verified against the state's shingles — history
-    ALWAYS wins regardless of keeper policy (the kept corpus is
-    immutable), so cross dups drop the NEW doc even when it is longer
-    than the landed keeper. The state tables are joined on their keys only —
+    prefixes), metric-verified against the state's shingles; SEMANTIC
+    dups (``embed_near_cos`` — needs an embed-enabled state, see the
+    ``CurationState`` ctor) leave via SRP band collisions with the
+    landed ``srp_bands`` table, exact-cosine-verified against the
+    landed vectors — history ALWAYS wins regardless of keeper policy
+    (the kept corpus is immutable), so cross dups drop the NEW doc even
+    when it is longer than the landed keeper. The state tables are joined on their keys only —
     the historical corpus text is never re-read, and the per-batch cost
     scales with |batch| + |state rows touched by its join keys|, not
     with |corpus|.
@@ -1853,6 +2198,31 @@ def curate_increment(
             "(on an already-landed pre-prefix state, run "
             "state.ensure_prefixes(spark) once to backfill)"
         )
+    if cfg.embed_near_cos is not None:
+        # geometry mismatch is the minhash_k argument again: SRP band
+        # values derived with a different (dim, bits, bands, seed) can
+        # never collide with the landed ones, so cross-history semantic
+        # detection would silently find nothing. embed_col must match
+        # too — write() derives the state tables from the state's name.
+        mine = (cfg.embed_dim, cfg.embed_bits, cfg.embed_srp_bands,
+                cfg.embed_seed, cfg.embed_col)
+        theirs = (state.embed_dim, state.embed_bits, state.embed_srp_bands,
+                  state.embed_seed, state.embed_col)
+        if state.embed_dim is None or mine != theirs:
+            raise ValueError(
+                f"embed_near_cos={cfg.embed_near_cos} needs an embed-"
+                "enabled CurationState matching the cfg's SRP geometry: "
+                f"cfg has (dim, bits, bands, seed, col)={mine} but the "
+                f"state was constructed with {theirs}; band values "
+                "derived with different geometries never collide "
+                "(silently missed semantic duplicates)"
+            )
+        if cfg.embed_col not in new_docs.columns:
+            raise ValueError(
+                f"embed_near_cos={cfg.embed_near_cos} needs an "
+                f"{cfg.embed_col!r} column (array<float/double>, length "
+                f"{cfg.embed_dim}) on the batch; got {new_docs.columns}"
+            )
     spark = new_docs.sparkSession
     if state.exists(spark):
         # also validate against the ON-DISK parameters: the ctor-vs-cfg
@@ -1870,6 +2240,18 @@ def curate_increment(
                 "rarest-sort pass over the landed shingles) to backfill, "
                 "then increments maintain it per batch"
             )
+        if cfg.embed_near_cos is not None:
+            state._sync_embed_params(spark)
+            if not state.embed_landed(spark):
+                raise ValueError(
+                    "semantic near-dup vs history needs the landed "
+                    "srp_bands/embeddings tables, which this state has "
+                    "not written — run state.backfill_embeddings("
+                    "historical_kept_corpus) once (offline; the caller "
+                    "supplies the kept corpus with its vector column — "
+                    "the state keeps keys, not content), then increments "
+                    "maintain them per batch"
+                )
 
     # --- stage 0 (optional): incremental corpus-level line dedup ------
     # The C4 line pass in daily-batch form (operators/text.py
@@ -1979,7 +2361,13 @@ def curate_increment(
         # sorted_arrays is left to recompute per slice off the
         # checkpointed sh0: a batch-sized freq agg + collect, not the
         # corpus-scale pass batch mode persists.
-        comps0 = connected_components(_near_dup_edge_set(sh0, cfg))
+        edges0 = _near_dup_edge_set(sh0, cfg)
+        if cfg.embed_near_cos is not None:
+            # third (semantic) edge type, same union as batch curate()
+            edges0 = edges0.unionByName(
+                _semantic_edge_set(boiled0, cfg, id_col)
+            ).distinct()
+        comps0 = connected_components(edges0)
         drop0 = _near_dup_drop_ids(comps0, boiled0, cfg, text_col, id_col)
         kept = boiled0.join(drop0, id_col, "left_anti")
         kept = _decontamination_stage(kept, benchmark, cfg, text_col, id_col)
@@ -2091,6 +2479,32 @@ def curate_increment(
     sigs_new = minhash_signatures(sh_new, num_hashes=cfg.minhash_k)
     bands_new = band_table(sigs_new, num_hashes=cfg.minhash_k, bands=cfg.lsh_bands)
 
+    vecs_new = bands_new_srp = None
+    if cfg.embed_near_cos is not None:
+        from clickhouse_mysql_data_reader_spark.operators.similarity import (
+            as_double_array,
+            srp_band_table,
+        )
+
+        # batch-sized, three consumers each (both sides of the within-
+        # batch verify + the history probes) — the function's
+        # established localCheckpoint discipline; also cuts the state
+        # reads upstream in vs_hist out of the write lineage, the same
+        # self-referential-append argument as sh_new above.
+        vecs_new = vs_hist.select(
+            F.col(id_col).alias("vid"),
+            as_double_array(cfg.embed_col).alias("v"),
+        ).localCheckpoint()
+        bands_new_srp = srp_band_table(
+            vecs_new,
+            cfg.embed_dim,
+            n_bits=cfg.embed_bits,
+            n_bands=cfg.embed_srp_bands,
+            id_col="vid",
+            vec_col="v",
+            seed=cfg.embed_seed,
+        ).localCheckpoint()
+
     # within batch: cfg's candidate policy (LSH default, exact AllPairs
     # under near_dup_exact) + optional containment edges — the shared
     # helper, same edge semantics as batch curate(). The rarest-first
@@ -2107,9 +2521,19 @@ def curate_increment(
         )
 
         sorted_arr_new = rarest_sorted_shingles(sh_new).localCheckpoint()
-    comps = connected_components(
-        _near_dup_edge_set(sh_new, cfg, sigs=sigs_new, sorted_arrays=sorted_arr_new)
+    edges_in = _near_dup_edge_set(
+        sh_new, cfg, sigs=sigs_new, sorted_arrays=sorted_arr_new
     )
+    if cfg.embed_near_cos is not None:
+        # third (semantic) edge type within the batch — the
+        # checkpointed vecs/bands reused so the gate plan does not
+        # re-execute per consumer
+        edges_in = edges_in.unionByName(
+            _semantic_edge_set(
+                vs_hist, cfg, id_col, vecs=vecs_new, bands=bands_new_srp
+            )
+        ).distinct()
+    comps = connected_components(edges_in)
     drop_in = _near_dup_drop_ids(comps, vs_hist, cfg, text_col, id_col)
 
     # vs history, Jaccard metric: candidates from the LSH bucket-join
@@ -2191,6 +2615,43 @@ def curate_increment(
         )
         drop_hist = drop_hist.unionByName(
             c_pairs_hist.select(F.col("doc_a").alias(id_col))
+        )
+    if cfg.embed_near_cos is not None:
+        # vs history, semantic metric (third drop set): the batch's SRP
+        # bands bucket-join the LANDED bands — only colliding buckets
+        # move — then the exact-cosine verify runs against the landed
+        # VECTORS, semi-join-cut to candidate docs first (the sh_hist
+        # pattern above; the full vector history is never shuffled).
+        # History always wins: the NEW doc drops.
+        hist_srp = state.srp_bands(spark, exclude_epoch=epoch_id, run_id=run_id)
+        sem_cands = (
+            bands_new_srp.alias("n")
+            .join(
+                hist_srp.alias("h"),
+                (F.col("n.band_idx") == F.col("h.band_idx"))
+                & (F.col("n.band_val") == F.col("h.band_val")),
+            )
+            .select(
+                F.col("n.vid").alias("doc_a"), F.col("h.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        hist_vecs = (
+            state.embeddings(spark, exclude_epoch=epoch_id, run_id=run_id)
+            .join(
+                sem_cands.select(F.col("doc_b").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_semi",
+            )
+            # replayed-epoch double appends: duplicate vector rows only
+            # inflate the verify join's width, but drop them anyway —
+            # the candidate cut has already made this frame tiny
+            .dropDuplicates(["doc_id"])
+            .select(F.col("doc_id").alias("vid"), "v")
+        )
+        sem_pairs = _cos_verified(sem_cands, vecs_new, hist_vecs, cfg.embed_near_cos)
+        drop_hist = drop_hist.unionByName(
+            sem_pairs.select(F.col("doc_a").alias(id_col))
         )
     drop_hist = drop_hist.distinct()
 

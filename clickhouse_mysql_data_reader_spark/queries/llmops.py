@@ -475,6 +475,83 @@ def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_multi_sql() -> str:
+    """Oracle for text_lang_multi, generated from the SAME
+    LANG_STOPWORDS inventory the operator folds over (list drift would
+    be a silent hash mismatch, not an error)."""
+    from clickhouse_mysql_data_reader_spark.operators.text import LANG_STOPWORDS
+
+    codes = sorted(LANG_STOPWORDS)  # de, en, es, fr
+    ratio_cols = ",\n        ".join(
+        "len(list_filter(tk, x -> x IN ({lst}))) / n AS r_{c}".format(
+            lst=", ".join(f"'{w}'" for w in LANG_STOPWORDS[c]), c=c
+        )
+        for c in codes
+    )
+    allr = ", ".join(f"r_{c}" for c in codes)
+    # CASE in lexicographic code order = the operator's min-code
+    # tie-break among max-ratio holders
+    best_case = "\n             ".join(
+        f"WHEN r_{c} = greatest({allr}) THEN '{c}'" for c in codes[:-1]
+    )
+    second = ",\n          ".join(
+        f"CASE WHEN best_lang = '{c}' THEN -1.0 ELSE r_{c} END" for c in codes
+    )
+    return f"""
+    WITH norm AS (SELECT doc_id, lang, {_NORM} AS nt FROM documents),
+    t AS (SELECT doc_id, lang, string_split(nt, ' ') AS tk,
+                 greatest(len(string_split(nt, ' ')), 1) AS n
+          FROM norm),
+    r AS (SELECT doc_id, lang,
+        {ratio_cols}
+      FROM t),
+    s AS (SELECT doc_id, lang, {allr},
+            greatest({allr}) AS best_ratio,
+            CASE {best_case}
+             ELSE '{codes[-1]}' END AS best_lang
+          FROM r),
+    x AS (SELECT doc_id, lang, best_ratio, best_lang,
+            greatest(
+          {second}) AS second_ratio
+          FROM s)
+    SELECT doc_id, lang,
+           CASE WHEN best_ratio >= 0.05 THEN best_lang ELSE 'unk' END
+             AS lang_pred,
+           round(best_ratio, 6) AS best_ratio,
+           round(second_ratio, 6) AS second_ratio,
+           (best_ratio >= 0.05 AND second_ratio >= best_ratio * 0.5
+            AND second_ratio > 0) AS is_mixed
+    FROM x
+    """
+
+
+@register(
+    "text_lang_multi",
+    _lang_multi_sql(),
+    doc="Multi-language function-word ID (operators/text.py "
+    "lang_id_multi): per-language stopword densities over ONE token "
+    "array (adding a language costs one expression, not a pass), argmax "
+    "with min-code tie-break, 'unk' floor, and an is_mixed flag for "
+    "code-switched docs whose runner-up density is within half the "
+    "winner's. Zero shuffles — rides the scan. The curation pipeline's "
+    "language gate (CurationConfig.lang_allow) runs this exact struct.",
+)
+def text_lang_multi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.text import lang_id_multi
+    from clickhouse_mysql_data_reader_spark.util import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = lang_id_multi(F.col("text"))
+    return fan_out(docs, bytes_per_task=128 * 1024).select(
+        "doc_id",
+        "lang",
+        m["lang"].alias("lang_pred"),
+        m["best_ratio"].alias("best_ratio"),
+        m["second_ratio"].alias("second_ratio"),
+        m["is_mixed"].alias("is_mixed"),
+    )
+
+
 @register(
     "text_quality_score",
     f"""

@@ -435,7 +435,79 @@ QUERIES: dict[str, QueryDef] = {}
 #     partition machinery); the funnel's conditional-agg-per-user is
 #     the CASE-sum idiom the rotated-in validate_orders_rules
 #     hash-verifies
+# Round 10 ROTATION (per the round-9 verdict): thirteen queries that
+# had NEVER had a driver row rotate INTO the checked 50 (the six
+# remaining TPC-H compositions Q6/Q7/Q10/Q13/Q15/Q18, the round-8
+# monitoring trio anomaly_event_rate / anomaly_events_flags /
+# events_transition_topk, window_pctile_ntile, sketch_lang_rollup,
+# embed_centroid_drift, agg_conditional_funcs), plus the round-10-born
+# text_lang_multi (multi-language function-word ID — the curation
+# language gate's exact struct, never hash-verified before). Fourteen
+# members with multi-round driver-green history on unchanged plans
+# rotate out, each hash-covered by a checked containing query or
+# family sibling:
+#   - q1_pricing_summary (driver-green r1-r9, the longest streak):
+#     its exact-DECIMAL HashAggregate idiom is the revenue arithmetic
+#     of the rotated-in q6/q10/q15/q18; still the bench headline AND
+#     the entry() flagship the driver smoke-checks every round
+#   - q3_shipping_priority (r8-r9): same customer->orders->lineitem
+#     broadcast-dim join tree + TakeOrderedAndProject as the
+#     rotated-in q10_returned_items (which adds the returnflag gate)
+#   - agg_approx_distinct (r1-r9): the HLL-estimate-with-exact-anchor
+#     oracle pattern is exactly what the rotated-in sketch_lang_rollup
+#     hash-verifies per language group (plus mergeability)
+#   - window_session_gaps (r1-r9): its per-user time-ordered lag
+#     partition is the checked events_transition_matrix plan and the
+#     rotated-in events_transition_topk; ranking-scalar breadth now
+#     carried by the rotated-in window_pctile_ntile
+#   - dedup_jaccard_prefix (r8-r9): AllPairs prefix-filter twin of the
+#     still-checked dedup_containment_prefix (same
+#     cross_prefix_candidates / rarest-first core, different metric
+#     bound); exactness-vs-all-pairs pinned at 5 thresholds in pytest
+#   - dedup_containment_near (r7-r9): its containment_pairs verify
+#     runs INSIDE the checked dedup_containment_prefix (exact
+#     candidate path), and curation parity tests pin both
+#   - dedup_simhash_near (r5-r9): banded-fingerprint near-dup family
+#     keeps dedup_lsh_jaccard + dedup_embed_near_srp checked (Manku
+#     pigeonhole banding = the SRP hamming-band construction); the
+#     simhash fingerprint pipeline stays pytest-oracle-green
+#   - sample_source_cap (r5-r9): its md5 hash_bucket draw is
+#     hash-verified inside the checked sample_mixture_epochs; the
+#     rank-per-source cap window is the checked window family
+#   - text_paragraph_dedup (r7-r9): sep-parameterized twin of the
+#     checked text_line_dedup (identical fingerprint/keeper
+#     machinery, different separator regex)
+#   - profile_orders_table (r8-r9): per-column profile aggregates are
+#     the q1-family HashAggregate; the ops loop keeps validate/diff/
+#     hist + the rotated-in anomaly pair checked
+#   - text_quality_score (r1-r9): its normalize/tokens/stopword-fold
+#     expression core is the rotated-in text_lang_multi's machinery
+#     (strictly more of it: per-language folds + argmax); the
+#     composite score stays pytest-oracle-green + curation-integrated
+#   - embed_srp_bands (r8-r9): the band-table construction is
+#     hash-verified INSIDE the still-checked dedup_embed_near_srp
+#     (bands -> candidates -> exact-cosine verify, a superset)
+#   - agg_salted_skew (r6-r9): two-stage salted partial aggregate —
+#     the position-mixed salt construction is inside the checked
+#     join_salted_skew; salted==unsalted equality pinned in pytest
+#   - jsonl_roundtrip_documents (r8-r9): JSON typed-flattening is
+#     carried by the checked json_flatten_events; the corrupt-line
+#     quarantine + sink roundtrip stay pinned by test_sources.py
 DEPRIORITIZED = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "agg_approx_distinct",
+    "window_session_gaps",
+    "dedup_jaccard_prefix",
+    "dedup_containment_near",
+    "dedup_simhash_near",
+    "sample_source_cap",
+    "text_paragraph_dedup",
+    "profile_orders_table",
+    "text_quality_score",
+    "embed_srp_bands",
+    "agg_salted_skew",
+    "jsonl_roundtrip_documents",
     "doc_chunk_overlap",
     "sample_weighted_topk",
     "sample_shuffle_order",
@@ -448,7 +520,6 @@ DEPRIORITIZED = (
     "doc_span_decontaminate",
     "agg_approx_percentile",
     "funnel_window_3step",
-    "q18_large_volume_customer",
     # TPC-H Q6/Q7/Q10/Q13/Q15/Q18 remain deprioritized (rotation
     # candidates for r10): the same composition argument as
     # Q3/Q5/Q14/Q17/Q19 — broadcast nation dims, date/flag-pruned fact
@@ -457,23 +528,16 @@ DEPRIORITIZED = (
     # aggregate vs 1-row global max (Q15), HAVING-semi-join (Q18),
     # pure pushdown scan + one-row aggregate (Q6). Full DuckDB oracles
     # in pytest every CI run.
-    "q6_forecast_revenue",
-    "q15_top_supplier",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q13_customer_distribution",
     # percent_rank/ntile (born deprioritized, round 8): single-window
     # ranking family of the checked window_session_gaps and the
     # long-green window_rank_dense (rank/dense_rank/cume_dist) — same
     # one-shuffle plan, new scalar functions; full DuckDB oracle in
     # pytest every CI run. Rotation candidate for r9.
-    "window_pctile_ntile",
     # landed HLL sketch rollup (born deprioritized, round 8): the
     # checked agg_approx_distinct anchors the sketch-estimate oracle
     # pattern (exact anchors at tiny cardinality) and the groupBy-agg
     # plan family; the union-losslessness property is pinned in
     # pytest. Rotation candidate for r9.
-    "sketch_lang_rollup",
     # multimodal resize plan (born deprioritized, round 8): pure
     # scan-stage integer geometry on the meta struct — the checked
     # multimodal_features anchors the documents_as_media adapter and
@@ -486,33 +550,28 @@ DEPRIORITIZED = (
     # exactness is the quantize_int8 / anomaly_events_zscore idiom;
     # full DuckDB oracle in pytest every CI run. Rotation candidate
     # for r9.
-    "embed_centroid_drift",
     # rate anomaly composition (born deprioritized, round 8): the
     # hourly pre-aggregate is the q1/window_tumbling_hourly
     # HashAggregate family and the detector stage is byte-identical
     # anomaly_zscore machinery (anomaly_events_zscore's registry
     # sibling); full DuckDB oracle in pytest every CI run. Rotation
     # candidate for r9.
-    "anomaly_event_rate",
     # per-row frozen-stats flags (born deprioritized, round 8): the
     # registry sibling of anomaly_events_zscore — identical detector
     # expressions, per-row projection instead of the per-key report;
     # batch==stream parity pinned in test_streaming.py. Full DuckDB
     # oracle in pytest every CI run. Rotation candidate for r9.
-    "anomaly_events_flags",
     # event transitions (born deprioritized, round 8): the per-user
     # time-ordered lag window is the checked window_session_gaps plan
     # (identical partition/order, different downstream fold) and the
     # top-k is the TakeOrderedAndProject family; full DuckDB oracle in
     # pytest every CI run. Rotation candidate for r9.
-    "events_transition_topk",
     # conditional aggregates (born deprioritized, round 8): scalar
     # aggregate-function breadth in the q1/agg_count_distinct
     # HashAggregate family (count_if is a CASE-sum, the bool folds are
     # min/max over booleans, max_by keyed on the unique orderkey);
     # full DuckDB oracle in pytest every CI run. Rotation candidate
     # for r9.
-    "agg_conditional_funcs",
     # Late-round-8 rotation: six round-8-born queries joined the
     # checked 50 (jsonl_roundtrip_documents, embed_srp_bands,
     # dedup_embed_near_srp, text_blocklist_gate, rag_chunk_retrieve,

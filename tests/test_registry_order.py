@@ -84,7 +84,33 @@ DRIVER_CAP = 50
 # — each with multi-round driver-green history and a checked
 # containment sibling (rationale per displacement inside
 # registry.DEPRIORITIZED).
+# Round 10 rotated in the thirteen remaining never-driver-checked
+# queries (TPC-H Q6/Q7/Q10/Q13/Q15/Q18, window_pctile_ntile,
+# sketch_lang_rollup, embed_centroid_drift, anomaly_event_rate,
+# anomaly_events_flags, events_transition_topk, agg_conditional_funcs)
+# plus the round-10-born text_lang_multi, displacing
+# q1_pricing_summary / q3_shipping_priority / agg_approx_distinct /
+# window_session_gaps / dedup_jaccard_prefix / dedup_containment_near
+# / dedup_simhash_near / sample_source_cap / text_paragraph_dedup /
+# profile_orders_table / text_quality_score / embed_srp_bands /
+# agg_salted_skew / jsonl_roundtrip_documents — each with multi-round
+# driver-green history and a checked containment sibling (rationale
+# per displacement inside registry.DEPRIORITIZED).
 MUST_BE_CHECKED = {
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q18_large_volume_customer",
+    "window_pctile_ntile",
+    "sketch_lang_rollup",
+    "embed_centroid_drift",
+    "anomaly_event_rate",
+    "anomaly_events_flags",
+    "events_transition_topk",
+    "agg_conditional_funcs",
+    "text_lang_multi",
     "q5_local_supplier_volume",
     "q14_promo_effect",
     "q17_small_quantity_revenue",
@@ -97,30 +123,19 @@ MUST_BE_CHECKED = {
     "join_salted_skew",
     "events_transition_matrix",
     "multimodal_audio_windows",
-    "jsonl_roundtrip_documents",
-    "embed_srp_bands",
     "dedup_embed_near_srp",
     "text_blocklist_gate",
     "rag_chunk_retrieve",
-    "profile_orders_table",
     "dedup_containment_prefix",
-    "dedup_jaccard_prefix",
     "text_bm25_topk",
-    "q3_shipping_priority",
     "agg_unpivot",
-    "q1_pricing_summary",
-    "agg_approx_distinct",
     "dedup_bloom_prefilter",
     "text_lm_bigram",
     "agg_rollup",
-    "agg_salted_skew",
     "join_broadcast_dim",
     "join_shuffle_fact_fact",
     "join_asof_attrib",
     "text_line_dedup",
-    "window_session_gaps",
-    "dedup_simhash_near",
-    "sample_source_cap",
     "scan_prune_filter",
     "table_name_filter",
     "type_coercion_parity",
@@ -129,12 +144,9 @@ MUST_BE_CHECKED = {
     "cdc_apply_final_state",
     "dedup_lsh_jaccard",
     "dedup_exact_substring",
-    "dedup_containment_near",
-    "text_quality_score",
     "dedup_cluster_best_keeper",
     "sample_mixture_epochs",
     "multimodal_features",
-    "text_paragraph_dedup",
 }
 
 
