@@ -219,6 +219,35 @@ def main() -> None:
 
     qmap["curate_batch"] = _curate_batch
 
+    # Semantic-increment bench (round 10): batch #2 curated against a
+    # landed EMBED-ENABLED state — adds the third cross-history probe
+    # (batch SRP bands bucket-join the landed srp_bands + exact-cosine
+    # verify against the landed vectors) on top of the lexical paths
+    # curate_increment_batch2 measures. Docs get vectors by a modular
+    # doc->embedding attach during warmup (the synthetic corpus carries
+    # none); repeated vectors make real semantic duplicates, so the
+    # drop path executes, not just the probe joins.
+    sem_geo = dict(embed_dim=emb_dim, embed_bits=32, embed_srp_bands=4)
+    sem_cfg = CurationConfig(embed_near_cos=0.99, **sem_geo)
+    sem_state = CurationState(
+        tempfile.mkdtemp(prefix="bench_sem_") + "/state", **sem_geo
+    )
+    n_vecs = emb.count()
+    docs_vec = docs.join(
+        F.broadcast(emb.select(F.col("vec_id").alias("_vid"), "embedding")),
+        F.pmod(F.col("doc_id"), F.lit(n_vecs)) == F.col("_vid"),
+    ).drop("_vid")
+    curate_increment(
+        docs_vec.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0), sem_state, sem_cfg
+    )
+    sem_state.compact(spark)
+
+    def _curate_increment_semantic(spark, d):
+        batch2 = docs_vec.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+        return curate_increment(batch2, sem_state, sem_cfg, update_state=False)
+
+    qmap["curate_increment_semantic"] = _curate_increment_semantic
+
     # Each query is timed over THREE full executions and the MIN is
     # reported. Rationale (round 3, tightened round 5): the host is
     # shared — single-run timings showed 4-20x outliers from CPU steal
@@ -326,6 +355,11 @@ def main() -> None:
         "multimodal_resize_plan": time_query("multimodal_resize_plan"),
         "hist_quantiles_events": time_query("hist_quantiles_events"),
         "json_flatten_events": time_query("json_flatten_events"),
+        # round-10 additions: the semantic (embedding-cosine) history
+        # probe inside incremental curation, and the multi-language
+        # function-word ID gate (driver-checked as of r10)
+        "curate_increment_semantic": time_query("curate_increment_semantic"),
+        "text_lang_multi": time_query("text_lang_multi"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -385,12 +419,24 @@ def main() -> None:
             "layout": "resplit" if RESPLIT else "source-files",
         }
     )
-    # Hard guard: the headline MUST stay tail-parseable. If it ever
-    # grows past 1.5 KB, drop the free-text noise field first.
+    # Hard guard: the headline MUST stay tail-parseable (<= 1.5 KB).
+    # Staged fallback (round-9 advice: the single noise-drop had no
+    # further net): drop the free-text noise field, then the load
+    # stamp, then round query timings to 2 decimals — {metric, value,
+    # queries, sf} always survive. 16 queries at 2 decimals is ~600 B,
+    # so the final stage cannot exceed the budget; assert anyway so a
+    # future field addition fails HERE, not in the driver's tail parse.
     if len(headline_line) > 1500:
         obj = json.loads(headline_line)
         obj["noise"] = "see bench_evidence line"
         headline_line = json.dumps(obj)
+    if len(headline_line) > 1500:
+        obj.pop("load", None)
+        headline_line = json.dumps(obj)
+    if len(headline_line) > 1500:
+        obj["queries"] = {k: round(v, 2) for k, v in obj["queries"].items()}
+        headline_line = json.dumps(obj)
+    assert len(headline_line) <= 1500, f"headline {len(headline_line)}B > 1.5KB"
     print(headline_line)
 
 
