@@ -2022,40 +2022,72 @@ def lang_id_multi(
     to review rather than to either bucket. Deterministic tie-break:
     equal ratios resolve to the lexicographically smallest language
     code. Zero shuffles, rides the scan like `lang_id` (which this
-    generalizes; that one stays as the cheap en-vs-unk gate)."""
+    generalizes; that one stays as the cheap en-vs-unk gate).
+
+    Expression shape (round-10 rework, ~10x): higher-order array
+    functions are NOT whole-stage-codegen'd AND every expression-level
+    reference re-evaluates its whole subtree — the original
+    per-language ``filter(tk, isin)`` referenced from four output
+    fields re-ran the tokenizer + token scan ~16x per row (measured
+    4.3s vs text_lang_id's 0.4s at sf0.1). Now ONE ``aggregate`` fold
+    counts every family's hits in a single pass over the tokens, and
+    the 1-element-``transform`` trick let-binds the token array and
+    the counts struct so each is computed once per row no matter how
+    many output fields read them — the hashed_bow_expr discipline."""
     langs = LANG_STOPWORDS if lang_stopwords is None else lang_stopwords
     if not langs:
         raise ValueError("lang_id_multi: no language families")
+    codes = sorted(langs)
     tk = F.coalesce(tokens(col), F.array().cast("array<string>"))
-    n = F.greatest(F.size(tk), F.lit(1))
-    scored = F.array(
-        *[
-            F.struct(
-                (F.size(F.filter(tk, lambda t: t.isin(*sw))) / n).alias("ratio"),
-                F.lit(lang).alias("lang"),
-            )
-            for lang, sw in sorted(langs.items())
-        ]
-    )
-    # array_sort on (ratio, lang) structs: ascending ratio, then lang —
-    # the LAST element is the winner with the lexicographically LARGEST
-    # code on ties; reverse the ordering of the lang field by sorting
-    # descending via negative? Struct sort is field-order ascending, so
-    # take the max ratio then min lang among its holders explicitly.
-    best_ratio = F.array_max(F.transform(scored, lambda s: s["ratio"]))
-    winners = F.filter(scored, lambda s: s["ratio"] == best_ratio)
-    best_lang = F.array_min(F.transform(winners, lambda s: s["lang"]))
-    runners = F.filter(scored, lambda s: s["lang"] != best_lang)
-    second_ratio = F.coalesce(
-        F.array_max(F.transform(runners, lambda s: s["ratio"])), F.lit(0.0)
-    )
-    return F.struct(
-        F.when(best_ratio >= min_ratio, best_lang).otherwise(F.lit("unk")).alias("lang"),
-        F.round(best_ratio, 6).alias("best_ratio"),
-        F.round(second_ratio, 6).alias("second_ratio"),
-        (
-            (best_ratio >= min_ratio)
-            & (second_ratio >= best_ratio * mixed_margin)
-            & (second_ratio > 0)
-        ).alias("is_mixed"),
-    )
+
+    def _with_counts(arr: Column) -> Column:
+        # one fold over the bound token array: per-language hit counts
+        cnt = F.aggregate(
+            arr,
+            F.struct(*[F.lit(0).alias(c) for c in codes]),
+            lambda acc, t: F.struct(
+                *[
+                    (acc[c] + t.isin(*langs[c]).cast("int")).alias(c)
+                    for c in codes
+                ]
+            ),
+        )
+        n = F.greatest(F.size(arr), F.lit(1))
+        return F.transform(F.array(cnt), lambda c: _verdict(c, n))[0]
+
+    def _verdict(c: Column, n: Column) -> Column:
+        # everything below is arithmetic over the bound |langs|-field
+        # counts struct — re-references cost integer ops, not token
+        # scans. Same argmax/tie-break/mixed semantics as always
+        # (equality pinned by the DuckDB oracle of text_lang_multi).
+        scored = F.array(
+            *[
+                F.struct((c[lang] / n).alias("ratio"), F.lit(lang).alias("lang"))
+                for lang in codes
+            ]
+        )
+        # struct sort is field-order ascending, so take the max ratio
+        # then min lang among its holders explicitly
+        best_ratio = F.array_max(F.transform(scored, lambda s: s["ratio"]))
+        winners = F.filter(scored, lambda s: s["ratio"] == best_ratio)
+        best_lang = F.array_min(F.transform(winners, lambda s: s["lang"]))
+        runners = F.filter(scored, lambda s: s["lang"] != best_lang)
+        second_ratio = F.coalesce(
+            F.array_max(F.transform(runners, lambda s: s["ratio"])), F.lit(0.0)
+        )
+        return F.struct(
+            F.when(best_ratio >= min_ratio, best_lang)
+            .otherwise(F.lit("unk"))
+            .alias("lang"),
+            F.round(best_ratio, 6).alias("best_ratio"),
+            F.round(second_ratio, 6).alias("second_ratio"),
+            (
+                (best_ratio >= min_ratio)
+                & (second_ratio >= best_ratio * mixed_margin)
+                & (second_ratio > 0)
+            ).alias("is_mixed"),
+        )
+
+    # let-bind the token array itself too: tokenize ONCE per row even
+    # when callers read several struct fields
+    return F.transform(F.array(tk), _with_counts)[0]

@@ -520,58 +520,17 @@ DEPRIORITIZED = (
     "doc_span_decontaminate",
     "agg_approx_percentile",
     "funnel_window_3step",
-    # TPC-H Q6/Q7/Q10/Q13/Q15/Q18 remain deprioritized (rotation
-    # candidates for r10): the same composition argument as
-    # Q3/Q5/Q14/Q17/Q19 — broadcast nation dims, date/flag-pruned fact
-    # scans, exact-decimal revenue (q1 idiom), TakeOrderedAndProject
-    # top-k (Q10), left-outer + two-level aggregate (Q13), per-key
-    # aggregate vs 1-row global max (Q15), HAVING-semi-join (Q18),
-    # pure pushdown scan + one-row aggregate (Q6). Full DuckDB oracles
-    # in pytest every CI run.
-    # percent_rank/ntile (born deprioritized, round 8): single-window
-    # ranking family of the checked window_session_gaps and the
-    # long-green window_rank_dense (rank/dense_rank/cume_dist) — same
-    # one-shuffle plan, new scalar functions; full DuckDB oracle in
-    # pytest every CI run. Rotation candidate for r9.
-    # landed HLL sketch rollup (born deprioritized, round 8): the
-    # checked agg_approx_distinct anchors the sketch-estimate oracle
-    # pattern (exact anchors at tiny cardinality) and the groupBy-agg
-    # plan family; the union-losslessness property is pinned in
-    # pytest. Rotation candidate for r9.
-    # multimodal resize plan (born deprioritized, round 8): pure
+    # (The round-8-born monitoring/analytics names and TPC-H
+    # Q6/Q7/Q10/Q13/Q15/Q18 that sat here as r9/r10 rotation
+    # candidates all rotated INTO the checked 50 in round 10 — see the
+    # round-10 block at the top of this tuple's comments.)
+    # multimodal resize plan (born deprioritized, round 8; the last
+    # never-driver-checked r8 name, r11 rotation candidate): pure
     # scan-stage integer geometry on the meta struct — the checked
     # multimodal_features anchors the documents_as_media adapter and
     # the frame-plan sibling the explode pattern; full DuckDB oracle
-    # in pytest every CI run. Rotation candidate for r9.
+    # in pytest every CI run.
     "multimodal_resize_plan",
-    # embedding centroid drift (born deprioritized, round 8): the
-    # posexplode + map-side (label, dim) aggregate is the
-    # embed_cell_assign/centroid plan family and the scaled-integer
-    # exactness is the quantize_int8 / anomaly_events_zscore idiom;
-    # full DuckDB oracle in pytest every CI run. Rotation candidate
-    # for r9.
-    # rate anomaly composition (born deprioritized, round 8): the
-    # hourly pre-aggregate is the q1/window_tumbling_hourly
-    # HashAggregate family and the detector stage is byte-identical
-    # anomaly_zscore machinery (anomaly_events_zscore's registry
-    # sibling); full DuckDB oracle in pytest every CI run. Rotation
-    # candidate for r9.
-    # per-row frozen-stats flags (born deprioritized, round 8): the
-    # registry sibling of anomaly_events_zscore — identical detector
-    # expressions, per-row projection instead of the per-key report;
-    # batch==stream parity pinned in test_streaming.py. Full DuckDB
-    # oracle in pytest every CI run. Rotation candidate for r9.
-    # event transitions (born deprioritized, round 8): the per-user
-    # time-ordered lag window is the checked window_session_gaps plan
-    # (identical partition/order, different downstream fold) and the
-    # top-k is the TakeOrderedAndProject family; full DuckDB oracle in
-    # pytest every CI run. Rotation candidate for r9.
-    # conditional aggregates (born deprioritized, round 8): scalar
-    # aggregate-function breadth in the q1/agg_count_distinct
-    # HashAggregate family (count_if is a CASE-sum, the bool folds are
-    # min/max over booleans, max_by keyed on the unique orderkey);
-    # full DuckDB oracle in pytest every CI run. Rotation candidate
-    # for r9.
     # Late-round-8 rotation: six round-8-born queries joined the
     # checked 50 (jsonl_roundtrip_documents, embed_srp_bands,
     # dedup_embed_near_srp, text_blocklist_gate, rag_chunk_retrieve,

@@ -296,6 +296,34 @@ def test_curate_stream_semantic_replay_idempotent(spark, tmp_path):
     assert kept2 == {12}
 
 
+def test_semantic_state_compaction_and_growth_report(spark, tmp_path):
+    """srp_bands/embeddings ride the maintenance lifecycle like every
+    other state table: compact() rewrites them (tags preserved), the
+    cross-history probe still fires afterwards, and growth_report
+    tracks their rows/docs/segments."""
+    cfg = _cfg()
+    state = _estate(tmp_path)
+    curate_increment(
+        _mk(spark, [(1, "web", _T_A, _V_AB), (3, "web", _T_C, _V_C)]),
+        state, cfg=cfg, epoch_id=0,
+    )
+    report = state.compact(spark)
+    assert {"srp_bands", "embeddings"} <= set(report)
+    # post-compact the landed vectors still drive the semantic drop
+    kept2 = {
+        r["doc_id"]
+        for r in curate_increment(
+            _mk(spark, [(10, "web", _T_B, _V_AB), (12, "web", _T_E, _V_E)]),
+            state, cfg=cfg, epoch_id=1,
+        ).collect()
+    }
+    assert kept2 == {12}
+    g = state.growth_report(spark)
+    assert g["embeddings"]["docs"] == 3  # kept docs 1, 3, 12
+    assert g["srp_bands"]["rows"] == 3 * 4  # n_bands buckets per doc
+    assert g["embeddings"]["segments"] == 2  # one append per epoch
+
+
 def test_semantic_two_batch_parity_min_id(spark, tmp_path):
     """Batch-over-concatenation equals bootstrap+increment when ids
     arrive in batch order under min_id: the cross-batch semantic pair
