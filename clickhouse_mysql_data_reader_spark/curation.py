@@ -619,20 +619,37 @@ def _cos_verified(
     ``near_dup_pairs_srp`` (equality pinned by test), factored out so
     the within-batch and vs-history verifies of ``curate_increment``
     share one formula with the batch path. Banding can only LOSE
-    pairs; every emitted edge passed the exact test."""
-    from clickhouse_mysql_data_reader_spark.operators.similarity import cosine
+    pairs; every emitted edge passed the exact test. Norms are
+    precomputed per ROW (operators/similarity.py cosine_n — the folds
+    are interpreted, so per-pair work is the single dot fold;
+    bit-identical to the per-pair cosine)."""
+    from clickhouse_mysql_data_reader_spark.operators.similarity import (
+        cosine_n,
+        l2_norm,
+    )
 
     return (
         cand.join(
-            left_vecs.select(F.col("vid").alias("doc_a"), F.col("v").alias("_va")),
+            left_vecs.select(
+                F.col("vid").alias("doc_a"),
+                F.col("v").alias("_va"),
+                l2_norm(F.col("v")).alias("_na"),
+            ),
             "doc_a",
         )
         .join(
-            right_vecs.select(F.col("vid").alias("doc_b"), F.col("v").alias("_vb")),
+            right_vecs.select(
+                F.col("vid").alias("doc_b"),
+                F.col("v").alias("_vb"),
+                l2_norm(F.col("v")).alias("_nb"),
+            ),
             "doc_b",
         )
         .filter(
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= F.lit(float(threshold))
+            F.round(
+                cosine_n(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")), 6
+            )
+            >= F.lit(float(threshold))
         )
         .select("doc_a", "doc_b")
     )

@@ -1,8 +1,12 @@
 """Embedding similarity search over ``array<float>`` columns.
 
 Two strategies, both pure DataFrame compositions (no UDFs — the dot
-product is a ``zip_with`` + ``aggregate`` fold that runs inside
-whole-stage codegen):
+product is a ``zip_with`` + ``aggregate`` fold; NOTE higher-order
+array lambdas are NOT whole-stage-codegen'd, they run interpreted, so
+every pair-level fold counts — norms are therefore precomputed per
+ROW (`_with_norm`), never per pair, keeping the per-candidate cost to
+the single dot fold. dot/(na*nb) with row-precomputed na/nb is
+bit-identical to dot/(l2(a)*l2(b)): same operands, same op order):
 
 - ``cosine_topk``: brute-force exact top-k. The query set is broadcast,
   so the big side never shuffles; cost is one pass over the corpus per
@@ -40,6 +44,13 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_n(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """`cosine` with the norms precomputed per ROW instead of per pair
+    — bit-identical output (same operands, same op order), 3x fewer
+    interpreted folds at every candidate-pair site."""
+    return dot(a, b) / (na * nb)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -56,13 +67,19 @@ def cosine_topk(
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("qid"), as_double_array(vec_col).alias("qe")
-        )
+        ).withColumn("qn", l2_norm(F.col("qe")))
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("ce"))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("ce")
+    ).withColumn("cn", l2_norm(F.col("ce")))
     scored = (
         c.crossJoin(q)
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", cosine(F.col("qe"), F.col("ce")).alias("cos"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine_n(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")).alias("cos"),
+        )
     )
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
@@ -92,17 +109,21 @@ def ivf_topk(
             F.col(query_id_col).alias("qid"),
             as_double_array(vec_col).alias("qe"),
             F.col(cell_col).alias("qcell"),
-        )
+        ).withColumn("qn", l2_norm(F.col("qe")))
     )
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         as_double_array(vec_col).alias("ce"),
         F.col(cell_col).alias("cell"),
-    )
+    ).withColumn("cn", l2_norm(F.col("ce")))
     scored = (
         c.join(q, c.cell == q.qcell)
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", cosine(F.col("qe"), F.col("ce")).alias("cos"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine_n(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")).alias("cos"),
+        )
     )
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
@@ -137,14 +158,16 @@ def near_dup_pairs(
         F.col(id_col).alias("vid"),
         F.col(cell_col).alias("cell"),
         as_double_array(vec_col).alias("v"),
-    )
+    ).withColumn("n", l2_norm(F.col("v")))
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vid") < F.col("b.vid")))
         .select(
             F.col("a.vid").alias("vec_a"),
             F.col("b.vid").alias("vec_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            F.round(
+                cosine_n(F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -230,15 +253,21 @@ def near_dup_pairs_multiprobe(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    va = corpus.select(F.col(id_col).alias("vec_a"), as_double_array(vec_col).alias("v_a"))
-    vb = corpus.select(F.col(id_col).alias("vec_b"), as_double_array(vec_col).alias("v_b"))
+    va = corpus.select(
+        F.col(id_col).alias("vec_a"), as_double_array(vec_col).alias("v_a")
+    ).withColumn("n_a", l2_norm(F.col("v_a")))
+    vb = corpus.select(
+        F.col(id_col).alias("vec_b"), as_double_array(vec_col).alias("v_b")
+    ).withColumn("n_b", l2_norm(F.col("v_b")))
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"),
+            F.round(
+                cosine_n(F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -1074,14 +1103,22 @@ def near_dup_pairs_srp(
     )
     e = corpus.select(
         F.col(id_col).alias("vid"), as_double_array(vec_col).alias("v")
+    ).withColumn("nn", l2_norm(F.col("v")))
+    ea = e.select(
+        F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("nn").alias("na")
+    )
+    eb = e.select(
+        F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("nn").alias("nb")
     )
     return (
-        cand.join(e.withColumnRenamed("vid", "vec_a").withColumnRenamed("v", "va"), "vec_a")
-        .join(e.withColumnRenamed("vid", "vec_b").withColumnRenamed("v", "vb"), "vec_b")
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                cosine_n(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -783,15 +783,25 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the exact distinct count is in the compared output: DuckDB computes "
     "it independently, the hash verifies Spark's exact anchor, and "
     "within_5pct bound-checks the sketch against that verified anchor "
-    "(rsd=0.01 gives ~1% typical error; 5%% is the gate).",
+    "(rsd=0.01 gives ~1% typical error; 5%% is the gate). Both aggregates "
+    "run over the PRE-DISTINCT (flag, partkey) pairs, never in one agg "
+    "with countDistinct: a distinct + non-distinct mix triggers the "
+    "Expand-based distinct rewrite, whose first phase groups by (flag, "
+    "partkey) — one rsd=0.01 HLL buffer PER PAIR, ~200k sketch "
+    "allocations at sf0.1 (measured 18.5s; this form 1.1s, and HLL is "
+    "duplicate-insensitive so the estimate is bit-identical).",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    pairs = (
         load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
+        .select("l_returnflag", "l_partkey")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.count(F.lit(1)).alias("exact_parts"),
         )
         .select(
             "l_returnflag",
