@@ -912,9 +912,22 @@ def curate(
         # into ONE components pass, so a paraphrase chain and a
         # truncation chain touching the same doc merge). Computed over
         # the post-boilerplate survivors, same relation the lexical
-        # edges see.
+        # edges see. The (id, vector) frame has three consumers (band
+        # table + both verify joins) — persist it so the gate chain
+        # upstream of `boiled` runs once, not three times (the shingle
+        # frame's discipline; caller-owned release via unpersist()).
+        from pyspark import StorageLevel
+
+        from clickhouse_mysql_data_reader_spark.operators.similarity import (
+            as_double_array,
+        )
+
+        vecs_sem = boiled.select(
+            F.col(id_col).alias("vid"), as_double_array(cfg.embed_col).alias("v")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(vecs_sem)
         edges = edges.unionByName(
-            _semantic_edge_set(boiled, cfg, id_col)
+            _semantic_edge_set(boiled, cfg, id_col, vecs=vecs_sem)
         ).distinct()
     comps = connected_components(edges)
     drop_ids = _near_dup_drop_ids(comps, boiled, cfg, text_col, id_col)
@@ -2380,9 +2393,19 @@ def curate_increment(
         # corpus-scale pass batch mode persists.
         edges0 = _near_dup_edge_set(sh0, cfg)
         if cfg.embed_near_cos is not None:
-            # third (semantic) edge type, same union as batch curate()
+            # third (semantic) edge type, same union as batch curate();
+            # localCheckpoint the batch-sized vector frame (three
+            # consumers — the bootstrap's established discipline)
+            from clickhouse_mysql_data_reader_spark.operators.similarity import (
+                as_double_array,
+            )
+
+            vecs0 = boiled0.select(
+                F.col(id_col).alias("vid"),
+                as_double_array(cfg.embed_col).alias("v"),
+            ).localCheckpoint()
             edges0 = edges0.unionByName(
-                _semantic_edge_set(boiled0, cfg, id_col)
+                _semantic_edge_set(boiled0, cfg, id_col, vecs=vecs0)
             ).distinct()
         comps0 = connected_components(edges0)
         drop0 = _near_dup_drop_ids(comps0, boiled0, cfg, text_col, id_col)
