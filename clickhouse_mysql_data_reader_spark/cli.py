@@ -11,6 +11,10 @@ pump-data) onto the engine:
 - profile-table     -> per-column quality profile + schema drift vs the
                        landed destination (monitoring verb beyond the
                        reference's four; exit 1 on UNSAFE drift)
+- curate-data       -> LLM-corpus curation (gates + exact/near/semantic
+                       dedup + decontamination, curation.py) over a
+                       parquet document corpus; batch, or incremental
+                       against a landed CurationState (--curation-state)
 
 Exit code is 0 only when every migrated table reconciles (the
 reference's manual acceptance check, automated).
@@ -96,6 +100,67 @@ def run(cfg: AppConfig, spark: SparkSession | None = None) -> int:
                         }))
         # exit 0 only when no UNSAFE drift (profile rows are informational)
         return 0 if unsafe == 0 else 1
+
+    if verb == "curate-data":
+        from clickhouse_mysql_data_reader_spark.curation import (
+            CurationConfig,
+            CurationState,
+            curate,
+            curate_increment,
+        )
+
+        if not (cfg.src.parquet_dir and cfg.dst.parquet_dir):
+            raise ValueError(
+                "--curate-data requires --src-parquet-dir (the document "
+                "corpus) and --dst-parquet-dir (where survivors land)"
+            )
+        ckw = {}
+        if cfg.curate.config_file:
+            with open(cfg.curate.config_file) as f:
+                ckw = json.load(f)
+        ccfg = CurationConfig(**ckw)  # __post_init__ validates the knobs
+        docs = spark.read.parquet(cfg.src.parquet_dir)
+        benchmark = (
+            spark.read.parquet(cfg.curate.benchmark_dir)
+            if cfg.curate.benchmark_dir
+            else None
+        )
+        n_in = docs.count()
+        if cfg.dry:
+            # dry mode prints the plan inputs and changes nothing,
+            # like the migration verbs
+            print(json.dumps({
+                "verb": verb, "dry": True, "input_rows": n_in,
+                "mode": "increment" if cfg.curate.state_dir else "batch",
+                "curation_config": ckw,
+            }))
+            return 0
+        if cfg.curate.state_dir:
+            state = CurationState.from_config(ccfg, cfg.curate.state_dir)
+            kept = curate_increment(
+                docs, state, cfg=ccfg, benchmark=benchmark,
+                text_col=cfg.curate.text_col, id_col=cfg.curate.id_col,
+            )
+            kept.write.mode("overwrite").parquet(cfg.dst.parquet_dir)
+            mode = "increment"
+        else:
+            res = curate(
+                docs, benchmark=benchmark, cfg=ccfg,
+                text_col=cfg.curate.text_col, id_col=cfg.curate.id_col,
+            )
+            # after_mixture = the curated corpus (mixture-shaped when
+            # configured); `packed` adds training-shard layout columns,
+            # a downstream concern the API exposes
+            res.after_mixture.write.mode("overwrite").parquet(cfg.dst.parquet_dir)
+            res.unpersist()
+            mode = "batch"
+        n_out = spark.read.parquet(cfg.dst.parquet_dir).count()
+        print(json.dumps({
+            "verb": verb, "mode": mode, "input_rows": n_in,
+            "kept_rows": n_out, "out_dir": cfg.dst.parquet_dir,
+            "state_dir": cfg.curate.state_dir,
+        }))
+        return 0
 
     if verb == "migrate-table":
         mig = Migrator(spark, cfg)

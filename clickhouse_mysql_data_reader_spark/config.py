@@ -131,6 +131,22 @@ class PumpConfig:
 
 
 @dataclass
+class CurateConfig:
+    """--curate-data verb inputs: the LLM-corpus curation pipeline
+    (curation.py) driven from the same config/CLI surface as the
+    migration verbs. ``config_file`` is a JSON object of
+    CurationConfig keyword arguments (validated by its __post_init__);
+    ``state_dir`` switches batch curate() to curate_increment()
+    against the landed state (daily-batch mode)."""
+
+    config_file: str | None = None
+    state_dir: str | None = None
+    benchmark_dir: str | None = None  # decontamination corpus (parquet)
+    text_col: str = "text"
+    id_col: str = "doc_id"
+
+
+@dataclass
 class AppConfig:
     # verbs (exactly one)
     create_table_sql: bool = False
@@ -138,6 +154,7 @@ class AppConfig:
     migrate_table: bool = False
     pump_data: bool = False
     profile_table: bool = False  # monitoring verb beyond reference parity
+    curate_data: bool = False  # LLM-corpus curation verb beyond parity
 
     with_create_database: bool = False
     dry: bool = False
@@ -147,6 +164,7 @@ class AppConfig:
     dst: DestConfig = field(default_factory=DestConfig)
     columns: ColumnPolicy = field(default_factory=ColumnPolicy)
     pump: PumpConfig = field(default_factory=PumpConfig)
+    curate: CurateConfig = field(default_factory=CurateConfig)
 
     def verb(self) -> str:
         chosen = [
@@ -157,14 +175,15 @@ class AppConfig:
                 ("migrate-table", self.migrate_table),
                 ("pump-data", self.pump_data),
                 ("profile-table", self.profile_table),
+                ("curate-data", self.curate_data),
             )
             if on
         ]
         if len(chosen) != 1:
             raise ValueError(
                 f"exactly one of --create-table-sql / --create-table-json-template"
-                f" / --migrate-table / --pump-data / --profile-table "
-                f"required, got {chosen or 'none'}"
+                f" / --migrate-table / --pump-data / --profile-table / "
+                f"--curate-data required, got {chosen or 'none'}"
             )
         return chosen[0]
 
@@ -189,6 +208,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Profile discovered tables (row/null/distinct/"
                    "min/max per column) and, when a landed destination "
                    "exists, report schema drift vs it")
+    p.add_argument("--curate-data", action="store_true",
+                   help="Curate an LLM document corpus (--src-parquet-dir) "
+                   "through the gates + dedup + decontamination pipeline; "
+                   "survivors land under --dst-parquet-dir")
     p.add_argument("--with-create-database", action="store_true",
                    help="Prepend CREATE DATABASE to each CREATE TABLE")
     p.add_argument("--dry", action="store_true",
@@ -241,6 +264,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="processingTime trigger seconds")
     p.add_argument("--pump-available-now", action="store_true",
                    help="drain existing events then stop (no --src-wait)")
+    # curation
+    p.add_argument("--curation-config",
+                   help="JSON file of CurationConfig keyword arguments")
+    p.add_argument("--curation-state",
+                   help="CurationState directory: run INCREMENTALLY against "
+                   "the landed history (and append the kept batch)")
+    p.add_argument("--benchmark-parquet-dir",
+                   help="benchmark/eval corpus for decontamination")
+    p.add_argument("--curation-text-column", default="text")
+    p.add_argument("--curation-id-column", default="doc_id")
     return p
 
 
@@ -293,6 +326,7 @@ def parse_config(argv: list[str] | None = None) -> AppConfig:
         migrate_table=args.migrate_table,
         pump_data=args.pump_data,
         profile_table=args.profile_table,
+        curate_data=args.curate_data,
         with_create_database=args.with_create_database,
         dry=args.dry,
         log_level=args.log_level,
@@ -337,5 +371,12 @@ def parse_config(argv: list[str] | None = None) -> AppConfig:
             max_files_per_trigger=args.mempool_max_events_num,
             flush_interval_secs=args.mempool_max_flush_interval,
             available_now=args.pump_available_now,
+        ),
+        curate=CurateConfig(
+            config_file=args.curation_config,
+            state_dir=args.curation_state,
+            benchmark_dir=args.benchmark_parquet_dir,
+            text_col=args.curation_text_column,
+            id_col=args.curation_id_column,
         ),
     )

@@ -1157,6 +1157,29 @@ class CurationState:
     def _path(self, name: str) -> str:
         return f"{self.state_dir}/{name}"
 
+    @classmethod
+    def from_config(cls, cfg: CurationConfig, state_dir: str) -> "CurationState":
+        """The state handle a ``curate_increment(cfg=...)`` run needs —
+        every ctor parameter derived from the CurationConfig so the
+        two cannot drift (each geometry/threshold mismatch below is a
+        ValueError in curate_increment; deriving kills the class of
+        bug where a caller updates cfg but not the handle). Used by
+        the --curate-data CLI verb."""
+        kw: dict = dict(minhash_k=cfg.minhash_k, lsh_bands=cfg.lsh_bands)
+        if cfg.near_dup_exact:
+            kw["jaccard_exact_threshold"] = cfg.near_dup_jaccard
+        if cfg.near_dup_containment is not None:
+            kw["containment_threshold"] = cfg.near_dup_containment
+        if cfg.embed_near_cos is not None:
+            kw.update(
+                embed_dim=cfg.embed_dim,
+                embed_bits=cfg.embed_bits,
+                embed_srp_bands=cfg.embed_srp_bands,
+                embed_seed=cfg.embed_seed,
+                embed_col=cfg.embed_col,
+            )
+        return cls(state_dir, **kw)
+
     def _fs(self, spark):
         jvm = spark._jvm
         path = jvm.org.apache.hadoop.fs.Path(self.state_dir)

@@ -382,3 +382,104 @@ def test_cli_profile_table_verb(spark, tmp_path, capsys):
         "old_type": "string", "new_type": None, "safe": False,
         "reason": "column dropped: landed values become unreadable",
     }]
+
+
+# ---- --curate-data verb -------------------------------------------------
+
+_CUR_A = (
+    "the quick brown fox jumps over the lazy dog and then it runs far "
+    "away to find a place for the long sleep it wanted all day"
+)
+_CUR_B = (
+    "call it what you want but the story of the sea is the story of "
+    "the men who sailed it for the wind and the tide and the stars"
+)
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.parquet(path)
+
+
+def test_cli_curate_data_batch_and_dry(spark, tmp_path, capsys):
+    """Batch curation from the CLI: near-dup pair collapses, survivors
+    land under --dst-parquet-dir, the report line carries the counts;
+    --dry prints the plan inputs and writes nothing."""
+    src = str(tmp_path / "docs")
+    _write_docs(spark, src, [
+        (1, "web", _CUR_A),
+        (2, "web", _CUR_A + " tiny extra suffix"),  # near-dup of 1
+        (3, "books", _CUR_B),
+    ])
+    ccfg = tmp_path / "curation.json"
+    ccfg.write_text(json.dumps({"near_dup_jaccard": 0.5}))
+    out = str(tmp_path / "kept")
+    base = [
+        "--curate-data",
+        "--src-parquet-dir", src,
+        "--dst-parquet-dir", out,
+        "--curation-config", str(ccfg),
+    ]
+    assert run(parse_config([*base, "--dry"]), spark) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["dry"] is True and rep["input_rows"] == 3
+    assert rep["curation_config"] == {"near_dup_jaccard": 0.5}
+    import os
+
+    assert not os.path.exists(out), "--dry must not write"
+
+    assert run(parse_config(base), spark) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {
+        "verb": "curate-data", "mode": "batch", "input_rows": 3,
+        "kept_rows": 2, "out_dir": out, "state_dir": None,
+    }
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3}
+
+
+def test_cli_curate_data_incremental_state(spark, tmp_path, capsys):
+    """--curation-state switches to curate_increment: batch 2 dedups
+    against batch 1's landed state (exact dup of a landed doc drops),
+    and the state handle derives every parameter from the JSON config
+    (CurationState.from_config)."""
+    b1, b2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    _write_docs(spark, b1, [(1, "web", _CUR_A)])
+    _write_docs(spark, b2, [(10, "web", _CUR_A), (11, "books", _CUR_B)])
+    ccfg = tmp_path / "curation.json"
+    ccfg.write_text(json.dumps({"near_dup_jaccard": 0.8}))
+    state = str(tmp_path / "state")
+
+    def _run_inc(src, out):
+        return run(parse_config([
+            "--curate-data",
+            "--src-parquet-dir", src,
+            "--dst-parquet-dir", out,
+            "--curation-config", str(ccfg),
+            "--curation-state", state,
+        ]), spark)
+
+    assert _run_inc(b1, str(tmp_path / "out1")) == 0
+    rep1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep1["mode"] == "increment" and rep1["kept_rows"] == 1
+    assert _run_inc(b2, str(tmp_path / "out2")) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["kept_rows"] == 1
+    kept2 = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out2")).collect()}
+    assert kept2 == {11}, "exact dup of the landed doc must drop"
+
+
+def test_cli_curate_data_requires_dirs_and_valid_config(spark, tmp_path):
+    with pytest.raises(ValueError, match="curate-data requires"):
+        run(parse_config(["--curate-data"]), spark)
+    src = str(tmp_path / "docs")
+    _write_docs(spark, src, [(1, "web", _CUR_A)])
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"embed_near_cos": 0.9}))  # needs embed_dim
+    with pytest.raises(ValueError, match="embed_dim"):
+        run(parse_config([
+            "--curate-data", "--src-parquet-dir", src,
+            "--dst-parquet-dir", str(tmp_path / "o"),
+            "--curation-config", str(bad),
+        ]), spark)
