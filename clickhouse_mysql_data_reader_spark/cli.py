@@ -126,13 +126,56 @@ def run(cfg: AppConfig, spark: SparkSession | None = None) -> int:
             else None
         )
         n_in = docs.count()
+        mode = (
+            "stream"
+            if cfg.curate.stream_checkpoint
+            else ("increment" if cfg.curate.state_dir else "batch")
+        )
         if cfg.dry:
             # dry mode prints the plan inputs and changes nothing,
             # like the migration verbs
             print(json.dumps({
                 "verb": verb, "dry": True, "input_rows": n_in,
-                "mode": "increment" if cfg.curate.state_dir else "batch",
-                "curation_config": ckw,
+                "mode": mode, "curation_config": ckw,
+            }))
+            return 0
+        if cfg.curate.stream_checkpoint:
+            # streaming mode: drain the source dir's current files
+            # through curate_stream (availableNow — the pump's
+            # drain-and-stop shape), epoch outputs under dst, state
+            # grown per epoch. Resumable: rerunning with the same
+            # checkpoint processes only NEW files, and run_id =
+            # checkpoint dir scopes the epoch tags exactly as
+            # curate_stream's contract requires (a fresh checkpoint
+            # restarts epoch ids at 0).
+            from clickhouse_mysql_data_reader_spark.curation import curate_stream
+
+            if not cfg.curate.state_dir:
+                raise ValueError(
+                    "--curation-stream-checkpoint requires --curation-state "
+                    "(the stream dedups each epoch against the landed state)"
+                )
+            state = CurationState.from_config(ccfg, cfg.curate.state_dir)
+            stream = (
+                spark.readStream.schema(docs.schema).parquet(cfg.src.parquet_dir)
+            )
+            writer = curate_stream(
+                stream, state, cfg.dst.parquet_dir, cfg=ccfg,
+                benchmark=benchmark, text_col=cfg.curate.text_col,
+                id_col=cfg.curate.id_col,
+                run_id=cfg.curate.stream_checkpoint,
+            )
+            q = (
+                writer.option("checkpointLocation", cfg.curate.stream_checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            print(json.dumps({
+                "verb": verb, "mode": mode, "input_rows": n_in,
+                "out_dir": cfg.dst.parquet_dir,
+                "state_dir": cfg.curate.state_dir,
+                "checkpoint": cfg.curate.stream_checkpoint,
             }))
             return 0
         if cfg.curate.state_dir:

@@ -144,6 +144,10 @@ class CurateConfig:
     benchmark_dir: str | None = None  # decontamination corpus (parquet)
     text_col: str = "text"
     id_col: str = "doc_id"
+    # streaming mode: treat --src-parquet-dir as a STREAMING parquet
+    # source, run curate_stream with this checkpoint dir (drain-and-stop
+    # via availableNow, resumable — the pump's binlog-position analogue)
+    stream_checkpoint: str | None = None
 
 
 @dataclass
@@ -274,6 +278,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="benchmark/eval corpus for decontamination")
     p.add_argument("--curation-text-column", default="text")
     p.add_argument("--curation-id-column", default="doc_id")
+    p.add_argument("--curation-stream-checkpoint",
+                   help="run curate-data as a STREAM over --src-parquet-dir "
+                   "(drain existing files then stop; resumable via this "
+                   "checkpoint dir); requires --curation-state")
     return p
 
 
@@ -378,5 +386,6 @@ def parse_config(argv: list[str] | None = None) -> AppConfig:
             benchmark_dir=args.benchmark_parquet_dir,
             text_col=args.curation_text_column,
             id_col=args.curation_id_column,
+            stream_checkpoint=args.curation_stream_checkpoint,
         ),
     )

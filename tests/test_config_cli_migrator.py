@@ -483,3 +483,53 @@ def test_cli_curate_data_requires_dirs_and_valid_config(spark, tmp_path):
             "--dst-parquet-dir", str(tmp_path / "o"),
             "--curation-config", str(bad),
         ]), spark)
+
+
+def test_cli_curate_data_stream_mode(spark, tmp_path, capsys):
+    """--curation-stream-checkpoint runs curate_stream (drain-and-stop):
+    epoch outputs land under run-scoped dirs, the state grows per epoch,
+    and a SECOND invocation with the same checkpoint processes only the
+    NEW files — the resumable daily-drain shape."""
+    import glob
+
+    src = str(tmp_path / "stream_src")
+    _write_docs(spark, src, [(1, "web", _CUR_A), (2, "books", _CUR_B)])
+    out, state, ckpt = (
+        str(tmp_path / "out"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    args = [
+        "--curate-data",
+        "--src-parquet-dir", src,
+        "--dst-parquet-dir", out,
+        "--curation-state", state,
+        "--curation-stream-checkpoint", ckpt,
+    ]
+    assert run(parse_config(args), spark) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["mode"] == "stream" and rep["checkpoint"] == ckpt
+    epochs = sorted(glob.glob(f"{out}/run=*/epoch=*"))
+    assert len(epochs) == 1
+    kept1 = {r["doc_id"] for r in spark.read.parquet(epochs[0]).collect()}
+    assert kept1 == {1, 2}
+
+    # append a new file: one exact dup of a landed doc + one fresh doc;
+    # the resumed stream must process ONLY this file and dedup vs state
+    spark.createDataFrame(
+        [(10, "web", _CUR_A),
+         (11, "web", "fresh words about mountains and meadows and the "
+                     "morning frost on the window glass before sunrise")],
+        "doc_id long, source string, text string",
+    ).write.mode("append").parquet(src)
+    assert run(parse_config(args), spark) == 0
+    epochs = sorted(glob.glob(f"{out}/run=*/epoch=*"))
+    assert len(epochs) == 2
+    kept2 = {r["doc_id"] for r in spark.read.parquet(epochs[1]).collect()}
+    assert kept2 == {11}, "dup of the landed doc must drop on resume"
+
+    # streaming without a state dir is a config error
+    with pytest.raises(ValueError, match="requires --curation-state"):
+        run(parse_config([
+            "--curate-data", "--src-parquet-dir", src,
+            "--dst-parquet-dir", out,
+            "--curation-stream-checkpoint", ckpt,
+        ]), spark)
