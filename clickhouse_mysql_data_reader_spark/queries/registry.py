@@ -524,6 +524,18 @@ DEPRIORITIZED = (
     # Q6/Q7/Q10/Q13/Q15/Q18 that sat here as r9/r10 rotation
     # candidates all rotated INTO the checked 50 in round 10 — see the
     # round-10 block at the top of this tuple's comments.)
+    # TPC-H breadth, born deprioritized in round 10 (r11 rotation
+    # candidates; full DuckDB oracles in pytest every CI run): Q4
+    # (EXISTS decorrelated to LEFT SEMI — the checked cdc/semi family's
+    # plan with the date-pruned orders scan), Q12 (CASE-sum pair over
+    # the checked fact-fact join, the validate_orders_rules idiom),
+    # Q16 (broadcast ANTI blacklist + exact countDistinct — the
+    # agg_count_distinct two-phase family), Q22 (broadcast 1-row
+    # scalar-subquery frame + LEFT ANTI, the q15 global-max idiom).
+    "q4_order_priority_check",
+    "q12_linestatus_priority",
+    "q16_supplier_part_counts",
+    "q22_global_sales_opportunity",
     # multimodal resize plan (born deprioritized, round 8; the last
     # never-driver-checked r8 name, r11 rotation candidate): pure
     # scan-stage integer geometry on the meta struct — the checked

@@ -356,6 +356,7 @@ _TINY_CROSSJOIN_OK = {
     "embed_cosine_topk",            # 5-row query frame
     "text_tfidf_top_terms",         # 1-row doc count
     "embed_cell_assign",            # centroid frame
+    "q22_global_sales_opportunity", # 1-row global-average frame
 }
 
 
