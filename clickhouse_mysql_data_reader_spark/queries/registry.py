@@ -536,6 +536,13 @@ DEPRIORITIZED = (
     "q12_linestatus_priority",
     "q16_supplier_part_counts",
     "q22_global_sales_opportunity",
+    # ...plus Q8 (the widest broadcast star: nation joined twice, a
+    # per-year conditional share — exact-decimal sums, double division
+    # only at the end) and Q21 (EXISTS + NOT EXISTS over the same fact
+    # with a supplier inequality in the correlation, decorrelated to a
+    # semi/anti pair with the inequality as the hash-join residual):
+    "q8_market_share",
+    "q21_suppliers_kept_waiting",
     # multimodal resize plan (born deprioritized, round 8; the last
     # never-driver-checked r8 name, r11 rotation candidate): pure
     # scan-stage integer geometry on the meta struct — the checked
