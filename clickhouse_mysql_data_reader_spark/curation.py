@@ -1732,7 +1732,31 @@ class CurationState:
             if fs.exists(hp(staging)):
                 fs.delete(hp(staging), True)  # crashed earlier attempt
             if fs.exists(hp(final)):
-                # exists but not landed: uncommitted leftovers only
+                # A final dir can only come from a COMMITTED rename of
+                # a prior backfill attempt that crashed between the two
+                # renames (staging never becomes final otherwise), so
+                # this table is fully landed — embed_landed() is False
+                # only because its sibling is missing. Re-deriving is
+                # correct ONLY when the retry supplies the identical
+                # historical kept corpus; guard that instead of
+                # assuming it (a different corpus here would silently
+                # rewrite history with mismatched vectors).
+                landed_ids = spark.read.parquet(final).select("doc_id").distinct()
+                supplied = kept.select(F.col(id_col).alias("doc_id")).distinct()
+                mismatch = (
+                    landed_ids.exceptAll(supplied)
+                    .unionByName(supplied.exceptAll(landed_ids))
+                    .limit(1)
+                    .count()
+                )
+                if mismatch:
+                    raise ValueError(
+                        f"backfill_embeddings retry: landed {name} doc_ids "
+                        "differ from the supplied kept corpus — a retry "
+                        "must pass the SAME historical corpus as the "
+                        "crashed attempt (delete the landed "
+                        f"{final} first to backfill a different one)"
+                    )
                 fs.delete(hp(final), True)
             rows.withColumns(
                 {"_epoch": F.lit(-1), "_run": F.lit("")}

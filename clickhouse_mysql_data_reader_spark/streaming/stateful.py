@@ -154,12 +154,12 @@ def stateful_latest_wins_tws(
     no such dependency). Checked eagerly here — without it the query
     dies at start with an opaque 'driver worker crashed'.
 
-    (Install retried 2026-08-15, rounds 9 AND 10 of the build: ``pip
-    install protobuf`` still fails — no network route to any index
-    ("Name or service not known" resolving the configured mirror), so
-    the streaming integration test remains environment-gated; the
-    processor logic itself is executed in CI via a stubbed ValueState
-    handle, tests/test_stateful.py.)
+    (Install retried 2026-08-15, rounds 9, 10 AND 11 of the build:
+    ``pip install protobuf`` still fails — no network route to any
+    index ("Name or service not known" resolving the configured
+    mirror), so the streaming integration test remains
+    environment-gated; the processor logic itself is executed in CI
+    via a stubbed ValueState handle, tests/test_stateful.py.)
     """
     try:
         from google.protobuf import descriptor  # noqa: F401

@@ -533,3 +533,119 @@ def test_cli_curate_data_stream_mode(spark, tmp_path, capsys):
             "--dst-parquet-dir", out,
             "--curation-stream-checkpoint", ckpt,
         ]), spark)
+
+
+_CUR_C = (
+    "a completely different account of the northern hills where the "
+    "miners dug for copper and the rivers ran cold under the old stone "
+    "bridges that nobody crossed after dark anymore"
+)
+
+
+def _write_docs_vec(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string, embedding array<double>"
+    ).write.parquet(path)
+
+
+def test_cli_curate_data_increment_embed_and_retry(spark, tmp_path, capsys):
+    """--curate-data with an embed-enabled curation config (the
+    from_config geometry plumbing): the landed state grows
+    srp_bands/embeddings, a SEMANTIC near-dup of a landed doc
+    (different text, identical vector) drops in increment mode, and —
+    the round-10 advice item — a rerun of the same batch with the same
+    --curation-epoch/--curation-run-id reproduces the kept corpus
+    instead of overwriting dst with an EMPTY one (state lands AFTER
+    the dst write, tagged so the replay excludes its own append)."""
+    import os
+
+    b1, b2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    _write_docs_vec(spark, b1, [(1, "web", _CUR_A, [1.0, 0.0, 0.0, 0.0])])
+    _write_docs_vec(spark, b2, [
+        # semantic dup of landed doc 1: lexically distinct text (no
+        # exact/LSH path fires), same vector -> cosine 1.0 >= 0.95
+        (10, "web", _CUR_C, [1.0, 0.0, 0.0, 0.0]),
+        (11, "books", _CUR_B, [0.0, 1.0, 0.0, 0.0]),
+    ])
+    ccfg = tmp_path / "curation.json"
+    ccfg.write_text(json.dumps({"embed_near_cos": 0.95, "embed_dim": 4}))
+    state = str(tmp_path / "state")
+
+    def _run_inc(src, out, *extra):
+        return run(parse_config([
+            "--curate-data",
+            "--src-parquet-dir", src,
+            "--dst-parquet-dir", out,
+            "--curation-config", str(ccfg),
+            "--curation-state", state,
+            *extra,
+        ]), spark)
+
+    assert _run_inc(b1, str(tmp_path / "out1")) == 0
+    rep1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep1["mode"] == "increment" and rep1["kept_rows"] == 1
+    # the embed-enabled state landed both semantic tables
+    assert os.path.isdir(f"{state}/srp_bands")
+    assert os.path.isdir(f"{state}/embeddings")
+
+    out2 = str(tmp_path / "out2")
+    tags = ("--curation-epoch", "7", "--curation-run-id", "nightly")
+    assert _run_inc(b2, out2, *tags) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["kept_rows"] == 1
+    kept2 = {r["doc_id"] for r in spark.read.parquet(out2).collect()}
+    assert kept2 == {11}, "semantic dup of the landed doc must drop"
+
+    # RETRY: same batch, same (epoch, run) tags — the history joins
+    # exclude the first attempt's state append, so dst is reproduced,
+    # not emptied (without tags every doc would anti-join itself away)
+    assert _run_inc(b2, out2, *tags) == 0
+    rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep3["kept_rows"] == 1
+    kept3 = {r["doc_id"] for r in spark.read.parquet(out2).collect()}
+    assert kept3 == {11}, "tagged rerun must reproduce, not empty, dst"
+
+
+def test_cli_curate_data_stream_embed(spark, tmp_path, capsys):
+    """Streaming --curate-data with an embed-enabled config: epoch 2's
+    semantic near-dup of an epoch-1 doc (distinct text, same vector)
+    drops via the landed srp_bands/embeddings probe."""
+    import glob
+
+    src = str(tmp_path / "stream_src")
+    _write_docs_vec(spark, src, [
+        (1, "web", _CUR_A, [1.0, 0.0, 0.0, 0.0]),
+        (2, "books", _CUR_B, [0.0, 1.0, 0.0, 0.0]),
+    ])
+    out, state, ckpt = (
+        str(tmp_path / "out"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    ccfg = tmp_path / "curation.json"
+    ccfg.write_text(json.dumps({"embed_near_cos": 0.95, "embed_dim": 4}))
+    args = [
+        "--curate-data",
+        "--src-parquet-dir", src,
+        "--dst-parquet-dir", out,
+        "--curation-config", str(ccfg),
+        "--curation-state", state,
+        "--curation-stream-checkpoint", ckpt,
+    ]
+    assert run(parse_config(args), spark) == 0
+    capsys.readouterr()
+    epochs = sorted(glob.glob(f"{out}/run=*/epoch=*"))
+    assert len(epochs) == 1
+    assert {r["doc_id"] for r in spark.read.parquet(epochs[0]).collect()} == {1, 2}
+
+    spark.createDataFrame(
+        [(10, "web", _CUR_C, [1.0, 0.0, 0.0, 0.0]),  # semantic dup of 1
+         (11, "web", "fresh words about mountains and meadows and the "
+                     "morning frost on the window glass before sunrise",
+          [0.0, 0.0, 1.0, 0.0])],
+        "doc_id long, source string, text string, embedding array<double>",
+    ).write.mode("append").parquet(src)
+    assert run(parse_config(args), spark) == 0
+    capsys.readouterr()
+    epochs = sorted(glob.glob(f"{out}/run=*/epoch=*"))
+    assert len(epochs) == 2
+    kept2 = {r["doc_id"] for r in spark.read.parquet(epochs[1]).collect()}
+    assert kept2 == {11}, "semantic dup of the landed doc must drop on resume"

@@ -96,7 +96,30 @@ DRIVER_CAP = 50
 # agg_salted_skew / jsonl_roundtrip_documents — each with multi-round
 # driver-green history and a checked containment sibling (rationale
 # per displacement inside registry.DEPRIORITIZED).
+# Round 11 rotated in the eleven never-driver-checked queries (the
+# round-10-born TPC-H compositions Q4/Q8/Q12/Q16/Q21/Q22,
+# multimodal_resize_plan, text_token_budget, text_bm25_frozen, and the
+# plan-variants join_shuffle_fact_fact_bucketed / retention_cohorts),
+# displacing scan_prune_filter / table_name_filter /
+# type_coercion_parity / null_policy / join_broadcast_dim /
+# join_shuffle_fact_fact / agg_rollup / dedup_lsh_jaccard /
+# dedup_bloom_prefilter / text_lm_bigram / text_bm25_topk — each with
+# multi-round driver-green history and a checked containment sibling
+# (rationale per displacement inside registry.DEPRIORITIZED; two of
+# them are displaced by their own plan/deployment twins carrying the
+# identical oracle).
 MUST_BE_CHECKED = {
+    "q4_order_priority_check",
+    "q8_market_share",
+    "q12_linestatus_priority",
+    "q16_supplier_part_counts",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "multimodal_resize_plan",
+    "text_token_budget",
+    "text_bm25_frozen",
+    "join_shuffle_fact_fact_bucketed",
+    "retention_cohorts",
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q10_returned_items",
@@ -127,22 +150,11 @@ MUST_BE_CHECKED = {
     "text_blocklist_gate",
     "rag_chunk_retrieve",
     "dedup_containment_prefix",
-    "text_bm25_topk",
     "agg_unpivot",
-    "dedup_bloom_prefilter",
-    "text_lm_bigram",
-    "agg_rollup",
-    "join_broadcast_dim",
-    "join_shuffle_fact_fact",
     "join_asof_attrib",
     "text_line_dedup",
-    "scan_prune_filter",
-    "table_name_filter",
-    "type_coercion_parity",
-    "null_policy",
     "rename_fanin_union",
     "cdc_apply_final_state",
-    "dedup_lsh_jaccard",
     "dedup_exact_substring",
     "dedup_cluster_best_keeper",
     "sample_mixture_epochs",

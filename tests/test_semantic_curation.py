@@ -341,3 +341,44 @@ def test_semantic_two_batch_parity_min_id(spark, tmp_path):
     k1 = {r["doc_id"] for r in curate_increment(_mk(spark, rows1), state, cfg=cfg).collect()}
     k2 = {r["doc_id"] for r in curate_increment(_mk(spark, rows2), state, cfg=cfg).collect()}
     assert k1 | k2 == batch_kept == {1, 3, 12}
+
+
+def test_backfill_embeddings_retry_guard(spark, tmp_path):
+    """A crash BETWEEN backfill's two renames leaves the first table
+    fully landed (the rename is the commit). A retry with the SAME
+    historical corpus re-derives and lands both tables; a retry with a
+    DIFFERENT corpus must be refused — re-deriving would silently
+    rewrite history with mismatched vectors (round-10 advice item)."""
+    legacy_dir = f"{tmp_path}/legacy"
+    plain = CurationState(legacy_dir)
+    hist = _mk(spark, [(1, "web", _T_A, _V_AB), (2, "books", _T_C, _V_C)])
+    curate_increment(hist.drop("embedding"), plain,
+                     cfg=CurationConfig(near_dup_jaccard=0.9))
+
+    upgraded = CurationState(legacy_dir, **_GEO)
+    upgraded.backfill_embeddings(hist)
+    # simulate the mid-sequence crash: srp_bands (the SECOND rename)
+    # never landed, embeddings did
+    import shutil
+
+    shutil.rmtree(f"{legacy_dir}/srp_bands")
+    assert not upgraded.embed_landed(spark)
+
+    # retry with a DIFFERENT corpus: refused before anything is deleted
+    other = _mk(spark, [(9, "web", _T_D, _V_D)])
+    with pytest.raises(ValueError, match="same historical corpus|SAME historical"):
+        CurationState(legacy_dir, **_GEO).backfill_embeddings(other)
+    # the landed table survived the refused retry
+    assert {r["doc_id"] for r in spark.read.parquet(
+        f"{legacy_dir}/embeddings").collect()} == {1, 2}
+
+    # retry with the SAME corpus: lands both tables, probe works
+    CurationState(legacy_dir, **_GEO).backfill_embeddings(hist)
+    assert upgraded.embed_landed(spark)
+    kept = {
+        r["doc_id"]
+        for r in curate_increment(
+            _mk(spark, [(10, "web", _T_B, _V_AB)]), upgraded, cfg=_cfg()
+        ).collect()
+    }
+    assert kept == set(), "semantic dup of the backfilled doc must drop"
