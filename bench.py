@@ -392,6 +392,9 @@ def main() -> None:
         # (curate with embed_near_cos, gates off — see _curate_batch_
         # semantic above), next to its cross-history increment sibling
         "curate_batch_semantic": time_query("curate_batch_semantic"),
+        # round-11 registration: SemDeDup end-to-end (cells -> cosine
+        # pairs -> components -> least-typical keeper)
+        "dedup_semdedup": time_query("dedup_semdedup"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -591,3 +591,77 @@ def unimax_weights(
         targets[src] = t
         remaining -= t
     return {s: t / token_budget for s, t in sorted(targets.items())}
+
+
+def sqrt_temperature_mixture(
+    df: DataFrame,
+    token_count_col: Column,
+    key_col: str,
+    source_col: str,
+    token_budget: int,
+    salt: str = "temper",
+) -> DataFrame:
+    """Temperature mixture at ``alpha = 0.5`` with the weights derived
+    IN-PLAN in exact integer arithmetic — the deployment shape of
+    ``temperature_mixture`` when even its few-row driver collect is
+    unwanted (a scheduled pipeline stage, a streaming trigger, a plan
+    that must stay one lazy DAG end-to-end).
+
+    The integer square root realizes the exponent exactly:
+    ``w_i = floor(sqrt(tokens_i))`` so the keep-rate is
+    ``min(1, budget * w_i / (Z * tokens_i))`` with ``Z = sum_j w_j``.
+    Every input of the one double division is an exact integer
+    (``floor(sqrt(bigint))`` equals the true isqrt for any total below
+    2^52 — a correctly-rounded sqrt cannot cross an integer boundary
+    there except at exact squares, where it is exact — and
+    ``Z * tokens`` stays far below 2^63 at any real corpus size), so
+    rates and every md5 keep decision are bit-identical across engines
+    and runs: no libm ``pow`` enters the plan, unlike the float
+    exponent of ``temperature_weights``.
+
+    Plan at 100 TB: one partial+final agg for per-source totals (a
+    few-row frame), a 1-row normalizer agg crossJoined back as a
+    broadcast (the sanctioned scalar-subquery shape), the rate table
+    broadcast onto the scan, one md5 per row. The corpus is scanned
+    once, never cached.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    base = df.select(
+        F.col(source_col).alias("source"),
+        F.col(key_col).alias("_k"),
+        token_count_col.cast("bigint").alias("n_tokens"),
+    )
+    totals = base.groupBy("source").agg(
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("src_tokens")
+    )
+    w = totals.withColumn(
+        "w", F.floor(F.sqrt(F.col("src_tokens"))).cast("long")
+    )
+    z = w.agg(F.sum("w").alias("_z"))
+    rates = w.crossJoin(F.broadcast(z)).withColumn(
+        "rate",
+        F.least(
+            F.lit(1.0),
+            (F.lit(float(token_budget)) * F.col("w"))
+            / (F.col("_z") * F.col("src_tokens")),
+        ),
+    )
+    joined = base.join(F.broadcast(rates.select("source", "w", "rate")), "source")
+    keep = (F.col("rate") >= 1.0) | (
+        hash_bucket(F.col("_k"), salt) < hex_threshold_expr(F.col("rate"))
+    )
+    return (
+        joined.withColumn("keep", keep)
+        .groupBy("source")
+        .agg(
+            F.max("w").alias("w"),  # constant within a source
+            F.max("rate").alias("rate"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_docs_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0)).alias(
+                "n_tokens_kept"
+            ),
+        )
+    )

@@ -1049,3 +1049,56 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type") == "purchase",
         ],
     )
+
+
+@register(
+    "monitor_psi_drift",
+    """
+    WITH s AS (SELECT doc_id, n_chars, (doc_id % 2 = 1) AS is_new FROM documents),
+    mm AS (SELECT CAST(min(n_chars) AS BIGINT) AS mn,
+                  CAST(max(n_chars) AS BIGINT) AS mx
+           FROM s WHERE NOT is_new),
+    b AS (
+      SELECT is_new,
+             greatest(0, least(9,
+               CAST(floor((CAST(n_chars - mn AS DOUBLE) * 10.0)
+                          / greatest(mx - mn, 1)) AS BIGINT))) AS bucket
+      FROM s CROSS JOIN mm
+    ),
+    c AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_old,
+             CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      FROM b GROUP BY bucket
+    ),
+    spine AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(10)),
+    f AS (
+      SELECT spine.bucket,
+             COALESCE(c.n_old, 0) AS n_old,
+             COALESCE(c.n_new, 0) AS n_new
+      FROM spine LEFT JOIN c USING (bucket)
+    ),
+    tot AS (SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+                   CAST(sum(n_new) AS BIGINT) AS t_new
+            FROM f)
+    SELECT bucket, n_old, n_new,
+           round(((n_new + 1.0) / (t_new + 10) - (n_old + 1.0) / (t_old + 10))
+                 * ln(((n_new + 1.0) / (t_new + 10))
+                      / ((n_old + 1.0) / (t_old + 10))), 6) AS psi_contrib
+    FROM f CROSS JOIN tot
+    """,
+    doc="Population Stability Index between corpus snapshots (baseline "
+    "= even doc_ids, new = odd): fixed-width bins frozen from the "
+    "baseline's min/max n_chars, Laplace-smoothed shares, per-bin "
+    "(p_new - p_old) * ln(p_new / p_old) — the standard drift score "
+    "next to the z-score and diff monitors. Counts are mergeable "
+    "map-side aggregates; edges/totals are 1-row broadcasts; nothing "
+    "in the plan grows with the corpus.",
+)
+def monitor_psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.profile import psi_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    new = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    return psi_drift(old, new, "n_chars", n_buckets=10)

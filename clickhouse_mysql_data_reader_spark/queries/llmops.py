@@ -2545,3 +2545,219 @@ def text_hashed_embed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("checksum"),
         (F.array_position(cnt, F.array_max(cnt)) - 1).alias("top_bucket"),
     )
+
+
+# --- round-11 additions: in-plan temperature + UniMax mixtures, SemDeDup ---
+
+_TEMPER_BUDGET = 12_000
+
+
+@register(
+    "sample_temperature",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    t AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+          FROM d GROUP BY source),
+    w AS (SELECT source, src_tokens,
+                 CAST(floor(sqrt(src_tokens)) AS BIGINT) AS w
+          FROM t),
+    z AS (SELECT CAST(sum(w) AS BIGINT) AS z FROM w),
+    r AS (SELECT source, w,
+                 least(1.0, ({float(_TEMPER_BUDGET)} * w) / (z.z * src_tokens))
+                   AS rate
+          FROM w CROSS JOIN z),
+    k AS (
+      SELECT d.source, d.n_tokens, r.w, r.rate,
+             (r.rate >= 1.0 OR
+              {_sql_hash('temper', 'doc_id')} <
+              lower(lpad(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT)), 8, '0')))
+               AS keep
+      FROM d JOIN r USING (source)
+    )
+    SELECT source,
+           CAST(max(w) AS BIGINT) AS w,
+           max(rate) AS rate,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+           CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS n_tokens_kept
+    FROM k GROUP BY source
+    """,
+    doc="Temperature mixture (alpha = 0.5, the XLM-R/mT5 flattening "
+    "family) with weights derived IN-PLAN in exact integer arithmetic: "
+    "w_i = isqrt(source tokens) realizes the 0.5 exponent with no libm "
+    "pow and no driver collect — one lazy DAG end-to-end (totals agg, "
+    "1-row normalizer crossJoin, broadcast rate table, md5 keep). The "
+    "scale shape of temperature_weights/temperature_mixture, whose "
+    "float-pow weights are driver-side Python.",
+)
+def sample_temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.sampling import (
+        sqrt_temperature_mixture,
+    )
+    from clickhouse_mysql_data_reader_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sqrt_temperature_mixture(
+        docs, token_count(F.col("text")), "doc_id", "source", _TEMPER_BUDGET
+    )
+
+
+_UNIMAX_BUDGET = 25_000
+
+
+@register(
+    "sample_unimax",
+    f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    t AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+          FROM d GROUP BY source),
+    o AS (SELECT source, CAST(src_tokens AS DOUBLE) AS sz,
+                 CAST(row_number() OVER (ORDER BY src_tokens, source) AS BIGINT)
+                   AS rn,
+                 CAST(count(*) OVER () AS BIGINT) AS n
+          FROM t),
+    wf(rn, remaining, alloc, source) AS (
+      SELECT CAST(0 AS BIGINT), CAST({_UNIMAX_BUDGET} AS DOUBLE),
+             CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+      UNION ALL
+      SELECT o.rn,
+             wf.remaining - least(o.sz * 1.0, wf.remaining / (o.n - o.rn + 1)),
+             least(o.sz * 1.0, wf.remaining / (o.n - o.rn + 1)),
+             o.source
+      FROM wf JOIN o ON o.rn = wf.rn + 1
+    ),
+    r AS (
+      SELECT w.source,
+             least(1.0, ({_UNIMAX_BUDGET} * (w.alloc / {_UNIMAX_BUDGET}))
+                          / t.src_tokens) AS rate
+      FROM wf w JOIN t ON t.source = w.source
+    ),
+    k AS (
+      SELECT d.source, d.n_tokens, r.rate,
+             (r.rate >= 1.0 OR
+              {_sql_hash('unimax', 'doc_id')} <
+              lower(lpad(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT)), 8, '0')))
+               AS keep
+      FROM d JOIN r USING (source)
+    )
+    SELECT source,
+           max(rate) AS rate,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+           CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS n_tokens_kept
+    FROM k GROUP BY source
+    """,
+    doc="UniMax mixture (Chung et al. 2022): spread the token budget "
+    "uniformly across sources with an epoch cap — greedy waterfilling "
+    "over sources sorted by size (one bounded driver aggregate + a "
+    "python loop), then the standard md5 mixture draw. The oracle "
+    "replays the waterfill as a recursive CTE in the identical sorted "
+    "order, so every IEEE step (fair share, cap, remaining) matches "
+    "bit-for-bit. Sources below the fair share are kept whole (their "
+    "rate hits the >= 1.0 short-circuit); larger sources are "
+    "downsampled toward the uniform target.",
+)
+def sample_unimax_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.sampling import (
+        mixture_sample,
+        unimax_weights,
+    )
+    from clickhouse_mysql_data_reader_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = unimax_weights(
+        docs, token_count(F.col("text")), "source", token_budget=_UNIMAX_BUDGET
+    )
+    return mixture_sample(
+        docs,
+        token_count(F.col("text")),
+        "doc_id",
+        "source",
+        w,
+        _UNIMAX_BUDGET,
+        salt="unimax",
+    )
+
+
+_SEMDEDUP_TAU = 0.35
+
+
+@register(
+    "dedup_semdedup",
+    f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    dims AS (
+      SELECT label, i, avg(v[i]) AS m
+      FROM e, UNNEST(range(1, len(v) + 1)) AS t(i)
+      GROUP BY label, i
+    ),
+    cent AS (SELECT label AS cell, list(m ORDER BY i) AS c FROM dims GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, e.v, cent.cell, cent.c, list_distance(e.v, cent.c) AS dist
+      FROM e CROSS JOIN cent
+    ),
+    assigned AS (
+      SELECT vec_id, v, cell, c
+      FROM (SELECT vec_id, v, cell, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+            FROM scored)
+      WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_SEMDEDUP_TAU}
+    ),
+    edges AS (SELECT vec_a AS u, vec_b AS w FROM pairs
+              UNION ALL SELECT vec_b, vec_a FROM pairs),
+    reach(u, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) s
+      UNION
+      SELECT e2.u, r.lbl FROM edges e2 JOIN reach r ON r.u = e2.w
+    ),
+    comp AS (SELECT u AS vec_id, min(lbl) AS component FROM reach GROUP BY u),
+    cs AS (
+      SELECT a.vec_id, round(list_cosine_similarity(a.v, a.c), 6) AS cent_sim
+      FROM assigned a
+    )
+    SELECT comp.vec_id, comp.component, cs.cent_sim,
+           (row_number() OVER (PARTITION BY comp.component
+                               ORDER BY cs.cent_sim, comp.vec_id) = 1) AS keep
+    FROM comp JOIN cs USING (vec_id)
+    """,
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540) as one verified "
+    "operator: coarse-quantizer cells -> within-cell cosine pairs -> "
+    "connected components -> keep exactly the LEAST-typical member of "
+    "each group (lowest cosine to its cluster centroid, the paper's "
+    "diversity-preserving keeper; min-id ties). Cells here are the "
+    "per-label mean centroids (the embed_cell_assign one-step "
+    "quantizer) so the oracle can replay the assignment; production "
+    "passes kmeans_iterate centroids through the same `centroids=` "
+    "seam. Candidates are cell-blocked (sum(|cell|^2), never "
+    "|corpus|^2), components are diameter-bounded label propagation, "
+    "the keeper window is bounded by cluster size.",
+)
+def dedup_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.similarity import (
+        centroids_by_cell,
+        semantic_dedup_decisions,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroids_by_cell(emb)
+    return semantic_dedup_decisions(emb, _SEMDEDUP_TAU, centroids=cents)

@@ -598,6 +598,31 @@ DEPRIORITIZED = (
     # retention_cohorts that sat here as r11 rotation candidates all
     # rotated INTO the checked 50 in round 11 — see the round-11 block
     # at the top of this tuple's comments.)
+    # Born deprioritized in round 11 (pytest-oracle-checked every CI
+    # run; r12 rotation candidates — four NEW capabilities):
+    #   - sample_temperature: temperature mixture (alpha = 0.5) with
+    #     the weights derived IN-PLAN in exact integer arithmetic
+    #     (isqrt of per-source token totals — no libm pow, no driver
+    #     collect); the md5 draw is the machinery the checked
+    #     sample_mixture_epochs hash-verifies
+    #   - sample_unimax: UniMax waterfilling (Chung et al. 2022) —
+    #     bounded driver greedy + the standard mixture draw; the
+    #     oracle replays the waterfill as a recursive CTE in the
+    #     identical sorted order (bit-faithful IEEE step parity)
+    #   - dedup_semdedup: SemDeDup (Abbas et al. 2023) end-to-end —
+    #     cell-blocked cosine pairs (the checked dedup_embed_near
+    #     family's plan) -> connected components (the checked
+    #     dedup_cluster family) -> least-typical-keeper election;
+    #     first driver-checkable registration of the semantic_dedup
+    #     operator family (unit-tested since round 4)
+    #   - monitor_psi_drift: Population Stability Index between corpus
+    #     snapshots — fixed-width baseline-frozen bins, Laplace
+    #     shares, round(ln,6) contributions (the agg_conditional_funcs
+    #     idiom); completes the ops loop next to z-score/diff/hist
+    "sample_temperature",
+    "sample_unimax",
+    "dedup_semdedup",
+    "monitor_psi_drift",
     # Late-round-8 rotation: six round-8-born queries joined the
     # checked 50 (jsonl_roundtrip_documents, embed_srp_bands,
     # dedup_embed_near_srp, text_blocklist_gate, rag_chunk_retrieve,

@@ -357,6 +357,9 @@ _TINY_CROSSJOIN_OK = {
     "text_tfidf_top_terms",         # 1-row doc count
     "embed_cell_assign",            # centroid frame
     "q22_global_sales_opportunity", # 1-row global-average frame
+    "sample_temperature",           # 1-row isqrt-normalizer frame
+    "dedup_semdedup",               # centroid frame (assign_cells)
+    "monitor_psi_drift",            # 1-row edges + totals frames
 }
 
 
