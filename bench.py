@@ -261,10 +261,12 @@ def main() -> None:
     # curate(embed_near_cos=...) WITHIN one batch — the SRP-candidate +
     # exact-cosine verify third edge type unioned into the near-dup
     # graph before connected_components (curation.py _semantic_edge_set)
-    # — had tests but no timing. Row gates are switched OFF so the
-    # measured cost is the dedup core (exact + LSH + semantic edges +
-    # component merge), not the full curate_batch stage mix the
-    # curate_batch entry already times.
+    # — had tests but no timing. The switchable row gates (repetition
+    # drop, PII scrub) are off and the quality threshold is 0 so no
+    # row is dropped before dedup; note the quality-score EXPRESSIONS
+    # still run (the gate has no off switch, only a threshold), so the
+    # entry times scan+score+dedup core — everything curate_batch runs
+    # MINUS line dedup, boilerplate, decontamination and packing.
     batch_sem_cfg = CurationConfig(
         embed_near_cos=0.99, min_quality_score=0.0,
         drop_repetitive=False, redact_pii=False, **sem_geo,

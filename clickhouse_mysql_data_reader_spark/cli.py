@@ -114,6 +114,15 @@ def run(cfg: AppConfig, spark: SparkSession | None = None) -> int:
                 "--curate-data requires --src-parquet-dir (the document "
                 "corpus) and --dst-parquet-dir (where survivors land)"
             )
+        if cfg.curate.run_id is not None and cfg.curate.epoch_id is None:
+            # the history-join exclusion is keyed on the EPOCH tag (the
+            # run id only scopes it) — a run id alone provides ZERO
+            # retry protection while looking like it does
+            raise ValueError(
+                "--curation-run-id requires --curation-epoch: replay "
+                "exclusion is keyed on the epoch tag; a run id alone "
+                "does not make the batch retryable"
+            )
         ckw = {}
         if cfg.curate.config_file:
             with open(cfg.curate.config_file) as f:

@@ -713,10 +713,20 @@ def psi_drift(
     combinable, mergeable across landings), a 1-row broadcast for the
     edges and totals, a ``n_buckets``-row spine — nothing grows with
     the corpus.
+
+    NULL values are EXCLUDED from both snapshots (Spark's
+    least/greatest skip NULL arguments, which would otherwise clamp
+    every NULL into the top bin and silently inflate it — track null
+    RATES with `profile_table`/`validate`, not a distribution score).
+    The caller must supply a baseline with at least one non-null value;
+    an all-null/empty baseline has no edges to freeze (every new row
+    would land in the top bin against a zero-count baseline).
     """
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     spark = old.sparkSession
+    old = old.filter(F.col(value_col).isNotNull())
+    new = new.filter(F.col(value_col).isNotNull())
     mm = old.agg(
         F.min(value_col).cast("long").alias("_mn"),
         F.max(value_col).cast("long").alias("_mx"),

@@ -101,6 +101,51 @@ def hex_threshold_expr(rate: Column) -> Column:
     )
 
 
+def _mixture_base(
+    df: DataFrame, token_count_col: Column, key_col: str, source_col: str
+) -> DataFrame:
+    """(source, _k, n_tokens) projection shared by the mixture
+    operators — the only per-row columns any of them touch."""
+    return df.select(
+        F.col(source_col).alias("source"),
+        F.col(key_col).alias("_k"),
+        token_count_col.cast("bigint").alias("n_tokens"),
+    )
+
+
+def _apply_rates_report(
+    base: DataFrame,
+    rates: DataFrame,
+    salt: str,
+    report_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shared keep + per-source report of the mixture operators: join
+    the few-row ``rates`` frame (source, rate, ...) broadcast onto
+    ``base`` (``_mixture_base`` shape), apply the deterministic md5
+    draw at ``rate`` (short-circuiting rate >= 1, which an 8-hex
+    threshold cannot express), and aggregate the standard per-source
+    before/after report. ``report_cols`` are per-source constants of
+    ``rates`` carried through the report with max()."""
+    joined = base.join(F.broadcast(rates), "source")
+    keep = (F.col("rate") >= 1.0) | (
+        hash_bucket(F.col("_k"), salt) < hex_threshold_expr(F.col("rate"))
+    )
+    return (
+        joined.withColumn("keep", keep)
+        .groupBy("source")
+        .agg(
+            *[F.max(c).alias(c) for c in report_cols],
+            F.max("rate").alias("rate"),  # constant within a source
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_docs_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0)).alias(
+                "n_tokens_kept"
+            ),
+        )
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     token_count_col: Column,
@@ -127,11 +172,7 @@ def mixture_sample(
     """
     if token_budget <= 0:
         raise ValueError(f"token_budget must be positive, got {token_budget}")
-    base = df.select(
-        F.col(source_col).alias("source"),
-        F.col(key_col).alias("_k"),
-        token_count_col.cast("bigint").alias("n_tokens"),
-    )
+    base = _mixture_base(df, token_count_col, key_col, source_col)
     totals = base.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
     # per-branch targets are PYTHON-evaluated literals (budget * weight),
     # so both engines divide the identical constant by src_tokens
@@ -141,23 +182,7 @@ def mixture_sample(
             target
         )
     rates = totals.withColumn("rate", F.least(F.lit(1.0), target / F.col("src_tokens")))
-    joined = base.join(F.broadcast(rates), "source")
-    keep = (F.col("rate") >= 1.0) | (
-        hash_bucket(F.col("_k"), salt) < hex_threshold_expr(F.col("rate"))
-    )
-    return (
-        joined.withColumn("keep", keep)
-        .groupBy("source")
-        .agg(
-            F.max("rate").alias("rate"),  # constant within a source
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("n_tokens"),
-            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_docs_kept"),
-            F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0)).alias(
-                "n_tokens_kept"
-            ),
-        )
-    )
+    return _apply_rates_report(base, rates.select("source", "rate"), salt)
 
 
 def mixture_oversample(
@@ -627,11 +652,7 @@ def sqrt_temperature_mixture(
     """
     if token_budget <= 0:
         raise ValueError(f"token_budget must be positive, got {token_budget}")
-    base = df.select(
-        F.col(source_col).alias("source"),
-        F.col(key_col).alias("_k"),
-        token_count_col.cast("bigint").alias("n_tokens"),
-    )
+    base = _mixture_base(df, token_count_col, key_col, source_col)
     totals = base.groupBy("source").agg(
         F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("src_tokens")
     )
@@ -647,21 +668,6 @@ def sqrt_temperature_mixture(
             / (F.col("_z") * F.col("src_tokens")),
         ),
     )
-    joined = base.join(F.broadcast(rates.select("source", "w", "rate")), "source")
-    keep = (F.col("rate") >= 1.0) | (
-        hash_bucket(F.col("_k"), salt) < hex_threshold_expr(F.col("rate"))
-    )
-    return (
-        joined.withColumn("keep", keep)
-        .groupBy("source")
-        .agg(
-            F.max("w").alias("w"),  # constant within a source
-            F.max("rate").alias("rate"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("n_tokens"),
-            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_docs_kept"),
-            F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0)).alias(
-                "n_tokens_kept"
-            ),
-        )
+    return _apply_rates_report(
+        base, rates.select("source", "w", "rate"), salt, report_cols=("w",)
     )

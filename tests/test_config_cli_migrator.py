@@ -649,3 +649,18 @@ def test_cli_curate_data_stream_embed(spark, tmp_path, capsys):
     assert len(epochs) == 2
     kept2 = {r["doc_id"] for r in spark.read.parquet(epochs[1]).collect()}
     assert kept2 == {11}, "semantic dup of the landed doc must drop on resume"
+
+
+def test_cli_curate_data_run_id_requires_epoch(spark, tmp_path):
+    """--curation-run-id without --curation-epoch is rejected: the
+    replay exclusion is keyed on the epoch tag, so a bare run id gives
+    no retry protection while looking like it does."""
+    src = str(tmp_path / "docs")
+    _write_docs(spark, src, [(1, "web", _CUR_A)])
+    with pytest.raises(ValueError, match="curation-epoch"):
+        run(parse_config([
+            "--curate-data", "--src-parquet-dir", src,
+            "--dst-parquet-dir", str(tmp_path / "o"),
+            "--curation-state", str(tmp_path / "state"),
+            "--curation-run-id", "nightly",
+        ]), spark)

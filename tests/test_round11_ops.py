@@ -78,3 +78,18 @@ def test_psi_drift_detects_shift_and_clamps_range(spark):
     assert total > 0.25, total  # a full population shift is a loud PSI
     with pytest.raises(ValueError, match="n_buckets"):
         psi_drift(old, new, "n", n_buckets=1)
+
+
+def test_psi_drift_excludes_nulls(spark):
+    """NULLs must not clamp into the top bin (Spark least/greatest skip
+    NULL args, which would silently inflate it) — they are excluded
+    from both snapshots."""
+    old = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None)], "doc_id long, n long"
+    )
+    new = spark.createDataFrame(
+        [(4, 10), (5, None), (6, None)], "doc_id long, n long"
+    )
+    out = psi_drift(old, new, "n", n_buckets=4).collect()
+    assert sum(r["n_old"] for r in out) == 2
+    assert sum(r["n_new"] for r in out) == 1
