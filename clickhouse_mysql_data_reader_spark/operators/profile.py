@@ -772,3 +772,70 @@ def psi_drift(
         "n_new",
         F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias("psi_contrib"),
     )
+
+
+def anomaly_mad(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    threshold: int = 3,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-key ROBUST outlier report — the median/MAD sibling of
+    ``anomaly_zscore``: a row is anomalous iff
+    ``|x - median| > threshold * 1.4826 * MAD`` of its key's
+    population (1.4826 is the consistency constant that makes MAD
+    estimate sigma under normality, so ``threshold`` means the same
+    sigmas as the z-score's). Use it where the z-score self-destructs:
+    heavy tails and contaminated windows inflate mean/stddev and hide
+    the very outliers being hunted; median/MAD have a 50% breakdown
+    point.
+
+    Exactness (the repo's scaled-integer idiom): values scale HALF_UP
+    to 1e-6 ticks (``_z_ticks``, both engines identical). A median of
+    integers is integral or a half — exact in doubles — so
+    ``med2 = 2*median(ticks)`` and ``mad4 = 2*median(|2*ticks - med2|)``
+    are exact integers, and the flag multiplies out to
+
+        |x - med| > t * 1.4826 * mad
+        <=>  dev2 * 20000 > t * 14826 * mad4,   dev2 = |2*ticks - med2|
+
+    evaluated in DECIMAL(38,0) — no float boundary rows, same boolean
+    in DuckDB HUGEINT. Output: (key, n_events, n_outliers, med_x2e6,
+    mad_x4e6) — the stats carry their own x2/x4 scaling to stay exact
+    integers.
+
+    Plan at 100 TB: exact per-key medians are one `percentile` agg
+    (Spark buffers each key's values on one executor — fine for
+    per-key metric streams; swap percentile_approx at extreme keys,
+    the flag then inherits the sketch's error), broadcast back onto
+    the fact scan twice; no window, no sort, events never shuffle.
+    """
+    if threshold < 0 or int(threshold) != threshold:
+        raise ValueError("anomaly_mad: threshold must be a non-negative int")
+    dec = "decimal(38,0)"
+    vt = _z_ticks(value_col, scale, "anomaly_mad").cast("long")
+    vals = df.select(F.col(key_col).alias("_am_key"), vt.alias("_am_v"))
+    med = vals.groupBy("_am_key").agg(
+        (F.expr("percentile(_am_v, 0.5)") * 2).cast("long").alias("_am_med2")
+    )
+    dev = vals.join(F.broadcast(med), "_am_key").withColumn(
+        "_am_dev2", F.abs(F.col("_am_v") * 2 - F.col("_am_med2"))
+    )
+    mad = dev.groupBy("_am_key").agg(
+        (F.expr("percentile(_am_dev2, 0.5)") * 2).cast("long").alias("_am_mad4")
+    )
+    flag = (F.col("_am_dev2").cast(dec) * F.lit(20000).cast(dec)) > (
+        F.lit(int(threshold) * 14826).cast(dec) * F.col("_am_mad4").cast(dec)
+    )
+    return (
+        dev.join(F.broadcast(mad), "_am_key")
+        .groupBy("_am_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(flag, 1).otherwise(0)).alias("n_outliers"),
+            F.min("_am_med2").alias("med_x2e6"),
+            F.min("_am_mad4").alias("mad_x4e6"),
+        )
+        .withColumnRenamed("_am_key", "key")
+    )

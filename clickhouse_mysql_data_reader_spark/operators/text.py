@@ -2091,3 +2091,42 @@ def lang_id_multi(
     # let-bind the token array itself too: tokenize ONCE per row even
     # when callers read several struct fields
     return F.transform(F.array(tk), _with_counts)[0]
+
+
+# HTML -> text extraction: patterns are RE2-SAFE (no backreferences, no
+# lookaround) so the DuckDB oracle runs them verbatim; inline (?is)
+# flags map to DuckDB's 'is' option letters. Order matters: script and
+# style BODIES go first (their content may contain '<'), then comments,
+# then remaining tags, then entity decode with &amp; LAST (so '&amp;lt;'
+# decodes to the literal '&lt;', not '<').
+HTML_SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
+HTML_STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
+HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+HTML_TAG_RE = r"(?s)<[^>]+>"
+HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(col: Column) -> Column:
+    """Strip an HTML document column to its text: drop script/style
+    bodies, comments and tags (each replaced by a space so adjacent
+    text nodes never fuse into one token), decode the six entities that
+    dominate real web text, collapse whitespace. The web-pipeline
+    extraction step in front of every text gate — at 100 TB this is
+    scan-stage expression work (zero shuffles, rides whole-stage
+    codegen), not a parser UDF; documents needing real DOM fidelity
+    route through a mapInPandas seam like the multimodal decoders.
+    """
+    c = F.regexp_replace(col, HTML_SCRIPT_RE, " ")
+    c = F.regexp_replace(c, HTML_STYLE_RE, " ")
+    c = F.regexp_replace(c, HTML_COMMENT_RE, " ")
+    c = F.regexp_replace(c, HTML_TAG_RE, " ")
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

@@ -1102,3 +1102,50 @@ def monitor_psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
     new = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
     return psi_drift(old, new, "n_chars", n_buckets=10)
+
+
+@register(
+    "anomaly_events_mad",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vt
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, CAST(2 * quantile_cont(vt, 0.5) AS BIGINT) AS med2
+      FROM v GROUP BY event_type
+    ),
+    d AS (
+      SELECT v.event_type, abs(2 * vt - med2) AS dev2, med2
+      FROM v JOIN m USING (event_type)
+    ),
+    md AS (
+      SELECT event_type, CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+      FROM d GROUP BY event_type
+    )
+    SELECT d.event_type AS key,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(CASE WHEN CAST(dev2 AS HUGEINT) * 20000
+                              > CAST(44478 AS HUGEINT) * mad4
+                      THEN 1 END) AS BIGINT) AS n_outliers,
+           CAST(min(med2) AS BIGINT) AS med_x2e6,
+           CAST(min(mad4) AS BIGINT) AS mad_x4e6
+    FROM d JOIN md USING (event_type)
+    GROUP BY d.event_type
+    """,
+    doc="Robust per-type outlier report (operators/profile.py "
+    "anomaly_mad): |x - median| > 3 * 1.4826 * MAD — the median/MAD "
+    "sibling of anomaly_events_zscore for heavy-tailed metrics, where "
+    "outliers inflate mean/stddev and hide themselves (median/MAD have "
+    "a 50% breakdown point). The flag is multiplied out into exact "
+    "scaled integers (medians of ints are halves, so med_x2e6/mad_x4e6 "
+    "are exact; dev2*20000 > 3*14826*mad4 in DECIMAL/HUGEINT) — no "
+    "float boundary rows. Stats broadcast back onto the fact scan; "
+    "events never shuffle, no window, no sort.",
+)
+def anomaly_events_mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.profile import anomaly_mad
+
+    events = load_table(spark, sf_dir, "events")
+    return anomaly_mad(events, "event_type", "value", threshold=3)

@@ -2761,3 +2761,64 @@ def dedup_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = centroids_by_cell(emb)
     return semantic_dedup_decisions(emb, _SEMDEDUP_TAU, centroids=cents)
+
+
+_HTML_PRE = (
+    '<html><head><title>t</title>'
+    '<script type="text/javascript">var x = 1 < 2 && y > 0;</script>'
+    '<style>p { color: red; }</style></head><body><!-- boilerplate'
+    ' nav --><p>'
+)
+_HTML_POST = (
+    '</p><div class="foot">&amp; &lt;em&gt; &quot;q&quot;'
+    ' &#39;s&#39;&nbsp;end</div></body></html>'
+)
+
+
+@register(
+    "text_html_strip",
+    f"""
+    WITH h AS (
+      SELECT doc_id, '{_HTML_PRE}' || text || '{_HTML_POST}' AS html
+      FROM documents
+    ),
+    s1 AS (SELECT doc_id,
+                  regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS c
+           FROM h),
+    s2 AS (SELECT doc_id,
+                  regexp_replace(c, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS c
+           FROM s1),
+    s3 AS (SELECT doc_id, regexp_replace(c, '(?s)<!--.*?-->', ' ', 'g') AS c FROM s2),
+    s4 AS (SELECT doc_id, regexp_replace(c, '(?s)<[^>]+>', ' ', 'g') AS c FROM s3),
+    e AS (SELECT doc_id,
+                 replace(replace(replace(replace(replace(replace(c,
+                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS c
+          FROM s4)
+    SELECT doc_id,
+           trim(regexp_replace(c, '\\s+', ' ', 'g')) AS clean_text,
+           CAST(length(trim(regexp_replace(c, '\\s+', ' ', 'g'))) AS BIGINT)
+             AS n_clean_chars
+    FROM e
+    """,
+    doc="HTML -> text extraction (operators/text.py html_to_text), the "
+    "web-pipeline step in front of every text gate: script/style "
+    "bodies, comments and tags stripped, the six dominant entities "
+    "decoded (amp last so '&amp;lt;' stays a literal '&lt;'), "
+    "whitespace collapsed. Exercised over a deterministic HTML "
+    "wrapping of the corpus (script with embedded '<', style block, "
+    "multiline-ish comment, every entity) since the synthetic docs "
+    "carry none. Patterns are RE2-safe so the oracle runs them "
+    "verbatim; all scan-stage expressions, zero shuffles.",
+)
+def text_html_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.text import html_to_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+    clean = html_to_text(html)
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).cast("long").alias("n_clean_chars"),
+    )

@@ -623,6 +623,17 @@ DEPRIORITIZED = (
     "sample_unimax",
     "dedup_semdedup",
     "monitor_psi_drift",
+    # ...and two more round-11 births (same r12-candidate class):
+    #   - anomaly_events_mad: median/MAD robust outlier report — the
+    #     50%-breakdown sibling of the checked anomaly_events_zscore,
+    #     flag multiplied out to exact scaled integers (medians of
+    #     ints are halves, so med_x2e6/mad_x4e6 are exact)
+    #   - text_html_strip: HTML -> text extraction (RE2-safe
+    #     script/style/comment/tag strip + entity decode) over a
+    #     deterministic HTML wrapping of the corpus; scan-stage
+    #     expressions, zero shuffles
+    "anomaly_events_mad",
+    "text_html_strip",
     # Late-round-8 rotation: six round-8-born queries joined the
     # checked 50 (jsonl_roundtrip_documents, embed_srp_bands,
     # dedup_embed_near_srp, text_blocklist_gate, rag_chunk_retrieve,

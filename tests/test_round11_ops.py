@@ -93,3 +93,50 @@ def test_psi_drift_excludes_nulls(spark):
     out = psi_drift(old, new, "n", n_buckets=4).collect()
     assert sum(r["n_old"] for r in out) == 2
     assert sum(r["n_new"] for r in out) == 1
+
+
+def test_html_to_text_strips_and_decodes(spark):
+    from clickhouse_mysql_data_reader_spark.operators.text import html_to_text
+
+    html = (
+        '<html><head><script>if (a < b && c > d) { x(); }</script>'
+        "<style>a { b: c; }</style></head><body><!-- skip\nme -->"
+        "<p>Hello</p><br/><DIV>world</DIV>"
+        " &amp;amp; &lt;x&gt; &quot;y&quot; &#39;z&#39;&nbsp;!</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "id long, h string")
+    out = df.select(html_to_text(F.col("h")).alias("t")).first()["t"]
+    # script/style/comment bodies gone, tags become separators, entities
+    # decode with amp LAST ('&amp;amp;' -> literal '&amp;')
+    assert out == 'Hello world &amp; <x> "y" \'z\' !', repr(out)
+
+
+def test_anomaly_mad_flags_robustly(spark):
+    """The defining MAD property: a contaminated window still flags its
+    outliers (the same contamination inflates stddev enough that the
+    z-score misses some) — and a constant series flags everything off
+    the constant (MAD 0) but nothing at it."""
+    from clickhouse_mysql_data_reader_spark.operators.profile import anomaly_mad
+
+    rows = [("m", float(100 + (i % 5))) for i in range(50)] + [
+        ("m", 10_000.0),
+        ("m", -10_000.0),
+    ]
+    out = anomaly_mad(
+        spark.createDataFrame(rows, "k string, value double"), "k", "value"
+    ).first()
+    assert out["n_events"] == 52 and out["n_outliers"] == 2
+    # median of 100..104-ish ticks: med_x2e6 = 2 * median * 1e6
+    assert out["med_x2e6"] == 2 * 102 * 10**6
+
+    const = [("c", 5.0)] * 9 + [("c", 6.0)]
+    out2 = anomaly_mad(
+        spark.createDataFrame(const, "k string, value double"), "k", "value"
+    ).first()
+    assert out2["mad_x4e6"] == 0 and out2["n_outliers"] == 1
+
+    with pytest.raises(ValueError, match="threshold"):
+        anomaly_mad(
+            spark.createDataFrame(const, "k string, value double"),
+            "k", "value", threshold=-1,
+        )
