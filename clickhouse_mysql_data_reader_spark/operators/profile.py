@@ -709,10 +709,12 @@ def psi_drift(
     Every decision is engine-portable: integer min/max edges, exact
     integer bucket counts, int-ratio double divisions, and ``ln`` only
     inside a ``round(.., 6)`` (the same idiom agg_conditional_funcs
-    pins). Scale shape: one agg per side for the counts (map-side
-    combinable, mergeable across landings), a 1-row broadcast for the
-    edges and totals, a ``n_buckets``-row spine — nothing grows with
-    the corpus.
+    pins). Scale shape: one map-side-combinable counts agg over the
+    unioned sides (counts stay mergeable across landings), a 1-row
+    broadcast for the baseline edges, a ``n_buckets``-row spine, and
+    totals via a window over that bounded bucket frame — the corpus is
+    scanned for the edges and once for the data, nothing else grows
+    with it.
 
     NULL values are EXCLUDED from both snapshots (Spark's
     least/greatest skip NULL arguments, which would otherwise clamp
@@ -731,28 +733,34 @@ def psi_drift(
         F.min(value_col).cast("long").alias("_mn"),
         F.max(value_col).cast("long").alias("_mx"),
     )
-
-    def bucketed(df: DataFrame, is_new: bool) -> DataFrame:
-        return (
-            df.select(F.col(value_col).cast("long").alias("_x"))
-            .crossJoin(F.broadcast(mm))
-            .select(
-                F.greatest(
-                    F.lit(0).cast("long"),
-                    F.least(
-                        F.lit(n_buckets - 1).cast("long"),
-                        F.floor(
-                            ((F.col("_x") - F.col("_mn")).cast("double")
-                             * F.lit(float(n_buckets)))
-                            / F.greatest(F.col("_mx") - F.col("_mn"), F.lit(1))
-                        ),
-                    ),
-                ).alias("bucket"),
-                F.lit(is_new).alias("_new"),
-            )
+    # union the sides BEFORE the edge crossJoin and take totals from a
+    # window over the n_buckets-row counts frame: a subtree referenced
+    # twice is PLANNED twice (no CSE for lazy frames), so the naive
+    # per-side crossJoin + agg-over-filled shape re-scanned the corpus
+    # for mm per branch and for the totals — 16 scan nodes at 10
+    # buckets. This shape scans old twice (edges + data) and new once.
+    tagged = (
+        old.select(F.col(value_col).cast("long").alias("_x"),
+                   F.lit(False).alias("_new"))
+        .unionByName(
+            new.select(F.col(value_col).cast("long").alias("_x"),
+                       F.lit(True).alias("_new"))
         )
-
-    b = bucketed(old, False).unionByName(bucketed(new, True))
+    )
+    b = tagged.crossJoin(F.broadcast(mm)).select(
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(
+                F.lit(n_buckets - 1).cast("long"),
+                F.floor(
+                    ((F.col("_x") - F.col("_mn")).cast("double")
+                     * F.lit(float(n_buckets)))
+                    / F.greatest(F.col("_mx") - F.col("_mn"), F.lit(1))
+                ),
+            ),
+        ).alias("bucket"),
+        F.col("_new"),
+    )
     counts = b.groupBy("bucket").agg(
         F.sum(F.when(~F.col("_new"), 1).otherwise(0)).alias("n_old"),
         F.sum(F.when(F.col("_new"), 1).otherwise(0)).alias("n_new"),
@@ -763,10 +771,15 @@ def psi_drift(
         F.coalesce("n_old", F.lit(0)).alias("n_old"),
         F.coalesce("n_new", F.lit(0)).alias("n_new"),
     )
-    tot = filled.agg(F.sum("n_old").alias("_to"), F.sum("n_new").alias("_tn"))
+    # totals over the bucket frame: a single-partition window is exact
+    # and BOUNDED here — the frame is always exactly n_buckets rows
+    w = W.partitionBy()
+    totd = filled.withColumns(
+        {"_to": F.sum("n_old").over(w), "_tn": F.sum("n_new").over(w)}
+    )
     p_old = (F.col("n_old") + F.lit(1.0)) / (F.col("_to") + F.lit(n_buckets))
     p_new = (F.col("n_new") + F.lit(1.0)) / (F.col("_tn") + F.lit(n_buckets))
-    return filled.crossJoin(F.broadcast(tot)).select(
+    return totd.select(
         "bucket",
         "n_old",
         "n_new",
