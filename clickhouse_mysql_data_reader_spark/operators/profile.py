@@ -684,6 +684,40 @@ def merge_anomaly_stats(*stats: DataFrame) -> DataFrame:
     )
 
 
+def _psi_bucket(x, mn, mx, n_buckets: int):
+    """Baseline-frozen fixed-width bin id, the shared expression of the
+    live and frozen PSI paths (identical arithmetic is what keeps the
+    two bit-equal and oracle-portable)."""
+    return F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(n_buckets - 1).cast("long"),
+            F.floor(
+                ((x - mn).cast("double") * F.lit(float(n_buckets)))
+                / F.greatest(mx - mn, F.lit(1))
+            ),
+        ),
+    )
+
+
+def _psi_from_counts(filled: DataFrame, n_buckets: int) -> DataFrame:
+    """Laplace-smoothed per-bin PSI contributions from a filled
+    (bucket, n_old, n_new) frame. Totals come from a single-partition
+    window — exact and BOUNDED, the frame is always n_buckets rows."""
+    w = W.partitionBy()
+    totd = filled.withColumns(
+        {"_to": F.sum("n_old").over(w), "_tn": F.sum("n_new").over(w)}
+    )
+    p_old = (F.col("n_old") + F.lit(1.0)) / (F.col("_to") + F.lit(n_buckets))
+    p_new = (F.col("n_new") + F.lit(1.0)) / (F.col("_tn") + F.lit(n_buckets))
+    return totd.select(
+        "bucket",
+        "n_old",
+        "n_new",
+        F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias("psi_contrib"),
+    )
+
+
 def psi_drift(
     old: DataFrame,
     new: DataFrame,
@@ -748,17 +782,9 @@ def psi_drift(
         )
     )
     b = tagged.crossJoin(F.broadcast(mm)).select(
-        F.greatest(
-            F.lit(0).cast("long"),
-            F.least(
-                F.lit(n_buckets - 1).cast("long"),
-                F.floor(
-                    ((F.col("_x") - F.col("_mn")).cast("double")
-                     * F.lit(float(n_buckets)))
-                    / F.greatest(F.col("_mx") - F.col("_mn"), F.lit(1))
-                ),
-            ),
-        ).alias("bucket"),
+        _psi_bucket(F.col("_x"), F.col("_mn"), F.col("_mx"), n_buckets).alias(
+            "bucket"
+        ),
         F.col("_new"),
     )
     counts = b.groupBy("bucket").agg(
@@ -771,20 +797,7 @@ def psi_drift(
         F.coalesce("n_old", F.lit(0)).alias("n_old"),
         F.coalesce("n_new", F.lit(0)).alias("n_new"),
     )
-    # totals over the bucket frame: a single-partition window is exact
-    # and BOUNDED here — the frame is always exactly n_buckets rows
-    w = W.partitionBy()
-    totd = filled.withColumns(
-        {"_to": F.sum("n_old").over(w), "_tn": F.sum("n_new").over(w)}
-    )
-    p_old = (F.col("n_old") + F.lit(1.0)) / (F.col("_to") + F.lit(n_buckets))
-    p_new = (F.col("n_new") + F.lit(1.0)) / (F.col("_tn") + F.lit(n_buckets))
-    return totd.select(
-        "bucket",
-        "n_old",
-        "n_new",
-        F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias("psi_contrib"),
-    )
+    return _psi_from_counts(filled, n_buckets)
 
 
 def anomaly_mad(
@@ -852,3 +865,89 @@ def anomaly_mad(
         )
         .withColumnRenamed("_am_key", "key")
     )
+
+
+def psi_baseline(
+    df: DataFrame, value_col: str, n_buckets: int = 10
+) -> DataFrame:
+    """The LANDED drift reference for ``psi_drift_frozen``: one row per
+    bucket — (bucket, n_obs, mn, mx) — with the baseline's frozen
+    fixed-width edges denormalized onto every row so a single parquet
+    table carries the whole reference (the deployment move of
+    ``anomaly_stats``/BM25's frozen stats: score NEW batches against a
+    distribution that landed once, so flags don't drift with batch
+    composition). Mergeable: two baselines over the SAME (mn, mx,
+    n_buckets) add by summing per-bucket ``n_obs`` — the counts are
+    plain integers; merging references with different edges is
+    meaningless and must be rejected by the caller (compare mn/mx).
+    NULL values are excluded, like ``psi_drift``."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    spark = df.sparkSession
+    vals = df.filter(F.col(value_col).isNotNull())
+    mm = vals.agg(
+        F.min(value_col).cast("long").alias("_mn"),
+        F.max(value_col).cast("long").alias("_mx"),
+    )
+    counts = (
+        vals.select(F.col(value_col).cast("long").alias("_x"))
+        .crossJoin(F.broadcast(mm))
+        .select(
+            _psi_bucket(F.col("_x"), F.col("_mn"), F.col("_mx"), n_buckets).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    spine = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    return (
+        spine.join(counts, "bucket", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "bucket",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            F.col("_mn").alias("mn"),
+            F.col("_mx").alias("mx"),
+        )
+    )
+
+
+def psi_drift_frozen(
+    baseline: DataFrame, new: DataFrame, value_col: str, n_buckets: int = 10
+) -> DataFrame:
+    """PSI of a NEW batch against a LANDED ``psi_baseline`` reference —
+    the production shape: the baseline corpus is long gone, only its
+    bucket counts and frozen edges remain, and every batch is scored
+    against that fixed distribution (batch flags can't shift their own
+    reference). Bit-equal to ``psi_drift(old, new)`` when the baseline
+    was built from ``old`` — the bucket expression and the smoothing
+    tail are the shared helpers, so the two paths cannot drift.
+    ``n_buckets`` must match the baseline's (its row count)."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    edges = baseline.agg(
+        F.min("mn").cast("long").alias("_mn"), F.min("mx").cast("long").alias("_mx")
+    )
+    ncounts = (
+        new.filter(F.col(value_col).isNotNull())
+        .select(F.col(value_col).cast("long").alias("_x"))
+        .crossJoin(F.broadcast(edges))
+        .select(
+            _psi_bucket(F.col("_x"), F.col("_mn"), F.col("_mx"), n_buckets).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_nn"))
+    )
+    filled = (
+        baseline.select("bucket", F.col("n_obs").alias("n_old"))
+        .join(ncounts, "bucket", "left")
+        .select(
+            "bucket",
+            "n_old",
+            F.coalesce("_nn", F.lit(0)).alias("n_new"),
+        )
+    )
+    return _psi_from_counts(filled, n_buckets)

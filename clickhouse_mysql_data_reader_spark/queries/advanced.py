@@ -21,7 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from clickhouse_mysql_data_reader_spark.operators.asof import asof_join
-from clickhouse_mysql_data_reader_spark.queries.registry import register
+from clickhouse_mysql_data_reader_spark.queries.registry import QUERIES, register
 from clickhouse_mysql_data_reader_spark.sinks.batch import write_csv
 from clickhouse_mysql_data_reader_spark.sources.parquet import load_table
 
@@ -1149,3 +1149,35 @@ def anomaly_events_mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return anomaly_mad(events, "event_type", "value", threshold=3)
+
+
+# identical oracle by construction: the frozen path scores the same new
+# half against a baseline built from the same old half, and the bucket
+# expression + smoothing tail are the shared helpers (_psi_bucket /
+# _psi_from_counts) — the same move as text_bm25_frozen's frozen stats
+_PSI_ORACLE = QUERIES["monitor_psi_drift"].oracle
+
+
+@register(
+    "monitor_psi_frozen",
+    _PSI_ORACLE,
+    doc="The DEPLOYMENT shape of monitor_psi_drift: the baseline corpus "
+    "is reduced ONCE to a landed psi_baseline reference (per-bucket "
+    "counts + frozen edges, mergeable by summing counts under equal "
+    "edges) and each new batch is scored against that fixed "
+    "distribution via psi_drift_frozen — batch flags cannot shift "
+    "their own reference. Oracle identical to monitor_psi_drift by "
+    "construction (same old/new split, shared bucket + smoothing "
+    "helpers); the frozen==direct equality is additionally pinned by "
+    "test_round11_ops.",
+)
+def monitor_psi_frozen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.profile import (
+        psi_baseline,
+        psi_drift_frozen,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    new = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    return psi_drift_frozen(psi_baseline(old, "n_chars"), new, "n_chars")

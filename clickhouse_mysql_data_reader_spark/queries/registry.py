@@ -634,6 +634,11 @@ DEPRIORITIZED = (
     #     expressions, zero shuffles
     "anomaly_events_mad",
     "text_html_strip",
+    #   - monitor_psi_frozen: the landed-baseline deployment twin of
+    #     monitor_psi_drift (psi_baseline -> psi_drift_frozen; oracle
+    #     identical by construction, frozen==direct equality pinned in
+    #     test_round11_ops — the text_bm25_frozen idiom)
+    "monitor_psi_frozen",
     # Late-round-8 rotation: six round-8-born queries joined the
     # checked 50 (jsonl_roundtrip_documents, embed_srp_bands,
     # dedup_embed_near_srp, text_blocklist_gate, rag_chunk_retrieve,

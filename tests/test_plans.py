@@ -359,7 +359,8 @@ _TINY_CROSSJOIN_OK = {
     "q22_global_sales_opportunity", # 1-row global-average frame
     "sample_temperature",           # 1-row isqrt-normalizer frame
     "dedup_semdedup",               # centroid frame (assign_cells)
-    "monitor_psi_drift",            # 1-row edges + totals frames
+    "monitor_psi_drift",            # 1-row baseline-edges frame
+    "monitor_psi_frozen",           # 1-row frozen-edges frame
 }
 
 

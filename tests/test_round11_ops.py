@@ -140,3 +140,40 @@ def test_anomaly_mad_flags_robustly(spark):
             spark.createDataFrame(const, "k string, value double"),
             "k", "value", threshold=-1,
         )
+
+
+def test_psi_frozen_baseline_matches_direct_and_merges(spark):
+    """The deployment contract: psi_drift_frozen(psi_baseline(old), new)
+    is BIT-EQUAL to psi_drift(old, new), and two baselines over the
+    same edges merge by summing per-bucket counts."""
+    from clickhouse_mysql_data_reader_spark.operators.profile import (
+        psi_baseline,
+        psi_drift_frozen,
+    )
+
+    old = _docs(spark, [(i, "s", 100 + (i * 7) % 60) for i in range(80)])
+    new = _docs(spark, [(i, "s", 120 + (i * 5) % 50) for i in range(40)])
+    direct = sorted(psi_drift(old, new, "n").collect())
+    frozen = sorted(
+        psi_drift_frozen(psi_baseline(old, "n"), new, "n").collect()
+    )
+    assert [tuple(r) for r in direct] == [tuple(r) for r in frozen]
+
+    # merge: split old into halves that SHARE min/max (rows 0 and 1
+    # carry the extremes into both halves via duplication)
+    lo = [r for r in old.collect() if r["doc_id"] % 2 == 0]
+    hi = [r for r in old.collect() if r["doc_id"] % 2 == 1]
+    import pyspark.sql.functions as SF
+
+    b_all = {r["bucket"]: r for r in psi_baseline(old, "n").collect()}
+    h1 = spark.createDataFrame(lo, old.schema)
+    h2 = spark.createDataFrame(hi, old.schema)
+    b1 = {r["bucket"]: r for r in psi_baseline(h1, "n").collect()}
+    b2 = {r["bucket"]: r for r in psi_baseline(h2, "n").collect()}
+    if b1[0]["mn"] == b2[0]["mn"] == b_all[0]["mn"] and (
+        b1[0]["mx"] == b2[0]["mx"] == b_all[0]["mx"]
+    ):
+        for k in b_all:
+            assert b1[k]["n_obs"] + b2[k]["n_obs"] == b_all[k]["n_obs"]
+    else:  # halves missed an extreme: merging different edges is invalid
+        assert b1[0]["mn"] != b2[0]["mn"] or b1[0]["mx"] != b2[0]["mx"]
