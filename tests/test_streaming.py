@@ -444,3 +444,45 @@ def test_anomaly_flags_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from anom_flags_t").collect()
     }
     assert got == expected
+
+
+def test_psi_frozen_foreachbatch_matches_batch(spark, tmp_path):
+    """The drift monitor's streaming deployment: the baseline landed
+    once (psi_baseline -> parquet), each micro-batch is scored against
+    it via foreachBatch — per-batch results must equal the direct batch
+    call on the same rows (psi_drift_frozen is a pure function of
+    (landed baseline, batch))."""
+    from clickhouse_mysql_data_reader_spark.operators.profile import (
+        psi_baseline,
+        psi_drift_frozen,
+    )
+
+    old = spark.createDataFrame(
+        [(i, 100 + (i * 7) % 60) for i in range(60)], "doc_id long, n long"
+    )
+    base_path = str(tmp_path / "psi_baseline")
+    psi_baseline(old, "n").write.parquet(base_path)
+    landed = spark.read.parquet(base_path)
+
+    new = spark.createDataFrame(
+        [(i, 120 + (i * 5) % 50) for i in range(30)], "doc_id long, n long"
+    )
+    expected = sorted(
+        tuple(r) for r in psi_drift_frozen(landed, new, "n").collect()
+    )
+
+    got: list = []
+
+    def score(batch_df, epoch_id):
+        got.extend(
+            tuple(r) for r in psi_drift_frozen(landed, batch_df, "n").collect()
+        )
+
+    q = (
+        _stream_from(spark, new, tmp_path, "psi_new")
+        .writeStream.foreachBatch(score)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(got) == expected
