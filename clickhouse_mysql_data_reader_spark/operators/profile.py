@@ -951,3 +951,40 @@ def psi_drift_frozen(
         )
     )
     return _psi_from_counts(filled, n_buckets)
+
+
+def psi_baseline_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two landed ``psi_baseline`` references by summing
+    per-bucket counts — valid ONLY when both were built over the same
+    frozen edges and bucket count, which is CHECKED in-plan (a
+    mismatched merge raises at execution instead of silently blending
+    incompatible bins — the same loud-guard posture as ``_z_ticks``).
+    The merge is how a reference grows with the corpus at 100 TB:
+    land one baseline per partition/epoch, merge the bounded
+    n_buckets-row frames, never rescan history."""
+    ea = a.select("bucket", F.col("n_obs").alias("_na"),
+                  F.col("mn").alias("_mna"), F.col("mx").alias("_mxa"))
+    eb = b.select("bucket", F.col("n_obs").alias("_nb"),
+                  F.col("mn").alias("_mnb"), F.col("mx").alias("_mxb"))
+    j = ea.join(eb, "bucket", "full_outer")
+    bad = (
+        F.col("_na").isNull() | F.col("_nb").isNull()  # bucket sets differ
+        | ~F.col("_mna").eqNullSafe(F.col("_mnb"))
+        | ~F.col("_mxa").eqNullSafe(F.col("_mxb"))
+    )
+    guard = F.when(
+        bad,
+        F.raise_error(
+            F.lit(
+                "psi_baseline_merge: references disagree on edges or "
+                "bucket count — baselines merge only over the identical "
+                "frozen (mn, mx, n_buckets); rebuild one of them"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("_na") + F.col("_nb"))
+    return j.select(
+        "bucket",
+        guard.alias("n_obs"),
+        F.col("_mna").alias("mn"),
+        F.col("_mxa").alias("mx"),
+    )
