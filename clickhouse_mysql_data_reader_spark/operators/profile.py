@@ -194,18 +194,26 @@ _Z_MAX_TICKS = 2 * 10**15
 _Z_GUARD = 1e37
 
 
-def _z_ticks(value_col: str, scale: int, who: str):
+def _z_ticks(
+    value_col: str,
+    scale: int,
+    who: str,
+    max_ticks: int = _Z_MAX_TICKS,
+    why: str = "the moment sums would overflow DECIMAL(38,0)",
+):
     """value -> exact integer ticks (HALF_UP via decimal(18,6), both
-    engines identical), with a loud guard instead of a silent
-    DECIMAL(38,0) overflow downstream."""
+    engines identical), with a loud guard instead of a silent overflow
+    downstream. ``max_ticks``/``why`` let callers with a TIGHTER
+    exactness envelope (anomaly_mad's double-exact median
+    interpolation) keep the guard honest."""
     v = (F.col(value_col).cast("decimal(18,6)") * scale).cast("decimal(38,0)")
     return F.when(
-        F.abs(v) > _Z_MAX_TICKS,
+        F.abs(v) > max_ticks,
         F.raise_error(
             F.lit(
-                f"{who}: |value|*scale exceeds 2e15 ticks — the moment "
-                "sums would overflow DECIMAL(38,0); reduce `scale` "
-                "(the z-test is scale-invariant, coarser ticks lose "
+                f"{who}: |value|*scale exceeds {max_ticks:.0e} ticks — "
+                f"{why}; reduce `scale` "
+                "(the test is scale-invariant, coarser ticks lose "
                 "only sub-tick resolution)"
             )
         ).cast("decimal(38,0)"),
@@ -684,32 +692,61 @@ def merge_anomaly_stats(*stats: DataFrame) -> DataFrame:
     )
 
 
-def _psi_bucket(x, mn, mx, n_buckets: int):
+def _psi_guarded_edge(col):
+    """A NULL frozen edge means the baseline had no non-null values —
+    Spark's least/greatest would then silently clamp EVERY row into the
+    top bin (they skip NULL args). Raise instead; attached to the edge
+    expression itself so it fires wherever an edge is consumed."""
+    return F.when(
+        col.isNull(),
+        F.raise_error(
+            F.lit(
+                "psi: baseline has no non-null values — no edges to "
+                "freeze (an empty-baseline reference would clamp every "
+                "row into the top bin)"
+            )
+        ).cast("long"),
+    ).otherwise(col)
+
+
+def _psi_bucket(x, mn, mx, n_buckets):
     """Baseline-frozen fixed-width bin id, the shared expression of the
     live and frozen PSI paths (identical arithmetic is what keeps the
-    two bit-equal and oracle-portable)."""
+    two bit-equal and oracle-portable). ``n_buckets`` is an int for the
+    live path or a Column for the frozen path (derived from the landed
+    reference, never trusted from the caller)."""
+    nb = F.lit(n_buckets) if isinstance(n_buckets, int) else n_buckets
+    mn = _psi_guarded_edge(mn)
+    mx = _psi_guarded_edge(mx)
     return F.greatest(
         F.lit(0).cast("long"),
         F.least(
-            F.lit(n_buckets - 1).cast("long"),
+            (nb - F.lit(1)).cast("long"),
             F.floor(
-                ((x - mn).cast("double") * F.lit(float(n_buckets)))
+                ((x - mn).cast("double") * nb.cast("double"))
                 / F.greatest(mx - mn, F.lit(1))
             ),
         ),
     )
 
 
-def _psi_from_counts(filled: DataFrame, n_buckets: int) -> DataFrame:
+def _psi_from_counts(filled: DataFrame) -> DataFrame:
     """Laplace-smoothed per-bin PSI contributions from a filled
-    (bucket, n_old, n_new) frame. Totals come from a single-partition
-    window — exact and BOUNDED, the frame is always n_buckets rows."""
+    (bucket, n_old, n_new) frame. Totals AND the smoothing bin count
+    come from a single-partition window — exact and BOUNDED (the frame
+    is always n_buckets rows), and deriving the bin count from the
+    frame itself means a frozen caller cannot desynchronize it from
+    the landed reference."""
     w = W.partitionBy()
     totd = filled.withColumns(
-        {"_to": F.sum("n_old").over(w), "_tn": F.sum("n_new").over(w)}
+        {
+            "_to": F.sum("n_old").over(w),
+            "_tn": F.sum("n_new").over(w),
+            "_nb": F.count(F.lit(1)).over(w),
+        }
     )
-    p_old = (F.col("n_old") + F.lit(1.0)) / (F.col("_to") + F.lit(n_buckets))
-    p_new = (F.col("n_new") + F.lit(1.0)) / (F.col("_tn") + F.lit(n_buckets))
+    p_old = (F.col("n_old") + F.lit(1.0)) / (F.col("_to") + F.col("_nb"))
+    p_new = (F.col("n_new") + F.lit(1.0)) / (F.col("_tn") + F.col("_nb"))
     return totd.select(
         "bucket",
         "n_old",
@@ -797,7 +834,7 @@ def psi_drift(
         F.coalesce("n_old", F.lit(0)).alias("n_old"),
         F.coalesce("n_new", F.lit(0)).alias("n_new"),
     )
-    return _psi_from_counts(filled, n_buckets)
+    return _psi_from_counts(filled)
 
 
 def anomaly_mad(
@@ -840,7 +877,16 @@ def anomaly_mad(
     if threshold < 0 or int(threshold) != threshold:
         raise ValueError("anomaly_mad: threshold must be a non-negative int")
     dec = "decimal(38,0)"
-    vt = _z_ticks(value_col, scale, "anomaly_mad").cast("long")
+    # tighter cap than the z-score's 2e15: the even-count median
+    # interpolates (a + b) / 2, and with dev2 <= 4*max|ticks| the sum
+    # must stay <= 2^53 for the halves to be EXACT doubles on both
+    # engines (Spark truncates, DuckDB rounds on the cast back — a
+    # non-representable sum could flip mad4 by one tick between them)
+    vt = _z_ticks(
+        value_col, scale, "anomaly_mad", max_ticks=1 << 50,
+        why="the even-count median interpolation (a+b)/2 must stay an "
+        "exact double on both engines",
+    ).cast("long")
     vals = df.select(F.col(key_col).alias("_am_key"), vt.alias("_am_v"))
     med = vals.groupBy("_am_key").agg(
         (F.expr("percentile(_am_v, 0.5)") * 2).cast("long").alias("_am_med2")
@@ -879,8 +925,17 @@ def psi_baseline(
     composition). Mergeable: two baselines over the SAME (mn, mx,
     n_buckets) add by summing per-bucket ``n_obs`` — the counts are
     plain integers; merging references with different edges is
-    meaningless and must be rejected by the caller (compare mn/mx).
-    NULL values are excluded, like ``psi_drift``."""
+    meaningless — ``psi_baseline_merge`` rejects it in-plan.
+    NULL values are excluded, like ``psi_drift``; a baseline with NO
+    non-null values raises at execution (no edges to freeze).
+
+    Plan: the corpus is scanned twice (the 1-row edges agg + the
+    bucket counts); the edges are CARRIED THROUGH the counts groupBy
+    (min of a per-row constant) and filled onto the empty spine rows
+    by a window over the bounded ``n_buckets``-row frame — referencing
+    the 1-row edges frame from the final select too would plan its
+    corpus scan a second time (no CSE for lazy frames, see
+    ``psi_drift``)."""
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     spark = df.sparkSession
@@ -895,26 +950,36 @@ def psi_baseline(
         .select(
             _psi_bucket(F.col("_x"), F.col("_mn"), F.col("_mx"), n_buckets).alias(
                 "bucket"
-            )
+            ),
+            "_mn",
+            "_mx",
         )
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.min("_mn").alias("_mn"),  # per-row constants
+            F.min("_mx").alias("_mx"),
+        )
     )
     spine = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    w = W.partitionBy()
     return (
         spine.join(counts, "bucket", "left")
-        .crossJoin(F.broadcast(mm))
         .select(
             "bucket",
             F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
-            F.col("_mn").alias("mn"),
-            F.col("_mx").alias("mx"),
+            # empty-bucket rows carry NULL edges; every non-empty row
+            # carries the same constant — max over the bounded frame
+            # fills the gaps, and the guard turns the all-NULL case
+            # (an empty baseline) into a loud raise at landing time
+            _psi_guarded_edge(F.max("_mn").over(w)).alias("mn"),
+            _psi_guarded_edge(F.max("_mx").over(w)).alias("mx"),
         )
     )
 
 
 def psi_drift_frozen(
-    baseline: DataFrame, new: DataFrame, value_col: str, n_buckets: int = 10
+    baseline: DataFrame, new: DataFrame, value_col: str
 ) -> DataFrame:
     """PSI of a NEW batch against a LANDED ``psi_baseline`` reference —
     the production shape: the baseline corpus is long gone, only its
@@ -922,21 +987,23 @@ def psi_drift_frozen(
     against that fixed distribution (batch flags can't shift their own
     reference). Bit-equal to ``psi_drift(old, new)`` when the baseline
     was built from ``old`` — the bucket expression and the smoothing
-    tail are the shared helpers, so the two paths cannot drift.
-    ``n_buckets`` must match the baseline's (its row count)."""
-    if n_buckets < 2:
-        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    tail are the shared helpers, so the two paths cannot drift. The
+    bucket count and edges are DERIVED from the reference (its row
+    count and mn/mx columns), never trusted from the caller — a
+    mismatched bin count would silently skew every Laplace share."""
     edges = baseline.agg(
-        F.min("mn").cast("long").alias("_mn"), F.min("mx").cast("long").alias("_mx")
+        F.min("mn").cast("long").alias("_mn"),
+        F.min("mx").cast("long").alias("_mx"),
+        F.count(F.lit(1)).alias("_nb"),
     )
     ncounts = (
         new.filter(F.col(value_col).isNotNull())
         .select(F.col(value_col).cast("long").alias("_x"))
         .crossJoin(F.broadcast(edges))
         .select(
-            _psi_bucket(F.col("_x"), F.col("_mn"), F.col("_mx"), n_buckets).alias(
-                "bucket"
-            )
+            _psi_bucket(
+                F.col("_x"), F.col("_mn"), F.col("_mx"), F.col("_nb")
+            ).alias("bucket")
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("_nn"))
@@ -950,7 +1017,7 @@ def psi_drift_frozen(
             F.coalesce("_nn", F.lit(0)).alias("n_new"),
         )
     )
-    return _psi_from_counts(filled, n_buckets)
+    return _psi_from_counts(filled)
 
 
 def psi_baseline_merge(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -972,19 +1039,25 @@ def psi_baseline_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         | ~F.col("_mna").eqNullSafe(F.col("_mnb"))
         | ~F.col("_mxa").eqNullSafe(F.col("_mxb"))
     )
-    guard = F.when(
-        bad,
-        F.raise_error(
-            F.lit(
-                "psi_baseline_merge: references disagree on edges or "
-                "bucket count — baselines merge only over the identical "
-                "frozen (mn, mx, n_buckets); rebuild one of them"
-            )
-        ).cast("long"),
-    ).otherwise(F.col("_na") + F.col("_nb"))
+    def guard(ok):
+        # attached to EVERY output column, not just n_obs: a consumer
+        # whose plan prunes n_obs (e.g. select('mn','mx')) must still
+        # hit the raise, or an invalid merge would silently record the
+        # a-side edges as the merged reference's
+        return F.when(
+            bad,
+            F.raise_error(
+                F.lit(
+                    "psi_baseline_merge: references disagree on edges or "
+                    "bucket count — baselines merge only over the identical "
+                    "frozen (mn, mx, n_buckets); rebuild one of them"
+                )
+            ).cast("long"),
+        ).otherwise(ok)
+
     return j.select(
         "bucket",
-        guard.alias("n_obs"),
-        F.col("_mna").alias("mn"),
-        F.col("_mxa").alias("mx"),
+        guard(F.col("_na") + F.col("_nb")).alias("n_obs"),
+        guard(F.col("_mna")).alias("mn"),
+        guard(F.col("_mxa")).alias("mx"),
     )

@@ -158,25 +158,9 @@ def test_psi_frozen_baseline_matches_direct_and_merges(spark):
         psi_drift_frozen(psi_baseline(old, "n"), new, "n").collect()
     )
     assert [tuple(r) for r in direct] == [tuple(r) for r in frozen]
-
-    # merge: split old into halves that SHARE min/max (rows 0 and 1
-    # carry the extremes into both halves via duplication)
-    lo = [r for r in old.collect() if r["doc_id"] % 2 == 0]
-    hi = [r for r in old.collect() if r["doc_id"] % 2 == 1]
-    import pyspark.sql.functions as SF
-
-    b_all = {r["bucket"]: r for r in psi_baseline(old, "n").collect()}
-    h1 = spark.createDataFrame(lo, old.schema)
-    h2 = spark.createDataFrame(hi, old.schema)
-    b1 = {r["bucket"]: r for r in psi_baseline(h1, "n").collect()}
-    b2 = {r["bucket"]: r for r in psi_baseline(h2, "n").collect()}
-    if b1[0]["mn"] == b2[0]["mn"] == b_all[0]["mn"] and (
-        b1[0]["mx"] == b2[0]["mx"] == b_all[0]["mx"]
-    ):
-        for k in b_all:
-            assert b1[k]["n_obs"] + b2[k]["n_obs"] == b_all[k]["n_obs"]
-    else:  # halves missed an extreme: merging different edges is invalid
-        assert b1[0]["mn"] != b2[0]["mn"] or b1[0]["mx"] != b2[0]["mx"]
+    # (the merge-by-summing property is pinned by the dedicated
+    # test_psi_baseline_merge_guards_edges below, on halves that
+    # provably share the frozen edges)
 
 
 def test_psi_baseline_merge_guards_edges(spark):
@@ -205,8 +189,6 @@ def test_psi_baseline_merge_guards_edges(spark):
     new = _docs(spark, [(i, "s", 130 + i) for i in range(20)])
     assert sorted(map(tuple, psi_drift_frozen(merged, new, "n").collect())) == \
         sorted(map(tuple, psi_drift_frozen(direct, new, "n").collect()))
-
-    import pyspark.errors
 
     other = _docs(spark, [(i, "s", 500 + i) for i in range(30)])  # other edges
     with pytest.raises(Exception, match="disagree on edges"):
