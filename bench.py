@@ -397,6 +397,12 @@ def main() -> None:
         # round-11 registration: SemDeDup end-to-end (cells -> cosine
         # pairs -> components -> least-typical keeper)
         "dedup_semdedup": time_query("dedup_semdedup"),
+        # late-round-11 additions: count-min heavy hitters (one-shuffle
+        # sketch build + broadcast estimate), dictionary-blocked fuzzy
+        # linkage, per-source quality calibration (one window shuffle)
+        "monitor_heavy_hitters": time_query("monitor_heavy_hitters"),
+        "match_fuzzy_names": time_query("match_fuzzy_names"),
+        "text_quality_calibrated": time_query("text_quality_calibrated"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

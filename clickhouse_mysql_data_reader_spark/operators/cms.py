@@ -1,0 +1,136 @@
+"""Count-min sketch: mergeable approximate frequency counting.
+
+The monitoring family (operators/profile.py) already carries HLL
+distinct sketches, value histograms, and mergeable anomaly stats; this
+adds the missing member — approximate COUNTS for point-queryable items
+(heavy-hitter reports, per-entity rate checks) in bounded space. The
+reference (clickhouse-mysql-data-reader) delegates this surface to
+ClickHouse server-side aggregation states (e.g. ``topK``); here it is
+a first-class DataFrame operator in the same landed/mergeable shape as
+``psi_baseline`` and ``distinct_sketches``.
+
+Sketch model (Cormode & Muthukrishnan 2005): ``depth`` independent
+hash rows of ``width`` buckets each; every item increments one bucket
+per row; the estimate for an item is the MIN of its ``depth`` bucket
+counts. Error is one-sided (never under-counts) and bounded by
+``2N/width`` with probability ``1 - 2^-depth``.
+
+Why this shape at 100 TB:
+- the sketch is a DataFrame of at most ``depth * width`` rows
+  (row_idx, bucket, cnt) — counts are additive, so sketches from
+  shards/epochs merge by union + sum (one tiny groupBy), land as
+  parquet next to the other monitoring state, and never rescan the
+  corpus;
+- building is ONE shuffle whose map-side partial aggregate crushes
+  each task's output to ≤ depth*width rows no matter how many input
+  rows it scanned — the explode-by-depth multiplication never leaves
+  the scan stage;
+- estimating joins the BOUNDED candidate frame against the broadcast
+  sketch — the corpus is not touched at query time.
+
+Hashing is md5-derived (identical bytes on Spark and DuckDB, the
+project-wide convention — see queries/llmops.py) so the DuckDB oracle
+replays the sketch bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["cms_build", "cms_merge", "cms_estimate"]
+
+
+def _bucket(item: Column, row_idx: int, width: int) -> Column:
+    """Row ``row_idx``'s bucket for ``item``: the first 8 hex chars of
+    md5("{row_idx}:{item}") as an integer, mod width. 8 hex chars parse
+    to < 2^32 (always positive), so pmod == ``%`` on the oracle side."""
+    h = F.md5(F.concat(F.lit(f"{row_idx}:"), item))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(width)
+    )
+
+
+def _item_rows(item: Column, depth: int, width: int) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("row_idx"),
+                _bucket(item, i, width).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 3,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a count-min sketch over ``item_col``.
+
+    Returns (row_idx INT, bucket BIGINT, cnt BIGINT) — at most
+    depth*width rows; zero-count buckets are simply absent (readers
+    coalesce to 0). NULL items are skipped (they are not a countable
+    identity; the NULL population is the profile monitor's job).
+    ``weight_col`` switches from occurrence counting to weighted sums
+    (e.g. token counts per source).
+    """
+    item = F.col(item_col).cast("string")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    return (
+        df.where(F.col(item_col).isNotNull())
+        .select(F.explode(_item_rows(item, depth, width)).alias("rb"), w.alias("w"))
+        .groupBy(
+            F.col("rb.row_idx").alias("row_idx"),
+            F.col("rb.bucket").alias("bucket"),
+        )
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the SAME (depth, width) geometry:
+    counts are additive per (row_idx, bucket). Geometry mismatch is the
+    caller's contract (same discipline as psi_baseline_merge — a landed
+    sketch should pin its geometry in the surrounding manifest)."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row_idx", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    item_col: str,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate counts for a BOUNDED candidate frame against the
+    sketch: min over the item's ``depth`` bucket counts (absent bucket
+    = 0). Returns the candidate rows + ``est_count``.
+
+    The sketch (≤ depth*width rows) is broadcast; the candidate frame
+    explodes by depth and folds back with a min — the original corpus
+    is never touched, which is the whole point of landing the sketch.
+    Geometry must match the build call.
+    """
+    item = F.col(item_col).cast("string")
+    keep = [c for c in candidates.columns]
+    exploded = candidates.select(
+        *keep, F.explode(_item_rows(item, depth, width)).alias("rb")
+    ).select(*keep, F.col("rb.row_idx").alias("row_idx"), F.col("rb.bucket").alias("bucket"))
+    return (
+        exploded.join(F.broadcast(sketch), ["row_idx", "bucket"], "left")
+        .groupBy(*keep)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count"))
+    )

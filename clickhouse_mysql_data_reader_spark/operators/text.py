@@ -143,6 +143,57 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def quality_calibrated(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    keep_pctile: float = 0.2,
+) -> DataFrame:
+    """Per-source quantile calibration of the quality score: each doc's
+    score is mapped to its percent_rank WITHIN its source, and the keep
+    gate thresholds the calibrated percentile, not the raw score.
+
+    Why: the raw composite score is source-biased — forums run long
+    and stopword-dense, reference text short and dry — so one global
+    raw threshold silently over-prunes whole sources (the failure the
+    FineWeb/CCNet lineage avoids by filtering per-bucket). Calibrating
+    to within-source rank makes "drop the worst 20%" mean the same
+    thing in every source.
+
+    Plan shape: the score is the shared ``quality_score_expr`` (one
+    scan-stage token pass), then ONE window shuffle partitioned by
+    source — at 100 TB the source key is low-cardinality but huge per
+    partition, which is fine: percent_rank needs only a sort within
+    the source partition and Spark externalizes window sorts; for a
+    pathological single-source corpus, pre-aggregate to a score
+    histogram instead (value_histogram + histogram_quantile in
+    operators/profile.py is that path).
+
+    percent_rank = (rank-1)/(n-1) is an exact small-integer rational in
+    IEEE doubles and ranks tie exactly on bit-equal scores, so the keep
+    boundary is deterministic cross-engine.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("tk"),
+    ).select(
+        id_col, source_col, quality_score_expr(F.col("tk")).alias("_q")
+    )
+    w = Window.partitionBy(source_col).orderBy("_q")
+    pr = F.percent_rank().over(w)
+    return base.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.round(F.col("_q"), 6).alias("quality_score"),
+        F.round(pr, 6).alias("cal_pctile"),
+        (pr >= F.lit(keep_pctile)).cast("int").alias("kept"),
+    )
+
+
 # Gopher rule-filter stopword set (Rae et al. 2021, "Scaling Language
 # Models: Methods, Analysis & Insights from Training Gopher", App. A
 # MassiveWeb filters): a document must contain >= 2 DISTINCT members.

@@ -1181,3 +1181,100 @@ def monitor_psi_frozen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
     new = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
     return psi_drift_frozen(psi_baseline(old, "n_chars"), new, "n_chars")
+
+
+@register(
+    "monitor_heavy_hitters",
+    """
+    WITH it AS (
+      SELECT CAST(user_id AS VARCHAR) AS s FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    sk AS (
+      SELECT row_idx, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT r.range AS row_idx,
+               ('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || s),
+                               1, 8))::BIGINT % 1024 AS bucket
+        FROM it CROSS JOIN range(3) r
+      ) GROUP BY row_idx, bucket
+    ),
+    cand AS (SELECT DISTINCT user_id FROM events WHERE user_id < 40),
+    cb AS (
+      SELECT c.user_id, r.range AS row_idx,
+             ('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':'
+                                 || CAST(c.user_id AS VARCHAR)),
+                             1, 8))::BIGINT % 1024 AS bucket
+      FROM cand c CROSS JOIN range(3) r
+    )
+    SELECT cb.user_id,
+           CAST(min(COALESCE(sk.cnt, 0)) AS BIGINT) AS est_count,
+           CAST(min(COALESCE(sk.cnt, 0)) >= 75 AS INT) AS is_heavy
+    FROM cb LEFT JOIN sk USING (row_idx, bucket)
+    GROUP BY cb.user_id
+    """,
+    doc="Count-min-sketch heavy-hitter report (operators/cms.py): the "
+    "event stream folds into a depth=3 x width=1024 sketch (ONE "
+    "shuffle; map-side combine bounds each task's output at "
+    "depth*width rows regardless of scan size), then a bounded "
+    "candidate set (user_id < 40) is point-estimated against the "
+    "broadcast sketch — min over the item's 3 md5-derived bucket "
+    "counts, flag at est >= 75. Error is one-sided (never "
+    "under-counts), the sketch is additive/mergeable and lands next "
+    "to the HLL/histogram monitoring state; the corpus is never "
+    "rescanned at estimate time. The oracle replays the identical "
+    "md5 bucket arithmetic, so values hash-match exactly.",
+)
+def monitor_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id", depth=3, width=1024)
+    cand = ev.where(F.col("user_id") < 40).select("user_id").distinct()
+    est = cms_estimate(sketch, cand, "user_id", depth=3, width=1024)
+    return est.select(
+        "user_id",
+        "est_count",
+        (F.col("est_count") >= 75).cast("int").alias("is_heavy"),
+    )
+
+
+@register(
+    "match_fuzzy_names",
+    """
+    WITH d AS (
+      SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n,
+             split_part(p_name, ' ', 2) AS blk
+      FROM part WHERE p_name IS NOT NULL GROUP BY p_name
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+           a.n AS n_a, b.n AS n_b
+    FROM d a JOIN d b ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+    doc="Blocked fuzzy record linkage (operators/linkage.py "
+    "fuzzy_match_pairs): near-match pairs among DISTINCT part names — "
+    "one dictionary groupBy (names + carried frequencies), a "
+    "self-join blocked on the noun token (never all-pairs), and a "
+    "JVM-native Levenshtein gate at distance <= 2. The dictionary "
+    "move is the scale story: a 100 TB row stream with a "
+    "million-name dictionary pairs within blocks of that dictionary, "
+    "not within the corpus. Output is the reviewable merge proposal "
+    "(name_a < name_b once, with both frequencies).",
+)
+def match_fuzzy_names_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.linkage import (
+        fuzzy_match_pairs,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_match_pairs(
+        part,
+        "p_name",
+        block_fn=lambda c: F.split(c, " ").getItem(1),
+        max_dist=2,
+    )

@@ -580,6 +580,49 @@ def text_quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_quality_calibrated",
+    f"""
+    WITH norm AS (SELECT doc_id, source, {_NORM} AS nt FROM documents),
+    t AS (SELECT doc_id, source,
+                 len(string_split(nt, ' ')) AS n_tokens,
+                 len(list_filter(string_split(nt, ' '), x -> x IN ({_SW_LIST})))
+                   AS sw_hits
+          FROM norm),
+    q AS (SELECT doc_id, source,
+                 least(1.0, greatest(0.0,
+                       (sw_hits / n_tokens) * 4
+                       + least(n_tokens / 100.0, 1.0) * 0.5)) AS qs
+          FROM t)
+    SELECT doc_id, source,
+           round(qs, 6) AS quality_score,
+           round(percent_rank() OVER (PARTITION BY source ORDER BY qs), 6)
+             AS cal_pctile,
+           CAST(percent_rank() OVER (PARTITION BY source ORDER BY qs) >= 0.2
+                AS INT) AS kept
+    FROM q
+    """,
+    doc="Per-source quantile calibration of the quality score "
+    "(operators/text.py quality_calibrated): the raw composite score "
+    "is source-biased (forums run stopword-dense, reference text dry), "
+    "so a single global raw threshold over-prunes whole sources; "
+    "mapping each doc to its percent_rank WITHIN its source makes "
+    "'drop the worst 20%' mean the same thing everywhere — the "
+    "per-bucket filtering discipline of the CCNet/FineWeb lineage. "
+    "One scan-stage token pass (shared quality_score_expr) + ONE "
+    "window shuffle partitioned by source. percent_rank is an exact "
+    "(rank-1)/(n-1) rational over bit-equal scores, so the keep "
+    "boundary is deterministic cross-engine.",
+)
+def text_quality_calibrated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.text import (
+        quality_calibrated,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_calibrated(docs, "text", "doc_id", "source", keep_pctile=0.2)
+
+
+@register(
     "dedup_embed_near",
     """
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)

@@ -639,6 +639,23 @@ DEPRIORITIZED = (
     #     identical by construction, frozen==direct equality pinned in
     #     test_round11_ops — the text_bm25_frozen idiom)
     "monitor_psi_frozen",
+    # ...and three late-round-11 births (r12 rotation candidates —
+    # three NEW capabilities):
+    #   - monitor_heavy_hitters: count-min-sketch frequency estimates
+    #     (Cormode & Muthukrishnan 2005) — the approximate-counting
+    #     member the monitoring family lacked next to HLL distincts
+    #     and histograms; mergeable depth x width counts, md5-replayed
+    #     bit-exact by the oracle (operators/cms.py)
+    #   - match_fuzzy_names: blocked fuzzy record linkage over the
+    #     distinct-name dictionary (JVM-native Levenshtein, token
+    #     blocking key) — first entity-resolution family member
+    #     (operators/linkage.py)
+    #   - text_quality_calibrated: per-source percent_rank calibration
+    #     of the quality score (the CCNet/FineWeb per-bucket filtering
+    #     discipline) ahead of a global keep threshold
+    "monitor_heavy_hitters",
+    "match_fuzzy_names",
+    "text_quality_calibrated",
     # Late-round-8 rotation: six round-8-born queries joined the
     # checked 50 (jsonl_roundtrip_documents, embed_srp_bands,
     # dedup_embed_near_srp, text_blocklist_gate, rag_chunk_retrieve,

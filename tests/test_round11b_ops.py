@@ -1,0 +1,170 @@
+"""Late-round-11 operator additions: count-min sketch, blocked fuzzy
+linkage, per-source quality calibration. End-to-end oracle parity runs
+in test_oracle_queries via the registry; these pin the operator-level
+invariants the hash check can't express (one-sided CMS error, merge
+additivity, blocking/tie contracts, calibration fairness)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_mysql_data_reader_spark.operators.cms import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+from clickhouse_mysql_data_reader_spark.operators.linkage import (
+    fuzzy_link_best,
+    fuzzy_match_pairs,
+)
+
+
+def _items(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "item string")
+
+
+def test_cms_one_sided_error_and_exactness_when_wide(spark):
+    """CMS never under-counts; with width >> distinct items the
+    estimate is exact."""
+    vals = ["a"] * 5 + ["b"] * 3 + ["c"] * 1
+    df = _items(spark, vals)
+    # narrow sketch: collisions likely -> est >= true, never under
+    narrow = cms_build(df, "item", depth=2, width=2)
+    cand = _items(spark, ["a", "b", "c"])
+    est = {
+        r["item"]: r["est_count"]
+        for r in cms_estimate(narrow, cand, "item", depth=2, width=2).collect()
+    }
+    true = {"a": 5, "b": 3, "c": 1}
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)
+    # wide sketch: 3 items in 3*1024 buckets -> exact with md5 hashing
+    wide = cms_build(df, "item", depth=3, width=1024)
+    est_w = {
+        r["item"]: r["est_count"]
+        for r in cms_estimate(wide, cand, "item", depth=3, width=1024).collect()
+    }
+    assert est_w == true
+
+
+def test_cms_merge_equals_full_build(spark):
+    """Sketches are additive: build-on-halves + merge == build-on-all,
+    bucket for bucket (the landed/mergeable monitoring contract)."""
+    a = _items(spark, ["x", "y", "x"])
+    b = _items(spark, ["x", "z"])
+    merged = cms_merge(
+        cms_build(a, "item", depth=2, width=16),
+        cms_build(b, "item", depth=2, width=16),
+    )
+    full = cms_build(a.unionByName(b), "item", depth=2, width=16)
+    m = {(r["row_idx"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    f = {(r["row_idx"], r["bucket"]): r["cnt"] for r in full.collect()}
+    assert m == f
+
+
+def test_cms_weighted_and_null_skip(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 5), (None, 99)], "item string, w long"
+    )
+    sk = cms_build(df, "item", depth=2, width=64, weight_col="w")
+    est = cms_estimate(
+        sk, _items(spark, ["a"]), "item", depth=2, width=64
+    ).collect()
+    assert est[0]["est_count"] == 15  # weights summed, NULL row skipped
+
+
+def test_fuzzy_match_pairs_blocking_and_counts(spark):
+    """Near names pair only WITHIN a block (the candidate-bounding
+    contract); frequencies ride along; name_a < name_b once."""
+    rows = (
+        [("red bolt",)] * 3
+        + [("ted bolt",)] * 2  # dist 1, same 'bolt' block
+        + [("red bol",)] * 1  # dist 1 to 'red bolt' but block 'bol'
+    )
+    df = spark.createDataFrame(rows, "name string")
+    out = fuzzy_match_pairs(
+        df, "name", block_fn=lambda c: F.split(c, " ").getItem(1), max_dist=2
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["name_a"], r["name_b"]) == ("red bolt", "ted bolt")
+    assert r["dist"] == 1 and r["n_a"] == 3 and r["n_b"] == 2
+
+
+def test_fuzzy_link_best_tie_break_and_unmatched(spark):
+    """Winner = min (dist, ref_name): equal-distance ties go to the
+    lexicographically smaller reference; probes with no block match
+    AND probes whose block candidates all miss the gate still come out
+    with NULL match."""
+    probe = spark.createDataFrame(
+        [("red bolt",), ("blue gear",), ("zzz bolt",)], "name string"
+    )
+    ref = spark.createDataFrame(
+        [("bed bolt",), ("ted bolt",), ("red volt",)], "name string"
+    )
+    out = {
+        r["name"]: r
+        for r in fuzzy_link_best(
+            probe,
+            ref,
+            "name",
+            block_fn=lambda c: F.split(c, " ").getItem(1),
+            max_dist=1,
+        ).collect()
+    }
+    assert len(out) == 3
+    # 'red bolt' -> bed/ted bolt both dist 1 ('red volt' is block 'volt');
+    # tie -> 'bed bolt'
+    assert out["red bolt"]["match"] == "bed bolt"
+    assert out["red bolt"]["dist"] == 1
+    # no 'gear' block in the reference -> NULL match, probe kept
+    assert out["blue gear"]["match"] is None
+    # 'zzz bolt' has block candidates but all at dist > 1 -> NULL match
+    assert out["zzz bolt"]["match"] is None
+
+
+def test_quality_calibrated_is_source_fair(spark):
+    """A source whose raw scores are uniformly depressed keeps the
+    same ~80% share as a high-scoring source — the point of
+    calibrating to within-source rank before thresholding."""
+    from clickhouse_mysql_data_reader_spark.operators.text import (
+        quality_calibrated,
+    )
+
+    # score = (sw_hits/n)*4 + min(n/100,1)*0.5 — pick token counts so
+    # every within-source score is distinct and under the clamp:
+    # forums = 4 stopwords + (15+i) junk (score ~0.94 -> 0.61),
+    # reference = 1 stopword + (30+i) junk (score ~0.28 -> 0.33)
+    rows = []
+    for i in range(20):
+        forum_junk = " ".join(f"q{j}x" for j in range(15 + i))
+        ref_junk = " ".join(f"q{j}x" for j in range(30 + i))
+        rows.append((i, "forums", "the of and is " + forum_junk))
+        rows.append((100 + i, "reference", "the " + ref_junk))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = quality_calibrated(docs, "text", "doc_id", "source", keep_pctile=0.2)
+    agg = {
+        r["source"]: r
+        for r in out.groupBy("source")
+        .agg(
+            F.sum("kept").alias("n_kept"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("cal_pctile").alias("mx"),
+            F.min("cal_pctile").alias("mn"),
+        )
+        .collect()
+    }
+    for src in ("forums", "reference"):
+        r = agg[src]
+        assert r["mn"] == 0.0 and r["mx"] == 1.0
+        # both sources keep the same calibrated share despite the raw
+        # score gap (a raw global threshold would zero out 'reference')
+        assert r["n_kept"] / r["n"] >= 0.75, (src, r)
+    # and the raw scores really are separated (the premise of the test)
+    means = {
+        r["source"]: r["m"]
+        for r in out.groupBy("source")
+        .agg(F.avg("quality_score").alias("m"))
+        .collect()
+    }
+    assert means["forums"] > means["reference"] + 0.3
