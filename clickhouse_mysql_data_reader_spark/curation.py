@@ -59,6 +59,27 @@ class CurationConfig:
     heuristics (Gopher repetition flags, 0.8-Jaccard near-dup merges)."""
 
     min_quality_score: float = 0.2
+    # opt-in per-source CALIBRATED quality gate (operators/text.py
+    # quality_calibrated): after the raw min_quality_score filter, keep
+    # only docs whose quality score sits at or above this percent_rank
+    # WITHIN their source — the CCNet/FineWeb per-bucket discipline
+    # that stops one raw threshold from zeroing out a stopword-light
+    # source. BATCH-ONLY: the rank is corpus-relative (one window
+    # shuffle partitioned by quality_source_col), so curate_increment /
+    # curate_stream raise if it is set — deploy those modes with
+    # quality_thresholds (frozen, stateless) instead. None = off.
+    quality_calibrate_pctile: float | None = None
+    # frozen per-source minimum scores ((source, min_score), ...) from
+    # operators/text.py calibrated_quality_thresholds() over a baseline
+    # corpus — the stateless deployment form of the calibrated gate: a
+    # scan-stage literal-map lookup, zero joins/shuffles, identical in
+    # batch/increment/streaming. Docs from sources ABSENT from the map
+    # pass (the raw gates still apply); thresholds for new sources are
+    # a baseline-refresh decision, not a silent drop. None = off.
+    quality_thresholds: tuple[tuple[str, float], ...] | None = None
+    # source column the two calibrated gates read (they run inside the
+    # row stages, which otherwise don't touch source)
+    quality_source_col: str = "source"
     drop_repetitive: bool = True
     redact_pii: bool = True
     # opt-in Gopher rule filter (operators/text.py gopher_rules, Rae et
@@ -348,6 +369,26 @@ class CurationConfig:
                 f"embed_bits={self.embed_bits} not divisible by "
                 f"embed_srp_bands={self.embed_srp_bands}"
             )
+        if self.quality_calibrate_pctile is not None and not (
+            0.0 <= self.quality_calibrate_pctile <= 1.0
+        ):
+            raise ValueError(
+                "quality_calibrate_pctile is a percent_rank cut and must "
+                f"be in [0, 1]; got {self.quality_calibrate_pctile}"
+            )
+        if self.quality_thresholds is not None:
+            # accept JSON-shaped lists from the CLI's --curation-config
+            # ([["web", 0.3], ...]) as well as tuples
+            for entry in self.quality_thresholds:
+                if (
+                    len(entry) != 2
+                    or not isinstance(entry[0], str)
+                    or not isinstance(entry[1], (int, float))
+                ):
+                    raise ValueError(
+                        "quality_thresholds entries must be (source, "
+                        f"min_score) pairs; got {entry!r}"
+                    )
 
 
 @dataclass
@@ -382,7 +423,11 @@ class CurationResult:
 
 
 def _row_stages(
-    docs: DataFrame, cfg: CurationConfig, text_col: str, id_col: str
+    docs: DataFrame,
+    cfg: CurationConfig,
+    text_col: str,
+    id_col: str,
+    calibrate: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Stages 1-3 (shared by full and incremental curation):
 
@@ -432,6 +477,43 @@ def _row_stages(
 
     gate = gate_columns(gated_in, text_col)
     gated = gate.filter(F.col("quality_score") >= cfg.min_quality_score)
+    if cfg.quality_calibrate_pctile is not None and calibrate:
+        # per-source calibrated gate, window form (batch mode only —
+        # callers that can't pay a corpus-relative rank pass
+        # calibrate=False and raise on the knob before reaching here).
+        # Runs on the raw-gate survivors: derive frozen thresholds
+        # from the same population for exact parity.
+        if cfg.quality_source_col not in gated.columns:
+            raise ValueError(
+                f"quality_calibrate_pctile needs a "
+                f"{cfg.quality_source_col!r} column; got {docs.columns}"
+            )
+        from pyspark.sql import Window as W
+
+        w_src = W.partitionBy(cfg.quality_source_col).orderBy("quality_score")
+        gated = (
+            gated.withColumn("_pr", F.percent_rank().over(w_src))
+            .filter(F.col("_pr") >= cfg.quality_calibrate_pctile)
+            .drop("_pr")
+        )
+    if cfg.quality_thresholds:
+        # frozen form: literal-map lookup on the scan, zero shuffles —
+        # identical semantics in batch/increment/streaming. Sources
+        # absent from the map pass (see the config comment).
+        if cfg.quality_source_col not in gated.columns:
+            raise ValueError(
+                f"quality_thresholds needs a "
+                f"{cfg.quality_source_col!r} column; got {docs.columns}"
+            )
+        thr_map = F.create_map(
+            *[
+                F.lit(x)
+                for src, thr in cfg.quality_thresholds
+                for x in (src, float(thr))
+            ]
+        )
+        thr = thr_map.getItem(F.col(cfg.quality_source_col))
+        gated = gated.filter(thr.isNull() | (F.col("quality_score") >= thr))
     if cfg.drop_repetitive:
         gated = gated.filter(~F.col("flag_repetitive"))
     gated = gated.select(*docs.columns)
@@ -811,7 +893,7 @@ def curate(
         ).select(id_col, text_col)
         docs = docs.drop(text_col).join(cleaned, id_col)
 
-    gated, exact = _row_stages(docs, cfg, text_col, id_col)
+    gated, exact = _row_stages(docs, cfg, text_col, id_col, calibrate=True)
 
     persisted: list[DataFrame] = []
     if cfg.dedup_lines:
@@ -2249,6 +2331,19 @@ def curate_increment(
             f"unknown near_dup_keeper {cfg.near_dup_keeper!r}: "
             "expected 'min_id' or 'longest'"
         )
+    if cfg.quality_calibrate_pctile is not None:
+        # corpus-relative by construction: a within-batch percent_rank
+        # would make the keep set depend on batch boundaries (the same
+        # doc kept in a strong batch, dropped in a weak one) — exactly
+        # the batch!=increment drift this pipeline forbids. Not an
+        # error the output would surface, so refuse loudly.
+        raise ValueError(
+            "quality_calibrate_pctile is batch-only (the percent_rank is "
+            "corpus-relative); for incremental/streaming curation freeze "
+            "per-source thresholds from a baseline corpus with "
+            "operators/text.py calibrated_quality_thresholds() and pass "
+            "them as cfg.quality_thresholds (stateless, batch-stable)"
+        )
     if cfg.near_dup_exact and state.jaccard_exact_threshold != cfg.near_dup_jaccard:
         # the landed prefixes were sliced for the state's threshold; a
         # looser probe threshold would need LONGER prefixes than were
@@ -2817,6 +2912,15 @@ def curate_stream(
     Returns the DataStreamWriter — caller picks trigger, checkpoint
     location, and calls start().
     """
+    if cfg.quality_calibrate_pctile is not None:
+        # fail at stream SETUP, not inside the first epoch's foreachBatch
+        # (same reasoning as curate_increment's check: a within-batch
+        # percent_rank ties the keep set to batch boundaries)
+        raise ValueError(
+            "quality_calibrate_pctile is batch-only; freeze per-source "
+            "thresholds (calibrated_quality_thresholds) and pass them as "
+            "cfg.quality_thresholds for streaming curation"
+        )
     apply_fn = curation_epoch_apply(
         state, out_dir, cfg=cfg, benchmark=benchmark, text_col=text_col,
         id_col=id_col, run_id=run_id, compact_every=compact_every,

@@ -194,6 +194,45 @@ def quality_calibrated(
     )
 
 
+def calibrated_quality_thresholds(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    keep_pctile: float = 0.2,
+) -> DataFrame:
+    """Freeze the per-source calibrated keep thresholds from a baseline
+    corpus: for each source, the minimum quality score whose
+    percent_rank >= ``keep_pctile`` — so the stateless gate
+    ``score >= threshold`` keeps EXACTLY the docs the window form
+    (``quality_calibrated`` / ``CurationConfig.quality_calibrate_pctile``)
+    keeps on that corpus (percent_rank is monotone in score and ties
+    share a rank, so the boundary transfers losslessly).
+
+    This is the deployment shape (the text_bm25_frozen / psi_baseline
+    idiom): pay the window shuffle ONCE on the baseline, land the tiny
+    (source, q_threshold) frame, and gate every later batch — including
+    incremental and streaming curation, where a within-batch window
+    would drift batch-to-batch — with a scan-stage map lookup.
+
+    Feed it the SAME population the gate will see (typically the
+    raw-gate survivors) for exact parity; the thresholds are exact
+    score values, not approximations.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(source_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("tk"),
+    ).select(source_col, quality_score_expr(F.col("tk")).alias("_q"))
+    pr = F.percent_rank().over(Window.partitionBy(source_col).orderBy("_q"))
+    return (
+        base.withColumn("_pr", pr)
+        .where(F.col("_pr") >= F.lit(keep_pctile))
+        .groupBy(F.col(source_col).alias("source"))
+        .agg(F.min("_q").alias("q_threshold"))
+    )
+
+
 # Gopher rule-filter stopword set (Rae et al. 2021, "Scaling Language
 # Models: Methods, Analysis & Insights from Training Gopher", App. A
 # MassiveWeb filters): a document must contain >= 2 DISTINCT members.
