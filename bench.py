@@ -403,6 +403,7 @@ def main() -> None:
         "monitor_heavy_hitters": time_query("monitor_heavy_hitters"),
         "match_fuzzy_names": time_query("match_fuzzy_names"),
         "text_quality_calibrated": time_query("text_quality_calibrated"),
+        "sample_length_buckets": time_query("sample_length_buckets"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

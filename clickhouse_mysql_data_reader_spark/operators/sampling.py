@@ -671,3 +671,73 @@ def sqrt_temperature_mixture(
     return _apply_rates_report(
         base, rates.select("source", "w", "rate"), salt, report_cols=("w",)
     )
+
+
+def length_bucket_stats(
+    df: DataFrame,
+    token_count_col: Column,
+    max_bucket_tokens: int | None = None,
+) -> DataFrame:
+    """Power-of-two sequence-length bucketing report — the batching
+    planner's input for padding-efficient training batches. Docs with
+    similar token counts batch together so the pad-to-longest waste
+    stays bounded: bucket b holds counts in (2^(b-1), 2^b] (bucket 1 =
+    {1, 2}), i.e. every member fits a padded length of 2^b at >=50%
+    fill by construction.
+
+    Per bucket: padded_len (the 2^b batch width), n_docs,
+    total_tokens, min/max member counts, and fill_ratio =
+    total_tokens / (n_docs * padded_len) — the fraction of the padded
+    batch that is real content (the rest is pad waste).
+
+    Why this shape instead of quantile bins (ntile): an unpartitioned
+    ntile funnels the whole corpus through ONE window task — a
+    scale-killer — while the power-of-two bucket is a per-row integer
+    expression (binary digit count, exact — no float log2 edge cases
+    at the powers themselves), so the report is scan + one map-side-
+    combinable groupBy, and the assignment is stable as the corpus
+    grows (quantile boundaries move with the data; these never do).
+
+    ``max_bucket_tokens`` folds everything above the cap into the top
+    bucket (over-long docs go to a chunker, not a batch).
+    """
+    n = F.greatest(token_count_col.cast("long"), F.lit(1))
+    # bucket = binary digit count of (n-1), i.e. ceil(log2(n)) with the
+    # n=1 corner in bucket 1 — so a doc of EXACTLY 2^b tokens fits the
+    # 2^b-padded bucket instead of wasting half the next one (digit
+    # count of n itself would be off by one at every power)
+    bits = F.length(F.conv((n - 1).cast("string"), 10, 2)).cast("int")
+    if max_bucket_tokens is not None:
+        if max_bucket_tokens < 1:
+            raise ValueError(
+                f"max_bucket_tokens must be >= 1, got {max_bucket_tokens}"
+            )
+        # the cap's own bucket; longer docs fold in and show up with
+        # max_tokens > padded_len — the visible "send to the chunker"
+        # signal, not a silent drop
+        cap_bits = max(1, int(max_bucket_tokens - 1).bit_length())
+        bits = F.least(bits, F.lit(cap_bits))
+    # the Python-API shiftleft wants a literal bit count; the SQL form
+    # takes a column
+    padded = F.expr("shiftleft(CAST(1 AS BIGINT), bucket)")
+    return (
+        df.select(n.alias("_n"), bits.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("total_tokens"),
+            F.min("_n").alias("min_tokens"),
+            F.max("_n").alias("max_tokens"),
+        )
+        .select(
+            "bucket",
+            padded.alias("padded_len"),
+            "n_docs",
+            "total_tokens",
+            "min_tokens",
+            "max_tokens",
+            F.round(
+                F.col("total_tokens") / (F.col("n_docs") * padded), 6
+            ).alias("fill_ratio"),
+        )
+    )

@@ -623,6 +623,48 @@ def text_quality_calibrated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_length_buckets",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+    t AS (SELECT doc_id,
+                 CAST(len(string_split(nt, ' ')) AS BIGINT) AS n
+          FROM norm),
+    b AS (SELECT n,
+                 CAST(length(bin(greatest(n, 1) - 1)) AS INT) AS bucket
+          FROM t)
+    SELECT bucket,
+           CAST(1::BIGINT << bucket AS BIGINT) AS padded_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(min(n) AS BIGINT) AS min_tokens,
+           CAST(max(n) AS BIGINT) AS max_tokens,
+           round(CAST(sum(n) AS BIGINT)
+                 / (count(*) * (1::BIGINT << bucket)), 6) AS fill_ratio
+    FROM b GROUP BY bucket
+    """,
+    doc="Power-of-two sequence-length bucketing report (operators/"
+    "sampling.py length_bucket_stats): docs bucket by the binary digit "
+    "count of (token count - 1), i.e. ceil(log2) — bucket b = counts "
+    "in (2^(b-1), 2^b] with {1,2} in bucket 1, so a batch padded to "
+    "2^b is >=50% real content by construction; "
+    "fill_ratio reports the exact content fraction per bucket. The "
+    "batching planner's alternative to quantile bins: an unpartitioned "
+    "ntile would funnel the corpus through ONE window task, while this "
+    "is a per-row integer expression (exact — no float log2 edge cases "
+    "at the powers) + one map-side-combinable groupBy, and the bucket "
+    "boundaries never move as the corpus grows.",
+)
+def sample_length_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.sampling import (
+        length_bucket_stats,
+    )
+    from clickhouse_mysql_data_reader_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return length_bucket_stats(docs, token_count(F.col("text")))
+
+
+@register(
     "dedup_embed_near",
     """
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)

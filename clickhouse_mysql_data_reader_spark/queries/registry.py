@@ -653,9 +653,14 @@ DEPRIORITIZED = (
     #   - text_quality_calibrated: per-source percent_rank calibration
     #     of the quality score (the CCNet/FineWeb per-bucket filtering
     #     discipline) ahead of a global keep threshold
+    #   - sample_length_buckets: power-of-two sequence-length bucketing
+    #     report (the padding-efficient batching planner) — per-row
+    #     exact binary-digit bucket + one groupBy, deliberately NOT an
+    #     unpartitioned ntile (one-task window at scale)
     "monitor_heavy_hitters",
     "match_fuzzy_names",
     "text_quality_calibrated",
+    "sample_length_buckets",
     # Late-round-8 rotation: six round-8-born queries joined the
     # checked 50 (jsonl_roundtrip_documents, embed_srp_bands,
     # dedup_embed_near_srp, text_blocklist_gate, rag_chunk_retrieve,

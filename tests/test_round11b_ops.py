@@ -168,3 +168,41 @@ def test_quality_calibrated_is_source_fair(spark):
         .collect()
     }
     assert means["forums"] > means["reference"] + 0.3
+
+
+def test_length_buckets_boundaries_and_cap(spark):
+    """Bucket b holds counts in (2^(b-1), 2^b] — exact at the powers
+    (no float log2 off-by-one) — and the cap folds over-long docs into
+    the top bucket, visible as max_tokens > padded_len."""
+    from clickhouse_mysql_data_reader_spark.operators.sampling import (
+        length_bucket_stats,
+    )
+
+    counts = [1, 2, 3, 4, 5, 8, 9, 16, 17, 1000]
+    df = spark.createDataFrame([(c,) for c in counts], "n long")
+    out = {
+        r["bucket"]: r
+        for r in length_bucket_stats(df, F.col("n")).collect()
+    }
+    # bucket = ceil(log2(n)) via digit count of n-1: a doc of EXACTLY
+    # 2^b tokens fits the 2^b-padded bucket (4 -> b2, 8 -> b3, 16 ->
+    # b4), not half-wasting the next one
+    assert out[1]["n_docs"] == 2 and out[1]["padded_len"] == 2  # {1,2}
+    assert out[2]["n_docs"] == 2 and out[2]["max_tokens"] == 4  # {3,4}
+    assert out[3]["n_docs"] == 2  # {5,8}
+    assert out[4]["n_docs"] == 2 and out[4]["max_tokens"] == 16  # {9,16}
+    assert out[5]["n_docs"] == 1  # {17}
+    assert out[10]["n_docs"] == 1 and out[10]["padded_len"] == 1024
+    # every bucket fits its padded length and is >=50% full
+    for b, r in out.items():
+        assert r["max_tokens"] <= r["padded_len"]
+        assert r["fill_ratio"] >= 0.5
+    capped = {
+        r["bucket"]: r
+        for r in length_bucket_stats(
+            df, F.col("n"), max_bucket_tokens=16
+        ).collect()
+    }
+    assert max(capped) == 4  # counts <= 16 all fit padded 16
+    top = capped[4]
+    assert top["max_tokens"] == 1000 and top["padded_len"] == 16  # flagged

@@ -486,3 +486,60 @@ def test_psi_frozen_foreachbatch_matches_batch(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted(got) == expected
+
+
+def test_cms_foreachbatch_merge_matches_full_build(spark, tmp_path):
+    """The count-min sketch's streaming deployment (the
+    psi_baseline_merge idiom): each micro-batch builds its own sketch
+    and MERGES it into the landed one — counts are additive, so the
+    landed sketch after N epochs equals one build over everything seen,
+    bucket for bucket, and estimates never rescan the corpus."""
+    from clickhouse_mysql_data_reader_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    items = spark.createDataFrame(
+        [(i, f"u{i % 7}") for i in range(40)], "event_id long, item string"
+    )
+    landed_path = str(tmp_path / "cms_landed")
+    # epoch 0 lands an initial sketch (a prior day's traffic)
+    cms_build(items.filter("event_id < 10"), "item", depth=2, width=32).write.parquet(
+        landed_path
+    )
+
+    def absorb(batch_df, epoch_id):
+        landed = spark.read.parquet(landed_path)
+        merged = cms_merge(
+            landed, cms_build(batch_df, "item", depth=2, width=32)
+        )
+        # land via a temp dir + read-back (the batch plan reads the
+        # path it would overwrite)
+        tmp = str(tmp_path / f"cms_epoch_{epoch_id}")
+        merged.write.parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(landed_path)
+
+    q = (
+        _stream_from(
+            spark, items.filter("event_id >= 10"), tmp_path, "cms_stream"
+        )
+        .writeStream.foreachBatch(absorb)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    landed = spark.read.parquet(landed_path)
+    full = cms_build(items, "item", depth=2, width=32)
+    assert sorted(tuple(r) for r in landed.collect()) == sorted(
+        tuple(r) for r in full.collect()
+    )
+    # and the landed sketch answers point queries exactly here (7 items
+    # in 2x32 buckets, no forced collisions): u0..u4 appear 6x, u5/u6 5x
+    cand = spark.createDataFrame([(f"u{k}",) for k in range(7)], "item string")
+    est = {
+        r["item"]: r["est_count"]
+        for r in cms_estimate(landed, cand, "item", depth=2, width=32).collect()
+    }
+    assert all(est[f"u{k}"] >= (6 if k < 5 else 5) for k in range(7))
