@@ -404,6 +404,7 @@ def main() -> None:
         "match_fuzzy_names": time_query("match_fuzzy_names"),
         "text_quality_calibrated": time_query("text_quality_calibrated"),
         "sample_length_buckets": time_query("sample_length_buckets"),
+        "rag_mmr_rerank": time_query("rag_mmr_rerank"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -1185,3 +1185,175 @@ def centroid_drift(
         .otherwise(F.round(F.col("_dot").cast("double") / denom, 6))
         .alias("centroid_cos"),
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 16,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98) — diversified top-k for RAG retrieval: greedily pick the
+    doc maximizing ``lam * rel(d, q) - (1 - lam) * max_sim(d,
+    selected)``, so near-duplicate passages don't crowd the context
+    window the way a pure relevance top-k lets them.
+
+    Plan at 100 TB: relevance candidates come from the DISTRIBUTED
+    exact top-N (``cosine_topk`` — swap in ``ivf_topk`` upstream for
+    ANN at scale); only the BOUNDED per-query candidate set (N rows,
+    N^2 pairwise sims) reaches the greedy step, which runs per-query
+    inside an Arrow-batched cogroup ``applyInPandas`` — queries scale
+    out across executors, nothing returns to the driver, and the
+    corpus is touched only by the candidate/pair joins.
+
+    Determinism — the scaled-integer idiom (no float boundary rows):
+    relevance and pairwise cosines are quantized to MICRO-UNITS
+    (round(cos * 1e6) as BIGINT) before the greedy loop, ``lam`` is
+    taken as the exact rational of its decimal literal (0.7 = 7/10),
+    and every score is the exact integer ``num*rel_u -
+    (den-num)*pen_u`` — argmax and ties (smaller id) are integer
+    comparisons, and the output ``mmr_score = score / (den*1e6)`` is
+    one identical double division on both engines. Float rounding of
+    ``0.7 * <6-decimal value>`` lands on an exact decimal half at the
+    7th digit for every odd last digit — a SYSTEMATIC
+    Spark-HALF_UP-vs-DuckDB-binary-round divergence, not a rare one —
+    which is why no float score ever forms.
+
+    Returns (qid, rank, vec_id, mmr_score) with rank 1..k per query.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(str(lam))
+    if frac.denominator > 1000:
+        raise ValueError(
+            f"lam={lam!r} has no short exact decimal form; pass a "
+            "literal like 0.7 (exact integer scoring needs a small "
+            "denominator)"
+        )
+    num, den = frac.numerator, frac.denominator
+    pnum = den - num
+    cands = cosine_topk(
+        corpus,
+        queries,
+        k=n_candidates,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(
+        "qid",
+        "vec_id",
+        # micro-units: cos_sim is already the 6-decimal value, so *1e6
+        # rounds to the exact integer it denotes
+        F.round(F.col("cos_sim") * 1e6).cast("long").alias("rel_u"),
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("_vid"), as_double_array(vec_col).alias("_e")
+    ).withColumn("_n", l2_norm(F.col("_e")))
+    ca = cands.select("qid", F.col("vec_id").alias("ia")).join(
+        vecs.select(
+            F.col("_vid").alias("ia"), F.col("_e").alias("_ea"), F.col("_n").alias("_na")
+        ),
+        "ia",
+    )
+    # rename the right side's qid: the two legs share the `cands`
+    # lineage and a same-name join key trips the ambiguous-self-join
+    # analyzer check
+    cb = cands.select(
+        F.col("qid").alias("_qid_b"), F.col("vec_id").alias("ib")
+    ).join(
+        vecs.select(
+            F.col("_vid").alias("ib"), F.col("_e").alias("_eb"), F.col("_n").alias("_nb")
+        ),
+        "ib",
+    )
+    pairs = (
+        ca.join(cb, F.col("qid") == F.col("_qid_b"))
+        .where(F.col("ia") != F.col("ib"))
+        .select(
+            # when(True, qid): a no-op the optimizer folds, but the
+            # Alias mints a FRESH attribute id — `pairs` and `cands`
+            # share lineage, and cogrouping both on the same attribute
+            # trips the ambiguous-self-join analyzer check
+            F.when(F.lit(True), F.col("qid")).alias("qid"),
+            "ia",
+            "ib",
+            # same two-step derivation as rel_u (6-decimal value,
+            # then micro-units) so both unit columns mean exactly
+            # "round(cos, 6) * 1e6" like the oracle's
+            F.round(
+                F.round(
+                    cosine_n(
+                        F.col("_ea"), F.col("_eb"), F.col("_na"), F.col("_nb")
+                    ),
+                    6,
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("sim_u"),
+        )
+    )
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    qid_t = cands.schema["qid"].dataType
+    vid_t = cands.schema["vec_id"].dataType
+    out_schema = StructType(
+        [
+            StructField("qid", qid_t),
+            StructField("rank", IntegerType()),
+            StructField("vec_id", vid_t),
+            StructField("score_u", LongType()),
+        ]
+    )
+
+    def _greedy(cdf, pdf):
+        import pandas as pd
+
+        if len(cdf) == 0:
+            return pd.DataFrame(columns=["qid", "rank", "vec_id", "score_u"])
+        qid = cdf["qid"].iloc[0]
+        rel = {int(v): int(u) for v, u in zip(cdf["vec_id"], cdf["rel_u"])}
+        sims = {
+            (int(a), int(b)): int(u)
+            for a, b, u in zip(pdf["ia"], pdf["ib"], pdf["sim_u"])
+        }
+        selected: list = []
+        rows = []
+        remaining = sorted(rel)  # ascending id => lowest id wins ties
+        for step in range(min(k, len(remaining))):
+            best_id, best_score = None, None
+            for cid in remaining:
+                pen = (
+                    max(sims.get((cid, s), 0) for s in selected)
+                    if selected
+                    else 0
+                )
+                # exact integers end to end: argmax and ties are
+                # integer comparisons, no float ever forms
+                score = num * rel[cid] - pnum * pen
+                if best_score is None or score > best_score:
+                    best_id, best_score = cid, score
+            selected.append(best_id)
+            remaining.remove(best_id)
+            rows.append((qid, step + 1, best_id, best_score))
+        return pd.DataFrame(rows, columns=["qid", "rank", "vec_id", "score_u"])
+
+    return (
+        cands.groupby("qid")
+        .cogroup(pairs.groupby("qid"))
+        .applyInPandas(_greedy, schema=out_schema)
+        .select(
+            "qid",
+            "rank",
+            "vec_id",
+            # one identical double division on both engines — the only
+            # float op in the whole scorer
+            (F.col("score_u") / F.lit(float(den) * 1e6)).alias("mmr_score"),
+        )
+    )

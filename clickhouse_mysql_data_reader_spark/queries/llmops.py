@@ -2907,3 +2907,110 @@ def text_html_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.alias("clean_text"),
         F.length(clean).cast("long").alias("n_clean_chars"),
     )
+
+
+def _mmr_oracle(k: int, n_candidates: int, lam: float) -> str:
+    """Unrolled MMR greedy as plain CTE steps (the sample_unimax move:
+    replay the exact greedy arithmetic instead of approximating it).
+    Scores are the operator's exact scaled integers — rel/sim in
+    micro-units (round(cos*1e6) as BIGINT), ``lam`` as the rational of
+    its decimal literal (0.7 = 7/10), score = num*rel_u -
+    (den-num)*pen_u — so step winners and ties ((score DESC, id ASC))
+    are integer comparisons and the only float op is the final
+    ``score / (den*1e6)`` division, identical on both engines. (A
+    float formulation systematically diverged: 0.7 * <6-decimal
+    value> lands on an exact decimal half at the 7th digit for every
+    odd last digit, where Spark's HALF_UP and DuckDB's binary round
+    disagree.) k is small and fixed per registration, so the unroll
+    stays readable where a recursive CTE would be fragile."""
+    from fractions import Fraction
+
+    frac = Fraction(str(lam))
+    num, pnum = frac.numerator, frac.denominator - frac.numerator
+    div = float(frac.denominator) * 1e6
+    steps = [
+        f"""
+    sc1 AS (
+      SELECT qid, vec_id, {num}*rel_u AS score FROM cand
+    ),
+    s1 AS (SELECT qid, vec_id, score FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+                       ORDER BY score DESC, vec_id) AS rn FROM sc1)
+           WHERE rn = 1),
+    sel1 AS (SELECT qid, vec_id, 1 AS rank, score FROM s1)"""
+    ]
+    for m in range(2, k + 1):
+        p = m - 1
+        steps.append(
+            f"""
+    sc{m} AS (
+      SELECT c.qid, c.vec_id,
+             {num}*c.rel_u - {pnum}*coalesce(
+               (SELECT max(p.sim_u) FROM pairs p
+                JOIN sel{p} s ON s.qid = p.qid AND s.vec_id = p.ib
+                WHERE p.qid = c.qid AND p.ia = c.vec_id), 0) AS score
+      FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM sel{p} s
+                        WHERE s.qid = c.qid AND s.vec_id = c.vec_id)
+    ),
+    s{m} AS (SELECT qid, vec_id, score FROM (
+               SELECT *, row_number() OVER (PARTITION BY qid
+                         ORDER BY score DESC, vec_id) AS rn FROM sc{m})
+             WHERE rn = 1),
+    sel{m} AS (SELECT * FROM sel{p}
+               UNION ALL
+               SELECT qid, vec_id, {m} AS rank, score FROM s{m})"""
+        )
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id < 4),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS cos
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+    ),
+    cand AS (
+      SELECT qid, vec_id,
+             CAST(round(round(cos, 6) * 1000000) AS BIGINT) AS rel_u
+      FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                      ORDER BY cos DESC, vec_id) AS rn FROM scored)
+      WHERE rn <= {n_candidates}
+    ),
+    pairs AS (
+      SELECT a.qid, a.vec_id AS ia, b.vec_id AS ib,
+             CAST(round(round(list_cosine_similarity(
+                    ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)
+                  * 1000000) AS BIGINT) AS sim_u
+      FROM cand a
+      JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),{",".join(steps)}
+    SELECT qid, CAST(rank AS INT) AS rank, vec_id,
+           score / {div!r} AS mmr_score
+    FROM sel{k}
+    """
+
+
+@register(
+    "rag_mmr_rerank",
+    _mmr_oracle(k=5, n_candidates=16, lam=0.7),
+    doc="Maximal Marginal Relevance diversified retrieval (operators/"
+    "similarity.py mmr_rerank, Carbonell & Goldstein SIGIR'98): exact "
+    "cosine top-16 candidates per query, then the greedy "
+    "lam*rel - (1-lam)*max-sim-to-selected pick of 5, per-query inside "
+    "an Arrow-batched cogroup applyInPandas — queries scale across "
+    "executors, only the bounded candidate set (and its N^2 pair sims) "
+    "leaves the JVM, the corpus never does. Rel/sim are rounded to 6 "
+    "BEFORE the greedy so last-ulp noise can't flip an argmax; the "
+    "oracle unrolls the identical greedy steps as CTEs (the "
+    "sample_unimax idiom) and matches the selection bit-for-bit.",
+)
+def rag_mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return mmr_rerank(emb, queries, k=5, n_candidates=16, lam=0.7)

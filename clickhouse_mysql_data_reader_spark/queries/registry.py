@@ -657,10 +657,15 @@ DEPRIORITIZED = (
     #     report (the padding-efficient batching planner) — per-row
     #     exact binary-digit bucket + one groupBy, deliberately NOT an
     #     unpartitioned ntile (one-task window at scale)
+    #   - rag_mmr_rerank: Maximal Marginal Relevance diversified
+    #     retrieval (Carbonell & Goldstein SIGIR'98) — per-query greedy
+    #     in a cogroup applyInPandas over scaled-integer scores; the
+    #     oracle unrolls the greedy steps as CTEs (sample_unimax idiom)
     "monitor_heavy_hitters",
     "match_fuzzy_names",
     "text_quality_calibrated",
     "sample_length_buckets",
+    "rag_mmr_rerank",
     # Late-round-8 rotation: six round-8-born queries joined the
     # checked 50 (jsonl_roundtrip_documents, embed_srp_bands,
     # dedup_embed_near_srp, text_blocklist_gate, rag_chunk_retrieve,

@@ -206,3 +206,66 @@ def test_length_buckets_boundaries_and_cap(spark):
     assert max(capped) == 4  # counts <= 16 all fit padded 16
     top = capped[4]
     assert top["max_tokens"] == 1000 and top["padded_len"] == 16  # flagged
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """The point of MMR: after picking the best doc, its near-duplicate
+    (higher raw relevance) loses to a diverse doc."""
+    from clickhouse_mysql_data_reader_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    # geometry matters: the diverse doc must be equally RELEVANT but
+    # dissimilar to the first pick, so the query axis and the
+    # spread axis have to be different dimensions — 10 and 12 sit
+    # symmetrically about the query (rel 0.9 each), 11 is 10's
+    # near-duplicate (sim ~ 1.0, rel ~ 0.9)
+    corpus = _vecs(
+        spark,
+        [
+            (10, [0.9, 0.436, 0.0]),
+            (11, [0.901, 0.4365, 0.0]),
+            (12, [0.9, -0.436, 0.0]),
+        ],
+    )
+    queries = _vecs(spark, [(0, [1.0, 0.0, 0.0])]).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = mmr_rerank(corpus, queries, k=2, n_candidates=3, lam=0.5)
+    got = [r["vec_id"] for r in out.orderBy("rank").collect()]
+    # step 1: rel(10) == rel(12), id tie-break -> 10. step 2: the
+    # near-dup 11 scores 0.5*0.9 - 0.5*1.0 < 0 while diverse 12
+    # scores 0.5*0.9 - 0.5*0.62 > 0. Pure top-2 would be [10, 11].
+    assert got == [10, 12]
+
+
+def test_mmr_lam_one_is_pure_relevance(spark):
+    """lam = 1.0 zeroes the penalty: MMR order == cosine top-k order
+    (the degenerate-case contract)."""
+    from clickhouse_mysql_data_reader_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+
+    corpus = _vecs(
+        spark,
+        [(i, [1.0 + 0.01 * i, 0.1 * i, 0.5]) for i in range(8)],
+    )
+    queries = _vecs(spark, [(100, [1.0, 0.2, 0.4])]).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    mmr = [
+        r["vec_id"]
+        for r in mmr_rerank(corpus, queries, k=4, n_candidates=8, lam=1.0)
+        .orderBy("rank")
+        .collect()
+    ]
+    topk = [
+        r["vec_id"]
+        for r in cosine_topk(corpus, queries, k=4).orderBy("rn").collect()
+    ]
+    assert mmr == topk
