@@ -124,6 +124,12 @@ def cms_estimate(
     is never touched, which is the whole point of landing the sketch.
     Geometry must match the build call.
     """
+    clash = {"row_idx", "bucket", "cnt"} & set(candidates.columns)
+    if clash:
+        raise ValueError(
+            f"candidate columns {sorted(clash)} collide with the sketch "
+            "schema (row_idx/bucket/cnt); rename them before estimating"
+        )
     item = F.col(item_col).cast("string")
     keep = [c for c in candidates.columns]
     exploded = candidates.select(

@@ -1211,6 +1211,14 @@ def mmr_rerank(
     out across executors, nothing returns to the driver, and the
     corpus is touched only by the candidate/pair joins.
 
+    Evaluation count: the candidate subtree feeds the cogroup leg AND
+    both pair legs (plus two vector lookups), so the top-N (one corpus
+    scan + window) evaluates ~5x per action. Deliberately not
+    persisted here (no release point in an operator that returns a
+    lazy frame — the curation LM gate reasoning); a production caller
+    re-ranking against an expensive retrieval should LAND the
+    candidate frame first and feed the landed table.
+
     Determinism — the scaled-integer idiom (no float boundary rows):
     relevance and pairwise cosines are quantized to MICRO-UNITS
     (round(cos * 1e6) as BIGINT) before the greedy loop, ``lam`` is
