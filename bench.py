@@ -405,6 +405,8 @@ def main() -> None:
         "text_quality_calibrated": time_query("text_quality_calibrated"),
         "sample_length_buckets": time_query("sample_length_buckets"),
         "rag_mmr_rerank": time_query("rag_mmr_rerank"),
+        "monitor_psi_by_source": time_query("monitor_psi_by_source"),
+        "validate_fk_orphans": time_query("validate_fk_orphans"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

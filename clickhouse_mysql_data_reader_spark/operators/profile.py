@@ -730,14 +730,16 @@ def _psi_bucket(x, mn, mx, n_buckets):
     )
 
 
-def _psi_from_counts(filled: DataFrame) -> DataFrame:
+def _psi_from_counts(filled: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
     """Laplace-smoothed per-bin PSI contributions from a filled
     (bucket, n_old, n_new) frame. Totals AND the smoothing bin count
-    come from a single-partition window — exact and BOUNDED (the frame
-    is always n_buckets rows), and deriving the bin count from the
-    frame itself means a frozen caller cannot desynchronize it from
-    the landed reference."""
-    w = W.partitionBy()
+    come from a window — exact and BOUNDED (the frame is always
+    n_buckets rows per key), and deriving the bin count from the frame
+    itself means a frozen caller cannot desynchronize it from the
+    landed reference. ``keys`` partitions the window for the per-key
+    variant (``psi_drift_by``); empty = the global single-partition
+    form."""
+    w = W.partitionBy(*keys)
     totd = filled.withColumns(
         {
             "_to": F.sum("n_old").over(w),
@@ -748,6 +750,7 @@ def _psi_from_counts(filled: DataFrame) -> DataFrame:
     p_old = (F.col("n_old") + F.lit(1.0)) / (F.col("_to") + F.col("_nb"))
     p_new = (F.col("n_new") + F.lit(1.0)) / (F.col("_tn") + F.col("_nb"))
     return totd.select(
+        *keys,
         "bucket",
         "n_old",
         "n_new",
@@ -835,6 +838,82 @@ def psi_drift(
         F.coalesce("n_new", F.lit(0)).alias("n_new"),
     )
     return _psi_from_counts(filled)
+
+
+def psi_drift_by(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Per-key PSI drift: ``psi_drift`` computed independently WITHIN
+    each value of ``key_col`` (source, language, shard...) — the
+    dashboard view that says WHICH slice of the corpus moved, where the
+    global score averages a shifted source against nineteen stable
+    ones into "fine". Edges are frozen per key from the baseline
+    (fixed-width bins of that key's own min/max); smoothing, spine
+    fill, and the round(ln, 6) contribution are the shared helpers, so
+    each key's rows equal a standalone ``psi_drift`` on that key's
+    slice (pinned by test).
+
+    Keys present only in ``new`` are EXCLUDED — a never-seen key has
+    no baseline edges to score against; surfacing new/vanished keys is
+    ``corpus_diff``'s job, and conflating the two would score a brand
+    new source against edges invented from its own data. NULL keys and
+    NULL values are likewise excluded (null RATES belong to
+    profile/validate).
+
+    Scale shape: identical to ``psi_drift`` with the 1-row edge
+    broadcast replaced by an |keys|-row broadcast join and every
+    aggregate/window gaining the key column — counts stay map-side
+    combinable and mergeable, the bucket frame is |keys| x n_buckets
+    rows, and nothing else grows with the corpus.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    old = old.filter(F.col(value_col).isNotNull() & F.col(key_col).isNotNull())
+    new = new.filter(F.col(value_col).isNotNull() & F.col(key_col).isNotNull())
+    mm = old.groupBy(F.col(key_col).alias("_k")).agg(
+        F.min(value_col).cast("long").alias("_mn"),
+        F.max(value_col).cast("long").alias("_mx"),
+    )
+    tagged = (
+        old.select(
+            F.col(key_col).alias("_k"),
+            F.col(value_col).cast("long").alias("_x"),
+            F.lit(False).alias("_new"),
+        ).unionByName(
+            new.select(
+                F.col(key_col).alias("_k"),
+                F.col(value_col).cast("long").alias("_x"),
+                F.lit(True).alias("_new"),
+            )
+        )
+    )
+    # inner join = the new-only-key exclusion contract; edges are
+    # non-null by construction (per-key min/max over non-null values)
+    b = tagged.join(F.broadcast(mm), "_k").select(
+        "_k",
+        _psi_bucket(F.col("_x"), F.col("_mn"), F.col("_mx"), n_buckets).alias(
+            "bucket"
+        ),
+        "_new",
+    )
+    counts = b.groupBy("_k", "bucket").agg(
+        F.sum(F.when(~F.col("_new"), 1).otherwise(0)).alias("n_old"),
+        F.sum(F.when(F.col("_new"), 1).otherwise(0)).alias("n_new"),
+    )
+    spine = mm.select("_k").crossJoin(
+        old.sparkSession.range(n_buckets).select(F.col("id").alias("bucket"))
+    )
+    filled = spine.join(counts, ["_k", "bucket"], "left").select(
+        F.col("_k").alias(key_col),
+        "bucket",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    return _psi_from_counts(filled, keys=(key_col,))
 
 
 def anomaly_mad(
@@ -1061,3 +1140,57 @@ def psi_baseline_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         guard(F.col("_mna")).alias("mn"),
         guard(F.col("_mxa")).alias("mx"),
     )
+
+
+def fk_orphan_report(
+    relationships: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity validation across tables: for each
+    ``(relation_name, child, fk_col, parent, pk_col)``, count child
+    rows, NULL foreign keys, and ORPHANS (non-null FKs with no parent
+    row) — the post-migration check the reference's MySQL->ClickHouse
+    copy leaves to the operator's eyeballs (ClickHouse enforces no FK
+    constraints, so a partial copy silently strands children).
+
+    One row per relationship: (relation, n_child, n_null_fk,
+    n_orphans, ok). Plan per relationship: one agg over the child scan
+    (rows + null FKs together) and one LEFT-ANTI join against the
+    parent keys for the orphan count — the anti probe side is the
+    parent's DISTINCT key projection, broadcast for dim-sized parents
+    (AQE decides), and the child never shuffles when it is. The 1-row
+    per-relation frames are crossJoined (the sanctioned scalar shape)
+    and unioned; output is |relationships| rows.
+    """
+    if not relationships:
+        raise ValueError("fk_orphan_report needs at least one relationship")
+    outs = []
+    for name, child, fk, parent, pk in relationships:
+        stats = child.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_fk"),
+        )
+        orphans = (
+            child.where(F.col(fk).isNotNull())
+            .select(F.col(fk).alias("_fk"))
+            .join(
+                parent.select(F.col(pk).alias("_fk")).distinct(),
+                "_fk",
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        outs.append(
+            stats.crossJoin(orphans).select(
+                F.lit(name).alias("relation"),
+                "n_child",
+                "n_null_fk",
+                "n_orphans",
+                (F.col("n_orphans") == 0).cast("int").alias("ok"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -1278,3 +1278,119 @@ def match_fuzzy_names_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_fn=lambda c: F.split(c, " ").getItem(1),
         max_dist=2,
     )
+
+
+@register(
+    "monitor_psi_by_source",
+    """
+    WITH s AS (SELECT doc_id, source, n_chars, (doc_id % 2 = 1) AS is_new
+               FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+    mm AS (SELECT source, CAST(min(n_chars) AS BIGINT) AS mn,
+                  CAST(max(n_chars) AS BIGINT) AS mx
+           FROM s WHERE NOT is_new GROUP BY source),
+    b AS (
+      SELECT s.source, is_new,
+             greatest(0, least(9,
+               CAST(floor((CAST(n_chars - mn AS DOUBLE) * 10.0)
+                          / greatest(mx - mn, 1)) AS BIGINT))) AS bucket
+      FROM s JOIN mm ON s.source = mm.source
+    ),
+    c AS (
+      SELECT source, bucket,
+             CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_old,
+             CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      FROM b GROUP BY source, bucket
+    ),
+    spine AS (SELECT mm.source, CAST(r.range AS BIGINT) AS bucket
+              FROM mm CROSS JOIN range(10) r),
+    f AS (
+      SELECT spine.source, spine.bucket,
+             COALESCE(c.n_old, 0) AS n_old,
+             COALESCE(c.n_new, 0) AS n_new
+      FROM spine LEFT JOIN c
+        ON c.source = spine.source AND c.bucket = spine.bucket
+    ),
+    tot AS (SELECT source, CAST(sum(n_old) AS BIGINT) AS t_old,
+                   CAST(sum(n_new) AS BIGINT) AS t_new
+            FROM f GROUP BY source)
+    SELECT f.source, f.bucket, n_old, n_new,
+           round(((n_new + 1.0) / (t_new + 10) - (n_old + 1.0) / (t_old + 10))
+                 * ln(((n_new + 1.0) / (t_new + 10))
+                      / ((n_old + 1.0) / (t_old + 10))), 6) AS psi_contrib
+    FROM f JOIN tot ON f.source = tot.source
+    """,
+    doc="Per-source PSI drift (operators/profile.py psi_drift_by): the "
+    "monitor_psi_drift score computed independently WITHIN each "
+    "source, edges frozen per source from the baseline half — the "
+    "dashboard view that says WHICH slice moved, where the global "
+    "score averages one shifted source against nineteen stable ones "
+    "into 'fine'. Keys absent from the baseline are excluded (new-"
+    "source detection is corpus_snapshot_diff's job). Same mergeable-"
+    "counts scale shape as the global monitor with an |keys|-row edge "
+    "broadcast; each source's rows equal a standalone psi_drift on "
+    "that slice (pinned by test).",
+)
+def monitor_psi_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.profile import psi_drift_by
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    new = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    return psi_drift_by(old, new, "n_chars", "source", n_buckets=10)
+
+
+_FK_RELS = (
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _fk_oracle() -> str:
+    parts = [
+        f"""
+    SELECT '{name}' AS relation,
+           (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS n_child,
+           (SELECT CAST(count(*) AS BIGINT) FROM {child}
+            WHERE {fk} IS NULL) AS n_null_fk,
+           (SELECT CAST(count(*) AS BIGINT) FROM {child} ch
+            WHERE ch.{fk} IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM {parent} p
+                              WHERE p.{pk} = ch.{fk})) AS n_orphans"""
+        for name, child, fk, parent, pk in _FK_RELS
+    ]
+    return (
+        "SELECT relation, n_child, n_null_fk, n_orphans,\n"
+        "       CAST(n_orphans = 0 AS INT) AS ok\n"
+        "FROM (" + "\n    UNION ALL".join(parts) + "\n    )"
+    )
+
+
+@register(
+    "validate_fk_orphans",
+    _fk_oracle(),
+    doc="Referential-integrity report (operators/profile.py "
+    "fk_orphan_report) across the seven TPC-H foreign keys: child "
+    "rows, NULL FKs, and ORPHANS (non-null FK with no parent) per "
+    "relationship — the post-migration check the reference's "
+    "MySQL->ClickHouse copy leaves to eyeballs (ClickHouse enforces "
+    "no FK constraints, so a partial copy silently strands children). "
+    "Per relation: one child-scan agg + one LEFT-ANTI against the "
+    "parent's distinct keys (broadcast for dim parents, AQE decides); "
+    "output is 7 rows.",
+)
+def validate_fk_orphans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.profile import (
+        fk_orphan_report,
+    )
+
+    rels = [
+        (name, load_table(spark, sf_dir, child), fk,
+         load_table(spark, sf_dir, parent), pk)
+        for name, child, fk, parent, pk in _FK_RELS
+    ]
+    return fk_orphan_report(rels)

@@ -661,11 +661,21 @@ DEPRIORITIZED = (
     #     retrieval (Carbonell & Goldstein SIGIR'98) — per-query greedy
     #     in a cogroup applyInPandas over scaled-integer scores; the
     #     oracle unrolls the greedy steps as CTEs (sample_unimax idiom)
+    #   - monitor_psi_by_source: per-key PSI drift (edges frozen per
+    #     source from the baseline; per-key rows == standalone
+    #     psi_drift on the slice, pinned by test) — the WHICH-slice-
+    #     moved dashboard view next to the global monitor
+    #   - validate_fk_orphans: referential-integrity report over the
+    #     seven TPC-H FKs (child rows / NULL FKs / orphans via
+    #     left-anti against parent keys) — the post-migration check
+    #     ClickHouse's constraint-free tables can't enforce
     "monitor_heavy_hitters",
     "match_fuzzy_names",
     "text_quality_calibrated",
     "sample_length_buckets",
     "rag_mmr_rerank",
+    "monitor_psi_by_source",
+    "validate_fk_orphans",
     # Late-round-8 rotation: six round-8-born queries joined the
     # checked 50 (jsonl_roundtrip_documents, embed_srp_bands,
     # dedup_embed_near_srp, text_blocklist_gate, rag_chunk_retrieve,

@@ -269,3 +269,65 @@ def test_mmr_lam_one_is_pure_relevance(spark):
         for r in cosine_topk(corpus, queries, k=4).orderBy("rn").collect()
     ]
     assert mmr == topk
+
+
+def test_psi_drift_by_equals_standalone_per_key(spark):
+    """Each key's rows in psi_drift_by equal a standalone psi_drift on
+    that key's slice (shared bucket/smoothing helpers — the pinned
+    claim), and keys absent from the baseline are excluded."""
+    from clickhouse_mysql_data_reader_spark.operators.profile import (
+        psi_drift,
+        psi_drift_by,
+    )
+
+    rows_old = [(i, "a", 100 + i) for i in range(30)] + [
+        (100 + i, "b", 500 + 3 * i) for i in range(20)
+    ]
+    rows_new = (
+        [(200 + i, "a", 110 + i) for i in range(25)]
+        + [(300 + i, "b", 700 + i) for i in range(15)]
+        + [(400 + i, "only_new", 50 + i) for i in range(5)]
+    )
+    schema = "doc_id long, src string, n long"
+    old = spark.createDataFrame(rows_old, schema)
+    new = spark.createDataFrame(rows_new, schema)
+    by = psi_drift_by(old, new, "n", "src", n_buckets=8)
+    got = {
+        (r["src"], r["bucket"]): (r["n_old"], r["n_new"], r["psi_contrib"])
+        for r in by.collect()
+    }
+    assert {k for k, _ in got} == {"a", "b"}  # only_new excluded
+    for key in ("a", "b"):
+        solo = psi_drift(
+            old.filter(F.col("src") == key),
+            new.filter(F.col("src") == key),
+            "n",
+            n_buckets=8,
+        )
+        for r in solo.collect():
+            assert got[(key, r["bucket"])] == (
+                r["n_old"],
+                r["n_new"],
+                r["psi_contrib"],
+            )
+
+
+def test_fk_orphan_report_counts(spark):
+    from clickhouse_mysql_data_reader_spark.operators.profile import (
+        fk_orphan_report,
+    )
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    child = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 99), (13, None), (14, 1)],
+        "cid long, fk long",
+    )
+    out = fk_orphan_report([("child.fk->parent", child, "fk", parent, "pk")])
+    r = out.collect()[0]
+    assert (
+        r["relation"],
+        r["n_child"],
+        r["n_null_fk"],
+        r["n_orphans"],
+        r["ok"],
+    ) == ("child.fk->parent", 5, 1, 1, 0)
