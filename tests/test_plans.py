@@ -361,6 +361,9 @@ _TINY_CROSSJOIN_OK = {
     "dedup_semdedup",               # centroid frame (assign_cells)
     "monitor_psi_drift",            # 1-row baseline-edges frame
     "monitor_psi_frozen",           # 1-row frozen-edges frame
+    "monitor_psi_by_source",        # |keys|-row spine x n_buckets range
+    "rag_mmr_rerank",               # 4-row query frame (cosine_topk)
+    "validate_fk_orphans",          # 1-row stats x 1-row orphan count
 }
 
 
