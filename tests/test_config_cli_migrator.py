@@ -664,3 +664,33 @@ def test_cli_curate_data_run_id_requires_epoch(spark, tmp_path):
             "--curation-state", str(tmp_path / "state"),
             "--curation-run-id", "nightly",
         ]), spark)
+
+
+def test_cli_curate_data_quality_thresholds_json(spark, tmp_path, capsys):
+    """The frozen per-source calibrated gate rides the --curation-config
+    JSON path end-to-end: thresholds arrive as lists (JSON has no
+    tuples), CurationConfig accepts them, and below-threshold docs from
+    a mapped source are dropped while unmapped sources pass."""
+    src = str(tmp_path / "docs_thr")
+    _write_docs(spark, src, [
+        (1, "web", _CUR_A),          # fluent -> quality ~1.0, passes
+        (2, "web", "x1 y2 z3 w4"),   # no stopwords -> low score, dropped
+        (3, "unmapped", "x1 y2 z3 w4"),  # unmapped source -> passes gate
+    ])
+    ccfg = tmp_path / "curation_thr.json"
+    ccfg.write_text(json.dumps({
+        "min_quality_score": 0.0,
+        "drop_repetitive": False,
+        "quality_thresholds": [["web", 0.5]],
+    }))
+    out = str(tmp_path / "kept_thr")
+    assert run(parse_config([
+        "--curate-data",
+        "--src-parquet-dir", src,
+        "--dst-parquet-dir", out,
+        "--curation-config", str(ccfg),
+    ]), spark) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["kept_rows"] == 2
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3}
