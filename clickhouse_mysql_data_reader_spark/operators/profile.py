@@ -1153,36 +1153,37 @@ def fk_orphan_report(
     constraints, so a partial copy silently strands children).
 
     One row per relationship: (relation, n_child, n_null_fk,
-    n_orphans, ok). Plan per relationship: one agg over the child scan
-    (rows + null FKs together) and one LEFT-ANTI join against the
-    parent keys for the orphan count — the anti probe side is the
-    parent's DISTINCT key projection, broadcast for dim-sized parents
-    (AQE decides), and the child never shuffles when it is. The 1-row
-    per-relation frames are crossJoined (the sanctioned scalar shape)
-    and unioned; output is |relationships| rows.
+    n_orphans, ok). Plan per relationship: ONE scan of the child — a
+    LEFT join against the parent's DISTINCT key projection carries a
+    presence marker, and a single aggregate counts rows, NULL FKs, and
+    orphans (non-null FK, marker absent) together. The distinct keys
+    broadcast for dim-sized parents (AQE decides; the child never
+    shuffles then) and shuffle-join for fact-sized ones — either way
+    the child is read once, which matters when the child IS the
+    100 TB fact. Output is |relationships| rows.
     """
     if not relationships:
         raise ValueError("fk_orphan_report needs at least one relationship")
     outs = []
     for name, child, fk, parent, pk in relationships:
-        stats = child.agg(
-            F.count(F.lit(1)).alias("n_child"),
-            F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_null_fk"),
+        pkeys = parent.select(F.col(pk).alias("_fk")).distinct().withColumn(
+            "_present", F.lit(True)
         )
-        orphans = (
-            child.where(F.col(fk).isNotNull())
-            .select(F.col(fk).alias("_fk"))
-            .join(
-                parent.select(F.col(pk).alias("_fk")).distinct(),
-                "_fk",
-                "left_anti",
-            )
-            .agg(F.count(F.lit(1)).alias("n_orphans"))
-        )
+        joined = child.select(F.col(fk).alias("_fk")).join(pkeys, "_fk", "left")
         outs.append(
-            stats.crossJoin(orphans).select(
+            joined.agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(F.when(F.col("_fk").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_null_fk"),
+                F.sum(
+                    F.when(
+                        F.col("_fk").isNotNull() & F.col("_present").isNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_orphans"),
+            ).select(
                 F.lit(name).alias("relation"),
                 "n_child",
                 "n_null_fk",

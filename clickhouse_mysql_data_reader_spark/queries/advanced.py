@@ -1379,9 +1379,10 @@ def _fk_oracle() -> str:
     "relationship — the post-migration check the reference's "
     "MySQL->ClickHouse copy leaves to eyeballs (ClickHouse enforces "
     "no FK constraints, so a partial copy silently strands children). "
-    "Per relation: one child-scan agg + one LEFT-ANTI against the "
-    "parent's distinct keys (broadcast for dim parents, AQE decides); "
-    "output is 7 rows.",
+    "Per relation: ONE child scan — left join against the parent's "
+    "distinct keys carries a presence marker and a single aggregate "
+    "counts rows/nulls/orphans together (broadcast for dim parents, "
+    "AQE decides); output is 7 rows.",
 )
 def validate_fk_orphans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_mysql_data_reader_spark.operators.profile import (
