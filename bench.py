@@ -407,6 +407,7 @@ def main() -> None:
         "rag_mmr_rerank": time_query("rag_mmr_rerank"),
         "monitor_psi_by_source": time_query("monitor_psi_by_source"),
         "validate_fk_orphans": time_query("validate_fk_orphans"),
+        "monitor_heavy_hitters_scan": time_query("monitor_heavy_hitters_scan"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["cms_build", "cms_merge", "cms_estimate"]
+__all__ = ["cms_build", "cms_merge", "cms_estimate", "cms_heavy_hitters"]
 
 
 def _bucket(item: Column, row_idx: int, width: int) -> Column:
@@ -139,4 +139,55 @@ def cms_estimate(
         exploded.join(F.broadcast(sketch), ["row_idx", "bucket"], "left")
         .groupBy(*keep)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 3,
+    width: int = 1024,
+    threshold: int = 100,
+    sketch: DataFrame | None = None,
+) -> DataFrame:
+    """MINE the heavy hitters — every distinct item whose CMS estimate
+    reaches ``threshold`` — with NO candidate list. ``cms_estimate``
+    answers point queries about items you already know; this is the
+    other half of the classic two-pass heavy-hitters recipe: pass 1
+    builds (or reuses, via ``sketch=``) the sketch, pass 2 re-scans
+    the stream scoring EVERY row against it and keeps the survivors.
+
+    Why this scales where the naive ``groupBy(item)`` doesn't: the
+    per-row estimate is ``depth`` chained BROADCAST joins against the
+    (≤ width)-row per-depth sketch slices — pure scan-stage work, no
+    shuffle of the stream — and the only shuffle is the final distinct
+    over rows that already passed the threshold, whose map-side
+    combine bounds it at (heavy items x tasks) rows. At most N/threshold
+    items can be heavy, so the output is bounded by construction.
+
+    One-sided error applies: estimates never under-count, so recall is
+    perfect (every truly-heavy item survives) and the false positives
+    are items within sketch error of the threshold — shrink them with
+    a wider sketch, or exact-verify the (bounded) survivors with one
+    small groupBy.
+
+    Returns distinct (item_col, est_count) with est_count >= threshold.
+    """
+    item = F.col(item_col).cast("string")
+    if sketch is None:
+        sketch = cms_build(df, item_col, depth=depth, width=width)
+    cur = df.where(F.col(item_col).isNotNull()).select(
+        F.col(item_col),
+        *[_bucket(item, i, width).alias(f"_b{i}") for i in range(depth)],
+    )
+    for i in range(depth):
+        sk_i = sketch.where(F.col("row_idx") == i).select(
+            F.col("bucket").alias(f"_b{i}"), F.col("cnt").alias(f"_c{i}")
+        )
+        cur = cur.join(F.broadcast(sk_i), f"_b{i}", "left")
+    est = F.least(*[F.coalesce(F.col(f"_c{i}"), F.lit(0)) for i in range(depth)])
+    return (
+        cur.select(F.col(item_col), est.cast("long").alias("est_count"))
+        .where(F.col("est_count") >= threshold)
+        .distinct()
     )

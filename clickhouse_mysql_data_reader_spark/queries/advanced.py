@@ -1395,3 +1395,53 @@ def validate_fk_orphans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, child, fk, parent, pk in _FK_RELS
     ]
     return fk_orphan_report(rels)
+
+
+@register(
+    "monitor_heavy_hitters_scan",
+    """
+    WITH it AS (
+      SELECT user_id, CAST(user_id AS VARCHAR) AS s FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    sk AS (
+      SELECT row_idx, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT r.range AS row_idx,
+               ('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || s),
+                               1, 8))::BIGINT % 1024 AS bucket
+        FROM it CROSS JOIN range(3) r
+      ) GROUP BY row_idx, bucket
+    ),
+    rb AS (
+      SELECT user_id, r.range AS row_idx,
+             ('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || s),
+                             1, 8))::BIGINT % 1024 AS bucket
+      FROM it CROSS JOIN range(3) r
+    ),
+    je AS (
+      SELECT rb.user_id,
+             CAST(min(COALESCE(sk.cnt, 0)) AS BIGINT) AS est_count
+      FROM rb LEFT JOIN sk USING (row_idx, bucket)
+      GROUP BY rb.user_id
+    )
+    SELECT user_id, est_count FROM je WHERE est_count >= 70
+    """,
+    doc="Heavy-hitter MINING with no candidate list (operators/cms.py "
+    "cms_heavy_hitters) — the other half of the two-pass recipe next "
+    "to the point-query monitor_heavy_hitters: pass 1 builds the "
+    "sketch, pass 2 re-scans the stream scoring EVERY row via depth "
+    "chained broadcast joins against the per-depth sketch slices "
+    "(scan-stage, the stream never shuffles) and keeps est >= 70; the "
+    "only shuffle is the distinct over the survivors, bounded by "
+    "(heavy items x tasks) after map-side combine. One-sided error = "
+    "perfect recall; false positives sit within sketch error of the "
+    "threshold and are exact-verifiable with one small groupBy.",
+)
+def monitor_heavy_hitters_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.cms import (
+        cms_heavy_hitters,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return cms_heavy_hitters(ev, "user_id", depth=3, width=1024, threshold=70)

@@ -674,8 +674,12 @@ DEPRIORITIZED = (
     "text_quality_calibrated",
     "sample_length_buckets",
     "rag_mmr_rerank",
+    #   - monitor_heavy_hitters_scan: heavy-hitter MINING (no
+    #     candidate list) — per-row estimates via depth chained
+    #     broadcast joins, shuffle bounded by the heavy survivors
     "monitor_psi_by_source",
     "validate_fk_orphans",
+    "monitor_heavy_hitters_scan",
     # Late-round-8 rotation: six round-8-born queries joined the
     # checked 50 (jsonl_roundtrip_documents, embed_srp_bands,
     # dedup_embed_near_srp, text_blocklist_gate, rag_chunk_retrieve,

@@ -331,3 +331,33 @@ def test_fk_orphan_report_counts(spark):
         r["n_orphans"],
         r["ok"],
     ) == ("child.fk->parent", 5, 1, 1, 0)
+
+
+def test_cms_heavy_hitters_mining_recall(spark):
+    """Mining with no candidate list: every truly-heavy item is found
+    (one-sided error = perfect recall), light items with wide sketches
+    don't appear, and a pre-built sketch is reused when passed."""
+    from clickhouse_mysql_data_reader_spark.operators.cms import (
+        cms_build,
+        cms_heavy_hitters,
+    )
+
+    vals = ["hot"] * 20 + ["warm"] * 10 + [f"cold{i}" for i in range(30)]
+    df = _items(spark, vals)
+    out = {
+        r["item"]: r["est_count"]
+        for r in cms_heavy_hitters(
+            df, "item", depth=3, width=2048, threshold=10
+        ).collect()
+    }
+    assert out["hot"] >= 20 and out["warm"] >= 10
+    assert not any(k.startswith("cold") for k in out)  # wide sketch: exact
+    # reuse seam: a landed sketch drives the scan without rebuilding
+    sk = cms_build(df, "item", depth=3, width=2048)
+    out2 = {
+        r["item"]: r["est_count"]
+        for r in cms_heavy_hitters(
+            df, "item", depth=3, width=2048, threshold=10, sketch=sk
+        ).collect()
+    }
+    assert out2 == out
