@@ -1099,6 +1099,102 @@ def psi_drift_frozen(
     return _psi_from_counts(filled)
 
 
+def psi_baseline_by(
+    df: DataFrame, value_col: str, key_col: str, n_buckets: int = 10
+) -> DataFrame:
+    """The LANDED per-key drift reference for ``psi_drift_frozen_by``:
+    one row per (key, bucket) — (key, bucket, n_obs, mn, mx) — with
+    each key's frozen fixed-width edges denormalized onto its rows, so
+    one parquet table carries every source's reference (the keyed twin
+    of ``psi_baseline``; deployment form of ``psi_drift_by`` exactly
+    as the global pair relate). NULL keys/values are excluded; a key
+    needs >= 1 non-null value to appear (it then has edges by
+    construction — no guarded-edge window fill needed, the per-key
+    spine carries the edges directly).
+
+    Mergeable per key: references over the SAME per-key edges add by
+    summing (key, bucket) counts — same contract as
+    ``psi_baseline_merge``, keyed."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    vals = df.filter(F.col(value_col).isNotNull() & F.col(key_col).isNotNull())
+    mm = vals.groupBy(F.col(key_col).alias("_k")).agg(
+        F.min(value_col).cast("long").alias("_mn"),
+        F.max(value_col).cast("long").alias("_mx"),
+    )
+    counts = (
+        vals.select(
+            F.col(key_col).alias("_k"),
+            F.col(value_col).cast("long").alias("_x"),
+        )
+        .join(F.broadcast(mm), "_k")
+        .select(
+            "_k",
+            _psi_bucket(F.col("_x"), F.col("_mn"), F.col("_mx"), n_buckets).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("_k", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    spine = mm.crossJoin(
+        df.sparkSession.range(n_buckets).select(F.col("id").alias("bucket"))
+    )
+    return spine.join(counts, ["_k", "bucket"], "left").select(
+        F.col("_k").alias(key_col),
+        "bucket",
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        F.col("_mn").alias("mn"),
+        F.col("_mx").alias("mx"),
+    )
+
+
+def psi_drift_frozen_by(
+    baseline: DataFrame, new: DataFrame, value_col: str, key_col: str
+) -> DataFrame:
+    """Per-key PSI of a NEW batch against a LANDED ``psi_baseline_by``
+    reference — bit-equal to ``psi_drift_by(old, new)`` when the
+    baseline was built from ``old`` (shared bucket/smoothing helpers,
+    pinned by test). Per-key bin counts and edges are DERIVED from the
+    reference; keys absent from it are excluded (the ``psi_drift_by``
+    new-key contract — scoring a never-seen key against edges invented
+    from its own data is not drift monitoring)."""
+    edges = baseline.groupBy(F.col(key_col).alias("_k")).agg(
+        F.min("mn").cast("long").alias("_mn"),
+        F.min("mx").cast("long").alias("_mx"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    ncounts = (
+        new.filter(F.col(value_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col).alias("_k"),
+            F.col(value_col).cast("long").alias("_x"),
+        )
+        .join(F.broadcast(edges), "_k")
+        .select(
+            "_k",
+            _psi_bucket(
+                F.col("_x"), F.col("_mn"), F.col("_mx"), F.col("_nb")
+            ).alias("bucket"),
+        )
+        .groupBy("_k", "bucket")
+        .agg(F.count(F.lit(1)).alias("_nn"))
+    )
+    filled = (
+        baseline.select(
+            F.col(key_col).alias("_k"), "bucket", F.col("n_obs").alias("n_old")
+        )
+        .join(ncounts, ["_k", "bucket"], "left")
+        .select(
+            F.col("_k").alias(key_col),
+            "bucket",
+            "n_old",
+            F.coalesce("_nn", F.lit(0)).alias("n_new"),
+        )
+    )
+    return _psi_from_counts(filled, keys=(key_col,))
+
+
 def psi_baseline_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Merge two landed ``psi_baseline`` references by summing
     per-bucket counts — valid ONLY when both were built over the same

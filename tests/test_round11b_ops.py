@@ -361,3 +361,41 @@ def test_cms_heavy_hitters_mining_recall(spark):
         ).collect()
     }
     assert out2 == out
+
+
+def test_psi_frozen_by_equals_direct(spark, tmp_path):
+    """The per-key frozen path: psi_baseline_by landed + scored with
+    psi_drift_frozen_by equals psi_drift_by(old, new) row for row
+    (shared helpers — the monitor_psi_frozen move, keyed), and keys
+    absent from the landed reference are excluded."""
+    from clickhouse_mysql_data_reader_spark.operators.profile import (
+        psi_baseline_by,
+        psi_drift_by,
+        psi_drift_frozen_by,
+    )
+
+    schema = "doc_id long, src string, n long"
+    old = spark.createDataFrame(
+        [(i, "a", 100 + i) for i in range(25)]
+        + [(50 + i, "b", 300 + 2 * i) for i in range(15)],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [(100 + i, "a", 108 + i) for i in range(20)]
+        + [(200 + i, "b", 250 + i) for i in range(10)]
+        + [(300 + i, "fresh", 7 + i) for i in range(5)],
+        schema,
+    )
+    base_path = str(tmp_path / "psi_by")
+    psi_baseline_by(old, "n", "src", n_buckets=6).write.parquet(base_path)
+    landed = spark.read.parquet(base_path)
+    frozen = {
+        (r["src"], r["bucket"]): (r["n_old"], r["n_new"], r["psi_contrib"])
+        for r in psi_drift_frozen_by(landed, new, "n", "src").collect()
+    }
+    direct = {
+        (r["src"], r["bucket"]): (r["n_old"], r["n_new"], r["psi_contrib"])
+        for r in psi_drift_by(old, new, "n", "src", n_buckets=6).collect()
+    }
+    assert frozen == direct
+    assert {k for k, _ in frozen} == {"a", "b"}  # 'fresh' excluded
