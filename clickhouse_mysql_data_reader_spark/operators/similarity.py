@@ -1196,6 +1196,7 @@ def mmr_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "qid",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     SIGIR'98) — diversified top-k for RAG retrieval: greedily pick the
@@ -1245,14 +1246,20 @@ def mmr_rerank(
         )
     num, den = frac.numerator, frac.denominator
     pnum = den - num
-    cands = cosine_topk(
-        corpus,
-        queries,
-        k=n_candidates,
-        id_col=id_col,
-        vec_col=vec_col,
-        query_id_col=query_id_col,
-    ).select(
+    # candidates= is the retrieval seam: pass a LANDED (qid, vec_id,
+    # cos_sim) frame — e.g. ivf_topk output, or cosine_topk persisted
+    # by the caller — and the exact top-N subtree (and its repeated
+    # evaluation, see below) disappears from this plan entirely
+    if candidates is None:
+        candidates = cosine_topk(
+            corpus,
+            queries,
+            k=n_candidates,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+        )
+    cands = candidates.select(
         "qid",
         "vec_id",
         # micro-units: cos_sim is already the 6-decimal value, so *1e6

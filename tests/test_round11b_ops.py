@@ -399,3 +399,32 @@ def test_psi_frozen_by_equals_direct(spark, tmp_path):
     }
     assert frozen == direct
     assert {k for k, _ in frozen} == {"a", "b"}  # 'fresh' excluded
+
+
+def test_mmr_candidates_seam_matches_default(spark):
+    """Passing the same top-N frame through candidates= reproduces the
+    default path exactly — the landed-retrieval seam (feed ivf_topk or
+    a persisted candidate table, skip the in-plan exact top-N)."""
+    from clickhouse_mysql_data_reader_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+
+    corpus = _vecs(
+        spark, [(i, [1.0 + 0.03 * i, 0.2 * (i % 3), 0.4]) for i in range(9)]
+    )
+    queries = _vecs(spark, [(100, [1.0, 0.3, 0.35])]).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    default = mmr_rerank(corpus, queries, k=3, n_candidates=6, lam=0.7)
+    seam = mmr_rerank(
+        corpus,
+        queries,
+        k=3,
+        n_candidates=6,
+        lam=0.7,
+        candidates=cosine_topk(corpus, queries, k=6),
+    )
+    assert sorted(map(tuple, default.collect())) == sorted(
+        map(tuple, seam.collect())
+    )
