@@ -639,8 +639,9 @@ DEPRIORITIZED = (
     #     identical by construction, frozen==direct equality pinned in
     #     test_round11_ops — the text_bm25_frozen idiom)
     "monitor_psi_frozen",
-    # ...and three late-round-11 births (r12 rotation candidates —
-    # three NEW capabilities):
+    # ...and the late-round-11 births (rotated INTO the checked 50
+    # the same round — see the late-round-11 block below; the
+    # descriptions stay here as the capability record):
     #   - monitor_heavy_hitters: count-min-sketch frequency estimates
     #     (Cormode & Muthukrishnan 2005) — the approximate-counting
     #     member the monitoring family lacked next to HLL distincts
@@ -669,17 +670,49 @@ DEPRIORITIZED = (
     #     seven TPC-H FKs (child rows / NULL FKs / orphans via
     #     left-anti against parent keys) — the post-migration check
     #     ClickHouse's constraint-free tables can't enforce
-    "monitor_heavy_hitters",
-    "match_fuzzy_names",
-    "text_quality_calibrated",
-    "sample_length_buckets",
-    "rag_mmr_rerank",
-    #   - monitor_heavy_hitters_scan: heavy-hitter MINING (no
-    #     candidate list) — per-row estimates via depth chained
-    #     broadcast joins, shuffle bounded by the heavy survivors
-    "monitor_psi_by_source",
-    "validate_fk_orphans",
-    "monitor_heavy_hitters_scan",
+    # (The eight late-round-11 births named in the comments above —
+    # monitor_heavy_hitters, match_fuzzy_names,
+    # text_quality_calibrated, sample_length_buckets, rag_mmr_rerank,
+    # monitor_psi_by_source, validate_fk_orphans, and
+    # monitor_heavy_hitters_scan, the candidate-free heavy-hitter
+    # MINING twin — rotated INTO the checked 50 late in round 11,
+    # displacing the eight long-driver-green members below.)
+    # Late-round-11 displacements (all driver-green r9-r10 on
+    # unchanged plans, each with a checked containment sibling):
+    #   - q6_forecast_revenue: pure scan + range-filter aggregate —
+    #     the checked q19 carries the HARDER per-side disjunctive
+    #     pushdown of the same plan family, and q1 stays a bench
+    #     headline with pass-history
+    #   - q14_promo_effect: its conditional-share arithmetic is the
+    #     checked agg_conditional_funcs idiom and its date-range
+    #     pushdown is q19's family
+    #   - q15_top_supplier: revenue view = q1-family scan-agg; the
+    #     global-max scalar-subquery join is the checked q22/q17
+    #     broadcast shape
+    #   - anomaly_event_rate: the z-family keeps anomaly_events_zscore
+    #     (report) AND anomaly_events_flags (frozen deployment); the
+    #     rate query shares the identical mergeable stats machinery
+    #   - validate_orders_rules: declarative rule expressions are
+    #     unit-pinned; the validation family's driver slot goes to the
+    #     NEW fk-orphan member
+    #   - events_transition_topk: contains nothing the checked
+    #     events_transition_matrix + q18's TakeOrderedAndProject don't
+    #     already hash-verify
+    #   - rag_chunk_retrieve: chunk explode is the pinned
+    #     doc_chunk_overlap machinery, hashed-BoW scoring is pinned by
+    #     the classifier sync tests; the retrieval family's slot goes
+    #     to the NEW rag_mmr_rerank
+    #   - multimodal_audio_windows: JVM-side window/explode sibling of
+    #     the checked multimodal_features (the multimodal_frame_plan
+    #     rationale); window arithmetic pinned by unit tests
+    "q6_forecast_revenue",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "anomaly_event_rate",
+    "validate_orders_rules",
+    "events_transition_topk",
+    "rag_chunk_retrieve",
+    "multimodal_audio_windows",
     # Late-round-8 rotation: six round-8-born queries joined the
     # checked 50 (jsonl_roundtrip_documents, embed_srp_bands,
     # dedup_embed_near_srp, text_blocklist_gate, rag_chunk_retrieve,

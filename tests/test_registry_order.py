@@ -108,6 +108,15 @@ DRIVER_CAP = 50
 # (rationale per displacement inside registry.DEPRIORITIZED; two of
 # them are displaced by their own plan/deployment twins carrying the
 # identical oracle).
+# Late round 11 rotated in the eight queries born THIS round
+# (monitor_heavy_hitters, match_fuzzy_names, text_quality_calibrated,
+# sample_length_buckets, rag_mmr_rerank, monitor_psi_by_source,
+# validate_fk_orphans, monitor_heavy_hitters_scan), displacing
+# q6_forecast_revenue / q14_promo_effect / q15_top_supplier /
+# anomaly_event_rate / validate_orders_rules / events_transition_topk
+# / rag_chunk_retrieve / multimodal_audio_windows — each driver-green
+# r9-r10 on an unchanged plan with a checked containment sibling
+# (rationale per displacement inside registry.DEPRIORITIZED).
 MUST_BE_CHECKED = {
     "q4_order_priority_check",
     "q8_market_share",
@@ -120,35 +129,27 @@ MUST_BE_CHECKED = {
     "text_bm25_frozen",
     "join_shuffle_fact_fact_bucketed",
     "retention_cohorts",
-    "q6_forecast_revenue",
     "q7_volume_shipping",
     "q10_returned_items",
     "q13_customer_distribution",
-    "q15_top_supplier",
     "q18_large_volume_customer",
     "window_pctile_ntile",
     "sketch_lang_rollup",
     "embed_centroid_drift",
-    "anomaly_event_rate",
     "anomaly_events_flags",
-    "events_transition_topk",
     "agg_conditional_funcs",
     "text_lang_multi",
     "q5_local_supplier_volume",
-    "q14_promo_effect",
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
     "corpus_snapshot_diff",
     "anomaly_events_zscore",
-    "validate_orders_rules",
     "hist_quantiles_events",
     "json_flatten_events",
     "join_salted_skew",
     "events_transition_matrix",
-    "multimodal_audio_windows",
     "dedup_embed_near_srp",
     "text_blocklist_gate",
-    "rag_chunk_retrieve",
     "dedup_containment_prefix",
     "agg_unpivot",
     "join_asof_attrib",
@@ -159,6 +160,14 @@ MUST_BE_CHECKED = {
     "dedup_cluster_best_keeper",
     "sample_mixture_epochs",
     "multimodal_features",
+    "monitor_heavy_hitters",
+    "match_fuzzy_names",
+    "text_quality_calibrated",
+    "sample_length_buckets",
+    "rag_mmr_rerank",
+    "monitor_psi_by_source",
+    "validate_fk_orphans",
+    "monitor_heavy_hitters_scan",
 }
 
 
