@@ -408,6 +408,7 @@ def main() -> None:
         "monitor_psi_by_source": time_query("monitor_psi_by_source"),
         "validate_fk_orphans": time_query("validate_fk_orphans"),
         "monitor_heavy_hitters_scan": time_query("monitor_heavy_hitters_scan"),
+        "text_url_normalize": time_query("text_url_normalize"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

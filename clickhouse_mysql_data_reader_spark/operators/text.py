@@ -2220,3 +2220,46 @@ def html_to_text(col: Column) -> Column:
     for ent, ch in HTML_ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+#: tracking parameters stripped by url_normalize — the query-string
+#: noise that makes one page look like many distinct URLs (the
+#: canonical web-crawl dedup hazard). RE2-safe alternation, shared
+#: verbatim with the oracle.
+URL_TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid|ref_src)=[^&#]*"
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host (authority) of a URL, default :80/:443 ports
+    stripped — the blocking/grouping key of URL-level operations
+    (per-site caps, host blocklists, crawl budgeting)."""
+    host = F.lower(F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    return F.regexp_replace(host, r":(80|443)$", "")
+
+
+def url_normalize(col: Column) -> Column:
+    """Canonicalize a URL for identity comparison — the step in front
+    of URL-level dedup in every web-crawl pipeline (one page arrives
+    under dozens of spellings: mixed-case scheme/host, tracking
+    params, fragments, default ports):
+
+    1. drop the fragment (``#...`` is client-side only),
+    2. lowercase the scheme and host (path stays case-SENSITIVE —
+       lowercasing it would merge genuinely distinct pages),
+    3. strip default ports (``:80``/``:443``),
+    4. strip tracking parameters (``URL_TRACKING_PARAM_RE``) and the
+       separator debris they leave (``?&``, ``&&``, trailing ``?``/``&``).
+
+    Pure scan-stage regexp expressions, RE2-safe (no backrefs or
+    lookaround) so the oracle runs the identical patterns; zero
+    shuffles — rides the scan exactly like ``html_to_text``.
+    """
+    u = F.regexp_replace(col, r"#.*$", "")
+    head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.substring(u, F.length(head) + F.lit(1), F.lit(1 << 30))
+    head = F.regexp_replace(F.lower(head), r":(80|443)$", "")
+    rest = F.regexp_replace(rest, URL_TRACKING_PARAM_RE, "")
+    rest = F.regexp_replace(rest, r"\?&+", "?")
+    rest = F.regexp_replace(rest, r"&&+", "&")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    return F.concat(head, rest)

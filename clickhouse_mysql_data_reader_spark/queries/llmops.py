@@ -3014,3 +3014,105 @@ def rag_mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), "embedding"
     )
     return mmr_rerank(emb, queries, k=5, n_candidates=16, lam=0.7)
+
+
+@register(
+    "text_url_normalize",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'HTTPS://WWW.' || source || '.Example.COM:443/' || lang
+             || '/page-' || CAST(doc_id % 40 AS VARCHAR)
+             || CASE WHEN doc_id % 3 = 0
+                     THEN '?utm_source=feed&id=' || CAST(doc_id % 40 AS VARCHAR)
+                     WHEN doc_id % 3 = 1
+                     THEN '?id=' || CAST(doc_id % 40 AS VARCHAR)
+                          || '&utm_campaign=x&gclid=abc'
+                     ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                     THEN '#sec-' || CAST(doc_id AS VARCHAR)
+                     ELSE '' END AS raw_url
+      FROM documents
+    ),
+    s1 AS (SELECT doc_id, raw_url,
+                  regexp_replace(raw_url, '#.*$', '') AS nu
+           FROM u),
+    s2 AS (SELECT doc_id, raw_url, nu,
+                  regexp_extract(nu, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
+                    AS head
+           FROM s1),
+    s3 AS (SELECT doc_id, raw_url,
+                  regexp_replace(lower(head), ':(80|443)$', '') AS head2,
+                  regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(substr(nu, length(head) + 1),
+                      '(utm_[a-z]+|fbclid|gclid|ref_src)=[^&#]*', '', 'g'),
+                    '\\?&+', '?', 'g'), '&&+', '&', 'g'),
+                    '[?&]+$', '', 'g') AS rest
+           FROM s2),
+    n AS (SELECT doc_id,
+                 head2 || rest AS norm_url,
+                 regexp_replace(
+                   lower(regexp_extract(raw_url,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+                   ':(80|443)$', '') AS host
+          FROM s3)
+    SELECT doc_id, norm_url, host,
+           CAST(count(*) OVER (PARTITION BY norm_url) AS BIGINT) AS n_same_url
+    FROM n
+    """,
+    doc="URL canonicalization (operators/text.py url_normalize/"
+    "url_host) over a DETERMINISTIC URL wrapping of the corpus (the "
+    "text_html_strip move — the repo's tables carry no URLs, so the "
+    "query synthesizes the classic spellings one page arrives under: "
+    "mixed-case scheme/host, default port, utm_*/gclid tracking "
+    "params, fragments): drop fragment, lowercase scheme+host (path "
+    "stays case-sensitive), strip :80/:443, strip tracking params and "
+    "their separator debris. The n_same_url window shows the point — "
+    "variant spellings collapse to one canonical identity for "
+    "URL-level dedup / per-host caps. Pure RE2-safe scan-stage "
+    "regexps the oracle runs verbatim; the only shuffle is the "
+    "norm_url count window.",
+)
+def text_url_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from clickhouse_mysql_data_reader_spark.operators.text import (
+        url_host,
+        url_normalize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.pmod(F.col("doc_id"), F.lit(40)).cast("string")
+    raw = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM:443/"),
+        F.col("lang"),
+        F.lit("/page-"),
+        k,
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+            F.concat(F.lit("?utm_source=feed&id="), k),
+        )
+        .when(
+            F.pmod(F.col("doc_id"), F.lit(3)) == 1,
+            F.concat(F.lit("?id="), k, F.lit("&utm_campaign=x&gclid=abc")),
+        )
+        .otherwise(F.lit("")),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+            F.concat(F.lit("#sec-"), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    base = docs.select(
+        "doc_id",
+        url_normalize(raw).alias("norm_url"),
+        url_host(raw).alias("host"),
+    )
+    w = Window.partitionBy("norm_url")
+    return base.select(
+        "doc_id",
+        "norm_url",
+        "host",
+        F.count(F.lit(1)).over(w).alias("n_same_url"),
+    )

@@ -705,6 +705,12 @@ DEPRIORITIZED = (
     #   - multimodal_audio_windows: JVM-side window/explode sibling of
     #     the checked multimodal_features (the multimodal_frame_plan
     #     rationale); window arithmetic pinned by unit tests
+    # Born deprioritized VERY late in round 11 (r12 rotation
+    # candidate): text_url_normalize — URL canonicalization
+    # (fragment/port/tracking-param strip, case rules) over a
+    # deterministic URL wrapping, the web-pipeline step in front of
+    # URL-level dedup; pure scan-stage RE2-safe regexps
+    "text_url_normalize",
     "q6_forecast_revenue",
     "q14_promo_effect",
     "q15_top_supplier",

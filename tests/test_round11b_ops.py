@@ -428,3 +428,36 @@ def test_mmr_candidates_seam_matches_default(spark):
     assert sorted(map(tuple, default.collect())) == sorted(
         map(tuple, seam.collect())
     )
+
+
+def test_url_normalize_semantics(spark):
+    from clickhouse_mysql_data_reader_spark.operators.text import (
+        url_host,
+        url_normalize,
+    )
+
+    cases = [
+        # fragment dropped; scheme+host lowered; PATH case preserved
+        ("HTTP://Example.COM/Path/Sub#frag", "http://example.com/Path/Sub"),
+        # default ports stripped, non-default kept
+        ("https://a.com:443/x", "https://a.com/x"),
+        ("https://a.com:8443/x", "https://a.com:8443/x"),
+        # tracking params stripped first/middle/last, real params kept
+        ("https://a.com/p?utm_source=s&id=7", "https://a.com/p?id=7"),
+        ("https://a.com/p?id=7&gclid=g&x=1", "https://a.com/p?id=7&x=1"),
+        ("https://a.com/p?id=7&utm_campaign=c", "https://a.com/p?id=7"),
+        # all params tracking -> bare path, no dangling '?'
+        ("https://a.com/p?utm_a=1&fbclid=2", "https://a.com/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [
+        r["n"]
+        for r in df.select(url_normalize(F.col("u")).alias("n")).collect()
+    ]
+    assert got == [want for _, want in cases]
+    hosts = [
+        r["h"]
+        for r in df.select(url_host(F.col("u")).alias("h")).collect()
+    ]
+    assert hosts[0] == "example.com" and hosts[1] == "a.com"
+    assert hosts[2] == "a.com:8443"  # non-default port is identity
