@@ -490,11 +490,28 @@ def _row_stages(
             )
         from pyspark.sql import Window as W
 
+        # threshold-based cut (the calibrated_quality_thresholds
+        # construction): kept = score >= min score clearing the
+        # percent_rank cut, falling back to the source minimum when no
+        # row clears it — single-doc and all-tied sources (every row at
+        # percent_rank 0) are KEPT whole instead of dropped whole, and
+        # the window form keeps exactly what the frozen form keeps
         w_src = W.partitionBy(cfg.quality_source_col).orderBy("quality_score")
+        w_all = W.partitionBy(cfg.quality_source_col)
+        thr = F.coalesce(
+            F.min(
+                F.when(
+                    F.col("_pr") >= cfg.quality_calibrate_pctile,
+                    F.col("quality_score"),
+                )
+            ).over(w_all),
+            F.min("quality_score").over(w_all),
+        )
         gated = (
             gated.withColumn("_pr", F.percent_rank().over(w_src))
-            .filter(F.col("_pr") >= cfg.quality_calibrate_pctile)
-            .drop("_pr")
+            .withColumn("_thr", thr)
+            .filter(F.col("quality_score") >= F.col("_thr"))
+            .drop("_pr", "_thr")
         )
     if cfg.quality_thresholds:
         # frozen form: literal-map lookup on the scan, zero shuffles —

@@ -700,13 +700,23 @@ def length_bucket_stats(
 
     ``max_bucket_tokens`` folds everything above the cap into the top
     bucket (over-long docs go to a chunker, not a batch).
+
+    Degenerate docs (token count <= 0) get their OWN bucket 0
+    (padded_len 1, true token sums — no fabricated counts), so empty
+    docs are SURFACED as a report row instead of silently inflating
+    bucket 1's totals and fill_ratio.
     """
-    n = F.greatest(token_count_col.cast("long"), F.lit(1))
+    n = token_count_col.cast("long")
     # bucket = binary digit count of (n-1), i.e. ceil(log2(n)) with the
     # n=1 corner in bucket 1 — so a doc of EXACTLY 2^b tokens fits the
     # 2^b-padded bucket instead of wasting half the next one (digit
-    # count of n itself would be off by one at every power)
-    bits = F.length(F.conv((n - 1).cast("string"), 10, 2)).cast("int")
+    # count of n itself would be off by one at every power); n <= 0 is
+    # the bucket-0 degenerate row, kept out of the conv() input
+    bits = F.when(
+        n <= 0, F.lit(0)
+    ).otherwise(
+        F.length(F.conv((F.greatest(n, F.lit(1)) - 1).cast("string"), 10, 2))
+    ).cast("int")
     if max_bucket_tokens is not None:
         if max_bucket_tokens < 1:
             raise ValueError(

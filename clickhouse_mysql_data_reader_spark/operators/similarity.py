@@ -1225,8 +1225,10 @@ def mmr_rerank(
     (round(cos * 1e6) as BIGINT) before the greedy loop, ``lam`` is
     taken as the exact rational of its decimal literal (0.7 = 7/10),
     and every score is the exact integer ``num*rel_u -
-    (den-num)*pen_u`` — argmax and ties (smaller id) are integer
-    comparisons, and the output ``mmr_score = score / (den*1e6)`` is
+    (den-num)*pen_u`` — the argmax is an integer comparison and ties
+    break on the smaller id in the id type's NATIVE order (numeric
+    for integer ids, lexicographic for string ids — ids are never
+    coerced), and the output ``mmr_score = score / (den*1e6)`` is
     one identical double division on both engines. Float rounding of
     ``0.7 * <6-decimal value>`` lands on an exact decimal half at the
     7th digit for every odd last digit — a SYSTEMATIC
@@ -1333,9 +1335,15 @@ def mmr_rerank(
         if len(cdf) == 0:
             return pd.DataFrame(columns=["qid", "rank", "vec_id", "score_u"])
         qid = cdf["qid"].iloc[0]
-        rel = {int(v): int(u) for v, u in zip(cdf["vec_id"], cdf["rel_u"])}
+        # ids stay in their NATIVE type (no int() cast): string /
+        # arbitrary ids key and emit unchanged, and the documented
+        # "smaller id wins" tie-break is the id type's natural order
+        # (numeric for ints, lexicographic for strings). Scores DO
+        # coerce to Python int so the arithmetic below can't silently
+        # wrap in numpy int64.
+        rel = {v: int(u) for v, u in zip(cdf["vec_id"], cdf["rel_u"])}
         sims = {
-            (int(a), int(b)): int(u)
+            (a, b): int(u)
             for a, b, u in zip(pdf["ia"], pdf["ib"], pdf["sim_u"])
         }
         selected: list = []

@@ -173,6 +173,19 @@ def quality_calibrated(
     percent_rank = (rank-1)/(n-1) is an exact small-integer rational in
     IEEE doubles and ranks tie exactly on bit-equal scores, so the keep
     boundary is deterministic cross-engine.
+
+    The gate itself is threshold-based, not rank-based: kept =
+    (score >= per-source threshold), where the threshold is the
+    minimum score whose percent_rank clears ``keep_pctile`` — for
+    distinct scores this is exactly the rank cut, but it also defines
+    the DEGENERATE sources the raw cut mishandles (single-doc and
+    all-tied sources have percent_rank 0 for every row, which a
+    ``pr >= 0.2`` cut would drop 100% of): when no row clears the
+    cut, the threshold falls back to the source minimum and the whole
+    source is kept. This is the same threshold
+    ``calibrated_quality_thresholds`` freezes, so the window and
+    frozen forms keep EXACTLY the same docs on every population,
+    ties and singletons included.
     """
     from pyspark.sql.window import Window
 
@@ -184,13 +197,23 @@ def quality_calibrated(
         id_col, source_col, quality_score_expr(F.col("tk")).alias("_q")
     )
     w = Window.partitionBy(source_col).orderBy("_q")
-    pr = F.percent_rank().over(w)
-    return base.select(
-        F.col(id_col),
-        F.col(source_col),
-        F.round(F.col("_q"), 6).alias("quality_score"),
-        F.round(pr, 6).alias("cal_pctile"),
-        (pr >= F.lit(keep_pctile)).cast("int").alias("kept"),
+    w_all = Window.partitionBy(source_col)
+    thr = F.coalesce(
+        F.min(
+            F.when(F.col("_pr") >= F.lit(keep_pctile), F.col("_q"))
+        ).over(w_all),
+        F.min("_q").over(w_all),
+    )
+    return (
+        base.withColumn("_pr", F.percent_rank().over(w))
+        .withColumn("_thr", thr)
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.round(F.col("_q"), 6).alias("quality_score"),
+            F.round(F.col("_pr"), 6).alias("cal_pctile"),
+            (F.col("_q") >= F.col("_thr")).cast("int").alias("kept"),
+        )
     )
 
 
@@ -217,6 +240,13 @@ def calibrated_quality_thresholds(
     Feed it the SAME population the gate will see (typically the
     raw-gate survivors) for exact parity; the thresholds are exact
     score values, not approximations.
+
+    EVERY source gets a threshold row: where no row clears the
+    percent_rank cut (single-doc and all-tied sources sit at
+    percent_rank 0), the threshold is the source's minimum score —
+    the keep-the-whole-source degenerate rule ``quality_calibrated``
+    applies, so the frozen gate and the window form agree on ties
+    and singletons too.
     """
     from pyspark.sql.window import Window
 
@@ -227,9 +257,15 @@ def calibrated_quality_thresholds(
     pr = F.percent_rank().over(Window.partitionBy(source_col).orderBy("_q"))
     return (
         base.withColumn("_pr", pr)
-        .where(F.col("_pr") >= F.lit(keep_pctile))
         .groupBy(F.col(source_col).alias("source"))
-        .agg(F.min("_q").alias("q_threshold"))
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.when(F.col("_pr") >= F.lit(keep_pctile), F.col("_q"))
+                ),
+                F.min("_q"),
+            ).alias("q_threshold")
+        )
     )
 
 
@@ -2222,19 +2258,43 @@ def html_to_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
-#: tracking parameters stripped by url_normalize — the query-string
-#: noise that makes one page look like many distinct URLs (the
-#: canonical web-crawl dedup hazard). RE2-safe alternation, shared
-#: verbatim with the oracle.
-URL_TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid|ref_src)=[^&#]*"
+#: tracking-parameter NAMES stripped by url_normalize — the
+#: query-string noise that makes one page look like many distinct URLs
+#: (the canonical web-crawl dedup hazard). Matched only as WHOLE
+#: parameter names anchored on a ``?``/``&`` separator and only inside
+#: the query string, so suffix-coincidences (``myutm_source=``,
+#: ``xgclid=``) and path text never match. RE2-safe alternation,
+#: shared verbatim with the oracle.
+URL_TRACKING_PARAM_NAMES = r"(utm_[a-z]+|fbclid|gclid|ref_src)"
+
+
+def _strip_default_port(host: Column, scheme: Column) -> Column:
+    """Strip the port only when it is the DEFAULT for the scheme:
+    ``:80`` for http, ``:443`` for https. ``http://h:443/x`` is a
+    real, distinct origin from ``http://h/x`` and must survive —
+    unconditional stripping over-merges the dedup identity key."""
+    return (
+        F.when(
+            (scheme == F.lit("http")) & host.rlike(r":80$"),
+            F.regexp_replace(host, r":80$", ""),
+        )
+        .when(
+            (scheme == F.lit("https")) & host.rlike(r":443$"),
+            F.regexp_replace(host, r":443$", ""),
+        )
+        .otherwise(host)
+    )
 
 
 def url_host(col: Column) -> Column:
-    """Lowercased host (authority) of a URL, default :80/:443 ports
-    stripped — the blocking/grouping key of URL-level operations
-    (per-site caps, host blocklists, crawl budgeting)."""
+    """Lowercased host (authority) of a URL, scheme-default ports
+    stripped (``:80`` for http, ``:443`` for https — non-default
+    ports are part of the origin and stay) — the blocking/grouping
+    key of URL-level operations (per-site caps, host blocklists,
+    crawl budgeting)."""
+    scheme = F.lower(F.regexp_extract(col, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     host = F.lower(F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
-    return F.regexp_replace(host, r":(80|443)$", "")
+    return _strip_default_port(host, scheme)
 
 
 def url_normalize(col: Column) -> Column:
@@ -2246,9 +2306,14 @@ def url_normalize(col: Column) -> Column:
     1. drop the fragment (``#...`` is client-side only),
     2. lowercase the scheme and host (path stays case-SENSITIVE —
        lowercasing it would merge genuinely distinct pages),
-    3. strip default ports (``:80``/``:443``),
-    4. strip tracking parameters (``URL_TRACKING_PARAM_RE``) and the
-       separator debris they leave (``?&``, ``&&``, trailing ``?``/``&``).
+    3. strip the scheme's DEFAULT port only (``:80`` for http,
+       ``:443`` for https; ``http://h:443`` is a distinct origin and
+       survives),
+    4. strip tracking parameters (``URL_TRACKING_PARAM_NAMES``) from
+       the QUERY STRING only, each anchored on its ``?``/``&``
+       separator — path text and suffix-coincident names
+       (``myutm_source``) never match — then the separator debris
+       (``?&``, trailing ``?``/``&``).
 
     Pure scan-stage regexp expressions, RE2-safe (no backrefs or
     lookaround) so the oracle runs the identical patterns; zero
@@ -2256,10 +2321,18 @@ def url_normalize(col: Column) -> Column:
     """
     u = F.regexp_replace(col, r"#.*$", "")
     head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     rest = F.substring(u, F.length(head) + F.lit(1), F.lit(1 << 30))
-    head = F.regexp_replace(F.lower(head), r":(80|443)$", "")
-    rest = F.regexp_replace(rest, URL_TRACKING_PARAM_RE, "")
-    rest = F.regexp_replace(rest, r"\?&+", "?")
-    rest = F.regexp_replace(rest, r"&&+", "&")
-    rest = F.regexp_replace(rest, r"[?&]+$", "")
-    return F.concat(head, rest)
+    head = _strip_default_port(F.lower(head), scheme)
+    # split path from query so the param strip can't touch path text
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    qs = F.substring(rest, F.length(path) + F.lit(1), F.lit(1 << 30))
+    # 1) '&'-anchored occurrences drop with their separator;
+    # 2) a tracking param in FIRST position hands '?' to the next
+    #    param; 3) a sole surviving '?param' drops entirely
+    qs = F.regexp_replace(qs, r"&" + URL_TRACKING_PARAM_NAMES + r"=[^&#]*", "")
+    qs = F.regexp_replace(qs, r"\?" + URL_TRACKING_PARAM_NAMES + r"=[^&#]*&", "?")
+    qs = F.regexp_replace(qs, r"\?" + URL_TRACKING_PARAM_NAMES + r"=[^&#]*$", "")
+    qs = F.regexp_replace(qs, r"\?&+", "?")
+    qs = F.regexp_replace(qs, r"[?&]+$", "")
+    return F.concat(head, path, qs)

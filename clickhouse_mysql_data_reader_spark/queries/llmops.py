@@ -592,14 +592,20 @@ def text_quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  least(1.0, greatest(0.0,
                        (sw_hits / n_tokens) * 4
                        + least(n_tokens / 100.0, 1.0) * 0.5)) AS qs
-          FROM t)
+          FROM t),
+    p AS (SELECT doc_id, source, qs,
+                 percent_rank() OVER (PARTITION BY source ORDER BY qs) AS pr
+          FROM q),
+    s AS (SELECT doc_id, source, qs, pr,
+                 coalesce(min(CASE WHEN pr >= 0.2 THEN qs END)
+                            OVER (PARTITION BY source),
+                          min(qs) OVER (PARTITION BY source)) AS thr
+          FROM p)
     SELECT doc_id, source,
            round(qs, 6) AS quality_score,
-           round(percent_rank() OVER (PARTITION BY source ORDER BY qs), 6)
-             AS cal_pctile,
-           CAST(percent_rank() OVER (PARTITION BY source ORDER BY qs) >= 0.2
-                AS INT) AS kept
-    FROM q
+           round(pr, 6) AS cal_pctile,
+           CAST(qs >= thr AS INT) AS kept
+    FROM s
     """,
     doc="Per-source quantile calibration of the quality score "
     "(operators/text.py quality_calibrated): the raw composite score "
@@ -611,7 +617,11 @@ def text_quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "One scan-stage token pass (shared quality_score_expr) + ONE "
     "window shuffle partitioned by source. percent_rank is an exact "
     "(rank-1)/(n-1) rational over bit-equal scores, so the keep "
-    "boundary is deterministic cross-engine.",
+    "boundary is deterministic cross-engine. The keep gate is the "
+    "threshold construction (min score clearing the cut, source-min "
+    "fallback), so single-doc / all-tied sources — percent_rank 0 on "
+    "every row — are kept whole, and the window form keeps exactly "
+    "the docs the frozen calibrated_quality_thresholds gate keeps.",
 )
 def text_quality_calibrated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_mysql_data_reader_spark.operators.text import (
@@ -630,7 +640,9 @@ def text_quality_calibrated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(len(string_split(nt, ' ')) AS BIGINT) AS n
           FROM norm),
     b AS (SELECT n,
-                 CAST(length(bin(greatest(n, 1) - 1)) AS INT) AS bucket
+                 CASE WHEN n <= 0 THEN 0
+                      ELSE CAST(length(bin(greatest(n, 1) - 1)) AS INT)
+                      END AS bucket
           FROM t)
     SELECT bucket,
            CAST(1::BIGINT << bucket AS BIGINT) AS padded_len,
@@ -652,7 +664,9 @@ def text_quality_calibrated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ntile would funnel the corpus through ONE window task, while this "
     "is a per-row integer expression (exact — no float log2 edge cases "
     "at the powers) + one map-side-combinable groupBy, and the bucket "
-    "boundaries never move as the corpus grows.",
+    "boundaries never move as the corpus grows. Degenerate docs "
+    "(token count <= 0) surface in their own bucket 0 with true token "
+    "sums instead of silently inflating bucket 1.",
 )
 def sample_length_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_mysql_data_reader_spark.operators.sampling import (
@@ -3021,13 +3035,15 @@ def rag_mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH u AS (
       SELECT doc_id,
-             'HTTPS://WWW.' || source || '.Example.COM:443/' || lang
+             CASE WHEN doc_id % 4 = 0 THEN 'HTTP://WWW.'
+                  ELSE 'HTTPS://WWW.' END
+             || source || '.Example.COM:443/' || lang
              || '/page-' || CAST(doc_id % 40 AS VARCHAR)
              || CASE WHEN doc_id % 3 = 0
                      THEN '?utm_source=feed&id=' || CAST(doc_id % 40 AS VARCHAR)
                      WHEN doc_id % 3 = 1
                      THEN '?id=' || CAST(doc_id % 40 AS VARCHAR)
-                          || '&utm_campaign=x&gclid=abc'
+                          || '&myutm_s=keep&utm_campaign=x&gclid=abc'
                      ELSE '' END
              || CASE WHEN doc_id % 2 = 0
                      THEN '#sec-' || CAST(doc_id AS VARCHAR)
@@ -3039,23 +3055,55 @@ def rag_mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM u),
     s2 AS (SELECT doc_id, raw_url, nu,
                   regexp_extract(nu, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
-                    AS head
+                    AS head,
+                  lower(regexp_extract(nu,
+                    '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme
            FROM s1),
-    s3 AS (SELECT doc_id, raw_url,
-                  regexp_replace(lower(head), ':(80|443)$', '') AS head2,
-                  regexp_replace(regexp_replace(regexp_replace(
-                    regexp_replace(substr(nu, length(head) + 1),
-                      '(utm_[a-z]+|fbclid|gclid|ref_src)=[^&#]*', '', 'g'),
-                    '\\?&+', '?', 'g'), '&&+', '&', 'g'),
-                    '[?&]+$', '', 'g') AS rest
+    s3 AS (SELECT doc_id, raw_url, scheme,
+                  CASE WHEN scheme = 'http'
+                            AND regexp_matches(lower(head), ':80$')
+                       THEN regexp_replace(lower(head), ':80$', '')
+                       WHEN scheme = 'https'
+                            AND regexp_matches(lower(head), ':443$')
+                       THEN regexp_replace(lower(head), ':443$', '')
+                       ELSE lower(head) END AS head2,
+                  substr(nu, length(head) + 1) AS rest
            FROM s2),
+    s4 AS (SELECT doc_id, raw_url, scheme, head2,
+                  regexp_extract(rest, '^([^?]*)', 1) AS path,
+                  substr(rest,
+                         length(regexp_extract(rest, '^([^?]*)', 1)) + 1)
+                    AS qs0
+           FROM s3),
+    s5 AS (SELECT doc_id, raw_url, scheme, head2, path,
+                  regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(regexp_replace(qs0,
+                      '&(utm_[a-z]+|fbclid|gclid|ref_src)=[^&#]*', '', 'g'),
+                      '\\?(utm_[a-z]+|fbclid|gclid|ref_src)=[^&#]*&', '?', 'g'),
+                      '\\?(utm_[a-z]+|fbclid|gclid|ref_src)=[^&#]*$', '', 'g'),
+                      '\\?&+', '?', 'g'),
+                      '[?&]+$', '', 'g') AS qs
+           FROM s4),
     n AS (SELECT doc_id,
-                 head2 || rest AS norm_url,
-                 regexp_replace(
-                   lower(regexp_extract(raw_url,
-                     '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
-                   ':(80|443)$', '') AS host
-          FROM s3)
+                 head2 || path || qs AS norm_url,
+                 CASE WHEN scheme = 'http'
+                           AND regexp_matches(lower(regexp_extract(raw_url,
+                             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+                             ':80$')
+                      THEN regexp_replace(lower(regexp_extract(raw_url,
+                             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+                             ':80$', '')
+                      WHEN scheme = 'https'
+                           AND regexp_matches(lower(regexp_extract(raw_url,
+                             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+                             ':443$')
+                      THEN regexp_replace(lower(regexp_extract(raw_url,
+                             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+                             ':443$', '')
+                      ELSE lower(regexp_extract(raw_url,
+                             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) END
+                   AS host
+          FROM s5)
     SELECT doc_id, norm_url, host,
            CAST(count(*) OVER (PARTITION BY norm_url) AS BIGINT) AS n_same_url
     FROM n
@@ -3064,14 +3112,18 @@ def rag_mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "url_host) over a DETERMINISTIC URL wrapping of the corpus (the "
     "text_html_strip move — the repo's tables carry no URLs, so the "
     "query synthesizes the classic spellings one page arrives under: "
-    "mixed-case scheme/host, default port, utm_*/gclid tracking "
-    "params, fragments): drop fragment, lowercase scheme+host (path "
-    "stays case-sensitive), strip :80/:443, strip tracking params and "
-    "their separator debris. The n_same_url window shows the point — "
-    "variant spellings collapse to one canonical identity for "
-    "URL-level dedup / per-host caps. Pure RE2-safe scan-stage "
-    "regexps the oracle runs verbatim; the only shuffle is the "
-    "norm_url count window.",
+    "mixed-case scheme/host, default AND non-default ports, "
+    "utm_*/gclid tracking params, a suffix-coincident myutm_s param "
+    "that must SURVIVE, fragments): drop fragment, lowercase "
+    "scheme+host (path stays case-sensitive), strip the scheme's "
+    "DEFAULT port only (the http://...:443 spellings keep their port "
+    "— a distinct origin), strip tracking params anchored on their "
+    "?/& separator within the query string only, then the separator "
+    "debris. The n_same_url window shows the point — variant "
+    "spellings collapse to one canonical identity for URL-level "
+    "dedup / per-host caps. Pure RE2-safe scan-stage regexps the "
+    "oracle runs verbatim; the only shuffle is the norm_url count "
+    "window.",
 )
 def text_url_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -3084,7 +3136,9 @@ def text_url_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     k = F.pmod(F.col("doc_id"), F.lit(40)).cast("string")
     raw = F.concat(
-        F.lit("HTTPS://WWW."),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(4)) == 0, F.lit("HTTP://WWW.")
+        ).otherwise(F.lit("HTTPS://WWW.")),
         F.col("source"),
         F.lit(".Example.COM:443/"),
         F.col("lang"),
@@ -3096,7 +3150,9 @@ def text_url_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .when(
             F.pmod(F.col("doc_id"), F.lit(3)) == 1,
-            F.concat(F.lit("?id="), k, F.lit("&utm_campaign=x&gclid=abc")),
+            F.concat(
+                F.lit("?id="), k, F.lit("&myutm_s=keep&utm_campaign=x&gclid=abc")
+            ),
         )
         .otherwise(F.lit("")),
         F.when(

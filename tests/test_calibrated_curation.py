@@ -133,6 +133,61 @@ def test_increment_applies_frozen_thresholds(spark, tmp_path):
     assert not (kept & dropped)
 
 
+def test_tied_and_singleton_sources_kept_whole_and_in_parity(spark):
+    """Degenerate sources — all-tied scores and single-doc sources —
+    are kept WHOLE by both forms (round-11 advice): percent_rank is 0
+    for every row there, so the old raw pr-cut dropped 100% of such a
+    source while the frozen gate (which emitted no threshold row)
+    passed 100%, violating the parity contract. The threshold
+    construction (min score clearing the cut, source-min fallback)
+    makes both forms agree on every population."""
+    text = "the of and is " + " ".join(f"q{j}x" for j in range(20))
+    rows = (
+        [(i, "tied", text) for i in range(5)]  # identical docs => tied scores
+        + [(50, "solo", text)]  # single-doc source
+        + [
+            (
+                100 + i,
+                "varied",
+                "the " + " ".join(f"q{j}x" for j in range(30 + i)),
+            )
+            for i in range(10)
+        ]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    thr = {
+        r["source"]: r["q_threshold"]
+        for r in calibrated_quality_thresholds(
+            docs, "text", "source", keep_pctile=0.2
+        ).collect()
+    }
+    # EVERY source gets a threshold row, degenerate ones included
+    assert set(thr) == {"tied", "solo", "varied"}
+    direct = curate(
+        docs, cfg=CurationConfig(**_BASE, quality_calibrate_pctile=0.2)
+    )
+    frozen = curate(
+        docs,
+        cfg=CurationConfig(**_BASE, quality_thresholds=tuple(sorted(thr.items()))),
+    )
+    ids_direct = {r["doc_id"] for r in direct.quality_gated.collect()}
+    ids_frozen = {r["doc_id"] for r in frozen.quality_gated.collect()}
+    assert ids_direct == ids_frozen
+    # tied + solo sources keep 100%; varied keeps its top 80%
+    assert set(range(5)) <= ids_direct and 50 in ids_direct
+    assert len({i for i in ids_direct if i >= 100}) == 8
+    # the operator-level window form agrees: kept=1 on every tied row
+    from clickhouse_mysql_data_reader_spark.operators.text import (
+        quality_calibrated,
+    )
+
+    op = quality_calibrated(docs, "text", "doc_id", "source", keep_pctile=0.2)
+    tied_kept = {
+        r["kept"] for r in op.filter(F.col("source") != "varied").collect()
+    }
+    assert tied_kept == {1}
+
+
 def test_calibrate_pctile_validated(spark):
     with pytest.raises(ValueError, match="percent_rank"):
         CurationConfig(quality_calibrate_pctile=1.5)

@@ -208,6 +208,33 @@ def test_length_buckets_boundaries_and_cap(spark):
     assert top["max_tokens"] == 1000 and top["padded_len"] == 16  # flagged
 
 
+def test_length_buckets_surface_empty_docs(spark):
+    """Docs with token count <= 0 get their OWN bucket 0 with TRUE
+    token sums (round-11 advice) — not a fabricated 1-token fold into
+    bucket 1 that inflates total_tokens/min_tokens/fill_ratio."""
+    from clickhouse_mysql_data_reader_spark.operators.sampling import (
+        length_bucket_stats,
+    )
+
+    df = spark.createDataFrame([(0,), (0,), (1,), (2,), (3,)], "n long")
+    out = {
+        r["bucket"]: r for r in length_bucket_stats(df, F.col("n")).collect()
+    }
+    assert out[0]["n_docs"] == 2 and out[0]["total_tokens"] == 0
+    assert out[0]["min_tokens"] == 0 and out[0]["fill_ratio"] == 0.0
+    # bucket 1 holds exactly {1, 2} with no fabricated tokens
+    assert out[1]["n_docs"] == 2 and out[1]["total_tokens"] == 3
+    assert out[1]["min_tokens"] == 1
+    # the cap never folds bucket 0 upward
+    capped = {
+        r["bucket"]: r
+        for r in length_bucket_stats(
+            df, F.col("n"), max_bucket_tokens=2
+        ).collect()
+    }
+    assert capped[0]["n_docs"] == 2 and capped[1]["max_tokens"] == 3
+
+
 def _vecs(spark, rows):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
@@ -269,6 +296,35 @@ def test_mmr_lam_one_is_pure_relevance(spark):
         for r in cosine_topk(corpus, queries, k=4).orderBy("rn").collect()
     ]
     assert mmr == topk
+
+
+def test_mmr_string_ids_pass_through_uncast(spark):
+    """qid/vec_id are schema-generic: string ids key the greedy dicts
+    and emit UNCHANGED (round-11 advice — the old int() coercion raised
+    ValueError on string ids), and the documented smaller-id tie-break
+    is the id type's natural (lexicographic) order."""
+    from clickhouse_mysql_data_reader_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            ("doc-a", [0.9, 0.436, 0.0]),
+            ("doc-b", [0.901, 0.4365, 0.0]),
+            ("doc-c", [0.9, -0.436, 0.0]),
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [("q1", [1.0, 0.0, 0.0])], "qid string, embedding array<double>"
+    )
+    out = mmr_rerank(corpus, queries, k=2, n_candidates=3, lam=0.5)
+    rows = out.orderBy("rank").collect()
+    # rel(doc-a) == rel(doc-c); lexicographic tie-break -> doc-a first,
+    # then the near-dup doc-b loses to the diverse doc-c (the integer
+    # geometry of test_mmr_prefers_diverse_over_redundant)
+    assert [r["qid"] for r in rows] == ["q1", "q1"]
+    assert [r["vec_id"] for r in rows] == ["doc-a", "doc-c"]
 
 
 def test_psi_drift_by_equals_standalone_per_key(spark):
@@ -448,6 +504,21 @@ def test_url_normalize_semantics(spark):
         ("https://a.com/p?id=7&utm_campaign=c", "https://a.com/p?id=7"),
         # all params tracking -> bare path, no dangling '?'
         ("https://a.com/p?utm_a=1&fbclid=2", "https://a.com/p"),
+        # default-port strip is SCHEME-conditioned: http://h:443 and
+        # https://h:80 are real distinct origins and survive
+        ("http://a.com:443/x", "http://a.com:443/x"),
+        ("https://a.com:80/x", "https://a.com:80/x"),
+        ("http://a.com:80/x", "http://a.com/x"),
+        # suffix-coincident param NAMES survive (anchored on ?/&)
+        ("https://a.com/p?myutm_source=x", "https://a.com/p?myutm_source=x"),
+        ("https://a.com/p?xgclid=a&id=1", "https://a.com/p?xgclid=a&id=1"),
+        # path text containing 'utm_'/'gclid=' is never touched
+        (
+            "https://a.com/doc-utm_share/gclid=notes?id=2",
+            "https://a.com/doc-utm_share/gclid=notes?id=2",
+        ),
+        # consecutive tracking params in first position
+        ("https://a.com/p?utm_a=1&utm_b=2&id=3", "https://a.com/p?id=3"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [
@@ -461,3 +532,6 @@ def test_url_normalize_semantics(spark):
     ]
     assert hosts[0] == "example.com" and hosts[1] == "a.com"
     assert hosts[2] == "a.com:8443"  # non-default port is identity
+    assert hosts[7] == "a.com:443"  # http origin on :443 survives
+    assert hosts[8] == "a.com:80"  # https origin on :80 survives
+    assert hosts[9] == "a.com"  # http default port strips
