@@ -1249,42 +1249,77 @@ def fk_orphan_report(
     constraints, so a partial copy silently strands children).
 
     One row per relationship: (relation, n_child, n_null_fk,
-    n_orphans, ok). Plan per relationship: ONE scan of the child — a
-    LEFT join against the parent's DISTINCT key projection carries a
-    presence marker, and a single aggregate counts rows, NULL FKs, and
-    orphans (non-null FK, marker absent) together. The distinct keys
-    broadcast for dim-sized parents (AQE decides; the child never
-    shuffles then) and shuffle-join for fact-sized ones — either way
-    the child is read once, which matters when the child IS the
-    100 TB fact. Output is |relationships| rows.
+    n_orphans, ok). Plan per CHILD TABLE (relationships grouped on
+    DataFrame identity — pass the same object for a child that
+    carries several FKs): ONE scan of the child, one LEFT join per
+    relationship against that parent's DISTINCT key projection (each
+    carrying a presence marker; distinct parent keys never duplicate
+    child rows, so the joins chain on the same scan), and ONE
+    aggregate counting rows, NULL FKs, and orphans (non-null FK,
+    marker absent) for every relationship at once; the bounded 1-row
+    result then explodes into the per-relationship report rows. The
+    distinct keys broadcast for dim-sized parents (AQE decides; the
+    child never shuffles then) and shuffle-join for fact-sized ones —
+    either way a child with N foreign keys is read ONCE, not N times,
+    which matters when the child IS the 100 TB fact (lineitem carries
+    three FKs: 3x fewer fact reads than the per-relationship form).
+    Output is |relationships| rows.
     """
     if not relationships:
         raise ValueError("fk_orphan_report needs at least one relationship")
-    outs = []
+    groups: dict[int, tuple[DataFrame, list[tuple[str, str, DataFrame, str]]]] = {}
     for name, child, fk, parent, pk in relationships:
-        pkeys = parent.select(F.col(pk).alias("_fk")).distinct().withColumn(
-            "_present", F.lit(True)
+        groups.setdefault(id(child), (child, []))[1].append((name, fk, parent, pk))
+    outs = []
+    for child, rels in groups.values():
+        # per-relationship aliases: the same fk column may appear in
+        # two relationships (different parents) without colliding
+        joined = child.select(
+            *[F.col(fk).alias(f"_fk{i}") for i, (_, fk, _, _) in enumerate(rels)]
         )
-        joined = child.select(F.col(fk).alias("_fk")).join(pkeys, "_fk", "left")
-        outs.append(
-            joined.agg(
-                F.count(F.lit(1)).alias("n_child"),
-                F.sum(F.when(F.col("_fk").isNull(), 1).otherwise(0))
+        for i, (_, _, parent, pk) in enumerate(rels):
+            pkeys = parent.select(F.col(pk).alias(f"_fk{i}")).distinct().withColumn(
+                f"_present{i}", F.lit(True)
+            )
+            joined = joined.join(pkeys, f"_fk{i}", "left")
+        aggs = [F.count(F.lit(1)).alias("n_child")]
+        for i in range(len(rels)):
+            aggs.append(
+                F.sum(F.when(F.col(f"_fk{i}").isNull(), 1).otherwise(0))
                 .cast("long")
-                .alias("n_null_fk"),
+                .alias(f"_n_null_{i}")
+            )
+            aggs.append(
                 F.sum(
                     F.when(
-                        F.col("_fk").isNotNull() & F.col("_present").isNull(), 1
+                        F.col(f"_fk{i}").isNotNull()
+                        & F.col(f"_present{i}").isNull(),
+                        1,
                     ).otherwise(0)
                 )
                 .cast("long")
-                .alias("n_orphans"),
-            ).select(
-                F.lit(name).alias("relation"),
-                "n_child",
-                "n_null_fk",
-                "n_orphans",
-                (F.col("n_orphans") == 0).cast("int").alias("ok"),
+                .alias(f"_n_orph_{i}")
+            )
+        report = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("relation"),
+                    F.col("n_child").alias("n_child"),
+                    F.col(f"_n_null_{i}").alias("n_null_fk"),
+                    F.col(f"_n_orph_{i}").alias("n_orphans"),
+                )
+                for i, (name, _, _, _) in enumerate(rels)
+            ]
+        )
+        outs.append(
+            joined.agg(*aggs)
+            .select(F.explode(report).alias("_r"))
+            .select(
+                "_r.relation",
+                "_r.n_child",
+                "_r.n_null_fk",
+                "_r.n_orphans",
+                (F.col("_r.n_orphans") == 0).cast("int").alias("ok"),
             )
         )
     res = outs[0]

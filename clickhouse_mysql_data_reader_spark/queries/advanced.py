@@ -1379,19 +1379,26 @@ def _fk_oracle() -> str:
     "relationship — the post-migration check the reference's "
     "MySQL->ClickHouse copy leaves to eyeballs (ClickHouse enforces "
     "no FK constraints, so a partial copy silently strands children). "
-    "Per relation: ONE child scan — left join against the parent's "
-    "distinct keys carries a presence marker and a single aggregate "
-    "counts rows/nulls/orphans together (broadcast for dim parents, "
-    "AQE decides); output is 7 rows.",
+    "Relationships are GROUPED BY CHILD: one scan per child table "
+    "with one presence left-join per FK riding it (lineitem's three "
+    "FKs = one lineitem read, not three — the fact is the 100 TB "
+    "side) and a single aggregate counting rows/nulls/orphans for "
+    "all of them at once (broadcast for dim parents, AQE decides); "
+    "output is 7 rows.",
 )
 def validate_fk_orphans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_mysql_data_reader_spark.operators.profile import (
         fk_orphan_report,
     )
 
+    # one DataFrame per table: fk_orphan_report groups relationships
+    # on child identity, so lineitem's three FKs share one scan
+    tables = {
+        t: load_table(spark, sf_dir, t)
+        for t in {x for rel in _FK_RELS for x in (rel[1], rel[3])}
+    }
     rels = [
-        (name, load_table(spark, sf_dir, child), fk,
-         load_table(spark, sf_dir, parent), pk)
+        (name, tables[child], fk, tables[parent], pk)
         for name, child, fk, parent, pk in _FK_RELS
     ]
     return fk_orphan_report(rels)

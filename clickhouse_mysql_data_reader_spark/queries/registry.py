@@ -619,10 +619,6 @@ DEPRIORITIZED = (
     #     snapshots — fixed-width baseline-frozen bins, Laplace
     #     shares, round(ln,6) contributions (the agg_conditional_funcs
     #     idiom); completes the ops loop next to z-score/diff/hist
-    "sample_temperature",
-    "sample_unimax",
-    "dedup_semdedup",
-    "monitor_psi_drift",
     # ...and two more round-11 births (same r12-candidate class):
     #   - anomaly_events_mad: median/MAD robust outlier report — the
     #     50%-breakdown sibling of the checked anomaly_events_zscore,
@@ -632,13 +628,66 @@ DEPRIORITIZED = (
     #     script/style/comment/tag strip + entity decode) over a
     #     deterministic HTML wrapping of the corpus; scan-stage
     #     expressions, zero shuffles
-    "anomaly_events_mad",
-    "text_html_strip",
     #   - monitor_psi_frozen: the landed-baseline deployment twin of
     #     monitor_psi_drift (psi_baseline -> psi_drift_frozen; oracle
     #     identical by construction, frozen==direct equality pinned in
     #     test_round11_ops — the text_bm25_frozen idiom)
-    "monitor_psi_frozen",
+    # Round 12 ROTATION (per the round-11 verdict): the eight queries
+    # above plus text_url_normalize — every round-11 birth that had
+    # NEVER held a driver CORRECTNESS row — rotate INTO the checked 50
+    # (their names left this tuple; the capability records stay).
+    # Eight members with multi-round driver-green history on unchanged
+    # plans rotate out, each hash-covered by a checked containing
+    # query or family sibling:
+    #   - q5_local_supplier_volume (driver-green r9-r11): its
+    #     region->nation broadcast star over the lineitem/orders/
+    #     customer/supplier facts is the checked q7's join tree, and
+    #     the checked q8 runs the SAME star with the region gate plus
+    #     a double nation broadcast; the exact-decimal revenue
+    #     aggregate is every checked TPC-H row's idiom
+    #   - q18_large_volume_customer (r10-r11): its group-by-HAVING
+    #     semi join is the checked q17's decorrelated-aggregate
+    #     family, and its TakeOrderedAndProject top-100 is the checked
+    #     q10/q21 ordering machinery
+    #   - q4_order_priority_check (r10-r11): decorrelated EXISTS semi
+    #     join over orders/lineitem — the checked q21 runs the HARDER
+    #     exists + not-exists double decorrelation over the same
+    #     pair; the date-pruned orders scan is the checked q10/q19
+    #     pushdown family
+    #   - q12_linestatus_priority (r10-r11): conditional CASE-sum
+    #     aggregation is exactly the checked agg_conditional_funcs
+    #     idiom (and q8's market-share numerator); ship-mode IN +
+    #     date-range filters are the checked q19 per-side pushdown
+    #     family
+    #   - q13_customer_distribution (r10-r11): left-outer join +
+    #     two-level count distribution — the null-preserving outer
+    #     machinery and count aggregates are the checked q16/q22
+    #     anti-join + count family, and the comment NOT-LIKE gate is
+    #     scan-stage regexp work the checked text gates pin
+    #   - anomaly_events_zscore (r9-r11): the anomaly family keeps
+    #     anomaly_events_flags (its frozen-stats deployment twin)
+    #     checked AND gains the rotated-in anomaly_events_mad robust
+    #     sibling; the mergeable anomaly_stats core is additionally
+    #     pinned by the landed-lifecycle tests every CI run
+    #   - embed_centroid_drift (r10-r11): its per-label posexplode
+    #     mean-vs-frozen-baseline is exactly the label-mean one-step
+    #     quantizer the rotated-in dedup_semdedup replays through its
+    #     centroids= seam — the same arithmetic now hash-verifies
+    #     inside a checked query end-to-end
+    #   - sample_mixture_epochs (r6-r11, the longest streak in the
+    #     checked set): its totals -> rate -> md5-threshold draw chain
+    #     is the machinery the rotated-in sample_temperature (same
+    #     draw, isqrt weights derived in-plan) and sample_unimax
+    #     (same draw after the waterfill) hash-verify per copy
+    #     decision
+    "q5_local_supplier_volume",
+    "q18_large_volume_customer",
+    "q4_order_priority_check",
+    "q12_linestatus_priority",
+    "q13_customer_distribution",
+    "anomaly_events_zscore",
+    "embed_centroid_drift",
+    "sample_mixture_epochs",
     # ...and the late-round-11 births (rotated INTO the checked 50
     # the same round — see the late-round-11 block below; the
     # descriptions stay here as the capability record):
@@ -705,12 +754,12 @@ DEPRIORITIZED = (
     #   - multimodal_audio_windows: JVM-side window/explode sibling of
     #     the checked multimodal_features (the multimodal_frame_plan
     #     rationale); window arithmetic pinned by unit tests
-    # Born deprioritized VERY late in round 11 (r12 rotation
-    # candidate): text_url_normalize — URL canonicalization
-    # (fragment/port/tracking-param strip, case rules) over a
-    # deterministic URL wrapping, the web-pipeline step in front of
-    # URL-level dedup; pure scan-stage RE2-safe regexps
-    "text_url_normalize",
+    # Born deprioritized VERY late in round 11 and rotated into the
+    # checked 50 in round 12 with the other seven round-11 births:
+    # text_url_normalize — URL canonicalization (fragment/port/
+    # tracking-param strip, case rules) over a deterministic URL
+    # wrapping, the web-pipeline step in front of URL-level dedup;
+    # pure scan-stage RE2-safe regexps
     "q6_forecast_revenue",
     "q14_promo_effect",
     "q15_top_supplier",

@@ -135,6 +135,64 @@ def test_monitoring_facts_land_merge_equals_from_scratch(spark, tmp_path):
     assert q(merged_h) == q(fresh_h)
 
 
+def test_cms_lands_merges_and_estimates_like_fresh(spark, tmp_path):
+    """Count-min sketches get the same landed lifecycle as HLL
+    sketches and histograms (round-11 verdict item #5): land one CMS
+    per batch as an immutable SnapshotStore partition, cms_merge the
+    LANDED rows, and both point estimates and candidate-free heavy-
+    hitter mining over the merged sketch equal the from-scratch sketch
+    over the concatenated raw data — counts are additive, so the
+    equality is exact, not approximate."""
+    from clickhouse_mysql_data_reader_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+        cms_heavy_hitters,
+        cms_merge,
+    )
+
+    b1, b2 = _events(spark, _B1), _events(spark, _B2)
+    both = b1.unionByName(b2)
+    store = SnapshotStore(
+        root=str(tmp_path / "cms"),
+        key_cols=["row_idx", "bucket"],
+        partition_expr="batch",
+    )
+    for tag, batch, pos0 in (("d1", b1, 0), ("d2", b2, 1000)):
+        _land(spark, store, "cms", cms_build(batch, "user", depth=3, width=64),
+              tag, pos0)
+    assert set(store.partition_paths("mon", "cms")) == {"d1", "d2"}
+
+    landed = store.read(spark, "mon", "cms").select("row_idx", "bucket", "cnt")
+    merged = cms_merge(landed)
+    fresh = cms_build(both, "user", depth=3, width=64)
+    sk_rows = lambda df: sorted(
+        (int(r["row_idx"]), int(r["bucket"]), int(r["cnt"]))
+        for r in df.collect()
+    )
+    assert sk_rows(merged) == sk_rows(fresh)
+
+    # the merged landed sketch answers point queries like fresh —
+    # user 100 and 201 repeat ACROSS batches, so a non-additive merge
+    # would under-count exactly these
+    cand = spark.createDataFrame([(100,), (201,), (300,), (999,)], "user long")
+    est = lambda sk: {
+        int(r["user"]): int(r["est_count"])
+        for r in cms_estimate(sk, cand, "user", depth=3, width=64).collect()
+    }
+    got = est(merged)
+    assert got == est(fresh)
+    assert got[100] >= 3 and got[201] >= 2  # cross-batch totals visible
+
+    # and drives candidate-free mining identically (sketch= seam)
+    hh = lambda sk: sorted(
+        (int(r["user"]), int(r["est_count"]))
+        for r in cms_heavy_hitters(
+            both, "user", depth=3, width=64, threshold=2, sketch=sk
+        ).collect()
+    )
+    assert hh(merged) == hh(fresh) and hh(merged)
+
+
 def test_monitoring_fact_landing_is_idempotent_per_batch(spark, tmp_path):
     """A replayed batch landing (same partition value, recomputed fact
     rows) must leave the folded view unchanged — the partition is

@@ -367,6 +367,24 @@ _TINY_CROSSJOIN_OK = {
 }
 
 
+def test_fk_orphans_scans_each_child_once(spark, sf_correct):
+    """Relationships grouped by child: lineitem carries three FKs but
+    the report reads it ONCE (three presence joins ride the same
+    scan) — at 100 TB the child IS the fact, so per-relationship
+    scanning would triple the fact reads."""
+    plan = _formatted(entrymod.queries()["validate_fk_orphans"](spark, sf_correct))
+    scans = re.findall(r"^Location: \S+ \[\S*/(\w+)\.parquet\]", plan, re.M)
+    from collections import Counter
+
+    per_table = Counter(scans)
+    assert per_table["lineitem"] == 1, per_table
+    # every other table is scanned at most (1 as child) + (times it is
+    # a parent): orders/customer/supplier 2, nation 3 (parent twice)
+    assert per_table["orders"] <= 2 and per_table["nation"] <= 3, per_table
+    assert sum(per_table.values()) <= 12, per_table  # was 14 ungrouped
+    assert "CartesianProduct" not in plan
+
+
 def test_registry_wide_plan_hygiene(spark):
     """Every registered query's physical plan, swept: CartesianProduct
     is banned outright, and BroadcastNestedLoopJoin may appear only in

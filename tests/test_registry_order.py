@@ -117,10 +117,20 @@ DRIVER_CAP = 50
 # / rag_chunk_retrieve / multimodal_audio_windows — each driver-green
 # r9-r10 on an unchanged plan with a checked containment sibling
 # (rationale per displacement inside registry.DEPRIORITIZED).
+# Round 12 rotated in the eight round-11 births that had never held a
+# driver CORRECTNESS row (sample_temperature, sample_unimax,
+# dedup_semdedup, monitor_psi_drift, monitor_psi_frozen,
+# anomaly_events_mad, text_html_strip, text_url_normalize), displacing
+# q5_local_supplier_volume / q18_large_volume_customer /
+# q4_order_priority_check / q12_linestatus_priority /
+# q13_customer_distribution / anomaly_events_zscore /
+# embed_centroid_drift / sample_mixture_epochs — each with multi-round
+# driver-green history and a checked containment sibling (rationale
+# per displacement inside registry.DEPRIORITIZED; embed_centroid_drift
+# and sample_mixture_epochs are displaced by rotated-in queries that
+# replay their exact machinery).
 MUST_BE_CHECKED = {
-    "q4_order_priority_check",
     "q8_market_share",
-    "q12_linestatus_priority",
     "q16_supplier_part_counts",
     "q21_suppliers_kept_waiting",
     "q22_global_sales_opportunity",
@@ -131,19 +141,14 @@ MUST_BE_CHECKED = {
     "retention_cohorts",
     "q7_volume_shipping",
     "q10_returned_items",
-    "q13_customer_distribution",
-    "q18_large_volume_customer",
     "window_pctile_ntile",
     "sketch_lang_rollup",
-    "embed_centroid_drift",
     "anomaly_events_flags",
     "agg_conditional_funcs",
     "text_lang_multi",
-    "q5_local_supplier_volume",
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
     "corpus_snapshot_diff",
-    "anomaly_events_zscore",
     "hist_quantiles_events",
     "json_flatten_events",
     "join_salted_skew",
@@ -158,7 +163,6 @@ MUST_BE_CHECKED = {
     "cdc_apply_final_state",
     "dedup_exact_substring",
     "dedup_cluster_best_keeper",
-    "sample_mixture_epochs",
     "multimodal_features",
     "monitor_heavy_hitters",
     "match_fuzzy_names",
@@ -168,6 +172,14 @@ MUST_BE_CHECKED = {
     "monitor_psi_by_source",
     "validate_fk_orphans",
     "monitor_heavy_hitters_scan",
+    "sample_temperature",
+    "sample_unimax",
+    "dedup_semdedup",
+    "monitor_psi_drift",
+    "monitor_psi_frozen",
+    "anomaly_events_mad",
+    "text_html_strip",
+    "text_url_normalize",
 }
 
 
