@@ -118,6 +118,141 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def real_pixel_decoder(
+    content: bytes, kind: str, grid_w: int = 7, grid_h: int = 8
+) -> list[int]:
+    """Placeholder for the real thumbnail decoder (Pillow: open ->
+    convert('L') -> resize((grid_w, grid_h)) -> row-major pixel list);
+    image libraries are not in this container — inject via the
+    ``decode_fn`` seam exactly like ``real_decoder``."""
+    raise NotImplementedError(
+        "pixel decoding requires an image library not present in this "
+        "container; inject a decode_fn into image_dhash()"
+    )
+
+
+def deterministic_fake_pixels(
+    content: bytes, kind: str, n_pixels: int = 56
+) -> list[int]:
+    """Stand-in thumbnail: grayscale pixels derived from BLOCKED md5 of
+    the content — pixel block j (16 px) hashes only the j-th 64-char
+    slice, so a LOCAL content edit perturbs only local pixel blocks
+    while the rest of the 'image' is unchanged. That is the miniature
+    of real perceptual behavior (a cropped/re-captioned image shares
+    most of its thumbnail), which is what makes banded dHash near-dup
+    exercisable — and md5 is replayable in SQL, so the whole pipeline
+    is oracle-checkable like ``deterministic_fake_decoder``."""
+    s = (content or b"").decode("utf-8", "replace")
+    px: list[int] = []
+    j = 0
+    while len(px) < n_pixels:
+        seg = s[j * 64 : (j + 1) * 64]
+        px.extend(hashlib.md5(f"{seg}:{j}".encode()).digest())
+        j += 1
+    return px[:n_pixels]
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), False),
+    ]
+)
+
+
+def image_dhash(
+    media: DataFrame,
+    decode_fn: Callable[[bytes, str], list[int]] | None = None,
+    grid_w: int = 7,
+    grid_h: int = 8,
+) -> DataFrame:
+    """dHash perceptual fingerprint (difference hash) over the image
+    rows: decode to a tiny ``grid_w x grid_h`` grayscale thumbnail
+    (the injectable seam — Pillow in production, the deterministic
+    md5-blocked fake here), then bit (r, c) = 1 iff pixel (r, c) is
+    darker than its right neighbor — ``grid_h * (grid_w - 1)`` bits
+    packed into one BIGINT (48 bits at the default geometry, so the
+    fingerprint and every chunk stay positive in a signed long on
+    both engines).
+
+    The image analogue of ``simhash`` for the text side: robust to
+    the global transforms that break byte-exact dedup (re-encode,
+    resize, metadata strip — none of which move the thumbnail
+    gradient), and Hamming-close fingerprints are near-duplicate
+    images. Runs in Arrow-batched ``mapInPandas`` like
+    ``extract_features`` — the binary column never crosses a shuffle;
+    only the (media_id, dhash) longs do.
+    """
+    n_px = grid_w * grid_h
+    fake = decode_fn is None
+
+    from clickhouse_mysql_data_reader_spark.util import self_contained_pickle
+
+    self_contained_pickle(sys.modules[__name__])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, c, k in zip(pdf["media_id"], pdf["content"], pdf["kind"]):
+                px = (
+                    deterministic_fake_pixels(c, k, n_px)
+                    if fake
+                    else decode_fn(c, k)
+                )
+                if len(px) < n_px:
+                    raise ValueError(
+                        f"decode_fn returned {len(px)} pixels; "
+                        f"image_dhash needs grid_w*grid_h = {n_px}"
+                    )
+                fp = 0
+                for r in range(grid_h):
+                    base = r * grid_w
+                    for c_ in range(grid_w - 1):
+                        if px[base + c_] < px[base + c_ + 1]:
+                            fp |= 1 << (r * (grid_w - 1) + c_)
+                ids.append(mid)
+                fps.append(fp)
+            yield pd.DataFrame({"media_id": ids, "dhash": fps})
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=DHASH_SCHEMA
+    )
+
+
+def image_near_dup_pairs(
+    media: DataFrame,
+    hamming_max: int = 7,
+    decode_fn: Callable[[bytes, str], list[int]] | None = None,
+    grid_w: int = 7,
+    grid_h: int = 8,
+) -> DataFrame:
+    """Perceptual-hash image near-duplicate pairs: dHash fingerprints
+    + the Manku pigeonhole banding the text side already uses
+    (``dedup.simhash_near_pairs`` — split the fingerprint into
+    ``hamming_max + 1`` chunks; any pair within the Hamming budget
+    agrees exactly on one chunk), so candidate generation is an
+    equi-join on narrow (chunk_i, chunk_val) keys — NEVER all-pairs.
+
+    At 100 TB: the media bytes are touched once (scan-stage decode in
+    ``image_dhash``); everything after is (id, chunk, fingerprint)
+    longs — the identical scale shape as text simhash/SRP banding.
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
+    """
+    from clickhouse_mysql_data_reader_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    bits = grid_h * (grid_w - 1)
+    sigs = image_dhash(media, decode_fn=decode_fn, grid_w=grid_w, grid_h=grid_h)
+    return simhash_near_pairs(
+        sigs,
+        bits=bits,
+        hamming_max=hamming_max,
+        id_col="media_id",
+        sig_col="dhash",
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per frame timestamp
     (the decode of each frame is the injectable step). Expressed with

@@ -22,6 +22,7 @@ from clickhouse_mysql_data_reader_spark.operators.multimodal import (
     documents_as_media,
     extract_features,
     frame_sample_plan,
+    image_near_dup_pairs,
     resize_plan,
 )
 from clickhouse_mysql_data_reader_spark.queries.registry import register
@@ -61,6 +62,58 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform("feature", lambda x: F.round(x * 255).cast("int")), ","
         ).alias("feature_q"),
+    )
+
+
+@register(
+    "dedup_image_phash",
+    """
+    WITH img AS (
+      SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (
+      SELECT media_id, k,
+             ('0x' || substr(md5(substr(text, CAST(k//16*64 + 1 AS INT), 64)
+                                 || ':' || CAST(k//16 AS VARCHAR)),
+                             CAST(2*(k%16)+1 AS INT), 2))::BIGINT AS p
+      FROM img, UNNEST(range(56)) AS t(k)
+    ),
+    bits AS (
+      SELECT a.media_id,
+             CAST((a.k // 7) * 6 + (a.k % 7) AS INT) AS bit_i,
+             CASE WHEN a.p < b.p THEN 1 ELSE 0 END AS bit
+      FROM px a JOIN px b ON a.media_id = b.media_id AND b.k = a.k + 1
+      WHERE a.k % 7 < 6
+    ),
+    fp AS (
+      SELECT media_id, CAST(sum(bit * (1::BIGINT << bit_i)) AS BIGINT) AS dhash
+      FROM bits GROUP BY media_id
+    )
+    SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+    """,
+    doc="Image perceptual-hash near-duplicate pairs (operators/"
+    "multimodal.py image_dhash + image_near_dup_pairs): decode each "
+    "image to a tiny 7x8 grayscale thumbnail (the INJECTABLE seam — "
+    "Pillow in production; here the deterministic md5-BLOCKED fake "
+    "whose pixels depend only on local content slices, so local edits "
+    "perturb local pixels like a real thumbnail), pack the 48 "
+    "darker-than-right-neighbor dHash bits into one BIGINT, and pair "
+    "via the Manku pigeonhole banding the text side already uses "
+    "(dedup.simhash_near_pairs: 8 chunks of 6 bits for Hamming<=7 — "
+    "an equi-join on narrow (chunk_i, chunk_val) keys, NEVER "
+    "all-pairs; the oracle brute-forces the same pairs). The image "
+    "analogue of simhash: survives re-encode/resize/metadata-strip "
+    "transforms that break byte-exact dedup. The media bytes are "
+    "touched once at the scan (mapInPandas dHash); everything "
+    "downstream is (id, chunk, fingerprint) longs.",
+)
+def dedup_image_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return image_near_dup_pairs(media, hamming_max=7).withColumn(
+        "hamming", F.col("hamming").cast("long")
     )
 
 

@@ -688,6 +688,16 @@ DEPRIORITIZED = (
     "anomaly_events_zscore",
     "embed_centroid_drift",
     "sample_mixture_epochs",
+    # Born deprioritized in round 12 (pytest-oracle-checked every CI
+    # run; r13 rotation candidate — a NEW capability):
+    #   - dedup_image_phash: image perceptual-hash near-dup — dHash
+    #     over the injectable thumbnail-decoder seam (md5-blocked
+    #     deterministic fake: local content edits perturb local
+    #     pixels), 48 bits in one BIGINT, paired via the text side's
+    #     Manku pigeonhole banding (simhash_near_pairs), never
+    #     all-pairs; the image analogue of simhash the multimodal
+    #     family lacked (round-11 verdict item #4)
+    "dedup_image_phash",
     # ...and the late-round-11 births (rotated INTO the checked 50
     # the same round — see the late-round-11 block below; the
     # descriptions stay here as the capability record):

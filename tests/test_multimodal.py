@@ -147,3 +147,91 @@ def test_resize_plan_null_geometry_propagates_null(spark):
         assert out[i]["target_w"] is None and out[i]["target_h"] is None
         assert out[i]["needs_resize"] is None
     assert (out[3]["target_w"], out[3]["target_h"]) == (96, 24)
+
+
+def _pix_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+
+
+def test_image_dhash_bit_packing_via_injected_decoder(spark):
+    """The decode seam is injectable like extract_features': hand the
+    kernel explicit pixel grids and check the exact dHash bits."""
+    from clickhouse_mysql_data_reader_spark.operators.multimodal import (
+        image_dhash,
+    )
+
+    # grid 7x8: a strictly increasing row sets all 6 of its comparison
+    # bits; a flat row sets none
+    grids = {
+        1: [c for _ in range(8) for c in range(7)],        # all 48 bits
+        2: [0] * 56,                                        # no bits
+        3: [c for _ in range(4) for c in range(7)] + [0] * 28,  # rows 0-3
+    }
+
+    def decode(content, kind):
+        return grids[int(content.decode())]
+
+    df = _pix_df(
+        spark,
+        [(i, "image", str(i).encode()) for i in grids]
+        + [(99, "audio", b"1")],  # non-image rows are filtered out
+    )
+    got = {
+        r["media_id"]: r["dhash"]
+        for r in image_dhash(df, decode_fn=decode).collect()
+    }
+    assert got == {1: (1 << 48) - 1, 2: 0, 3: (1 << 24) - 1}
+
+
+def test_image_near_dup_banding_catches_local_edit(spark):
+    """A one-block pixel perturbation (<= 7 dHash bits) survives the
+    pigeonhole banding; an unrelated grid does not pair."""
+    from clickhouse_mysql_data_reader_spark.operators.multimodal import (
+        image_near_dup_pairs,
+    )
+
+    base = [(c * 31) % 256 for _ in range(8) for c in range(7)]
+    edited = list(base)
+    for i in range(49, 56):  # perturb only the last row's pixels
+        edited[i] = 255 - edited[i]
+    other = [((i * 97) + 13) % 256 for i in range(56)]
+    grids = {1: base, 2: edited, 3: other}
+
+    def decode(content, kind):
+        return grids[int(content.decode())]
+
+    df = _pix_df(spark, [(i, "image", str(i).encode()) for i in grids])
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in image_near_dup_pairs(
+            df, hamming_max=7, decode_fn=decode
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 7
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_image_dhash_default_fake_is_md5_blocked(spark):
+    """Default decoder parity with the module fn, and content sharing
+    every 64-char block hashes IDENTICALLY (the local-edit contract)."""
+    from clickhouse_mysql_data_reader_spark.operators.multimodal import (
+        deterministic_fake_pixels,
+        image_dhash,
+        real_pixel_decoder,
+    )
+
+    a = ("x" * 256).encode()
+    b = ("x" * 256 + "tail beyond the pixel blocks").encode()
+    df = _pix_df(spark, [(1, "image", a), (2, "image", b)])
+    got = {r["media_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    # only the first 4 blocks (256 chars) feed the 56 pixels
+    assert got[1] == got[2]
+    px = deterministic_fake_pixels(a, "image")
+    assert len(px) == 56 and all(0 <= p <= 255 for p in px)
+    with pytest.raises(NotImplementedError):
+        real_pixel_decoder(b"bytes", "image")
+    # a decoder returning too few pixels fails loudly, not silently
+    with pytest.raises(Exception, match="pixels"):
+        image_dhash(df, decode_fn=lambda c, k: [1, 2, 3]).collect()
