@@ -409,6 +409,11 @@ def main() -> None:
         "validate_fk_orphans": time_query("validate_fk_orphans"),
         "monitor_heavy_hitters_scan": time_query("monitor_heavy_hitters_scan"),
         "text_url_normalize": time_query("text_url_normalize"),
+        # round-12 additions: image perceptual-hash near-dup (dHash via
+        # mapInPandas over the decoder seam + pigeonhole band join) and
+        # hybrid-retrieval RRF (BM25 + hashed-BoW fused by rank)
+        "dedup_image_phash": time_query("dedup_image_phash"),
+        "rag_rrf_fuse": time_query("rag_rrf_fuse"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -1380,3 +1380,76 @@ def mmr_rerank(
             (F.col("score_u") / F.lit(float(den) * 1e6)).alias("mmr_score"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+    top_k: int = 10,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR'09):
+    combine the rankings of INDEPENDENT retrievers — lexical BM25,
+    embedding cosine, hashed-BoW — into one list by summing
+    ``1/(k + rank)`` per document, the standard score-free fusion for
+    hybrid RAG retrieval (rank positions are comparable across
+    retrievers; raw scores are not).
+
+    Each input frame must carry ``(id_col, rank)`` with rank starting
+    at 1 (any extra columns are ignored); a document absent from a
+    ranking simply contributes nothing — RRF's native behavior.
+
+    Determinism — the scaled-integer idiom: the contribution is
+    ``scale div (k + rank)`` as an exact BIGINT (floor at the 12th
+    digit with the default scale — far below any rank-separating
+    gap), so the per-document sum commutes exactly under Spark's
+    unordered aggregation; the reported ``rrf_score = score_u /
+    scale`` is one identical double division on both engines and the
+    final ordering/ties (score desc, id asc) are integer/id
+    comparisons.
+
+    Scale shape: the inputs are top-N ranking frames — BOUNDED by
+    construction (sum of the retrievers' N, not the corpus) — so the
+    union + groupBy + final row_number all run over a few dozen rows
+    per query; the corpora were already reduced by the upstream
+    retrievers. Returns (id_col, rank, n_rankers, score_u, rrf_score),
+    rank 1..top_k.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking frame")
+    if k < 0 or top_k < 1:
+        raise ValueError(f"need k >= 0 and top_k >= 1, got k={k}, top_k={top_k}")
+    parts = []
+    for r in rankings:
+        if "rank" not in r.columns or id_col not in r.columns:
+            raise ValueError(
+                f"each ranking needs ({id_col!r}, 'rank') columns; got "
+                f"{r.columns}"
+            )
+        parts.append(
+            r.select(F.col(id_col), F.col("rank").cast("long").alias("_rk"))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scored = u.groupBy(id_col).agg(
+        F.sum(
+            F.expr(f"div(CAST({scale} AS BIGINT), {k} + _rk)")
+        ).alias("score_u"),
+        F.count(F.lit(1)).cast("long").alias("n_rankers"),
+    )
+    # unpartitioned window is safe HERE only because the frame is
+    # bounded (sum of top-Ns); a corpus-sized ranking must pre-limit
+    w = W.orderBy(F.col("score_u").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            id_col,
+            "rank",
+            "n_rankers",
+            "score_u",
+            (F.col("score_u") / F.lit(float(scale))).alias("rrf_score"),
+        )
+    )

@@ -1943,6 +1943,141 @@ def rag_chunk_retrieve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rag_rrf_fuse",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+    base AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM norm),
+    dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM base),
+    totals AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) AS total_tok FROM dls),
+    tf AS (
+      SELECT b.doc_id, d.dl, t.term, CAST(count(*) AS BIGINT) AS tf
+      FROM base b JOIN dls d USING (doc_id), UNNEST(b.tk) AS t(term)
+      WHERE t.term IN ({_BM25_IN})
+      GROUP BY b.doc_id, d.dl, t.term
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    bm AS (
+      SELECT tf.doc_id,
+             CAST((CAST(((2*n_docs - 2*df + 1) * 1000) // (2*df + 1)
+                        AS HUGEINT)
+                   * (tf * 11 * 4 * 1000))
+                  // (5*4*1000*tf + 6*(4-3)*1000
+                      + 6*3*((dl * 1000 * n_docs) // total_tok))
+                  AS BIGINT) AS term_score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN totals
+    ),
+    lex AS (
+      SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score
+      FROM bm GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20
+    ),
+    lexr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      FROM lex
+    ),
+    cn AS (
+      SELECT doc_id, tk,
+             greatest(1, CAST(ceil((len(tk) - 8) / 56.0) AS BIGINT)) AS n_chunks
+      FROM base
+    ),
+    ch AS (
+      SELECT doc_id, i AS chunk_id, tk[i*56+1 : i*56+64] AS chunk_tk
+      FROM cn, UNNEST(range(0, n_chunks)) AS u(i)
+    ),
+    bk2 AS (
+      SELECT doc_id, chunk_id,
+             list_transform(chunk_tk,
+                            tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT % 64) AS bk
+      FROM ch
+    ),
+    cnt2 AS (
+      SELECT doc_id, chunk_id,
+             list_transform(range(0, 64),
+                            q -> CAST(len(list_filter(bk, x -> x = q)) AS DOUBLE)) AS cnt
+      FROM bk2
+    ),
+    sc2 AS (
+      SELECT doc_id, chunk_id,
+             list_dot_product(cnt, {_rag_query_vector_sql()}) AS dot,
+             list_dot_product(cnt, cnt) AS sumsq
+      FROM cnt2
+    ),
+    sem20 AS (
+      SELECT doc_id, chunk_id,
+             CASE WHEN sumsq > 0
+                  THEN CAST(CAST(dot * dot * 1000000 AS HUGEINT)
+                            // CAST(sumsq AS HUGEINT) AS BIGINT)
+                  ELSE 0 END AS score_x1e6
+      FROM sc2
+      ORDER BY score_x1e6 DESC, doc_id ASC, chunk_id ASC LIMIT 20
+    ),
+    semdoc AS (SELECT doc_id, max(score_x1e6) AS sc FROM sem20 GROUP BY doc_id),
+    semr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS rank
+      FROM semdoc
+    ),
+    contrib AS (
+      SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM lexr
+      UNION ALL
+      SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM semr
+    ),
+    fused AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_u,
+             CAST(count(*) AS BIGINT) AS n_rankers
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score_u DESC, doc_id ASC) AS INT)
+             AS rank,
+           n_rankers, score_u,
+           score_u / 1000000000000.0 AS rrf_score
+    FROM fused ORDER BY score_u DESC, doc_id ASC LIMIT 10
+    """,
+    doc="Reciprocal Rank Fusion (operators/similarity.py rrf_fuse; "
+    "Cormack, Clarke & Büttcher SIGIR'09) over two INDEPENDENT "
+    "retrievers the registry already checks — the lexical BM25 top-20 "
+    "(text_bm25_topk's scorer) and the hashed-BoW semantic chunk "
+    "retriever reduced to per-doc best (rag_chunk_retrieve's scorer) "
+    "— the standard hybrid-RAG fusion: rank positions are comparable "
+    "across retrievers where raw scores are not, and score_u = SUM of "
+    "exact-integer 1e12 div (60 + rank) contributions, so the fused "
+    "ordering is engine-exact (the scaled-integer idiom; the only "
+    "float is one identical final division). Scale shape: both "
+    "retrievers already reduced the corpus to bounded top-N frames, "
+    "so the fusion is a union + tiny groupBy + bounded-window "
+    "row_number — nothing corpus-sized moves.",
+)
+def rag_rrf_fuse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from clickhouse_mysql_data_reader_spark.operators.similarity import rrf_fuse
+    from clickhouse_mysql_data_reader_spark.operators.text import (
+        bm25_topk,
+        chunk_retrieve_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = bm25_topk(docs, "text", "doc_id", list(_BM25_TERMS), top_k=20)
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    sem = chunk_retrieve_topk(docs, "vector stream join", k=20)
+    semdoc = sem.groupBy("doc_id").agg(F.max("score_x1e6").alias("_sc"))
+    semr = semdoc.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("_sc").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    return rrf_fuse([lexr, semr], id_col="doc_id", k=60, top_k=10)
+
+
+@register(
     "sample_weighted_topk",
     """
     WITH scored AS (

@@ -698,6 +698,12 @@ DEPRIORITIZED = (
     #     all-pairs; the image analogue of simhash the multimodal
     #     family lacked (round-11 verdict item #4)
     "dedup_image_phash",
+    #   - rag_rrf_fuse: Reciprocal Rank Fusion (Cormack et al.
+    #     SIGIR'09) of the checked BM25 and hashed-BoW retrievers —
+    #     the hybrid-RAG fusion member of the retrieval family;
+    #     exact-integer 1e12 div (60+rank) contributions so the fused
+    #     ordering is engine-exact
+    "rag_rrf_fuse",
     # ...and the late-round-11 births (rotated INTO the checked 50
     # the same round — see the late-round-11 block below; the
     # descriptions stay here as the capability record):
