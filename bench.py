@@ -414,6 +414,9 @@ def main() -> None:
         # hybrid-retrieval RRF (BM25 + hashed-BoW fused by rank)
         "dedup_image_phash": time_query("dedup_image_phash"),
         "rag_rrf_fuse": time_query("rag_rrf_fuse"),
+        # round-12 addition: entity resolution end-to-end (dictionary
+        # pairs -> components -> golden-record election)
+        "match_entity_resolve": time_query("match_entity_resolve"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

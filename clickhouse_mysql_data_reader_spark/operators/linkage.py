@@ -27,7 +27,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["fuzzy_match_pairs", "fuzzy_link_best"]
+__all__ = ["fuzzy_match_pairs", "fuzzy_link_best", "resolve_entities"]
 
 
 def _dictionary(
@@ -116,4 +116,84 @@ def fuzzy_link_best(
             F.col("best.ref_name").alias("match"),
             F.col("best.dist").cast("int").alias("dist"),
         )
+    )
+
+
+def resolve_entities(
+    df: DataFrame,
+    text_col: str,
+    block_fn: Callable[[Column], Column],
+    max_dist: int = 2,
+    small_graph_pairs: int | None = None,
+) -> DataFrame:
+    """End-to-end entity RESOLUTION on top of the pair proposals:
+    ``fuzzy_match_pairs`` edges -> connected components over the name
+    graph (transitive closure: a~b, b~c merges all three even when
+    levenshtein(a, c) > max_dist) -> one CANONICAL name elected per
+    component — the golden-record step that turns a reviewable pair
+    report into an applicable name mapping.
+
+    Survivorship rule: the component's highest-frequency name wins
+    (the spelling most rows already use, so applying the mapping
+    rewrites the fewest rows), ties broken by the lexicographically
+    smallest name — expressed as one ``min(struct(-n, name))``
+    aggregate, the same deterministic keeper-election idiom as the
+    near-dup cluster keepers (operators/dedup.py / graph.py).
+
+    Scale shape: everything runs over the DISTINCT-name dictionary
+    (see the module docstring) — components and the election touch
+    |dictionary| rows, never the row stream; singleton names (no
+    fuzzy neighbor) skip the graph entirely via the left join and
+    become their own canonical. Apply the result to the corpus with
+    one broadcast join on ``name``.
+
+    Returns (name, n, component, canonical, is_canonical, n_names,
+    n_rows): per distinct name, its component label (min member
+    name), the elected canonical, and the component's name/row
+    counts.
+    """
+    from clickhouse_mysql_data_reader_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = _dictionary(df, text_col, block_fn).select("name", "n")
+    pairs = fuzzy_match_pairs(df, text_col, block_fn, max_dist=max_dist)
+    kwargs = {} if small_graph_pairs is None else {
+        "small_graph_pairs": small_graph_pairs
+    }
+    comp = connected_components(pairs, src="name_a", dst="name_b", **kwargs)
+    labeled = (
+        d.join(
+            comp.select(F.col("doc_id").alias("name"), "component"),
+            "name",
+            "left",
+        )
+        .withColumn("component", F.coalesce("component", F.col("name")))
+    )
+    canon = (
+        labeled.groupBy("component")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n")).alias("_neg_n"), F.col("name").alias("nm")
+                )
+            ).alias("_best"),
+            F.count(F.lit(1)).cast("long").alias("n_names"),
+            F.sum("n").cast("long").alias("n_rows"),
+        )
+        .select(
+            "component",
+            F.col("_best.nm").alias("canonical"),
+            "n_names",
+            "n_rows",
+        )
+    )
+    return labeled.join(canon, "component").select(
+        "name",
+        "n",
+        "component",
+        "canonical",
+        (F.col("name") == F.col("canonical")).cast("int").alias("is_canonical"),
+        "n_names",
+        "n_rows",
     )

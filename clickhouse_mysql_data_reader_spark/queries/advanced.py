@@ -1281,6 +1281,80 @@ def match_fuzzy_names_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "match_entity_resolve",
+    """
+    WITH RECURSIVE d AS (
+      SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n,
+             split_part(p_name, ' ', 2) AS blk
+      FROM part WHERE p_name IS NOT NULL GROUP BY p_name
+    ),
+    pairs AS (
+      SELECT a.name AS name_a, b.name AS name_b
+      FROM d a JOIN d b ON a.blk = b.blk AND a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= 2
+    ),
+    edges AS (
+      SELECT name_a AS u, name_b AS v FROM pairs
+      UNION SELECT name_b, name_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS name, least(u, min(v)) AS component FROM reach GROUP BY u
+    ),
+    labeled AS (
+      SELECT d.name, d.n, coalesce(c.component, d.name) AS component
+      FROM d LEFT JOIN comp c USING (name)
+    ),
+    canon AS (
+      SELECT component, name AS canonical FROM (
+        SELECT component, name,
+               row_number() OVER (
+                 PARTITION BY component ORDER BY n DESC, name ASC
+               ) AS rn
+        FROM labeled
+      ) WHERE rn = 1
+    ),
+    sizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS n_names,
+             CAST(sum(n) AS BIGINT) AS n_rows
+      FROM labeled GROUP BY component
+    )
+    SELECT l.name, l.n, l.component, c.canonical,
+           CAST(l.name = c.canonical AS INT) AS is_canonical,
+           s.n_names, s.n_rows
+    FROM labeled l JOIN canon c USING (component) JOIN sizes s USING (component)
+    """,
+    doc="End-to-end entity resolution (operators/linkage.py "
+    "resolve_entities): the match_fuzzy_names pair proposals become an "
+    "APPLICABLE mapping — connected components over the name graph "
+    "(transitive closure merges a~b~c even where levenshtein(a,c) "
+    "exceeds the gate; the oracle replays it as a recursive CTE, the "
+    "dedup_semdedup idiom) and a golden-record election per component "
+    "(highest row frequency wins so applying the mapping rewrites the "
+    "fewest rows, lexicographic tie-break — one min(struct(-n, name)) "
+    "aggregate, the near-dup keeper idiom). Everything runs over the "
+    "DISTINCT-name dictionary: components and the election touch "
+    "|dictionary| rows, never the 100 TB row stream; singletons skip "
+    "the graph via the left join. Apply with one broadcast join.",
+)
+def match_entity_resolve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.linkage import (
+        resolve_entities,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    return resolve_entities(
+        part,
+        "p_name",
+        block_fn=lambda c: F.split(c, " ").getItem(1),
+        max_dist=2,
+    )
+
+
+@register(
     "monitor_psi_by_source",
     """
     WITH s AS (SELECT doc_id, source, n_chars, (doc_id % 2 = 1) AS is_new

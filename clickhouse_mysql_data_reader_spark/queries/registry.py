@@ -704,6 +704,13 @@ DEPRIORITIZED = (
     #     exact-integer 1e12 div (60+rank) contributions so the fused
     #     ordering is engine-exact
     "rag_rrf_fuse",
+    #   - match_entity_resolve: entity resolution END-TO-END — the
+    #     match_fuzzy_names pairs become components (recursive-CTE
+    #     closure oracle) + a golden-record election per component
+    #     (max row frequency, the keeper idiom) over the distinct-name
+    #     dictionary; completes the entity-resolution family from pair
+    #     proposal to applicable mapping
+    "match_entity_resolve",
     # ...and the late-round-11 births (rotated INTO the checked 50
     # the same round — see the late-round-11 block below; the
     # descriptions stay here as the capability record):

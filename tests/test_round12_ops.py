@@ -67,3 +67,65 @@ def test_rrf_three_rankers_and_custom_id(spark):
         "a": (3, 3 * (SCALE // 1)),
         "b": (3, 3 * (SCALE // 2)),
     }
+
+
+def test_resolve_entities_transitive_merge_and_golden_record(spark):
+    """a~b and b~c merge into ONE component even though
+    levenshtein(a, c) exceeds the gate (the closure step the pair
+    report can't express), the highest-frequency spelling wins the
+    election, and singletons become their own canonical."""
+    from clickhouse_mysql_data_reader_spark.operators.linkage import (
+        resolve_entities,
+    )
+
+    rows = (
+        [("acme corp",)] * 5
+        + [("acme korp",)] * 2    # dist 1 from 'acme corp'
+        + [("acme korpa",)] * 9   # dist 1 from 'acme korp', 2 from 'acme corp'
+        + [("zebra ltd",)] * 3    # different block, singleton
+    )
+    df = spark.createDataFrame(rows, "name string")
+    out = resolve_entities(
+        df,
+        "name",
+        block_fn=lambda c: F.split(c, " ").getItem(0),
+        max_dist=1,
+    )
+    got = {
+        r["name"]: (
+            r["component"],
+            r["canonical"],
+            r["is_canonical"],
+            r["n_names"],
+            r["n_rows"],
+        )
+        for r in out.collect()
+    }
+    # all three corp/korp spellings share one component (min name) and
+    # elect the 9-row spelling even though it is lexicographically last
+    assert {got[n][0] for n in ("acme corp", "acme korp", "acme korpa")} == {
+        "acme corp"
+    }
+    assert {got[n][1] for n in ("acme corp", "acme korp", "acme korpa")} == {
+        "acme korpa"
+    }
+    assert got["acme korpa"][2] == 1 and got["acme corp"][2] == 0
+    assert got["acme corp"][3] == 3 and got["acme corp"][4] == 16
+    # the singleton never enters the graph and canonicalizes to itself
+    assert got["zebra ltd"] == ("zebra ltd", "zebra ltd", 1, 1, 3)
+
+
+def test_resolve_entities_tie_breaks_lexicographically(spark):
+    from clickhouse_mysql_data_reader_spark.operators.linkage import (
+        resolve_entities,
+    )
+
+    rows = [("blue box",)] * 4 + [("blux box",)] * 4
+    df = spark.createDataFrame(rows, "name string")
+    got = {
+        r["name"]: r["canonical"]
+        for r in resolve_entities(
+            df, "name", block_fn=lambda c: F.split(c, " ").getItem(1), max_dist=2
+        ).collect()
+    }
+    assert got == {"blue box": "blue box", "blux box": "blue box"}
