@@ -363,7 +363,7 @@ _TINY_CROSSJOIN_OK = {
     "monitor_psi_frozen",           # 1-row frozen-edges frame
     "monitor_psi_by_source",        # |keys|-row spine x n_buckets range
     "rag_mmr_rerank",               # 4-row query frame (cosine_topk)
-    "validate_fk_orphans",          # 1-row stats x 1-row orphan count
+    "rag_rrf_fuse",                 # 1-row BM25 totals (inherited)
 }
 
 
