@@ -417,6 +417,8 @@ def main() -> None:
         # round-12 addition: entity resolution end-to-end (dictionary
         # pairs -> components -> golden-record election)
         "match_entity_resolve": time_query("match_entity_resolve"),
+        # round-12 addition: leakage-safe split (components + hash CASE)
+        "sample_split_cluster_safe": time_query("sample_split_cluster_safe"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

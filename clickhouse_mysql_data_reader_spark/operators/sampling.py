@@ -751,3 +751,58 @@ def length_bucket_stats(
             ).alias("fill_ratio"),
         )
     )
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    small_graph_pairs: int | None = None,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the split label hashes the
+    near-dup COMPONENT, not the document id, so every member of a
+    near-duplicate cluster lands in the SAME split. Hashing doc ids —
+    the plain ``hash_split`` — puts a document in train and its
+    near-twin in test with probability 2*p_train*p_test per pair,
+    which silently inflates eval scores; deduplicating within splits
+    cannot fix it (the leak is ACROSS splits).
+
+    ``pairs`` is any near-dup pair frame (LSH+Jaccard verify, SimHash,
+    SRP, pHash — every family emits (doc_a, doc_b)); components come
+    from ``connected_components`` over it, singletons skip the graph
+    via the left join and hash their own id. Split fractions and salt
+    are the exact ``hash_split`` machinery, so a corpus WITHOUT
+    near-dups degenerates to the plain split bit-for-bit.
+
+    Plan at 100 TB: the component frame is bounded by the near-dup
+    population (pairs' nodes only); the corpus takes one join on the
+    id + a scan-stage hash CASE — no window, no extra shuffle beyond
+    the join, and the split is a pure function of content clusters:
+    stable across reruns, engines, and batch composition.
+
+    Returns ``df``'s columns + (component, split).
+    """
+    from clickhouse_mysql_data_reader_spark.operators.graph import (
+        connected_components,
+    )
+
+    if "component" in df.columns or "split" in df.columns:
+        raise ValueError(
+            "cluster_safe_split adds 'component' and 'split' columns; "
+            f"rename the existing ones first (got {df.columns})"
+        )
+    kwargs = {} if small_graph_pairs is None else {
+        "small_graph_pairs": small_graph_pairs
+    }
+    comp = connected_components(pairs, src=src, dst=dst, **kwargs).select(
+        F.col("doc_id").alias(id_col), "component"
+    )
+    return (
+        df.join(comp, id_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+        .withColumn("split", hash_split(F.col("component"), fractions, salt))
+    )

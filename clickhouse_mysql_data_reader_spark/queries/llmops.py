@@ -1083,6 +1083,50 @@ _STRATA_RATES = {"click": 0.5, "view": 0.1, "purchase": 1.0}
 _DEFAULT_RATE = 0.1
 
 
+def _register_cluster_safe_split() -> None:
+    """Deferred so the helpers below (_sql_split_case) exist first."""
+
+    @register(
+        "sample_split_cluster_safe",
+        f"""{_CC_REACH_CTES},
+    comp AS (SELECT u AS doc_id, min(lbl) AS component FROM reach GROUP BY u),
+    labeled AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, component, {_sql_split_case('component')} AS split
+    FROM labeled
+    """,
+        doc="Leakage-safe train/val/test split (operators/sampling.py "
+        "cluster_safe_split): the split label hashes the near-dup "
+        "COMPONENT (LSH -> Jaccard verify -> connected components, the "
+        "checked dedup_cluster machinery) instead of the doc id, so a "
+        "document and its near-twin can never straddle train and test "
+        "— the eval-leakage failure the plain hash_split has with "
+        "probability 2*p_train*p_test per near-dup pair, which "
+        "within-split dedup cannot fix (the leak is ACROSS splits). "
+        "Singletons skip the graph via the left join and hash their "
+        "own id, so a dup-free corpus degenerates to the plain split "
+        "bit-for-bit (same salt, same thresholds). Plan: components "
+        "are bounded by the near-dup population; the corpus takes one "
+        "join + a scan-stage hash CASE. The oracle replays the full "
+        "closure (recursive CTE) and the exact split thresholds.",
+    )
+    def sample_split_cluster_safe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from clickhouse_mysql_data_reader_spark.operators.sampling import (
+            cluster_safe_split,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        sh = shingle_table(docs, "text", "doc_id", k=3)
+        sigs = minhash_signatures(sh, NUM_HASHES)
+        cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
+        pairs = jaccard_pairs(sh, candidates=cands, min_jaccard=_CC_THRESHOLD)
+        return cluster_safe_split(
+            docs.select("doc_id"), pairs, _SPLITS
+        ).select("doc_id", "component", "split")
+
+
 def _sql_hash(salt: str, key_sql: str) -> str:
     return f"substr(md5('{salt}:' || CAST({key_sql} AS VARCHAR)), 1, 8)"
 
@@ -1114,6 +1158,9 @@ def _sql_strat_cond(key_sql: str, strata_sql: str) -> str:
         for v, r in sorted(_STRATA_RATES.items())
     )
     return f"CASE {whens} ELSE {_sql_sample_cond(key_sql, _DEFAULT_RATE)} END"
+
+
+_register_cluster_safe_split()
 
 
 @register(

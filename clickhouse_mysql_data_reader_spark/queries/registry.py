@@ -711,6 +711,12 @@ DEPRIORITIZED = (
     #     dictionary; completes the entity-resolution family from pair
     #     proposal to applicable mapping
     "match_entity_resolve",
+    #   - sample_split_cluster_safe: leakage-safe train/val/test split
+    #     — the split hashes the near-dup COMPONENT (the checked
+    #     dedup_cluster closure) so near-twins never straddle train
+    #     and test; dup-free corpora degenerate to the plain
+    #     hash_split bit-for-bit
+    "sample_split_cluster_safe",
     # ...and the late-round-11 births (rotated INTO the checked 50
     # the same round — see the late-round-11 block below; the
     # descriptions stay here as the capability record):

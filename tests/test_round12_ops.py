@@ -129,3 +129,55 @@ def test_resolve_entities_tie_breaks_lexicographically(spark):
         ).collect()
     }
     assert got == {"blue box": "blue box", "blux box": "blue box"}
+
+
+def test_cluster_safe_split_no_leakage_and_degenerate_parity(spark):
+    """Every near-dup component shares ONE split label; docs without a
+    near-dup neighbor get exactly the plain hash_split assignment
+    (same salt, same thresholds) — the degenerate-parity contract."""
+    from clickhouse_mysql_data_reader_spark.operators.sampling import (
+        cluster_safe_split,
+        hash_split,
+    )
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    # two chains (transitive) + one direct pair; the rest singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    out = cluster_safe_split(docs, pairs, fr).collect()
+    by_comp: dict = {}
+    by_id = {}
+    for r in out:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+        by_id[r["doc_id"]] = (r["component"], r["split"])
+    # one split per component, chains fully merged onto the min id
+    assert all(len(s) == 1 for s in by_comp.values())
+    assert by_id[3][0] == 1 and by_id[23][0] == 20
+    assert by_id[1][1] == by_id[2][1] == by_id[3][1]
+    # singletons == plain hash_split of their own id
+    plain = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", hash_split(F.col("doc_id"), fr).alias("s")
+        ).collect()
+    }
+    clustered = {1, 2, 3, 10, 11, 20, 21, 22, 23}
+    for i in range(60):
+        if i not in clustered:
+            assert by_id[i] == (i, plain[i])
+    # cluster members inherit the COMPONENT label's plain assignment
+    assert by_id[2][1] == plain[1] and by_id[23][1] == plain[20]
+
+
+def test_cluster_safe_split_rejects_column_collisions(spark):
+    from clickhouse_mysql_data_reader_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, split string")
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="split"):
+        cluster_safe_split(docs, pairs, {"train": 1.0})
