@@ -80,6 +80,21 @@ class CurationConfig:
     # source column the two calibrated gates read (they run inside the
     # row stages, which otherwise don't touch source)
     quality_source_col: str = "source"
+    # opt-in LEAKAGE-SAFE split assignment (operators/sampling.py
+    # cluster_safe_split): (("train", 0.8), ("val", 0.1), ...) fractions
+    # summing to 1. When set, the result carries ``split_assignments``
+    # — (id, component, split) for every FINAL survivor, where the
+    # split hashes the near-dup COMPONENT the pipeline ALREADY computed
+    # (every edge type curate used: exact-threshold, containment,
+    # semantic), so a document and its near-twin can never straddle
+    # train and test, and the assignment does not depend on WHICH
+    # cluster member the keeper election kept. Singletons hash their
+    # own id — a dup-free corpus degenerates to the plain hash_split.
+    # BATCH-ONLY: component labels are corpus-relative (a later batch
+    # merging two clusters would re-label them), so curate_increment /
+    # curate_stream raise if it is set — incremental pipelines split
+    # with the standalone operator over a landed pair set. None = off.
+    split_fractions: tuple[tuple[str, float], ...] | None = None
     drop_repetitive: bool = True
     redact_pii: bool = True
     # opt-in Gopher rule filter (operators/text.py gopher_rules, Rae et
@@ -389,6 +404,23 @@ class CurationConfig:
                         "quality_thresholds entries must be (source, "
                         f"min_score) pairs; got {entry!r}"
                     )
+        if self.split_fractions is not None:
+            # same JSON-friendly shape discipline as quality_thresholds
+            for entry in self.split_fractions:
+                if (
+                    len(entry) != 2
+                    or not isinstance(entry[0], str)
+                    or not isinstance(entry[1], (int, float))
+                ):
+                    raise ValueError(
+                        "split_fractions entries must be (split_name, "
+                        f"fraction) pairs; got {entry!r}"
+                    )
+            total = sum(f for _, f in self.split_fractions)
+            if abs(total - 1.0) > 1e-9:
+                raise ValueError(
+                    f"split_fractions must sum to 1, got {total}"
+                )
 
 
 @dataclass
@@ -403,6 +435,10 @@ class CurationResult:
     after_decontamination: DataFrame
     after_mixture: DataFrame
     packed: DataFrame
+    # (id, component, split) for every final survivor when
+    # cfg.split_fractions is set (None otherwise) — the leakage-safe
+    # split keyed on the pipeline's own near-dup components
+    split_assignments: DataFrame | None = None
     stage_frames: dict[str, DataFrame] = field(default_factory=dict)
     # frames curate() persisted on the caller's behalf (currently: the
     # shared shingle frame when the boilerplate gate is on). The CALLER
@@ -1104,6 +1140,34 @@ def curate(
             n_shards=cfg.pack_shards,
         )
 
+    # --- optional: leakage-safe split assignments ----------------------
+    # Reuses the components ALREADY computed for the keeper stage (all
+    # edge types), so the split respects exactly the near-dup graph the
+    # pipeline deduped with; survivors absent from the graph
+    # (singletons) hash their own id. One extra join over the final
+    # survivors — the component frame is bounded by the near-dup
+    # population, never the corpus.
+    split_assign = None
+    if cfg.split_fractions is not None:
+        from clickhouse_mysql_data_reader_spark.operators.sampling import (
+            hash_split,
+        )
+
+        split_assign = (
+            mixed.select(id_col)
+            .distinct()
+            .join(
+                comps.select(F.col("doc_id").alias(id_col), "component"),
+                id_col,
+                "left",
+            )
+            .withColumn("component", F.coalesce("component", F.col(id_col)))
+            .withColumn(
+                "split",
+                hash_split(F.col("component"), dict(cfg.split_fractions)),
+            )
+        )
+
     return CurationResult(
         quality_gated=gated,
         after_exact_dedup=exact,
@@ -1112,6 +1176,7 @@ def curate(
         after_decontamination=clean,
         after_mixture=mixed,
         packed=packed,
+        split_assignments=split_assign,
         stage_frames={
             "input": docs,
             "quality_gated": gated,
@@ -2361,6 +2426,16 @@ def curate_increment(
             "operators/text.py calibrated_quality_thresholds() and pass "
             "them as cfg.quality_thresholds (stateless, batch-stable)"
         )
+    if cfg.split_fractions is not None:
+        # component labels are corpus-relative: a later batch merging
+        # two clusters re-labels them, silently flipping earlier split
+        # assignments — refuse loudly, like the calibrated gate
+        raise ValueError(
+            "split_fractions is batch-only (component labels are "
+            "corpus-relative); split incrementally with the standalone "
+            "operators/sampling.py cluster_safe_split over a landed "
+            "pair set"
+        )
     if cfg.near_dup_exact and state.jaccard_exact_threshold != cfg.near_dup_jaccard:
         # the landed prefixes were sliced for the state's threshold; a
         # looser probe threshold would need LONGER prefixes than were
@@ -2937,6 +3012,15 @@ def curate_stream(
             "quality_calibrate_pctile is batch-only; freeze per-source "
             "thresholds (calibrated_quality_thresholds) and pass them as "
             "cfg.quality_thresholds for streaming curation"
+        )
+    if cfg.split_fractions is not None:
+        # same fail-at-setup discipline: component labels are
+        # corpus-relative, so streaming split assignments would flip
+        # whenever a later epoch merges clusters
+        raise ValueError(
+            "split_fractions is batch-only; split incrementally with "
+            "the standalone operators/sampling.py cluster_safe_split "
+            "over a landed pair set"
         )
     apply_fn = curation_epoch_apply(
         state, out_dir, cfg=cfg, benchmark=benchmark, text_col=text_col,

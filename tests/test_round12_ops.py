@@ -181,3 +181,95 @@ def test_cluster_safe_split_rejects_column_collisions(spark):
     pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
     with pytest.raises(ValueError, match="split"):
         cluster_safe_split(docs, pairs, {"train": 1.0})
+
+
+def _split_corpus(spark):
+    """Near-dup clusters with quality-gate-proof text: docs 1/2/3 are
+    one cluster (3 is longest, 1 is min id), 10/11 another; 20+ are
+    singletons."""
+    base = "the of and is to in that it was for " + " ".join(
+        f"w{j} common body text shared across near duplicates" for j in range(12)
+    )
+    rows = [
+        (1, "web", base + " tail-a"),
+        (2, "web", base + " tail-b"),
+        (3, "web", base + " tail-c extra extra extra words making it longest"),
+        (10, "web", base.replace("common", "other") + " u1"),
+        (11, "web", base.replace("common", "other") + " u2"),
+    ] + [
+        (20 + i, "web", f"singleton {i} " + " ".join(f"s{i}x{j}" for j in range(40)))
+        for i in range(6)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+_SPLIT_CFG = dict(
+    min_quality_score=0.0, drop_repetitive=False, redact_pii=False,
+    split_fractions=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+)
+
+
+def test_curate_split_assignments_cover_survivors_and_are_keeper_invariant(spark):
+    """split_assignments covers exactly the final survivors, hashes the
+    COMPONENT (so which member the keeper election kept cannot change
+    the cluster's split), and singletons equal the plain hash_split."""
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationConfig,
+        curate,
+    )
+    from clickhouse_mysql_data_reader_spark.operators.sampling import hash_split
+
+    docs = _split_corpus(spark)
+    res_min = curate(docs, cfg=CurationConfig(**_SPLIT_CFG, near_dup_keeper="min_id"))
+    res_long = curate(docs, cfg=CurationConfig(**_SPLIT_CFG, near_dup_keeper="longest"))
+    a_min = {r["doc_id"]: (r["component"], r["split"])
+             for r in res_min.split_assignments.collect()}
+    a_long = {r["doc_id"]: (r["component"], r["split"])
+              for r in res_long.split_assignments.collect()}
+    # coverage == final survivors, exactly
+    surv_min = {r["doc_id"] for r in res_min.after_mixture.collect()}
+    assert set(a_min) == surv_min
+    # the two keeper policies keep DIFFERENT members of cluster {1,2,3}
+    assert 1 in a_min and 1 not in a_long and 3 in a_long
+    # ...but the cluster's split is identical: both hash component 1
+    assert a_min[1][0] == a_long[3][0] == 1
+    assert a_min[1][1] == a_long[3][1]
+    # singletons hash their own id == the plain hash_split
+    fr = dict(_SPLIT_CFG["split_fractions"])
+    plain = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", hash_split(F.col("doc_id"), fr).alias("s")
+        ).collect()
+    }
+    for i in range(20, 26):
+        if i in a_min:
+            assert a_min[i] == (i, plain[i])
+
+
+def test_curate_split_fractions_batch_only_and_validated(spark, tmp_path):
+    from clickhouse_mysql_data_reader_spark.curation import (
+        CurationConfig,
+        CurationState,
+        curate_increment,
+        curate_stream,
+    )
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        CurationConfig(split_fractions=(("train", 0.5),))
+    with pytest.raises(ValueError, match="pairs"):
+        CurationConfig(split_fractions=(("train",),))
+    # JSON-shaped lists (the CLI path) are accepted
+    cfg = CurationConfig(**{**_SPLIT_CFG, "split_fractions": [["train", 1.0]]})
+    docs = _split_corpus(spark)
+    state = CurationState(str(tmp_path / "state"))
+    with pytest.raises(ValueError, match="batch-only"):
+        curate_increment(docs, state, cfg)
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    with pytest.raises(ValueError, match="batch-only"):
+        curate_stream(stream, state, str(tmp_path / "out"), cfg)
+    # and unset => the result field stays None
+    from clickhouse_mysql_data_reader_spark.curation import curate
+
+    res = curate(docs, cfg=CurationConfig(min_quality_score=0.0))
+    assert res.split_assignments is None
