@@ -235,14 +235,24 @@ def run(cfg: AppConfig, spark: SparkSession | None = None) -> int:
             # configured); `packed` adds training-shard layout columns,
             # a downstream concern the API exposes
             res.after_mixture.write.mode("overwrite").parquet(cfg.dst.parquet_dir)
+            if res.split_assignments is not None:
+                # leakage-safe split map (id, component, split) lands as
+                # a sibling table — joinable back on the id, and written
+                # AFTER the corpus so a crash between the two leaves a
+                # complete corpus with splits merely absent
+                splits_dir = cfg.dst.parquet_dir.rstrip("/") + "_splits"
+                res.split_assignments.write.mode("overwrite").parquet(splits_dir)
             res.unpersist()
             mode = "batch"
         n_out = spark.read.parquet(cfg.dst.parquet_dir).count()
-        print(json.dumps({
+        report = {
             "verb": verb, "mode": mode, "input_rows": docs.count(),
             "kept_rows": n_out, "out_dir": cfg.dst.parquet_dir,
             "state_dir": cfg.curate.state_dir,
-        }))
+        }
+        if ccfg.split_fractions is not None and not cfg.curate.state_dir:
+            report["splits_dir"] = cfg.dst.parquet_dir.rstrip("/") + "_splits"
+        print(json.dumps(report))
         return 0
 
     if verb == "migrate-table":

@@ -694,3 +694,37 @@ def test_cli_curate_data_quality_thresholds_json(spark, tmp_path, capsys):
     assert rep["kept_rows"] == 2
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {1, 3}
+
+
+def test_cli_curate_data_split_fractions_json(spark, tmp_path, capsys):
+    """split_fractions rides the --curation-config JSON path: the batch
+    verb lands the curated corpus AND a sibling <dst>_splits table
+    whose rows cover exactly the kept ids, each with a split label."""
+    src = str(tmp_path / "docs_split")
+    _write_docs(spark, src, [
+        (1, "web", _CUR_A),
+        (2, "web", _CUR_B),
+        (3, "web", _CUR_A + " near duplicate tail"),
+    ])
+    ccfg = tmp_path / "curation_split.json"
+    ccfg.write_text(json.dumps({
+        "min_quality_score": 0.0,
+        "drop_repetitive": False,
+        "split_fractions": [["train", 0.8], ["val", 0.1], ["test", 0.1]],
+    }))
+    out = str(tmp_path / "kept_split")
+    assert run(parse_config([
+        "--curate-data",
+        "--src-parquet-dir", src,
+        "--dst-parquet-dir", out,
+        "--curation-config", str(ccfg),
+    ]), spark) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["splits_dir"] == out + "_splits"
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in spark.read.parquet(rep["splits_dir"]).collect()
+    }
+    assert set(splits) == kept
+    assert set(splits.values()) <= {"train", "val", "test"}
