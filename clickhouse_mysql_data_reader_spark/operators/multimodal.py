@@ -225,6 +225,7 @@ def image_near_dup_pairs(
     decode_fn: Callable[[bytes, str], list[int]] | None = None,
     grid_w: int = 7,
     grid_h: int = 8,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Perceptual-hash image near-duplicate pairs: dHash fingerprints
     + the Manku pigeonhole banding the text side already uses
@@ -233,9 +234,18 @@ def image_near_dup_pairs(
     agrees exactly on one chunk), so candidate generation is an
     equi-join on narrow (chunk_i, chunk_val) keys — NEVER all-pairs.
 
-    At 100 TB: the media bytes are touched once (scan-stage decode in
-    ``image_dhash``); everything after is (id, chunk, fingerprint)
-    longs — the identical scale shape as text simhash/SRP banding.
+    Everything after the decode is (id, chunk, fingerprint) longs —
+    the identical scale shape as text simhash/SRP banding.
+
+    Evaluation count: the banding self-join consumes the fingerprint
+    frame on BOTH sides, and Spark plans a lazy ``image_dhash``
+    subtree per side — the decode runs TWICE (the mmr_rerank
+    candidate-subtree reasoning; no release point exists in an
+    operator returning a lazy frame). Fine for the deterministic
+    fake; a production pass with a REAL decoder should LAND the tiny
+    (media_id, dhash) table once and feed it through ``sigs=`` — the
+    media bytes are then never re-read and the decode never re-runs
+    (the same seam discipline as ``cms_heavy_hitters(sketch=)``).
     Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
     """
     from clickhouse_mysql_data_reader_spark.operators.dedup import (
@@ -243,7 +253,10 @@ def image_near_dup_pairs(
     )
 
     bits = grid_h * (grid_w - 1)
-    sigs = image_dhash(media, decode_fn=decode_fn, grid_w=grid_w, grid_h=grid_h)
+    if sigs is None:
+        sigs = image_dhash(
+            media, decode_fn=decode_fn, grid_w=grid_w, grid_h=grid_h
+        )
     return simhash_near_pairs(
         sigs,
         bits=bits,

@@ -235,3 +235,28 @@ def test_image_dhash_default_fake_is_md5_blocked(spark):
     # a decoder returning too few pixels fails loudly, not silently
     with pytest.raises(Exception, match="pixels"):
         image_dhash(df, decode_fn=lambda c, k: [1, 2, 3]).collect()
+
+
+def test_image_near_dup_sigs_seam_matches_default(spark):
+    """sigs= is the landed-fingerprint seam (the cms sketch= idiom):
+    feeding image_dhash output through it yields the identical pair
+    set, so a production pass can land (media_id, dhash) once and
+    never decode twice."""
+    from clickhouse_mysql_data_reader_spark.operators.multimodal import (
+        image_dhash,
+        image_near_dup_pairs,
+    )
+
+    df = _pix_df(
+        spark,
+        [(i, "image", ("x" * 200 + f"tail{i % 2}").encode()) for i in range(6)],
+    )
+    default = image_near_dup_pairs(df, hamming_max=7)
+    seam = image_near_dup_pairs(
+        df, hamming_max=7, sigs=image_dhash(df)
+    )
+    assert sorted(map(tuple, default.collect())) == sorted(
+        map(tuple, seam.collect())
+    )
+    # content differing only past the 4 pixel blocks pairs at hamming 0
+    assert default.filter(F.col("hamming") == 0).count() > 0
