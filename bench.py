@@ -419,6 +419,9 @@ def main() -> None:
         "match_entity_resolve": time_query("match_entity_resolve"),
         # round-12 addition: leakage-safe split (components + hash CASE)
         "sample_split_cluster_safe": time_query("sample_split_cluster_safe"),
+        # round-12 addition: image cluster keeper (pairs -> components
+        # -> largest-original election)
+        "dedup_image_cluster_keep": time_query("dedup_image_cluster_keep"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -118,6 +118,95 @@ def dedup_image_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_image_cluster_keep",
+    """
+    WITH RECURSIVE img AS (
+      SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (
+      SELECT media_id, k,
+             ('0x' || substr(md5(substr(text, CAST(k//16*64 + 1 AS INT), 64)
+                                 || ':' || CAST(k//16 AS VARCHAR)),
+                             CAST(2*(k%16)+1 AS INT), 2))::BIGINT AS p
+      FROM img, UNNEST(range(56)) AS t(k)
+    ),
+    bits AS (
+      SELECT a.media_id,
+             CAST((a.k // 7) * 6 + (a.k % 7) AS INT) AS bit_i,
+             CASE WHEN a.p < b.p THEN 1 ELSE 0 END AS bit
+      FROM px a JOIN px b ON a.media_id = b.media_id AND b.k = a.k + 1
+      WHERE a.k % 7 < 6
+    ),
+    fp AS (
+      SELECT media_id, CAST(sum(bit * (1::BIGINT << bit_i)) AS BIGINT) AS dhash
+      FROM bits GROUP BY media_id
+    ),
+    prs AS (
+      SELECT a.media_id AS doc_a, b.media_id AS doc_b
+      FROM fp a JOIN fp b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+    ),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+              UNION SELECT doc_b, doc_a FROM prs),
+    reach(u, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      UNION SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+    ),
+    comp AS (SELECT u AS media_id, min(lbl) AS component FROM reach GROUP BY u),
+    attrs AS (
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    scored AS (
+      SELECT c.media_id, c.component, a.n_bytes
+      FROM comp c JOIN attrs a USING (media_id)
+    ),
+    best AS (SELECT component, max(n_bytes) AS mx FROM scored GROUP BY component),
+    keeper AS (
+      SELECT s.component, min(s.media_id) AS keeper_id
+      FROM scored s JOIN best b
+        ON s.component = b.component AND s.n_bytes = b.mx
+      GROUP BY s.component
+    )
+    SELECT s.media_id, s.component, k.keeper_id,
+           s.media_id = k.keeper_id AS is_keeper
+    FROM scored s JOIN keeper k ON s.component = k.component
+    """,
+    doc="Image near-dup clusters turned into an APPLICABLE drop set — "
+    "the dedup_cluster_best_keeper pattern on the image modality: "
+    "dHash pigeonhole pairs (dedup_image_phash's machinery) -> "
+    "connected components (transitive: a re-encode chain merges even "
+    "when the endpoints' Hamming distance exceeds the gate) -> "
+    "quality-aware keeper election per cluster, keeping the LARGEST "
+    "original (n_bytes — the keep-the-highest-resolution-copy rule; "
+    "a real deployment scores width*height from the metadata struct) "
+    "with min-id ties. Spark side composes image_near_dup_pairs + "
+    "connected_components + component_keepers (map-side max(struct), "
+    "no window — a giant boilerplate-image cluster still partial-"
+    "aggregates); the oracle replays the closure as a recursive CTE "
+    "(the match_entity_resolve idiom). Output rows cover the "
+    "CLUSTERED images; drop = rows with is_keeper false.",
+)
+def dedup_image_cluster_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.graph import (
+        component_keepers,
+        connected_components,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    pairs = image_near_dup_pairs(media, hamming_max=7)
+    comps = connected_components(pairs).select(
+        F.col("doc_id").alias("media_id"), "component"
+    )
+    attrs = media.filter(F.col("kind") == "image").select(
+        "media_id",
+        F.coalesce(F.length("content"), F.lit(0)).cast("long").alias("n_bytes"),
+    )
+    return component_keepers(comps, attrs, "n_bytes", id_col="media_id")
+
+
+@register(
     "multimodal_frame_plan",
     """
     SELECT doc_id AS media_id, i AS frame_ts_ms

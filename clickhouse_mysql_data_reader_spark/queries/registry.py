@@ -717,6 +717,11 @@ DEPRIORITIZED = (
     #     and test; dup-free corpora degenerate to the plain
     #     hash_split bit-for-bit
     "sample_split_cluster_safe",
+    #   - dedup_image_cluster_keep: the image drop set — dHash pairs
+    #     -> components -> largest-original keeper election (the
+    #     dedup_cluster_best_keeper pattern on the image modality;
+    #     recursive-CTE closure oracle)
+    "dedup_image_cluster_keep",
     # ...and the late-round-11 births (rotated INTO the checked 50
     # the same round — see the late-round-11 block below; the
     # descriptions stay here as the capability record):
