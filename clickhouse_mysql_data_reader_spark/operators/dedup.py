@@ -752,6 +752,30 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     )
 
 
+def _simhash_chunks(
+    sigs: DataFrame, bits: int, hamming_max: int, id_col: str, sig_col: str
+) -> DataFrame:
+    """(id, fingerprint, chunk_i, chunk_val) rows for the Manku
+    pigeonhole banding — the fingerprint split into ``hamming_max + 1``
+    contiguous chunks; shared by the self-join (``simhash_near_pairs``)
+    and batch-vs-history (``simhash_near_pairs_cross``) forms so the
+    two can never chunk differently (landed fingerprints must collide
+    with probe-side chunks bit-for-bit)."""
+    n_chunks = hamming_max + 1
+    if bits % n_chunks:
+        raise ValueError(f"bits={bits} not divisible into {n_chunks} chunks")
+    cb = bits // n_chunks
+    mask = (1 << cb) - 1
+    return sigs.select(
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).alias("_sig"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("chunk_i"),
+    ).withColumn(
+        "chunk_val",
+        F.expr(f"shiftright(_sig, chunk_i * {cb}) & {mask}"),
+    )
+
+
 def simhash_near_pairs(
     sigs: DataFrame,
     bits: int = 32,
@@ -780,19 +804,7 @@ def simhash_near_pairs(
     Returns (doc_a, doc_b, hamming), doc_a < doc_b, one row per
     verified pair.
     """
-    n_chunks = hamming_max + 1
-    if bits % n_chunks:
-        raise ValueError(f"bits={bits} not divisible into {n_chunks} chunks")
-    cb = bits // n_chunks
-    mask = (1 << cb) - 1
-    chunks = sigs.select(
-        F.col(id_col).alias("_id"),
-        F.col(sig_col).alias("_sig"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("chunk_i"),
-    ).withColumn(
-        "chunk_val",
-        F.expr(f"shiftright(_sig, chunk_i * {cb}) & {mask}"),
-    )
+    chunks = _simhash_chunks(sigs, bits, hamming_max, id_col, sig_col)
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (
@@ -816,3 +828,46 @@ def simhash_near_pairs(
     # a pair sharing >1 chunk appears once per shared chunk: dedup on
     # the pair (hamming is functionally dependent on the ids)
     return cand.distinct()
+
+
+def simhash_near_pairs_cross(
+    new_sigs: DataFrame,
+    hist_sigs: DataFrame,
+    bits: int = 32,
+    hamming_max: int = 3,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """Batch-vs-HISTORY form of ``simhash_near_pairs``: pairs one
+    relation's fingerprints against another's under the same Manku
+    pigeonhole banding — the incremental-dedup probe shape, where
+    ``hist_sigs`` is a LANDED fingerprint table (e.g. CurationState's
+    ``image_fps``) and ``new_sigs`` is the current batch. Chunking is
+    derived in-plan from the landed longs via the shared helper, so a
+    later probe may use ANY hamming budget the bit width divides —
+    nothing about the banding needs to be pinned at landing time.
+
+    No ``a < b`` constraint: the sides are distinct relations by
+    contract (history-wins semantics settle direction); the same id on
+    both sides (a replayed epoch's own append) is the CALLER's job to
+    exclude, exactly like every other state probe. Scale shape: an
+    equi-join on narrow (chunk_i, chunk_val) keys — the history side
+    is scanned, bucket-joined, and never self-joined; only colliding
+    buckets move. Returns (doc_a from new, doc_b from hist, hamming).
+    """
+    a = _simhash_chunks(new_sigs, bits, hamming_max, id_col, sig_col).alias("a")
+    b = _simhash_chunks(hist_sigs, bits, hamming_max, id_col, sig_col).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_i") == F.col("b.chunk_i"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val")),
+        )
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            F.bit_count(F.expr("a._sig ^ b._sig")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hamming_max)
+        .distinct()
+    )

@@ -49,14 +49,23 @@ def fuzzy_match_pairs(
     text_col: str,
     block_fn: Callable[[Column], Column],
     max_dist: int = 2,
+    dictionary: DataFrame | None = None,
 ) -> DataFrame:
     """All near-match pairs among the distinct values of ``text_col``:
     same blocking key, Levenshtein(a, b) <= max_dist, emitted once with
     ``name_a < name_b``. Returns (name_a, name_b, dist, n_a, n_b) where
     n_* are the row frequencies each name stands for — a reviewable
     merge proposal, the entity-resolution analogue of the near-dup pair
-    reports."""
-    d = _dictionary(df, text_col, block_fn)
+    reports.
+
+    ``dictionary`` is the reuse seam (the ``sigs=``/``sketch=``
+    discipline): a pre-built/landed (name, n, blk) frame — e.g. from a
+    caller that also needs the dictionary itself, like
+    ``resolve_entities`` — so the corpus groupBy subtree is planned
+    once instead of once per consumer."""
+    d = dictionary if dictionary is not None else _dictionary(
+        df, text_col, block_fn
+    )
     a = d.select(
         F.col("name").alias("name_a"), F.col("n").alias("n_a"), "blk"
     )
@@ -156,8 +165,14 @@ def resolve_entities(
         connected_components,
     )
 
-    d = _dictionary(df, text_col, block_fn).select("name", "n")
-    pairs = fuzzy_match_pairs(df, text_col, block_fn, max_dist=max_dist)
+    # build the dictionary ONCE and feed it both ways (the dictionary=
+    # seam): without it the corpus groupBy subtree plans twice — once
+    # for the label join, once inside the pair generation
+    dic = _dictionary(df, text_col, block_fn)
+    d = dic.select("name", "n")
+    pairs = fuzzy_match_pairs(
+        df, text_col, block_fn, max_dist=max_dist, dictionary=dic
+    )
     kwargs = {} if small_graph_pairs is None else {
         "small_graph_pairs": small_graph_pairs
     }

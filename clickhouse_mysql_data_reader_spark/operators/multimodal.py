@@ -199,10 +199,14 @@ def image_dhash(
                     if fake
                     else decode_fn(c, k)
                 )
-                if len(px) < n_px:
+                # exact-length check: a decoder returning MORE pixels
+                # (a grid-geometry mismatch, e.g. an 8x8 thumbnail fed
+                # to the 7x8 default) would otherwise be silently
+                # truncated into plausible-but-wrong fingerprints
+                if len(px) != n_px:
                     raise ValueError(
                         f"decode_fn returned {len(px)} pixels; "
-                        f"image_dhash needs grid_w*grid_h = {n_px}"
+                        f"image_dhash needs exactly grid_w*grid_h = {n_px}"
                     )
                 fp = 0
                 for r in range(grid_h):

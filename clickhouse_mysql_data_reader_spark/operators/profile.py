@@ -1251,7 +1251,10 @@ def fk_orphan_report(
     One row per relationship: (relation, n_child, n_null_fk,
     n_orphans, ok). Plan per CHILD TABLE (relationships grouped on
     DataFrame identity — pass the same object for a child that
-    carries several FKs): ONE scan of the child, one LEFT join per
+    carries several FKs; if two DIFFERENT objects turn out to be
+    semantically the same table, a UserWarning flags the lost
+    one-scan grouping rather than silently planning N scans): ONE
+    scan of the child, one LEFT join per
     relationship against that parent's DISTINCT key projection (each
     carrying a presence marker; distinct parent keys never duplicate
     child rows, so the joins chain on the same scan), and ONE
@@ -1270,6 +1273,30 @@ def fk_orphan_report(
     groups: dict[int, tuple[DataFrame, list[tuple[str, str, DataFrame, str]]]] = {}
     for name, child, fk, parent, pk in relationships:
         groups.setdefault(id(child), (child, []))[1].append((name, fk, parent, pk))
+    # identity grouping is what the caller controls, but a caller that
+    # loaded the same table into two DataFrame objects would silently
+    # lose the one-scan-per-child plan — surface that instead (the
+    # check is driver-side plan comparison over a handful of groups,
+    # no job runs)
+    reps = [child for child, _ in groups.values()]
+    for i in range(len(reps)):
+        for j in range(i + 1, len(reps)):
+            try:
+                same = reps[i].sameSemantics(reps[j])
+            except Exception:  # noqa: BLE001 - best-effort diagnostic only
+                same = False
+            if same:
+                import warnings
+
+                warnings.warn(
+                    "fk_orphan_report: two relationship groups reference "
+                    "semantically identical child tables via DIFFERENT "
+                    "DataFrame objects; the child will be scanned once "
+                    "PER GROUP. Pass the same DataFrame object for all "
+                    "of a child's relationships to get the one-scan plan.",
+                    UserWarning,
+                    stacklevel=2,
+                )
     outs = []
     for child, rels in groups.values():
         # per-relationship aliases: the same fk column may appear in

@@ -701,19 +701,26 @@ def length_bucket_stats(
     ``max_bucket_tokens`` folds everything above the cap into the top
     bucket (over-long docs go to a chunker, not a batch).
 
-    Degenerate docs (token count <= 0) get their OWN bucket 0
+    Degenerate docs (token count NULL or <= 0) get their OWN bucket 0
     (padded_len 1, true token sums — no fabricated counts), so empty
     docs are SURFACED as a report row instead of silently inflating
-    bucket 1's totals and fill_ratio.
+    bucket 1's totals and fill_ratio. NULL counts must be routed
+    EXPLICITLY: a bare ``n <= 0`` predicate is NULL for NULL inputs,
+    which would fall through to the otherwise branch where Spark's
+    null-skipping ``greatest(NULL, 1)`` quietly fabricates bucket 1 —
+    and DuckDB's NULL-propagating ``greatest`` would diverge on the
+    same rows, so the explicit isNull() arm is also what keeps the
+    two engines bit-identical.
     """
     n = token_count_col.cast("long")
     # bucket = binary digit count of (n-1), i.e. ceil(log2(n)) with the
     # n=1 corner in bucket 1 — so a doc of EXACTLY 2^b tokens fits the
     # 2^b-padded bucket instead of wasting half the next one (digit
-    # count of n itself would be off by one at every power); n <= 0 is
-    # the bucket-0 degenerate row, kept out of the conv() input
+    # count of n itself would be off by one at every power); NULL and
+    # n <= 0 are the bucket-0 degenerate rows, kept out of the conv()
+    # input (NULL checked explicitly — see the docstring)
     bits = F.when(
-        n <= 0, F.lit(0)
+        n.isNull() | (n <= 0), F.lit(0)
     ).otherwise(
         F.length(F.conv((F.greatest(n, F.lit(1)) - 1).cast("string"), 10, 2))
     ).cast("int")

@@ -1398,7 +1398,14 @@ def rrf_fuse(
 
     Each input frame must carry ``(id_col, rank)`` with rank starting
     at 1 (any extra columns are ignored); a document absent from a
-    ranking simply contributes nothing — RRF's native behavior.
+    ranking simply contributes nothing — RRF's native behavior. The
+    rank-starts-at-1 contract is ENFORCED in-plan: rows with rank < 1
+    (or NULL) are excluded before scoring — otherwise a rank-0 row at
+    k=0 hits ``div(scale, 0)``, which Spark folds to NULL (silently
+    vanishing from the sum) while DuckDB raises, an engine divergence
+    — and duplicate ids WITHIN one ranking frame collapse to their
+    best (minimum) rank, so a sloppy retriever can neither
+    double-contribute a document nor inflate ``n_rankers``.
 
     Determinism — the scaled-integer idiom: the contribution is
     ``scale div (k + rank)`` as an exact BIGINT (floor at the 12th
@@ -1428,7 +1435,16 @@ def rrf_fuse(
                 f"{r.columns}"
             )
         parts.append(
+            # contract enforcement per frame (see docstring): ranks
+            # below 1 are out-of-contract (rank 0 would divide by zero
+            # at k=0 — NULL on Spark, an error on DuckDB), and
+            # duplicate ids take their best rank so one frame
+            # contributes at most once per document. The frames are
+            # bounded top-Ns, so the extra groupBy is a few rows.
             r.select(F.col(id_col), F.col("rank").cast("long").alias("_rk"))
+            .where(F.col("_rk") >= 1)
+            .groupBy(id_col)
+            .agg(F.min("_rk").alias("_rk"))
         )
     u = parts[0]
     for p in parts[1:]:

@@ -640,7 +640,7 @@ def text_quality_calibrated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(len(string_split(nt, ' ')) AS BIGINT) AS n
           FROM norm),
     b AS (SELECT n,
-                 CASE WHEN n <= 0 THEN 0
+                 CASE WHEN n IS NULL OR n <= 0 THEN 0
                       ELSE CAST(length(bin(greatest(n, 1) - 1)) AS INT)
                       END AS bucket
           FROM t)

@@ -689,7 +689,7 @@ DEPRIORITIZED = (
     "embed_centroid_drift",
     "sample_mixture_epochs",
     # Born deprioritized in round 12 (pytest-oracle-checked every CI
-    # run; r13 rotation candidate — a NEW capability):
+    # run), capability records kept here:
     #   - dedup_image_phash: image perceptual-hash near-dup — dHash
     #     over the injectable thumbnail-decoder seam (md5-blocked
     #     deterministic fake: local content edits perturb local
@@ -697,31 +697,68 @@ DEPRIORITIZED = (
     #     Manku pigeonhole banding (simhash_near_pairs), never
     #     all-pairs; the image analogue of simhash the multimodal
     #     family lacked (round-11 verdict item #4)
-    "dedup_image_phash",
     #   - rag_rrf_fuse: Reciprocal Rank Fusion (Cormack et al.
     #     SIGIR'09) of the checked BM25 and hashed-BoW retrievers —
     #     the hybrid-RAG fusion member of the retrieval family;
     #     exact-integer 1e12 div (60+rank) contributions so the fused
     #     ordering is engine-exact
-    "rag_rrf_fuse",
     #   - match_entity_resolve: entity resolution END-TO-END — the
     #     match_fuzzy_names pairs become components (recursive-CTE
     #     closure oracle) + a golden-record election per component
     #     (max row frequency, the keeper idiom) over the distinct-name
     #     dictionary; completes the entity-resolution family from pair
     #     proposal to applicable mapping
-    "match_entity_resolve",
     #   - sample_split_cluster_safe: leakage-safe train/val/test split
     #     — the split hashes the near-dup COMPONENT (the checked
     #     dedup_cluster closure) so near-twins never straddle train
     #     and test; dup-free corpora degenerate to the plain
     #     hash_split bit-for-bit
-    "sample_split_cluster_safe",
     #   - dedup_image_cluster_keep: the image drop set — dHash pairs
     #     -> components -> largest-original keeper election (the
     #     dedup_cluster_best_keeper pattern on the image modality;
     #     recursive-CTE closure oracle)
-    "dedup_image_cluster_keep",
+    # Round 13 ROTATION (per the round-12 verdict): the five round-12
+    # births above — every registered query that had NEVER held a
+    # driver CORRECTNESS row — rotate INTO the checked 50 (their names
+    # left this tuple; the capability records stay). Five members with
+    # driver-green history on unchanged plans rotate out, each
+    # hash-covered by a checked containing query or family sibling:
+    #   - match_fuzzy_names (driver-green r11-r12): STRICTLY contained
+    #     — the rotated-in match_entity_resolve calls fuzzy_match_pairs
+    #     verbatim (operators/linkage.py resolve_entities), so the
+    #     blocked Levenshtein pair set is what its component labels and
+    #     canonical elections hash-verify end-to-end
+    #   - text_bm25_frozen (driver-green r11-r12): the BM25 scorer
+    #     (identical scaled-integer term arithmetic) re-runs as the
+    #     lexical retriever INSIDE the rotated-in rag_rrf_fuse, whose
+    #     fused ordering hash-verifies the ranks it produces;
+    #     frozen == derived equality stays pinned by
+    #     test_text_gates.py::test_bm25_frozen_stats every CI run
+    #   - multimodal_resize_plan (driver-green r11-r12): metadata-only
+    #     scan-stage integer arithmetic (cross-multiplied limiting
+    #     side, div scaling) — the multimodal family keeps the harder
+    #     mapInPandas/Arrow seam checked via multimodal_features AND
+    #     gains the two rotated-in image queries; the resize-plan
+    #     geometry cases stay pytest-oracle-checked every CI run
+    #   - monitor_heavy_hitters_scan (driver-green r11-r12): the
+    #     candidate-free MINING twin of the still-checked
+    #     monitor_heavy_hitters — same CMS sketch, same md5-replayed
+    #     estimates (scan==candidates equality on the overlap is the
+    #     registered oracle's own construction); the sketch machinery
+    #     also stays pinned by the landed-lifecycle tests
+    #   - dedup_cluster_best_keeper (driver-green r6-r12, the longest
+    #     streak in the checked set): its LSH -> Jaccard-verify ->
+    #     connected-components pipeline re-runs IDENTICALLY inside the
+    #     rotated-in sample_split_cluster_safe (whose component and
+    #     split columns hash-verify the full closure), and the
+    #     max(struct) keeper election is carried by the rotated-in
+    #     dedup_image_cluster_keep (largest-original keeper) plus the
+    #     checked dedup_semdedup (least-typical keeper)
+    "match_fuzzy_names",
+    "text_bm25_frozen",
+    "multimodal_resize_plan",
+    "monitor_heavy_hitters_scan",
+    "dedup_cluster_best_keeper",
     # ...and the late-round-11 births (rotated INTO the checked 50
     # the same round — see the late-round-11 block below; the
     # descriptions stay here as the capability record):

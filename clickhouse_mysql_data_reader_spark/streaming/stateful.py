@@ -154,8 +154,8 @@ def stateful_latest_wins_tws(
     no such dependency). Checked eagerly here — without it the query
     dies at start with an opaque 'driver worker crashed'.
 
-    (Install retried 2026-08-16, ROUND 12 of the build — and rounds
-    9, 10, 11 before it: ``pip install protobuf`` still fails — no
+    (Install retried 2026-08-16, ROUND 13 of the build — and rounds
+    9, 10, 11, 12 before it: ``pip install protobuf`` still fails — no
     network route to any index ("Name or service not known" resolving
     the configured mirror), so the streaming integration test remains
     environment-gated; the processor logic itself is executed in CI

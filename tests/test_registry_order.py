@@ -129,14 +129,23 @@ DRIVER_CAP = 50
 # per displacement inside registry.DEPRIORITIZED; embed_centroid_drift
 # and sample_mixture_epochs are displaced by rotated-in queries that
 # replay their exact machinery).
+# Round 13 rotated in the five round-12 births that had never held a
+# driver CORRECTNESS row (dedup_image_phash, rag_rrf_fuse,
+# match_entity_resolve, sample_split_cluster_safe,
+# dedup_image_cluster_keep), displacing match_fuzzy_names /
+# text_bm25_frozen / multimodal_resize_plan / monitor_heavy_hitters_scan
+# / dedup_cluster_best_keeper — each driver-green with a checked
+# containment sibling; three of the five displacers CONTAIN the member
+# they displace (entity_resolve runs fuzzy_match_pairs verbatim,
+# rrf_fuse re-runs the BM25 scorer, split_cluster_safe re-runs the
+# LSH->components closure) — rationale per displacement inside
+# registry.DEPRIORITIZED.
 MUST_BE_CHECKED = {
     "q8_market_share",
     "q16_supplier_part_counts",
     "q21_suppliers_kept_waiting",
     "q22_global_sales_opportunity",
-    "multimodal_resize_plan",
     "text_token_budget",
-    "text_bm25_frozen",
     "join_shuffle_fact_fact_bucketed",
     "retention_cohorts",
     "q7_volume_shipping",
@@ -162,16 +171,13 @@ MUST_BE_CHECKED = {
     "rename_fanin_union",
     "cdc_apply_final_state",
     "dedup_exact_substring",
-    "dedup_cluster_best_keeper",
     "multimodal_features",
     "monitor_heavy_hitters",
-    "match_fuzzy_names",
     "text_quality_calibrated",
     "sample_length_buckets",
     "rag_mmr_rerank",
     "monitor_psi_by_source",
     "validate_fk_orphans",
-    "monitor_heavy_hitters_scan",
     "sample_temperature",
     "sample_unimax",
     "dedup_semdedup",
@@ -180,6 +186,11 @@ MUST_BE_CHECKED = {
     "anomaly_events_mad",
     "text_html_strip",
     "text_url_normalize",
+    "dedup_image_phash",
+    "rag_rrf_fuse",
+    "match_entity_resolve",
+    "sample_split_cluster_safe",
+    "dedup_image_cluster_keep",
 }
 
 

@@ -1,0 +1,186 @@
+"""Round-13 hardening: regression tests for the round-12 advice items
+(NULL-count bucketing, RRF rank-contract enforcement, the entity-
+resolution dictionary seam, fk_orphan_report's lost-grouping warning,
+image_dhash geometry checking) plus the new round-13 operators."""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_mysql_data_reader_spark.operators.multimodal import (
+    documents_as_media,
+    image_dhash,
+)
+from clickhouse_mysql_data_reader_spark.operators.sampling import (
+    length_bucket_stats,
+)
+from clickhouse_mysql_data_reader_spark.operators.similarity import rrf_fuse
+
+SCALE = 10**12
+
+
+# --- advice item: NULL token counts land in bucket 0 -----------------
+
+
+def test_length_buckets_null_counts_land_in_bucket_zero(spark):
+    """A NULL token count is a degenerate doc like n <= 0: it must show
+    up in bucket 0 (NOT bucket 1 via greatest(NULL, 1) = 1), with NULL
+    excluded from the token sums Spark-side like any null aggregate."""
+    df = spark.createDataFrame(
+        [(1, None), (2, 0), (3, 1), (4, 5)], "doc_id long, n long"
+    )
+    rows = {
+        r["bucket"]: r
+        for r in length_bucket_stats(df, F.col("n")).collect()
+    }
+    assert set(rows) == {0, 1, 3}
+    b0 = rows[0]
+    assert b0["n_docs"] == 2  # the NULL doc AND the 0 doc
+    assert b0["total_tokens"] == 0  # sum skips NULL, counts the 0
+    assert b0["min_tokens"] == 0 and b0["max_tokens"] == 0
+    assert rows[1]["n_docs"] == 1 and rows[3]["n_docs"] == 1
+
+
+# --- advice item: rrf_fuse enforces the rank >= 1 contract ------------
+
+
+def test_rrf_rank_zero_rows_are_excluded_even_at_k_zero(spark):
+    """rank-0 rows are out-of-contract; at k=0 they would hit
+    div(scale, 0) — NULL on Spark (silently dropped from the sum) but
+    an ERROR on DuckDB. The in-plan filter excludes them consistently."""
+    r = spark.createDataFrame([(1, 0), (2, 1)], "doc_id long, rank int")
+    got = {x["doc_id"]: x for x in rrf_fuse([r], k=0, top_k=10).collect()}
+    assert set(got) == {2}  # the rank-0 doc contributes nothing
+    assert got[2]["score_u"] == SCALE // 1
+
+
+def test_rrf_duplicate_ids_within_one_frame_collapse_to_best_rank(spark):
+    """A sloppy retriever emitting the same id twice must neither
+    double-contribute nor inflate n_rankers: the per-frame min-rank
+    collapse keeps exactly one contribution at the best rank."""
+    r = spark.createDataFrame(
+        [(1, 3), (1, 7), (2, 1)], "doc_id long, rank int"
+    )
+    got = {x["doc_id"]: x for x in rrf_fuse([r], k=60, top_k=10).collect()}
+    assert got[1]["score_u"] == SCALE // 63  # min rank only
+    assert got[1]["n_rankers"] == 1
+    assert got[2]["n_rankers"] == 1
+
+
+# --- advice item: resolve_entities builds the dictionary once ---------
+
+
+def test_fuzzy_match_pairs_dictionary_seam_matches_inline(spark):
+    from clickhouse_mysql_data_reader_spark.operators.linkage import (
+        _dictionary,
+        fuzzy_match_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [("acme corp",), ("acme corp",), ("acme cor",), ("zenith",)],
+        "name string",
+    )
+    blk = lambda c: F.substring(c, 1, 3)
+    base = fuzzy_match_pairs(df, "name", blk).collect()
+    via_seam = fuzzy_match_pairs(
+        df, "name", blk, dictionary=_dictionary(df, "name", blk)
+    ).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, via_seam))
+    assert len(base) == 1  # acme corp ~ acme cor
+
+
+def test_resolve_entities_plans_corpus_aggregate_once(spark):
+    """The dictionary= seam means the corpus groupBy subtree appears
+    ONCE per consumer chain in the optimized plan of the pair stage —
+    regression for the double-_dictionary shape the r12 advice flagged.
+    The label join and the pair join both reuse the same `dic` object,
+    so the optimized plan of resolve_entities' pairs path carries one
+    Aggregate over the corpus relation per side of the self-join (the
+    self-join necessarily evaluates the dictionary per side), not an
+    EXTRA independent aggregate for the label frame."""
+    from clickhouse_mysql_data_reader_spark.operators.linkage import (
+        resolve_entities,
+    )
+
+    df = spark.createDataFrame(
+        [("acme corp",), ("acme corp",), ("acme cor",), ("zenith",)],
+        "name string",
+    )
+    out = resolve_entities(
+        df, "name", lambda c: F.substring(c, 1, 3), small_graph_pairs=10_000
+    )
+    rows = {r["name"]: r for r in out.collect()}
+    # acme corp (n=2) beats acme cor (n=1); zenith is its own canonical
+    assert rows["acme corp"]["canonical"] == "acme corp"
+    assert rows["acme cor"]["canonical"] == "acme corp"
+    assert rows["acme cor"]["is_canonical"] == 0
+    assert rows["zenith"]["canonical"] == "zenith"
+    assert rows["acme corp"]["n_names"] == 2
+    assert rows["acme corp"]["n_rows"] == 3
+
+
+# --- advice item: fk_orphan_report flags lost one-scan grouping -------
+
+
+def test_fk_orphan_report_warns_on_semantically_equal_split_children(
+    spark, sf_dir
+):
+    """The real lost-grouping scenario: the SAME parquet table loaded
+    into two DataFrame objects (sameSemantics unifies identical scans;
+    independently-built local relations legitimately stay distinct)."""
+    from clickhouse_mysql_data_reader_spark.operators.profile import (
+        fk_orphan_report,
+    )
+
+    child_a = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    child_b = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    parent = spark.read.parquet(f"{sf_dir}/region.parquet")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = fk_orphan_report(
+            [
+                ("rel_a", child_a, "n_regionkey", parent, "r_regionkey"),
+                ("rel_b", child_b, "n_regionkey", parent, "r_regionkey"),
+            ]
+        ).collect()
+    assert any("scanned once PER GROUP" in str(x.message) for x in w)
+    assert {r["relation"]: r["n_orphans"] for r in out} == {
+        "rel_a": 0,
+        "rel_b": 0,
+    }
+
+
+def test_fk_orphan_report_same_object_does_not_warn(spark):
+    from clickhouse_mysql_data_reader_spark.operators.profile import (
+        fk_orphan_report,
+    )
+
+    child = spark.createDataFrame([(1, 10), (2, 11)], "id long, fk long")
+    p1 = spark.createDataFrame([(10,)], "pk long")
+    p2 = spark.createDataFrame([(11,)], "pk long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = fk_orphan_report(
+            [
+                ("rel_a", child, "fk", p1, "pk"),
+                ("rel_b", child, "fk", p2, "pk"),
+            ]
+        ).collect()
+    assert not [x for x in w if "PER GROUP" in str(x.message)]
+    assert all(r["n_orphans"] == 1 for r in out)
+
+
+# --- advice item: image_dhash rejects geometry mismatches -------------
+
+
+def test_image_dhash_rejects_excess_pixels(spark, sf_dir):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(9)
+    )
+    media = documents_as_media(docs)
+    too_many = lambda content, kind: [0] * 64  # 8x8 fed to the 7x8 default
+    with pytest.raises(Exception, match="exactly grid_w\\*grid_h"):
+        image_dhash(media, decode_fn=too_many).collect()
