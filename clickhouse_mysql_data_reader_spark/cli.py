@@ -203,12 +203,13 @@ def run(cfg: AppConfig, spark: SparkSession | None = None) -> int:
             # the history joins exclude that tag's rows — is reachable
             # from the verb.
             fps_out = {} if ccfg.dedup_lines else None
+            sp_out = {} if ccfg.split_fractions is not None else None
             kept = curate_increment(
                 docs, state, cfg=ccfg, benchmark=benchmark,
                 text_col=cfg.curate.text_col, id_col=cfg.curate.id_col,
                 update_state=False,
                 epoch_id=cfg.curate.epoch_id, run_id=cfg.curate.run_id,
-                line_fps_out=fps_out,
+                line_fps_out=fps_out, splits_out=sp_out,
             )
             kept.write.mode("overwrite").parquet(cfg.dst.parquet_dir)
             landed = spark.read.parquet(cfg.dst.parquet_dir)
@@ -223,6 +224,28 @@ def run(cfg: AppConfig, spark: SparkSession | None = None) -> int:
                 # at worst MISSING line fps, never fps for unlanded docs
                 state.append_line_fps(
                     fps_out["line_fps"],
+                    epoch_id=cfg.curate.epoch_id, run_id=cfg.curate.run_id,
+                )
+            if sp_out and sp_out.get("comps") is not None:
+                # split assignments over the landed dst, appended after
+                # the doc-state commit (curation_epoch_apply's ordering:
+                # at worst missing split rows, replayable by epoch tag,
+                # never splits for unlanded docs)
+                from clickhouse_mysql_data_reader_spark.curation import (
+                    _split_assignment_frame,
+                )
+                from pyspark.sql import functions as F
+
+                assign = _split_assignment_frame(
+                    landed, sp_out["comps"], ccfg.split_fractions,
+                    cfg.curate.id_col,
+                )
+                state.append_splits(
+                    assign.select(
+                        F.col(cfg.curate.id_col).alias("doc_id"),
+                        "component", "split",
+                    ),
+                    ccfg.split_fractions,
                     epoch_id=cfg.curate.epoch_id, run_id=cfg.curate.run_id,
                 )
             mode = "increment"
@@ -252,6 +275,10 @@ def run(cfg: AppConfig, spark: SparkSession | None = None) -> int:
         }
         if ccfg.split_fractions is not None and not cfg.curate.state_dir:
             report["splits_dir"] = cfg.dst.parquet_dir.rstrip("/") + "_splits"
+        elif ccfg.split_fractions is not None:
+            # increments land assignments in the state's splits table
+            # (read back via CurationState.split_assignments)
+            report["splits_table"] = cfg.curate.state_dir.rstrip("/") + "/splits"
         print(json.dumps(report))
         return 0
 

@@ -19,6 +19,7 @@ this is the BASELINE.json north-star surface composed end-to-end.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -90,10 +91,16 @@ class CurationConfig:
     # train and test, and the assignment does not depend on WHICH
     # cluster member the keeper election kept. Singletons hash their
     # own id — a dup-free corpus degenerates to the plain hash_split.
-    # BATCH-ONLY: component labels are corpus-relative (a later batch
-    # merging two clusters would re-label them), so curate_increment /
-    # curate_stream raise if it is set — incremental pipelines split
-    # with the standalone operator over a landed pair set. None = off.
+    # In curate_increment / curate_stream (update_state=True) the
+    # assignment instead LANDS immutably in the state's `splits` table
+    # (read back via state.split_assignments): each kept doc hashes
+    # its within-batch component, landed rows never change, and a
+    # later near-twin of a landed doc is dropped by history-wins — so
+    # splits are STABLE across daily batches and no near-dup cluster
+    # ever straddles train/test. With batch-ordered ids this equals
+    # batch-over-concatenation bit-for-bit (parity pinned by test);
+    # fractions are pinned in the state's _split_params.json for its
+    # lifetime. None = off.
     split_fractions: tuple[tuple[str, float], ...] | None = None
     drop_repetitive: bool = True
     redact_pii: bool = True
@@ -273,6 +280,41 @@ class CurationConfig:
     embed_bits: int = 32
     embed_srp_bands: int = 4
     embed_seed: str = "srp"
+    # opt-in FOURTH near-dup edge type: image perceptual-hash (dHash)
+    # near-dup at this Hamming budget, candidates from Manku pigeonhole
+    # banding (operators/multimodal.py image_dhash +
+    # operators/dedup.py simhash_near_pairs — the text simhash
+    # machinery on the image modality, never all-pairs). Catches the
+    # duplicates no text metric can: the same image re-encoded,
+    # resized, or metadata-stripped attached to different captions.
+    # Docs must carry ``image_col`` (binary; NULL = no image — those
+    # rows simply contribute no image edge) and an integral id (the
+    # Arrow fingerprint schema pins BIGINT ids, like the media
+    # operators). Edges union with the lexical/semantic ones before
+    # connected components, exactly like containment. The decode seam
+    # is injectable (``image_decode_fn`` — Pillow thumbnails in
+    # production, the deterministic md5-blocked fake when None); the
+    # fingerprint frame is persisted/checkpointed inside the pipeline
+    # so the decode runs ONCE per batch, not once per join side (the
+    # image_near_dup_pairs ``sigs=`` discipline). In
+    # ``curate_increment`` the state must be image-enabled (construct
+    # CurationState with matching image_* parameters): write() then
+    # lands each kept batch's (doc_id, dhash) fingerprints in
+    # ``image_fps``, and later batches drop image near-dups of history
+    # via a chunk bucket-join against the landed longs — the media
+    # bytes of history are never re-read and the decode never re-runs.
+    # None = off.
+    image_near_hamming: int | None = None
+    image_col: str = "image"
+    image_grid_w: int = 7
+    image_grid_h: int = 8
+    image_decode_fn: Callable | None = None
+    # identity tag for the decoder, pinned in the state manifest so a
+    # silently swapped decoder (whose fingerprints would never match
+    # the landed ones) is caught loudly; defaults to the fake's tag
+    # when image_decode_fn is None, else "custom" — production passes
+    # an explicit version tag
+    image_decoder_tag: str | None = None
     contamination_threshold: float = 0.5
     # decontamination policy when `benchmark` is given: "drop_docs"
     # removes any corpus doc whose shingle overlap with a benchmark
@@ -384,6 +426,20 @@ class CurationConfig:
                 f"embed_bits={self.embed_bits} not divisible by "
                 f"embed_srp_bands={self.embed_srp_bands}"
             )
+        if self.image_near_hamming is not None:
+            bits = self.image_grid_h * (self.image_grid_w - 1)
+            if self.image_near_hamming < 0:
+                raise ValueError(
+                    f"image_near_hamming must be >= 0, got "
+                    f"{self.image_near_hamming}"
+                )
+            if bits % (self.image_near_hamming + 1):
+                raise ValueError(
+                    f"dHash bit width {bits} (grid {self.image_grid_w}x"
+                    f"{self.image_grid_h}) not divisible into "
+                    f"{self.image_near_hamming + 1} pigeonhole chunks; "
+                    "pick a hamming budget h with bits % (h+1) == 0"
+                )
         if self.quality_calibrate_pctile is not None and not (
             0.0 <= self.quality_calibrate_pctile <= 1.0
         ):
@@ -844,6 +900,95 @@ def _semantic_edge_set(
     return _cos_verified(cand, vecs, vecs, cfg.embed_near_cos)
 
 
+def _image_decoder_tag(decode_fn, explicit: str | None) -> str:
+    """The decoder-identity string pinned in the state manifest: a
+    fingerprint landed by one decoder can never match another's, so a
+    silent decoder swap must fail loudly like any geometry mismatch."""
+    if explicit is not None:
+        return explicit
+    return "md5-blocked-fake" if decode_fn is None else "custom"
+
+
+def _image_sigs(
+    docs: DataFrame,
+    id_col: str,
+    image_col: str,
+    grid_w: int,
+    grid_h: int,
+    decode_fn: Callable | None,
+) -> DataFrame:
+    """(doc_id, dhash) perceptual fingerprints for the image-bearing
+    rows of a corpus frame — shared by batch ``curate``, both
+    ``curate_increment`` stages, and ``CurationState._derive`` so the
+    four can never fingerprint differently. NULL-image rows are
+    excluded BEFORE the decode: under the deterministic fake every
+    NULL would hash to the same 'image' and the whole imageless corpus
+    would collapse into one bogus near-dup component."""
+    from clickhouse_mysql_data_reader_spark.operators.multimodal import (
+        image_dhash,
+    )
+
+    media = docs.filter(F.col(image_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col(image_col).alias("content"),
+    )
+    return image_dhash(
+        media, decode_fn=decode_fn, grid_w=grid_w, grid_h=grid_h
+    ).select(F.col("media_id").alias("doc_id"), "dhash")
+
+
+def _image_edge_set(sigs: DataFrame, cfg: CurationConfig) -> DataFrame:
+    """Within-relation image near-dup edges from a fingerprint frame —
+    Manku pigeonhole banding + exact Hamming verify, the text simhash
+    machinery (operators/dedup.py simhash_near_pairs) over the dHash
+    longs. The caller persists/checkpoints ``sigs`` (both self-join
+    sides read it), so the decode runs once per batch."""
+    from clickhouse_mysql_data_reader_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    bits = cfg.image_grid_h * (cfg.image_grid_w - 1)
+    return simhash_near_pairs(
+        sigs,
+        bits=bits,
+        hamming_max=cfg.image_near_hamming,
+        id_col="doc_id",
+        sig_col="dhash",
+    ).select("doc_a", "doc_b")
+
+
+def _split_assignment_frame(
+    survivors: DataFrame,
+    comps: DataFrame,
+    fractions,
+    id_col: str,
+) -> DataFrame:
+    """(id, component, split) for the survivors — the leakage-safe
+    split keyed on the pipeline's OWN near-dup components (all edge
+    types), shared by batch ``curate`` and both ``curate_increment``
+    stages so the assignment arithmetic cannot drift. Survivors absent
+    from the graph (singletons) hash their own id; the component label
+    is the min member id (``connected_components``' convention), so
+    the assignment is keeper-invariant: it does not depend on WHICH
+    cluster member the keeper election kept."""
+    from clickhouse_mysql_data_reader_spark.operators.sampling import (
+        hash_split,
+    )
+
+    return (
+        survivors.select(id_col)
+        .distinct()
+        .join(
+            comps.select(F.col("doc_id").alias(id_col), "component"),
+            id_col,
+            "left",
+        )
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+        .withColumn("split", hash_split(F.col("component"), dict(fractions)))
+    )
+
+
 def _decontamination_stage(
     deduped: DataFrame,
     benchmark: DataFrame | None,
@@ -930,6 +1075,12 @@ def curate(
             f"embed_near_cos={cfg.embed_near_cos} needs an "
             f"{cfg.embed_col!r} column (array<float/double>, length "
             f"{cfg.embed_dim}) on the corpus; got {docs.columns}"
+        )
+    if cfg.image_near_hamming is not None and cfg.image_col not in docs.columns:
+        raise ValueError(
+            f"image_near_hamming={cfg.image_near_hamming} needs an "
+            f"{cfg.image_col!r} binary column on the corpus (NULL for "
+            f"imageless rows); got {docs.columns}"
         )
     if cfg.dedup_lines:
         # stage 0 (optional): corpus-level line dedup BEFORE the gates —
@@ -1064,6 +1215,26 @@ def curate(
         edges = edges.unionByName(
             _semantic_edge_set(boiled, cfg, id_col, vecs=vecs_sem)
         ).distinct()
+    if cfg.image_near_hamming is not None:
+        # FOURTH edge type: image perceptual-hash near-dups — dHash
+        # over the injectable decode seam, Manku pigeonhole banding
+        # (the text simhash machinery on the image modality). Computed
+        # over the post-boilerplate survivors like every other edge
+        # type. The fingerprint frame is PERSISTED: the banding
+        # self-join consumes it on both sides and Spark plans a lazy
+        # mapInPandas decode subtree per side (no ReusedExchange for
+        # Python subtrees) — the cache makes the decode run once, the
+        # image_near_dup_pairs ``sigs=`` discipline inside the
+        # pipeline. Caller-owned release via unpersist(), like the
+        # shingle/vector frames.
+        from pyspark import StorageLevel
+
+        sigs_img = _image_sigs(
+            boiled, id_col, cfg.image_col, cfg.image_grid_w,
+            cfg.image_grid_h, cfg.image_decode_fn,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(sigs_img)
+        edges = edges.unionByName(_image_edge_set(sigs_img, cfg)).distinct()
     comps = connected_components(edges)
     drop_ids = _near_dup_drop_ids(comps, boiled, cfg, text_col, id_col)
     deduped = boiled.join(drop_ids, id_col, "left_anti")
@@ -1149,23 +1320,8 @@ def curate(
     # population, never the corpus.
     split_assign = None
     if cfg.split_fractions is not None:
-        from clickhouse_mysql_data_reader_spark.operators.sampling import (
-            hash_split,
-        )
-
-        split_assign = (
-            mixed.select(id_col)
-            .distinct()
-            .join(
-                comps.select(F.col("doc_id").alias(id_col), "component"),
-                id_col,
-                "left",
-            )
-            .withColumn("component", F.coalesce("component", F.col(id_col)))
-            .withColumn(
-                "split",
-                hash_split(F.col("component"), dict(cfg.split_fractions)),
-            )
+        split_assign = _split_assignment_frame(
+            mixed, comps, cfg.split_fractions, id_col
         )
 
     return CurationResult(
@@ -1245,10 +1401,43 @@ class CurationState:
         embed_srp_bands: int = 4,
         embed_seed: str = "srp",
         embed_col: str = "embedding",
+        image_grid_w: int | None = None,
+        image_grid_h: int = 8,
+        image_col: str = "image",
+        image_decode_fn: Callable | None = None,
+        image_decoder_tag: str | None = None,
     ):
         self.state_dir = str(state_dir)
         self.minhash_k = minhash_k
         self.lsh_bands = lsh_bands
+        # Opt-in IMAGE near-dup support for increments
+        # (cfg.image_near_hamming): when ``image_grid_w`` is set,
+        # write() additionally lands ``image_fps`` (doc_id, dhash) —
+        # later batches generate cross-history image candidates by
+        # chunk-bucket-joining their dHash longs against the landed
+        # ones (operators/dedup.py simhash_near_pairs_cross) and the
+        # exact Hamming verify runs on the joined longs directly, so
+        # unlike the embed tables ONE landed table carries both the
+        # candidate and verify sides (8 bytes per image-bearing kept
+        # doc). The GRID geometry and the decoder identity tag are
+        # pinned in ``_image_params.json`` — fingerprints derived with
+        # a different grid or decoder can never match the landed ones
+        # (silently missed image dups), same first-writer-wins
+        # manifest protocol as minhash/bloom/prefix/embed. The HAMMING
+        # budget is deliberately not pinned: the verify is exact over
+        # the landed longs, so a later batch may probe at any budget
+        # the bit width divides. ``image_col``/``image_decode_fn`` are
+        # derive-time inputs (cosmetic / injectable seam), not
+        # manifest state. Enabling on a state with landed batches
+        # needs ``backfill_image_fps`` (like embeddings, the state
+        # keeps keys, not media bytes).
+        self.image_grid_w = int(image_grid_w) if image_grid_w is not None else None
+        self.image_grid_h = int(image_grid_h)
+        self.image_col = str(image_col)
+        self.image_decode_fn = image_decode_fn
+        self.image_decoder_tag = _image_decoder_tag(
+            image_decode_fn, image_decoder_tag
+        )
         # Opt-in SEMANTIC near-dup support for increments
         # (cfg.embed_near_cos): when ``embed_dim`` is set, write()
         # additionally lands ``srp_bands`` (doc_id, band_idx, band_val)
@@ -1342,6 +1531,14 @@ class CurationState:
                 embed_seed=cfg.embed_seed,
                 embed_col=cfg.embed_col,
             )
+        if cfg.image_near_hamming is not None:
+            kw.update(
+                image_grid_w=cfg.image_grid_w,
+                image_grid_h=cfg.image_grid_h,
+                image_col=cfg.image_col,
+                image_decode_fn=cfg.image_decode_fn,
+                image_decoder_tag=cfg.image_decoder_tag,
+            )
         return cls(state_dir, **kw)
 
     def _fs(self, spark):
@@ -1361,6 +1558,23 @@ class CurationState:
     # doc, the cross-history semantic-dedup probe targets. Listed in
     # _TABLES so compact()/crash-recovery/growth_report cover them;
     # exists() still probes only the three core doc tables.
+    # image_fps is the OPTIONAL eighth table (image_grid_w set): dHash
+    # perceptual fingerprints of every image-bearing KEPT doc, the
+    # cross-history image-dedup probe target — one table serves both
+    # candidate generation (chunk bucket-join) and the exact Hamming
+    # verify (bit_count over the joined longs). Listed in _TABLES so
+    # compact()/crash-recovery/growth_report cover it; exists() still
+    # probes only the three core doc tables.
+    # splits is the OPTIONAL ninth table (cfg.split_fractions in
+    # increments): the IMMUTABLE (doc_id, component, split) assignment
+    # of every kept doc at the time it landed — what makes the
+    # leakage-safe split STABLE across daily batches (a landed doc's
+    # split never changes; a newcomer near-dup of a landed doc is
+    # dropped by history-wins, so near-twins can never straddle splits
+    # — the one surviving member carries the cluster's assignment).
+    # The split fractions + salt are pinned in ``_split_params.json``:
+    # a later batch assigning under different fractions would silently
+    # skew the landed proportions.
     _TABLES = (
         "fingerprints",
         "shingles",
@@ -1369,6 +1583,8 @@ class CurationState:
         "prefixes",
         "srp_bands",
         "embeddings",
+        "image_fps",
+        "splits",
     )
 
     def _recover_crashed_compact(self, spark, names=None) -> list[str]:
@@ -1481,6 +1697,72 @@ class CurationState:
         fps.select("line_fp").withColumns({"_epoch": etag, "_run": rtag}).write.mode(
             mode
         ).parquet(self._path("line_fps"))
+
+    def splits_exist(self, spark) -> bool:
+        """True once a split batch has fully landed — probed separately
+        from ``exists()`` because the table only exists for pipelines
+        that pass ``split_fractions`` (and may be enabled later: the
+        first split-enabled batch bootstraps it, covering only docs
+        kept from then on — earlier docs backfill via one
+        ``append_splits`` of a batch-mode assignment)."""
+        self._recover_crashed_compact(spark, ("splits",))
+        return self._table_landed(spark, "splits")
+
+    def split_assignments(
+        self, spark, exclude_epoch: int | None = None, run_id: str | None = None
+    ) -> DataFrame:
+        """The landed (doc_id, component, split) history — every kept
+        doc's immutable split. Deduplicated on the full triple: a
+        replayed epoch double-appends IDENTICAL rows (the assignment is
+        a deterministic hash of the component label), so the dedup is
+        exact; a doc_id appearing with two DIFFERENT assignments would
+        survive the dedup and is a corruption signal, not something to
+        silently collapse."""
+        return self._read(spark, "splits", exclude_epoch, run_id).dropDuplicates(
+            ["doc_id", "component", "split"]
+        )
+
+    def _sync_split_params(self, spark, fractions) -> None:
+        """First-writer-wins manifest for the split fractions (and the
+        fixed salt): a later batch assigning under DIFFERENT fractions
+        would silently skew the landed train/val/test proportions and
+        break the 'same component -> same split' determinism — not an
+        error any read would surface."""
+        mine = {
+            "fractions": [[str(n), float(f)] for n, f in fractions],
+            "salt": "split",
+        }
+
+        def validate(landed: dict) -> None:
+            if landed != mine:
+                raise ValueError(
+                    f"CurationState({self.state_dir}) landed split "
+                    f"assignments under {landed} but this batch uses "
+                    f"{mine}; fractions are pinned for a state's "
+                    "lifetime (use a fresh state to re-split)"
+                )
+
+        self._sync_manifest(spark, "_split_params.json", mine, validate)
+
+    def append_splits(
+        self,
+        assign: DataFrame,
+        fractions,
+        mode: str = "append",
+        epoch_id: int | None = None,
+        run_id: str | None = None,
+    ) -> None:
+        """Append one batch's (doc_id, component, split) assignments,
+        tagged like every other state append. Syncs the fractions
+        manifest first. The caller must ensure ``assign``'s plan does
+        not read this table (``curate_increment`` derives it from
+        checkpointed frames)."""
+        self._sync_split_params(assign.sparkSession, fractions)
+        etag = F.lit(-1 if epoch_id is None else int(epoch_id)).alias("_epoch")
+        rtag = F.lit(run_id or "").alias("_run")
+        assign.select("doc_id", "component", "split").withColumns(
+            {"_epoch": etag, "_run": rtag}
+        ).write.mode(mode).parquet(self._path("splits"))
 
     def _sync_manifest(self, spark, filename: str, payload, validate) -> None:
         """ONE land-once/validate parameter-manifest protocol shared by
@@ -1962,6 +2244,126 @@ class CurationState:
         ).withColumnRenamed("vid", "doc_id")
         return vecs, srp
 
+    def _sync_image_params(self, spark) -> None:
+        """Mirror of _sync_embed_params for the dHash derivation: the
+        first image-enabled user lands ``_image_params.json``; later
+        instances must match — fingerprints derived with a different
+        grid geometry or DECODER can never match the landed ones
+        (silently missed cross-batch image duplicates). A separate
+        manifest because image dedup can be enabled later in a state's
+        life (via ``backfill_image_fps``)."""
+        mine = {
+            "image_grid_w": self.image_grid_w,
+            "image_grid_h": self.image_grid_h,
+            "image_decoder": self.image_decoder_tag,
+        }
+
+        def validate(landed: dict) -> None:
+            if self.image_grid_w is None:
+                raise ValueError(
+                    f"CurationState({self.state_dir}) has landed image-"
+                    f"dedup state ({landed}) but this instance was "
+                    "constructed without image_grid_w — writes that skip "
+                    "the image_fps append would leave landed docs "
+                    "invisible to every later image history probe "
+                    "(silently missed cross-batch image duplicates); "
+                    "construct with the landed geometry"
+                )
+            if landed != mine:
+                raise ValueError(
+                    f"CurationState({self.state_dir}) constructed with "
+                    f"{mine} but the landed image fingerprints were "
+                    f"derived with {landed}; fingerprints from different "
+                    "grids/decoders never match — use the landed "
+                    "geometry and decoder (or a fresh state)"
+                )
+
+        self._sync_manifest(
+            spark,
+            "_image_params.json",
+            mine if self.image_grid_w is not None else None,
+            validate,
+        )
+
+    def image_landed(self, spark) -> bool:
+        """True once an image batch has fully landed in ``image_fps``
+        — probed separately from ``exists()`` because the table only
+        exists for image-enabled states (and may be enabled later via
+        ``backfill_image_fps``)."""
+        self._recover_crashed_compact(spark, ("image_fps",))
+        return self._table_landed(spark, "image_fps")
+
+    def image_fps(
+        self, spark, exclude_epoch: int | None = None, run_id: str | None = None
+    ) -> DataFrame:
+        """The landed (doc_id, dhash) perceptual-fingerprint history,
+        with the same replayed-epoch exclusion as the doc tables."""
+        return self._read(spark, "image_fps", exclude_epoch, run_id)
+
+    def backfill_image_fps(
+        self, kept: DataFrame, id_col: str = "doc_id"
+    ) -> None:
+        """Enable image dedup on a state whose batches landed BEFORE
+        image support: derive and land ``image_fps`` from the
+        historical KEPT corpus, which the caller must supply with its
+        ``image_col`` (like ``backfill_embeddings`` — the state keeps
+        keys, not media bytes). OFFLINE op; crash-safe via the same
+        staging protocol (``__bf`` dir, rename commit; a retry clears
+        stale leftovers). Being ONE table, the between-renames crash
+        window of the embed backfill does not exist here — a landed
+        final dir means the backfill committed and the call is a
+        no-op via ``image_landed``."""
+        spark = kept.sparkSession
+        if self.image_grid_w is None:
+            raise ValueError(
+                "backfill_image_fps needs an image-enabled state — "
+                "construct CurationState with image_grid_w (and grid_h / "
+                "decoder) first"
+            )
+        self._sync_image_params(spark)
+        if self.image_landed(spark):
+            return
+        if self.image_col not in kept.columns:
+            raise ValueError(
+                "image-enabled CurationState needs the "
+                f"{self.image_col!r} binary column on the supplied "
+                f"historical corpus; got {kept.columns}"
+            )
+        rows = self._derive_image(kept, id_col)
+        jvm, fs = self._fs(spark)
+        hp = jvm.org.apache.hadoop.fs.Path
+        final = self._path("image_fps")
+        staging = final + "__bf"
+        if fs.exists(hp(staging)):
+            fs.delete(hp(staging), True)  # crashed earlier attempt
+        rows.withColumns(
+            {"_epoch": F.lit(-1), "_run": F.lit("")}
+        ).write.mode("overwrite").parquet(staging)
+        if not fs.rename(hp(staging), hp(final)):
+            raise IOError(
+                f"backfill_image_fps: rename {staging} -> {final} failed"
+            )
+
+    def _derive_image(self, kept: DataFrame, id_col: str) -> DataFrame:
+        """(doc_id, dhash) rows for a kept batch — the same
+        ``_image_sigs`` derivation the edge stages probe with, so
+        landed fingerprints always chunk-collide with a
+        matching-geometry probe's."""
+        if self.image_col not in kept.columns:
+            raise ValueError(
+                "image-enabled CurationState needs the "
+                f"{self.image_col!r} binary column on every kept batch; "
+                f"got {kept.columns}"
+            )
+        return _image_sigs(
+            kept,
+            id_col,
+            self.image_col,
+            self.image_grid_w,
+            self.image_grid_h,
+            self.image_decode_fn,
+        )
+
     def _derive(self, kept: DataFrame, text_col: str, id_col: str):
         from clickhouse_mysql_data_reader_spark.operators.dedup import (
             band_table,
@@ -1991,7 +2393,8 @@ class CurationState:
 
     def write(self, kept: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               mode: str = "append", epoch_id: int | None = None,
-              run_id: str | None = None) -> DataFrame:
+              run_id: str | None = None,
+              image_sigs: DataFrame | None = None) -> DataFrame:
         """Derive and append the three state tables for a kept batch;
         returns the CHECKPOINTED ``kept`` — callers must act on the
         returned frame, not the original lazy plan, whose state reads
@@ -2037,6 +2440,7 @@ class CurationState:
         self._sync_bloom_params(kept.sparkSession)
         self._sync_prefix_params(kept.sparkSession)
         self._sync_embed_params(kept.sparkSession)
+        self._sync_image_params(kept.sparkSession)
         if (
             self.embed_dim is not None
             and self.exists(kept.sparkSession)
@@ -2057,6 +2461,20 @@ class CurationState:
                 "backfill_embeddings(historical_kept_corpus) once "
                 "(offline) before embed-enabled appends"
             )
+        if (
+            self.image_grid_w is not None
+            and self.exists(kept.sparkSession)
+            and not self.image_landed(kept.sparkSession)
+        ):
+            # the embed argument verbatim: appending only this batch's
+            # fingerprints would make image_landed() true with older
+            # docs invisible to every image history probe
+            raise ValueError(
+                f"CurationState({self.state_dir}) has landed batches but "
+                "no landed image_fps — run backfill_image_fps("
+                "historical_kept_corpus) once (offline) before "
+                "image-enabled appends"
+            )
         if self._prefix_frac() is not None:
             # a prefix-enabled handle writing over a LEGACY prefix-less
             # state must backfill the landed history FIRST: appending
@@ -2069,6 +2487,22 @@ class CurationState:
         etag = F.lit(-1 if epoch_id is None else int(epoch_id)).alias("_epoch")
         rtag = F.lit(run_id or "").alias("_run")
         fp, sh, bands, prefixes, emb, srp = self._derive(kept, text_col, id_col)
+        img = None
+        if self.image_grid_w is not None:
+            # ``image_sigs`` is the decode-once seam: a caller that
+            # already fingerprinted the batch (curate_increment's probe
+            # stage — a checkpointed frame with NO state read in its
+            # plan) hands the sigs over and only the kept subset lands;
+            # otherwise derive from the checkpointed kept batch.
+            img = (
+                image_sigs.join(
+                    kept.select(F.col(id_col).alias("doc_id")),
+                    "doc_id",
+                    "left_semi",
+                )
+                if image_sigs is not None
+                else self._derive_image(kept, id_col)
+            )
         if self.bloom_bits is not None:
             # BEFORE the fingerprints append (see the bloom invariant
             # note above): a crash between bloom and fingerprints adds
@@ -2116,6 +2550,14 @@ class CurationState:
             srp.withColumns({"_epoch": etag, "_run": rtag}).write.mode(
                 mode
             ).parquet(self._path("srp_bands"))
+        if img is not None:
+            # BEFORE the fingerprints append, the embed-tables argument
+            # verbatim: orphaned image fps make later probes STRICTER
+            # (extra candidates the exact Hamming verify settles), never
+            # looser; retryable appends pass (epoch_id, run_id)
+            img.withColumns({"_epoch": etag, "_run": rtag}).write.mode(
+                mode
+            ).parquet(self._path("image_fps"))
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             fp.withColumns({"_epoch": etag, "_run": rtag}).write.mode(mode).parquet(
@@ -2332,6 +2774,7 @@ def curate_increment(
     epoch_id: int | None = None,
     run_id: str | None = None,
     line_fps_out: dict | None = None,
+    splits_out: dict | None = None,
     # LAST, not beside cfg: a pre-round-7 caller passing text_col/id_col
     # positionally must keep binding them to the same slots (a mid-
     # signature insertion would silently hand text_col to benchmark)
@@ -2426,15 +2869,21 @@ def curate_increment(
             "operators/text.py calibrated_quality_thresholds() and pass "
             "them as cfg.quality_thresholds (stateless, batch-stable)"
         )
-    if cfg.split_fractions is not None:
-        # component labels are corpus-relative: a later batch merging
-        # two clusters re-labels them, silently flipping earlier split
-        # assignments — refuse loudly, like the calibrated gate
+    if (
+        cfg.split_fractions is not None
+        and not update_state
+        and splits_out is None
+    ):
+        # split assignments ARE corpus state (the landed table is what
+        # makes them stable across batches); computing them with
+        # nowhere to land would silently produce nothing
         raise ValueError(
-            "split_fractions is batch-only (component labels are "
-            "corpus-relative); split incrementally with the standalone "
-            "operators/sampling.py cluster_safe_split over a landed "
-            "pair set"
+            "split_fractions in curate_increment needs update_state=True "
+            "(the assignments land in the state's `splits` table — read "
+            "them back via state.split_assignments) or a splits_out dict "
+            "(the curation_epoch_apply deferred-landing seam); for a "
+            "stateless one-off use batch curate() or the standalone "
+            "cluster_safe_split"
         )
     if cfg.near_dup_exact and state.jaccard_exact_threshold != cfg.near_dup_jaccard:
         # the landed prefixes were sliced for the state's threshold; a
@@ -2487,6 +2936,38 @@ def curate_increment(
                 f"{cfg.embed_col!r} column (array<float/double>, length "
                 f"{cfg.embed_dim}) on the batch; got {new_docs.columns}"
             )
+    if cfg.image_near_hamming is not None:
+        # the embed-geometry argument on the image modality:
+        # fingerprints derived with a different grid or decoder can
+        # never match the landed ones, so cross-history image dedup
+        # would silently find nothing
+        mine_img = (
+            cfg.image_grid_w,
+            cfg.image_grid_h,
+            cfg.image_col,
+            _image_decoder_tag(cfg.image_decode_fn, cfg.image_decoder_tag),
+        )
+        theirs_img = (
+            state.image_grid_w,
+            state.image_grid_h,
+            state.image_col,
+            state.image_decoder_tag,
+        )
+        if state.image_grid_w is None or mine_img != theirs_img:
+            raise ValueError(
+                f"image_near_hamming={cfg.image_near_hamming} needs an "
+                "image-enabled CurationState matching the cfg's dHash "
+                "geometry: cfg has (grid_w, grid_h, col, decoder)="
+                f"{mine_img} but the state was constructed with "
+                f"{theirs_img}; fingerprints from different grids/"
+                "decoders never match (silently missed image duplicates)"
+            )
+        if cfg.image_col not in new_docs.columns:
+            raise ValueError(
+                f"image_near_hamming={cfg.image_near_hamming} needs an "
+                f"{cfg.image_col!r} binary column on the batch; got "
+                f"{new_docs.columns}"
+            )
     spark = new_docs.sparkSession
     if state.exists(spark):
         # also validate against the ON-DISK parameters: the ctor-vs-cfg
@@ -2515,6 +2996,17 @@ def curate_increment(
                     "supplies the kept corpus with its vector column — "
                     "the state keeps keys, not content), then increments "
                     "maintain them per batch"
+                )
+        if cfg.image_near_hamming is not None:
+            state._sync_image_params(spark)
+            if not state.image_landed(spark):
+                raise ValueError(
+                    "image near-dup vs history needs the landed "
+                    "image_fps table, which this state has not written — "
+                    "run state.backfill_image_fps(historical_kept_corpus) "
+                    "once (offline; the caller supplies the kept corpus "
+                    "with its image column — the state keeps keys, not "
+                    "media bytes), then increments maintain it per batch"
                 )
 
     # --- stage 0 (optional): incremental corpus-level line dedup ------
@@ -2590,6 +3082,53 @@ def curate_increment(
         if update_state and new_line_fps is not None and line_fps_out is None:
             state.append_line_fps(new_line_fps, epoch_id=epoch_id, run_id=run_id)
 
+    def _land_splits(kept_ckpt: DataFrame, comps_frame: DataFrame) -> None:
+        # Incremental leakage-safe split: every kept doc's assignment
+        # hashes its WITHIN-BATCH near-dup component (all edge types;
+        # singletons hash their own id) and lands immutably — stable
+        # across batches because (a) landed assignments are never
+        # recomputed and (b) a later near-twin of a landed doc is
+        # dropped by history-wins, so no cluster ever has members in
+        # two splits. With doc ids assigned in batch order this equals
+        # batch-over-concatenation bit-for-bit on every surviving doc:
+        # the concatenated run labels a cross-batch cluster by its MIN
+        # member id, which is the batch-1 keeper the increments kept
+        # (parity pinned by test; the dedup path's documented
+        # transitive-chain-through-dropped-docs delta applies to the
+        # survivor SET itself, not to the assignment arithmetic).
+        # AFTER the doc-state write, the line_fps ordering argument:
+        # a crash between the two leaves docs landed without split
+        # rows (replay with epoch tags, or backfill with one
+        # append_splits of a batch-mode assignment); the reverse order
+        # would land splits for docs that never landed. The assignment
+        # derives from the CHECKPOINTED kept frame + within-batch
+        # components (no state read in the plan), so the append cannot
+        # observe its own output.
+        if cfg.split_fractions is None:
+            return
+        if splits_out is not None:
+            # deferred-landing seam (the line_fps_out pattern): hand
+            # the within-batch component frame to the caller, who
+            # assigns over its durably LANDED output and appends after
+            # that output commits — so an abandoned epoch cannot land
+            # splits for docs no output contains. comps' plan reads no
+            # state tables (within-batch edges over checkpointed
+            # frames), so the later append is self-reference-safe.
+            splits_out["comps"] = comps_frame
+            return
+        if update_state:
+            assign = _split_assignment_frame(
+                kept_ckpt, comps_frame, cfg.split_fractions, id_col
+            )
+            state.append_splits(
+                assign.select(
+                    F.col(id_col).alias("doc_id"), "component", "split"
+                ),
+                cfg.split_fractions,
+                epoch_id=epoch_id,
+                run_id=run_id,
+            )
+
     _, exact = _row_stages(new_docs, cfg, text_col, id_col)
 
     if not state.exists(spark):
@@ -2641,14 +3180,29 @@ def curate_increment(
             edges0 = edges0.unionByName(
                 _semantic_edge_set(boiled0, cfg, id_col, vecs=vecs0)
             ).distinct()
+        sigs_img0 = None
+        if cfg.image_near_hamming is not None:
+            # fourth (image) edge type, same union as batch curate();
+            # localCheckpoint so the decode runs once (the self-join
+            # consumes both sides AND the state write lands the kept
+            # subset through the image_sigs seam)
+            sigs_img0 = _image_sigs(
+                boiled0, id_col, cfg.image_col, cfg.image_grid_w,
+                cfg.image_grid_h, cfg.image_decode_fn,
+            ).localCheckpoint()
+            edges0 = edges0.unionByName(
+                _image_edge_set(sigs_img0, cfg)
+            ).distinct()
         comps0 = connected_components(edges0)
         drop0 = _near_dup_drop_ids(comps0, boiled0, cfg, text_col, id_col)
         kept = boiled0.join(drop0, id_col, "left_anti")
         kept = _decontamination_stage(kept, benchmark, cfg, text_col, id_col)
         if update_state:
             kept = state.write(kept, text_col=text_col, id_col=id_col,
-                               mode="append", epoch_id=epoch_id, run_id=run_id)
+                               mode="append", epoch_id=epoch_id, run_id=run_id,
+                               image_sigs=sigs_img0)
         _land_line_fps()
+        _land_splits(kept, comps0)
         return kept
 
     # --- exact dedup vs history (anti-join on fingerprint) ------------
@@ -2779,6 +3333,19 @@ def curate_increment(
             seed=cfg.embed_seed,
         ).localCheckpoint()
 
+    sigs_img_new = None
+    if cfg.image_near_hamming is not None:
+        # batch-sized, FOUR consumers (both sides of the within-batch
+        # banding self-join, the cross-history probe, and the state
+        # write through the image_sigs seam) — localCheckpoint so the
+        # Arrow decode runs ONCE per batch, and the state reads
+        # upstream in vs_hist leave the write lineage (the sh_new
+        # self-referential-append argument)
+        sigs_img_new = _image_sigs(
+            vs_hist, id_col, cfg.image_col, cfg.image_grid_w,
+            cfg.image_grid_h, cfg.image_decode_fn,
+        ).localCheckpoint()
+
     # within batch: cfg's candidate policy (LSH default, exact AllPairs
     # under near_dup_exact) + optional containment edges — the shared
     # helper, same edge semantics as batch curate(). The rarest-first
@@ -2806,6 +3373,12 @@ def curate_increment(
             _semantic_edge_set(
                 vs_hist, cfg, id_col, vecs=vecs_new, bands=bands_new_srp
             )
+        ).distinct()
+    if cfg.image_near_hamming is not None:
+        # fourth (image) edge type within the batch — the checkpointed
+        # fingerprints reused so the decode does not re-run per side
+        edges_in = edges_in.unionByName(
+            _image_edge_set(sigs_img_new, cfg)
         ).distinct()
     comps = connected_components(edges_in)
     drop_in = _near_dup_drop_ids(comps, vs_hist, cfg, text_col, id_col)
@@ -2927,6 +3500,32 @@ def curate_increment(
         drop_hist = drop_hist.unionByName(
             sem_pairs.select(F.col("doc_a").alias(id_col))
         )
+    if cfg.image_near_hamming is not None:
+        # vs history, image metric (fourth drop set): the batch's dHash
+        # chunks bucket-join the LANDED fingerprint longs — only
+        # colliding chunk buckets move, and the exact Hamming verify is
+        # one bit_count over the joined longs (no separate verify table
+        # — the fingerprint IS the verify value, unlike the embed
+        # path). History always wins: the NEW doc drops. The media
+        # bytes of history are never re-read and the decode never
+        # re-runs — the landed longs are everything the probe needs.
+        # Replayed-epoch double appends only duplicate candidate rows,
+        # which the pair distinct removes.
+        from clickhouse_mysql_data_reader_spark.operators.dedup import (
+            simhash_near_pairs_cross,
+        )
+
+        img_pairs = simhash_near_pairs_cross(
+            sigs_img_new,
+            state.image_fps(spark, exclude_epoch=epoch_id, run_id=run_id),
+            bits=cfg.image_grid_h * (cfg.image_grid_w - 1),
+            hamming_max=cfg.image_near_hamming,
+            id_col="doc_id",
+            sig_col="dhash",
+        )
+        drop_hist = drop_hist.unionByName(
+            img_pairs.select(F.col("doc_a").alias(id_col))
+        )
     drop_hist = drop_hist.distinct()
 
     kept = (
@@ -2938,8 +3537,10 @@ def curate_increment(
         # act on the frame write() returns: it is checkpointed, so the
         # result cannot re-read the state this call just appended to
         kept = state.write(kept, text_col=text_col, id_col=id_col,
-                           mode="append", epoch_id=epoch_id, run_id=run_id)
+                           mode="append", epoch_id=epoch_id, run_id=run_id,
+                           image_sigs=sigs_img_new)
     _land_line_fps()
+    _land_splits(kept, comps)
     return kept
 
 
@@ -3013,15 +3614,6 @@ def curate_stream(
             "thresholds (calibrated_quality_thresholds) and pass them as "
             "cfg.quality_thresholds for streaming curation"
         )
-    if cfg.split_fractions is not None:
-        # same fail-at-setup discipline: component labels are
-        # corpus-relative, so streaming split assignments would flip
-        # whenever a later epoch merges clusters
-        raise ValueError(
-            "split_fractions is batch-only; split incrementally with "
-            "the standalone operators/sampling.py cluster_safe_split "
-            "over a landed pair set"
-        )
     apply_fn = curation_epoch_apply(
         state, out_dir, cfg=cfg, benchmark=benchmark, text_col=text_col,
         id_col=id_col, run_id=run_id, compact_every=compact_every,
@@ -3054,6 +3646,7 @@ def curation_epoch_apply(
         # appended only after the epoch output commits — mirroring the
         # landed-docs-then-state ordering below
         fps_out: dict | None = {} if cfg.dedup_lines else None
+        sp_out: dict | None = {} if cfg.split_fractions is not None else None
         kept = curate_increment(
             batch_df,
             state,
@@ -3065,6 +3658,7 @@ def curation_epoch_apply(
             epoch_id=epoch_id,
             run_id=run_id,
             line_fps_out=fps_out,
+            splits_out=sp_out,
         )
         if run_id:
             # run ids are free-form (often a checkpoint PATH) — hash
@@ -3087,6 +3681,23 @@ def curation_epoch_apply(
             # line fps for docs that don't exist
             state.append_line_fps(
                 fps_out["line_fps"], epoch_id=epoch_id, run_id=run_id
+            )
+        if sp_out and sp_out.get("comps") is not None:
+            # split assignments over the LANDED epoch output (not the
+            # lazy plan), appended after the doc-state commit like the
+            # line fps: a crash window leaves at worst missing split
+            # rows (the replay re-appends identical ones), never split
+            # rows for docs that never landed
+            assign = _split_assignment_frame(
+                landed, sp_out["comps"], cfg.split_fractions, id_col
+            )
+            state.append_splits(
+                assign.select(
+                    F.col(id_col).alias("doc_id"), "component", "split"
+                ),
+                cfg.split_fractions,
+                epoch_id=epoch_id,
+                run_id=run_id,
             )
         # post-append maintenance: epochs of one query are serialized,
         # so no writer is active here. A crash between compact()'s two

@@ -27,7 +27,12 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["fuzzy_match_pairs", "fuzzy_link_best", "resolve_entities"]
+__all__ = [
+    "fuzzy_match_pairs",
+    "fuzzy_link_best",
+    "resolve_entities",
+    "apply_entity_mapping",
+]
 
 
 def _dictionary(
@@ -211,4 +216,29 @@ def resolve_entities(
         (F.col("name") == F.col("canonical")).cast("int").alias("is_canonical"),
         "n_names",
         "n_rows",
+    )
+
+
+def apply_entity_mapping(
+    df: DataFrame, mapping: DataFrame, text_col: str
+) -> DataFrame:
+    """The REWRITE step completing the entity-resolution family: apply
+    a ``resolve_entities`` golden-record mapping to the corpus —
+    every ``text_col`` value is replaced by its component's elected
+    canonical; values absent from the mapping (including NULLs) pass
+    through unchanged, so the rewrite is total and row-preserving.
+
+    Scale shape: the mapping is dictionary-sized by construction
+    (distinct names, not rows), so this is ONE broadcast left join
+    riding the corpus scan — the 100 TB row stream is never shuffled.
+    The mapping only needs (name, canonical); extra report columns
+    are ignored.
+    """
+    m = mapping.select(
+        F.col("name").alias(text_col), F.col("canonical").alias("_canon")
+    )
+    return (
+        df.join(F.broadcast(m), text_col, "left")
+        .withColumn(text_col, F.coalesce("_canon", F.col(text_col)))
+        .drop("_canon")
     )

@@ -250,6 +250,11 @@ def image_near_dup_pairs(
     (media_id, dhash) table once and feed it through ``sigs=`` — the
     media bytes are then never re-read and the decode never re-runs
     (the same seam discipline as ``cms_heavy_hitters(sketch=)``).
+    The curation pipeline does exactly this: batch ``curate`` persists
+    the fingerprint frame across the self-join's two sides, and
+    ``curate_increment`` checkpoints it once per batch and lands it in
+    CurationState's ``image_fps`` table, so history probes touch only
+    the landed longs (curation.py ``image_near_hamming``).
     Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
     """
     from clickhouse_mysql_data_reader_spark.operators.dedup import (
@@ -267,6 +272,122 @@ def image_near_dup_pairs(
         hamming_max=hamming_max,
         id_col="media_id",
         sig_col="dhash",
+    )
+
+
+def real_audio_decoder(
+    content: bytes, kind: str, n_windows: int = 49
+) -> list[int]:
+    """Placeholder for the real per-window energy extractor
+    (torchaudio/ffmpeg: decode -> resample -> split into ``n_windows``
+    equal windows -> quantized RMS energy per window); audio libraries
+    are not in this container — inject via the ``decode_fn`` seam
+    exactly like ``real_decoder``/``real_pixel_decoder``."""
+    raise NotImplementedError(
+        "audio decoding requires an audio library not present in this "
+        "container; inject a decode_fn into audio_energy_hash()"
+    )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ahash", T.LongType(), False),
+    ]
+)
+
+
+def audio_energy_hash(
+    media: DataFrame,
+    decode_fn: Callable[[bytes, str], list[int]] | None = None,
+    n_windows: int = 49,
+) -> DataFrame:
+    """Energy-contour fingerprint over the audio rows — the audio
+    analogue of ``image_dhash``: decode each clip to ``n_windows``
+    per-window energies (the injectable seam — a windowed RMS over
+    torchaudio in production, the deterministic md5-BLOCKED fake here:
+    window j's 'energy' hashes only the j-th content slice, so a local
+    edit perturbs only local windows, the miniature of a re-encoded
+    clip sharing most of its energy contour), then bit i = 1 iff
+    window i is quieter than window i+1 — ``n_windows - 1`` difference
+    bits packed into one BIGINT (48 bits at the default, positive in a
+    signed long on both engines).
+
+    Robust to the global transforms that break byte-exact dedup
+    (re-encode, bitrate change, container swap — none of which move
+    the energy CONTOUR), and Hamming-close fingerprints are
+    near-duplicate clips. Runs in Arrow-batched ``mapInPandas`` like
+    ``image_dhash`` — the binary column never crosses a shuffle; only
+    the (media_id, ahash) longs do.
+    """
+    fake = decode_fn is None
+
+    from clickhouse_mysql_data_reader_spark.util import self_contained_pickle
+
+    self_contained_pickle(sys.modules[__name__])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, c, k in zip(pdf["media_id"], pdf["content"], pdf["kind"]):
+                e = (
+                    deterministic_fake_pixels(c, k, n_windows)
+                    if fake
+                    else decode_fn(c, k)
+                )
+                # exact-length check (the image_dhash rule): an
+                # extractor returning a different window count would
+                # silently produce plausible-but-wrong fingerprints
+                if len(e) != n_windows:
+                    raise ValueError(
+                        f"decode_fn returned {len(e)} windows; "
+                        f"audio_energy_hash needs exactly {n_windows}"
+                    )
+                fp = 0
+                for i in range(n_windows - 1):
+                    if e[i] < e[i + 1]:
+                        fp |= 1 << i
+                ids.append(mid)
+                fps.append(fp)
+            yield pd.DataFrame({"media_id": ids, "ahash": fps})
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        run, schema=AHASH_SCHEMA
+    )
+
+
+def audio_near_dup_pairs(
+    media: DataFrame,
+    hamming_max: int = 7,
+    decode_fn: Callable[[bytes, str], list[int]] | None = None,
+    n_windows: int = 49,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Energy-contour audio near-duplicate pairs: ``audio_energy_hash``
+    fingerprints + the Manku pigeonhole banding shared with the text
+    (simhash) and image (dHash) modalities — candidate generation is an
+    equi-join on narrow (chunk_i, chunk_val) keys, NEVER all-pairs,
+    and the exact Hamming verify is one bit_count over the joined
+    longs.
+
+    Same evaluation-count caveat as ``image_near_dup_pairs``: the
+    banding self-join plans a lazy decode subtree per side — land the
+    tiny (media_id, ahash) table once and feed it through ``sigs=`` on
+    a real-decoder deployment. Returns (doc_a, doc_b, hamming) with
+    doc_a < doc_b.
+    """
+    from clickhouse_mysql_data_reader_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    if sigs is None:
+        sigs = audio_energy_hash(media, decode_fn=decode_fn, n_windows=n_windows)
+    return simhash_near_pairs(
+        sigs,
+        bits=n_windows - 1,
+        hamming_max=hamming_max,
+        id_col="media_id",
+        sig_col="ahash",
     )
 
 

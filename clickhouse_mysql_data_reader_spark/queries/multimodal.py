@@ -207,6 +207,60 @@ def dedup_image_cluster_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_audio_fp",
+    """
+    WITH aud AS (
+      SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1
+    ),
+    e AS (
+      SELECT media_id, k,
+             ('0x' || substr(md5(substr(text, CAST(k//16*64 + 1 AS INT), 64)
+                                 || ':' || CAST(k//16 AS VARCHAR)),
+                             CAST(2*(k%16)+1 AS INT), 2))::BIGINT AS v
+      FROM aud, UNNEST(range(49)) AS t(k)
+    ),
+    bits AS (
+      SELECT a.media_id, a.k AS bit_i,
+             CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+      FROM e a JOIN e b ON a.media_id = b.media_id AND b.k = a.k + 1
+    ),
+    fp AS (
+      SELECT media_id, CAST(sum(bit * (1::BIGINT << bit_i)) AS BIGINT) AS ahash
+      FROM bits GROUP BY media_id
+    )
+    SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 7
+    """,
+    doc="Audio energy-contour near-duplicate pairs (operators/"
+    "multimodal.py audio_energy_hash + audio_near_dup_pairs): decode "
+    "each clip to 49 per-window energies (the INJECTABLE seam — "
+    "windowed RMS over torchaudio in production; here the "
+    "deterministic md5-BLOCKED fake whose windows depend only on "
+    "local content slices, so local edits perturb local windows like "
+    "a real contour), pack the 48 quieter-than-next difference bits "
+    "into one BIGINT, and pair via the same Manku pigeonhole banding "
+    "as text simhash and image dHash (8 chunks of 6 bits for "
+    "Hamming<=7 — an equi-join on narrow (chunk_i, chunk_val) keys, "
+    "NEVER all-pairs; the oracle brute-forces the same pairs). "
+    "Closes the modality matrix: text (simhash/minhash/exactsubstr), "
+    "image (dHash), and now audio each have a banded near-dup member. "
+    "The media bytes are touched once at the scan (mapInPandas); "
+    "everything downstream is (id, chunk, fingerprint) longs.",
+)
+def dedup_audio_fp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.multimodal import (
+        audio_near_dup_pairs,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return audio_near_dup_pairs(media, hamming_max=7).withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )
+
+
+@register(
     "multimodal_frame_plan",
     """
     SELECT doc_id AS media_id, i AS frame_ts_ms

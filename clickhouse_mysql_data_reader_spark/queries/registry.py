@@ -759,6 +759,15 @@ DEPRIORITIZED = (
     "multimodal_resize_plan",
     "monitor_heavy_hitters_scan",
     "dedup_cluster_best_keeper",
+    # Born deprioritized in round 13 (pytest-oracle-checked every CI
+    # run; r14 rotation candidates — NEW capabilities):
+    #   - dedup_audio_fp: audio energy-contour near-dup — 48
+    #     quieter-than-next difference bits over the injectable
+    #     per-window energy seam (md5-blocked deterministic fake),
+    #     paired via the same Manku pigeonhole banding as text simhash
+    #     and image dHash; closes the modality matrix (text/image/
+    #     audio each have a banded near-dup member)
+    "dedup_audio_fp",
     # ...and the late-round-11 births (rotated INTO the checked 50
     # the same round — see the late-round-11 block below; the
     # descriptions stay here as the capability record):

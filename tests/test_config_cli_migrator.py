@@ -728,3 +728,52 @@ def test_cli_curate_data_split_fractions_json(spark, tmp_path, capsys):
     }
     assert set(splits) == kept
     assert set(splits.values()) <= {"train", "val", "test"}
+
+
+def test_cli_curate_data_incremental_split_lands_in_state(
+    spark, tmp_path, capsys
+):
+    """split_fractions + --curation-state: the increment verb lands
+    the assignments in the state's splits table (reported as
+    splits_table) and a second daily batch extends it without touching
+    batch-1 rows — the round-13 incremental leakage-safe split through
+    the CLI path."""
+    from clickhouse_mysql_data_reader_spark.curation import CurationState
+
+    ccfg = tmp_path / "curation_inc_split.json"
+    ccfg.write_text(json.dumps({
+        "min_quality_score": 0.0,
+        "drop_repetitive": False,
+        "split_fractions": [["train", 0.8], ["val", 0.1], ["test", 0.1]],
+    }))
+    state_dir = str(tmp_path / "state_split")
+    outs = []
+    for i, rows in enumerate(
+        [[(1, "web", _CUR_A), (2, "web", _CUR_B)],
+         [(3, "web", _CUR_A + " near duplicate tail"),
+          (4, "web", _CUR_B.replace("corpus", "other") + " fresh words here")]]
+    ):
+        src = str(tmp_path / f"docs_inc_split_{i}")
+        _write_docs(spark, src, rows)
+        out = str(tmp_path / f"kept_inc_split_{i}")
+        outs.append(out)
+        assert run(parse_config([
+            "--curate-data",
+            "--src-parquet-dir", src,
+            "--dst-parquet-dir", out,
+            "--curation-config", str(ccfg),
+            "--curation-state", state_dir,
+            "--curation-epoch", str(i),
+        ]), spark) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["splits_table"] == state_dir + "/splits"
+    kept_all = set()
+    for out in outs:
+        kept_all |= {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    state = CurationState(state_dir)
+    assigned = {
+        r["doc_id"]: r["split"]
+        for r in state.split_assignments(spark).collect()
+    }
+    assert set(assigned) == kept_all
+    assert set(assigned.values()) <= {"train", "val", "test"}

@@ -247,12 +247,11 @@ def test_curate_split_assignments_cover_survivors_and_are_keeper_invariant(spark
             assert a_min[i] == (i, plain[i])
 
 
-def test_curate_split_fractions_batch_only_and_validated(spark, tmp_path):
+def test_curate_split_fractions_validated(spark, tmp_path):
     from clickhouse_mysql_data_reader_spark.curation import (
         CurationConfig,
         CurationState,
         curate_increment,
-        curate_stream,
     )
 
     with pytest.raises(ValueError, match="sum to 1"):
@@ -263,11 +262,12 @@ def test_curate_split_fractions_batch_only_and_validated(spark, tmp_path):
     cfg = CurationConfig(**{**_SPLIT_CFG, "split_fractions": [["train", 1.0]]})
     docs = _split_corpus(spark)
     state = CurationState(str(tmp_path / "state"))
-    with pytest.raises(ValueError, match="batch-only"):
-        curate_increment(docs, state, cfg)
-    stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
-    with pytest.raises(ValueError, match="batch-only"):
-        curate_stream(stream, state, str(tmp_path / "out"), cfg)
+    # increments land assignments as state — a stateless call has
+    # nowhere to put them and must refuse (round 13 turned the old
+    # batch-only refusal into the landed `splits` table; the full
+    # incremental contract is pinned in test_incremental_split.py)
+    with pytest.raises(ValueError, match="update_state"):
+        curate_increment(docs, state, cfg, update_state=False)
     # and unset => the result field stays None
     from clickhouse_mysql_data_reader_spark.curation import curate
 

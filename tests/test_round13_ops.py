@@ -122,6 +122,41 @@ def test_resolve_entities_plans_corpus_aggregate_once(spark):
     assert rows["acme corp"]["n_rows"] == 3
 
 
+def test_apply_entity_mapping_rewrites_corpus_end_to_end(spark):
+    """The report-to-rewrite completion (round-12 verdict item #5):
+    resolve_entities' mapping applied back to the row stream rewrites
+    every variant spelling to its component's canonical, preserves row
+    count, passes unmapped values (and NULLs) through verbatim, and
+    the rewritten corpus groups to exactly the canonical set."""
+    from clickhouse_mysql_data_reader_spark.operators.linkage import (
+        apply_entity_mapping,
+        resolve_entities,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "acme corp"), (2, "acme corp"), (3, "acme cor"),
+         (4, "zenith"), (5, None), (6, "unblocked-nomatch")],
+        "row_id long, name string",
+    )
+    mapping = resolve_entities(
+        df, "name", lambda c: F.substring(c, 1, 3), small_graph_pairs=10_000
+    )
+    out = apply_entity_mapping(df, mapping, "name")
+    rows = {r["row_id"]: r["name"] for r in out.collect()}
+    assert len(rows) == 6  # row-preserving
+    assert rows[1] == rows[2] == rows[3] == "acme corp"  # variant rewritten
+    assert rows[4] == "zenith"
+    assert rows[5] is None  # NULL passes through
+    assert rows[6] == "unblocked-nomatch"
+    # canonical coverage: every non-null rewritten value IS a canonical
+    canon = {
+        r["canonical"] for r in mapping.select("canonical").distinct().collect()
+    }
+    assert {v for v in rows.values() if v is not None} <= canon
+    # the broadcast hint reached the plan (the mapping is the small side)
+    assert "Broadcast" in out._jdf.queryExecution().executedPlan().toString()
+
+
 # --- advice item: fk_orphan_report flags lost one-scan grouping -------
 
 
@@ -171,6 +206,84 @@ def test_fk_orphan_report_same_object_does_not_warn(spark):
         ).collect()
     assert not [x for x in w if "PER GROUP" in str(x.message)]
     assert all(r["n_orphans"] == 1 for r in out)
+
+
+# --- round-13 operator: audio energy-contour near-dup -----------------
+
+
+def test_audio_energy_hash_known_contour(spark):
+    """Hand-checkable fingerprint: an injected extractor returning a
+    strictly rising contour sets every difference bit; a strictly
+    falling one sets none; the near-pair banding then pairs two clips
+    whose contours differ in a few windows."""
+    from clickhouse_mysql_data_reader_spark.operators.multimodal import (
+        audio_energy_hash,
+        audio_near_dup_pairs,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio", b"rise"),
+            (2, "audio", b"fall"),
+            (3, "audio", b"risx"),  # rising except the last window
+            (4, "image", b"rise"),  # wrong modality: filtered out
+        ],
+        "media_id long, kind string, content binary",
+    )
+
+    def contour(content, kind):
+        n = 9
+        base = list(range(n)) if content[:3] == b"ris" else list(range(n, 0, -1))
+        if content == b"risx":
+            base[-1] = 0  # one local edit: flips only the last bit
+        return base
+
+    sigs = {
+        r["media_id"]: r["ahash"]
+        for r in audio_energy_hash(media, decode_fn=contour, n_windows=9).collect()
+    }
+    assert set(sigs) == {1, 2, 3}  # the image row is filtered
+    assert sigs[1] == (1 << 8) - 1  # all 8 difference bits set
+    assert sigs[2] == 0
+    assert bin(sigs[1] ^ sigs[3]).count("1") == 1
+    pairs = audio_near_dup_pairs(
+        media, hamming_max=1, decode_fn=contour, n_windows=9
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs} == {(1, 3, 1)}
+
+
+def test_audio_energy_hash_rejects_wrong_window_count(spark):
+    from clickhouse_mysql_data_reader_spark.operators.multimodal import (
+        audio_energy_hash,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "audio", b"clip")], "media_id long, kind string, content binary"
+    )
+    bad = lambda content, kind: [0] * 5
+    with pytest.raises(Exception, match="exactly 49"):
+        audio_energy_hash(media, decode_fn=bad).collect()
+
+
+def test_audio_near_dup_pairs_sigs_seam(spark):
+    """The landed-fingerprint seam: feeding precomputed (media_id,
+    ahash) longs yields the identical pair set with no decode in the
+    plan — the production path for real decoders."""
+    from clickhouse_mysql_data_reader_spark.operators.multimodal import (
+        audio_energy_hash,
+        audio_near_dup_pairs,
+        documents_as_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w", f"clip number {i} " * 30, len(f"clip {i}")) for i in range(1, 31)],
+        "doc_id long, source string, text string, n_chars int",
+    )
+    media = documents_as_media(docs)
+    direct = audio_near_dup_pairs(media, hamming_max=15).collect()
+    landed = audio_energy_hash(media).localCheckpoint()
+    via_seam = audio_near_dup_pairs(media, hamming_max=15, sigs=landed).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, via_seam))
 
 
 # --- advice item: image_dhash rejects geometry mismatches -------------
