@@ -391,6 +391,211 @@ def audio_near_dup_pairs(
     )
 
 
+def real_frame_decoder(
+    content: bytes, n_frames: int, grid_w: int = 7, grid_h: int = 8
+) -> list[list[int]]:
+    """Placeholder for the real frame sampler (pyav/ffmpeg: one pass
+    over the stream, grab ``n_frames`` evenly-spaced frames, each
+    resized to a grid_w x grid_h grayscale thumbnail); video libraries
+    are not in this container — inject via the ``decode_fn`` seam."""
+    raise NotImplementedError(
+        "frame decoding requires a video library not present in this "
+        "container; inject a decode_fn into video_frame_hashes()"
+    )
+
+
+def deterministic_fake_frame_pixels(
+    content: bytes, frame_i: int, n_pixels: int = 56
+) -> list[int]:
+    """Stand-in frame thumbnail: frame i's pixels hash only the i-th
+    64-char content slice (sampled frames always land inside the text
+    at the default 1 frame/sec over a 10ms-per-char duration), so two
+    videos sharing most of their content share most of their frame
+    thumbnails — the miniature of real re-encoded-clip behavior, and
+    md5 is replayable in SQL so the whole pipeline is
+    oracle-checkable."""
+    s = (content or b"").decode("utf-8", "replace")
+    seg = s[frame_i * 64 : (frame_i + 1) * 64]
+    px: list[int] = []
+    k = 0
+    while len(px) < n_pixels:
+        px.extend(hashlib.md5(f"{seg}:{frame_i}:{k}".encode()).digest())
+        k += 1
+    return px[:n_pixels]
+
+
+FRAME_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_i", T.IntegerType(), False),
+        T.StructField("fhash", T.LongType(), False),
+    ]
+)
+
+
+def video_frame_hashes(
+    media: DataFrame,
+    every_ms: int = 1000,
+    decode_fn: Callable[[bytes, int], list[list[int]]] | None = None,
+    grid_w: int = 7,
+    grid_h: int = 8,
+) -> DataFrame:
+    """Per-sampled-frame dHash fingerprints for the video rows — the
+    decode primitive of the video near-dup member: one frame every
+    ``every_ms`` of the clip's duration (the ``frame_sample_plan``
+    geometry), each reduced to the same 48-bit dHash the image side
+    uses. Returns (media_id, frame_i, fhash).
+
+    Deliberately ONE ``mapInPandas`` call per CLIP, not per frame: the
+    binary column crosses Arrow once and the (injectable) decoder
+    samples all frames in a single pass over the stream — exploding
+    timestamps first (``frame_sample_plan``) would copy the clip bytes
+    into every frame row. Empty-duration clips yield no frames. The
+    frame count is computed JVM-side from the metadata struct, so the
+    decoder contract is explicit: ``decode_fn(content, n_frames) ->
+    n_frames pixel lists``, validated per frame like ``image_dhash``.
+    """
+    n_px = grid_w * grid_h
+    fake = decode_fn is None
+
+    from clickhouse_mysql_data_reader_spark.util import self_contained_pickle
+
+    self_contained_pickle(sys.modules[__name__])
+
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0)).cast("long")
+    vids = media.filter(F.col("kind") == "video").select(
+        "media_id",
+        "content",
+        F.when(dur > 0, (F.floor((dur - 1) / every_ms) + 1).cast("int"))
+        .otherwise(F.lit(0))
+        .alias("_n_frames"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fis, fps = [], [], []
+            for mid, c, nf in zip(
+                pdf["media_id"], pdf["content"], pdf["_n_frames"]
+            ):
+                frames = (
+                    [
+                        deterministic_fake_frame_pixels(c, j, n_px)
+                        for j in range(nf)
+                    ]
+                    if fake
+                    else decode_fn(c, int(nf))
+                )
+                if len(frames) != nf:
+                    raise ValueError(
+                        f"decode_fn returned {len(frames)} frames; "
+                        f"video_frame_hashes asked for {nf}"
+                    )
+                for j, px in enumerate(frames):
+                    if len(px) != n_px:
+                        raise ValueError(
+                            f"frame {j}: decode_fn returned {len(px)} "
+                            f"pixels; needs exactly grid_w*grid_h = {n_px}"
+                        )
+                    fp = 0
+                    for r in range(grid_h):
+                        base = r * grid_w
+                        for c_ in range(grid_w - 1):
+                            if px[base + c_] < px[base + c_ + 1]:
+                                fp |= 1 << (r * (grid_w - 1) + c_)
+                    ids.append(mid)
+                    fis.append(j)
+                    fps.append(fp)
+            yield pd.DataFrame({"media_id": ids, "frame_i": fis, "fhash": fps})
+
+    return vids.mapInPandas(run, schema=FRAME_HASH_SCHEMA)
+
+
+def video_near_dup_pairs(
+    media: DataFrame,
+    min_matching_frames: int = 2,
+    every_ms: int = 1000,
+    decode_fn: Callable[[bytes, int], list[list[int]]] | None = None,
+    grid_w: int = 7,
+    grid_h: int = 8,
+    max_frame_df: int | None = None,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Video near-duplicate pairs by SAMPLED-FRAME matching: two clips
+    are near-dups when at least ``min_matching_frames`` of their
+    sampled-frame dHashes agree exactly — the classic frame-signature
+    approach (a re-encode/transcode/container swap keeps the frames,
+    so their thumbnail hashes survive; a trim keeps most of them).
+    Completes the modality matrix: text (simhash/minhash/exactsubstr),
+    image (dHash), audio (energy contour), video (frame set).
+
+    Scale shape: candidates come from an EQUI-join on the 48-bit frame
+    hash — never all-pairs, and unlike Hamming banding no chunk
+    explosion is needed (frame match is exact equality; robustness
+    comes from needing only ``min_matching_frames`` of MANY frames to
+    survive). The hot-bucket hazard is a frame ubiquitous across
+    clips (black frames, studio logos — the stop-word problem on the
+    video modality): ``max_frame_df`` drops frame hashes appearing in
+    more than that many clips before the join, exactly the boilerplate
+    n-gram discipline. ``sigs=`` is the landed-fingerprint seam: feed
+    a landed (media_id, frame_i, fhash) table and the decode never
+    re-runs (the image/audio discipline). Returns (doc_a, doc_b,
+    n_matching, n_frames_a, n_frames_b) with doc_a < doc_b, where
+    n_frames_* count DISTINCT frame hashes per clip (the match
+    denominator for a containment-style score downstream).
+    """
+    if sigs is None:
+        sigs = video_frame_hashes(
+            media,
+            every_ms=every_ms,
+            decode_fn=decode_fn,
+            grid_w=grid_w,
+            grid_h=grid_h,
+        )
+    # distinct per clip: a repeated frame within one clip must not
+    # multiply-count as several matches
+    fset = sigs.select("media_id", "fhash").distinct()
+    if max_frame_df is not None:
+        hot = (
+            fset.groupBy("fhash")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_frame_df)
+            .select("fhash")
+        )
+        fset = fset.join(hot, "fhash", "left_anti")
+    counts = fset.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_nf")
+    )
+    a, b = fset.alias("a"), fset.alias("b")
+    matches = (
+        a.join(
+            b,
+            (F.col("a.fhash") == F.col("b.fhash"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("doc_a"),
+            F.col("b.media_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matching"))
+        .filter(F.col("n_matching") >= min_matching_frames)
+    )
+    return (
+        matches.join(
+            counts.select(
+                F.col("media_id").alias("doc_a"), F.col("_nf").alias("n_frames_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            counts.select(
+                F.col("media_id").alias("doc_b"), F.col("_nf").alias("n_frames_b")
+            ),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", "n_matching", "n_frames_a", "n_frames_b")
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per frame timestamp
     (the decode of each frame is the injectable step). Expressed with

@@ -261,6 +261,78 @@ def dedup_audio_fp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_video_frames",
+    """
+    WITH vid AS (
+      SELECT doc_id AS media_id, text,
+             CAST((n_chars * 10 - 1) // 1000 AS INT) + 1 AS n_frames
+      FROM documents WHERE doc_id % 3 = 2 AND n_chars * 10 > 0
+    ),
+    px AS (
+      SELECT media_id, j, k,
+             ('0x' || substr(md5(substr(text, CAST(j*64 + 1 AS INT), 64)
+                                 || ':' || CAST(j AS VARCHAR)
+                                 || ':' || CAST(k//16 AS VARCHAR)),
+                             CAST(2*(k%16)+1 AS INT), 2))::BIGINT AS p
+      FROM vid, UNNEST(range(n_frames)) AS f(j), UNNEST(range(56)) AS t(k)
+    ),
+    bits AS (
+      SELECT a.media_id, a.j,
+             CAST((a.k // 7) * 6 + (a.k % 7) AS INT) AS bit_i,
+             CASE WHEN a.p < b.p THEN 1 ELSE 0 END AS bit
+      FROM px a JOIN px b
+        ON a.media_id = b.media_id AND a.j = b.j AND b.k = a.k + 1
+      WHERE a.k % 7 < 6
+    ),
+    fh AS (
+      SELECT media_id, j,
+             CAST(sum(bit * (1::BIGINT << bit_i)) AS BIGINT) AS fhash
+      FROM bits GROUP BY media_id, j
+    ),
+    fset AS (SELECT DISTINCT media_id, fhash FROM fh),
+    counts AS (
+      SELECT media_id, CAST(count(*) AS BIGINT) AS nf
+      FROM fset GROUP BY media_id
+    ),
+    m AS (
+      SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_matching
+      FROM fset a JOIN fset b
+        ON a.fhash = b.fhash AND a.media_id < b.media_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT m.doc_a, m.doc_b, m.n_matching,
+           ca.nf AS n_frames_a, cb.nf AS n_frames_b
+    FROM m JOIN counts ca ON m.doc_a = ca.media_id
+           JOIN counts cb ON m.doc_b = cb.media_id
+    """,
+    doc="Video near-duplicate pairs by sampled-frame matching "
+    "(operators/multimodal.py video_frame_hashes + "
+    "video_near_dup_pairs): one frame per second of clip duration, "
+    "each reduced to the image side's 48-bit dHash through the "
+    "INJECTABLE frame-decoder seam (pyav in production; here the "
+    "md5-BLOCKED fake where frame i depends only on the i-th content "
+    "slice, so shared content means shared frames — the re-encoded-"
+    "clip miniature), then clips pair when >= 2 distinct frame hashes "
+    "agree EXACTLY. Candidates are an equi-join on the frame hash — "
+    "never all-pairs, no banding needed (robustness comes from "
+    "needing only a few of many frames); ubiquitous frames (black/"
+    "logo stop-frames) are droppable via max_frame_df before the "
+    "join. One mapInPandas call per CLIP (bytes cross Arrow once; "
+    "exploding timestamps first would copy the clip per frame). "
+    "Completes the modality matrix: text, image, audio, and video "
+    "near-dup members all banded/bucketed, never quadratic.",
+)
+def dedup_video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.multimodal import (
+        video_near_dup_pairs,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return video_near_dup_pairs(media, min_matching_frames=2)
+
+
+@register(
     "multimodal_frame_plan",
     """
     SELECT doc_id AS media_id, i AS frame_ts_ms

@@ -768,6 +768,13 @@ DEPRIORITIZED = (
     #     and image dHash; closes the modality matrix (text/image/
     #     audio each have a banded near-dup member)
     "dedup_audio_fp",
+    #   - dedup_video_frames: video near-dup by sampled-frame matching
+    #     — per-second frame dHashes through the injectable frame-
+    #     decoder seam, clips pair on >= 2 exact frame-hash matches
+    #     (equi-join on the 48-bit hash, never all-pairs; stop-frame
+    #     drop via max_frame_df); one mapInPandas per CLIP so the
+    #     bytes cross Arrow once. The fourth and final modality member
+    "dedup_video_frames",
     # ...and the late-round-11 births (rotated INTO the checked 50
     # the same round — see the late-round-11 block below; the
     # descriptions stay here as the capability record):

@@ -286,6 +286,127 @@ def test_audio_near_dup_pairs_sigs_seam(spark):
     assert sorted(map(tuple, direct)) == sorted(map(tuple, via_seam))
 
 
+# --- round-13 operator: video sampled-frame near-dup ------------------
+
+
+def _vmedia(spark, rows):
+    """(media_id, kind, content, meta) video rows with an explicit
+    duration driving the frame count (1 frame/sec)."""
+    return spark.createDataFrame(
+        [
+            (i, kind, c, ("x", None, None, dur))
+            for i, kind, c, dur in rows
+        ],
+        "media_id long, kind string, content binary, "
+        "meta struct<mime string, width int, height int, duration_ms long>",
+    )
+
+
+def test_video_frame_hashes_injected_decoder_and_matching(spark):
+    """Injected frame decoder with hand-built thumbnails: clips
+    sharing >= min_matching frame hashes pair, others don't, counts
+    are exact, and the wrong-frame-count / wrong-pixel-count contracts
+    fail loudly."""
+    from clickhouse_mysql_data_reader_spark.operators.multimodal import (
+        video_frame_hashes,
+        video_near_dup_pairs,
+    )
+
+    # 4 pixel patterns -> 4 distinct hashes (2x2 grid, 2 bits)
+    P = {
+        "w": [0, 1, 0, 1],  # rising rows -> bits 11
+        "x": [1, 0, 1, 0],  # falling -> bits 00
+        "y": [0, 1, 1, 0],  # mixed -> 01
+        "z": [1, 0, 0, 1],  # mixed -> 10
+    }
+
+    def frames(content, n_frames):
+        pattern = content.decode()
+        return [P[pattern[j]] for j in range(n_frames)]
+
+    media = _vmedia(
+        spark,
+        [
+            (1, "video", b"wxy", 3000),   # frames w, x, y
+            (2, "video", b"wxz", 3000),   # shares w, x with 1
+            (3, "video", b"zzz", 3000),   # distinct-set {z}: 1 shared with 2
+            (4, "video", b"wy", 2000),    # shares w, y with 1
+            (5, "audio", b"wxy", 3000),   # wrong modality: filtered
+            (6, "video", b"", 0),         # zero duration: no frames
+        ],
+    )
+    fh = video_frame_hashes(media, decode_fn=frames, grid_w=2, grid_h=2)
+    rows = fh.collect()
+    assert {r["media_id"] for r in rows} == {1, 2, 3, 4}
+    assert sum(1 for r in rows if r["media_id"] == 1) == 3
+    pairs = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_matching"], r["n_frames_a"], r["n_frames_b"]
+        )
+        for r in video_near_dup_pairs(
+            media, min_matching_frames=2, decode_fn=frames, grid_w=2, grid_h=2
+        ).collect()
+    }
+    assert pairs == {(1, 2): (2, 3, 3), (1, 4): (2, 3, 2)}
+
+    bad_count = lambda content, n: [[0, 1, 0, 1]] * (n + 1)
+    with pytest.raises(Exception, match="frames"):
+        video_frame_hashes(media, decode_fn=bad_count, grid_w=2, grid_h=2).collect()
+    bad_px = lambda content, n: [[0, 1]] * n
+    with pytest.raises(Exception, match="pixels"):
+        video_frame_hashes(media, decode_fn=bad_px, grid_w=2, grid_h=2).collect()
+
+
+def test_video_near_dup_stop_frame_guard_and_sigs_seam(spark):
+    """max_frame_df drops ubiquitous frames (the black-frame/logo
+    hazard) BEFORE the join; the sigs= seam reproduces the pair set
+    from a landed fingerprint table with no decode in the plan."""
+    from clickhouse_mysql_data_reader_spark.operators.multimodal import (
+        video_frame_hashes,
+        video_near_dup_pairs,
+    )
+
+    P = {"w": [0, 1, 0, 1], "x": [1, 0, 1, 0], "y": [0, 1, 1, 0]}
+
+    def frames(content, n_frames):
+        return [P[content.decode()[j]] for j in range(n_frames)]
+
+    # 'w' appears in ALL four clips (the studio logo); real overlap
+    # only between 1 and 2 (x, y)
+    media = _vmedia(
+        spark,
+        [
+            (1, "video", b"wxy", 3000),
+            (2, "video", b"wxy", 3000),
+            (3, "video", b"w", 1000),
+            (4, "video", b"w", 1000),
+        ],
+    )
+    kw = dict(decode_fn=frames, grid_w=2, grid_h=2)
+    no_guard = {
+        (r["doc_a"], r["doc_b"]): r["n_matching"]
+        for r in video_near_dup_pairs(media, min_matching_frames=1, **kw).collect()
+    }
+    assert no_guard[(3, 4)] == 1  # logo-only pair: the false positive
+    guarded = {
+        (r["doc_a"], r["doc_b"]): r["n_matching"]
+        for r in video_near_dup_pairs(
+            media, min_matching_frames=1, max_frame_df=3, **kw
+        ).collect()
+    }
+    assert (3, 4) not in guarded
+    assert guarded[(1, 2)] == 2  # x, y survive; w dropped everywhere
+
+    landed = video_frame_hashes(media, **kw).localCheckpoint()
+    via_seam = {
+        (r["doc_a"], r["doc_b"]): r["n_matching"]
+        for r in video_near_dup_pairs(
+            media, min_matching_frames=1, sigs=landed
+        ).collect()
+    }
+    assert via_seam == no_guard
+
+
 # --- advice item: image_dhash rejects geometry mismatches -------------
 
 
