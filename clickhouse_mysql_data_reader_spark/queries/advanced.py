@@ -1355,6 +1355,84 @@ def match_entity_resolve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "match_entity_apply",
+    """
+    WITH RECURSIVE d AS (
+      SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n,
+             split_part(p_name, ' ', 2) AS blk
+      FROM part WHERE p_name IS NOT NULL GROUP BY p_name
+    ),
+    pairs AS (
+      SELECT a.name AS name_a, b.name AS name_b
+      FROM d a JOIN d b ON a.blk = b.blk AND a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= 2
+    ),
+    edges AS (
+      SELECT name_a AS u, name_b AS v FROM pairs
+      UNION SELECT name_b, name_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS name, least(u, min(v)) AS component FROM reach GROUP BY u
+    ),
+    labeled AS (
+      SELECT d.name, d.n, coalesce(c.component, d.name) AS component
+      FROM d LEFT JOIN comp c USING (name)
+    ),
+    canon AS (
+      SELECT component, name AS canonical FROM (
+        SELECT component, name,
+               row_number() OVER (
+                 PARTITION BY component ORDER BY n DESC, name ASC
+               ) AS rn
+        FROM labeled
+      ) WHERE rn = 1
+    ),
+    mapping AS (
+      SELECT l.name, c.canonical
+      FROM labeled l JOIN canon c USING (component)
+    )
+    SELECT coalesce(m.canonical, p.p_name) AS name,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM part p LEFT JOIN mapping m ON p.p_name = m.name
+    GROUP BY 1
+    """,
+    doc="The REWRITE completing entity resolution (operators/linkage.py "
+    "apply_entity_mapping): the match_entity_resolve golden-record "
+    "mapping applied back to the ROW STREAM — every variant spelling "
+    "becomes its component's canonical via ONE broadcast left join "
+    "riding the part scan (the mapping is dictionary-sized; the row "
+    "stream never shuffles on content), unmapped/NULL values pass "
+    "through verbatim, then the rewritten corpus aggregates per "
+    "canonical — so the hash check verifies resolution AND application "
+    "end-to-end: every variant's row count folds into its canonical's "
+    "group and nothing else moves.",
+)
+def match_entity_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.linkage import (
+        apply_entity_mapping,
+        resolve_entities,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    mapping = resolve_entities(
+        part,
+        "p_name",
+        block_fn=lambda c: F.split(c, " ").getItem(1),
+        max_dist=2,
+    )
+    rewritten = apply_entity_mapping(
+        part.select("p_partkey", "p_name"), mapping, "p_name"
+    )
+    return rewritten.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+
+
+@register(
     "monitor_psi_by_source",
     """
     WITH s AS (SELECT doc_id, source, n_chars, (doc_id % 2 = 1) AS is_new

@@ -775,6 +775,11 @@ DEPRIORITIZED = (
     #     drop via max_frame_df); one mapInPandas per CLIP so the
     #     bytes cross Arrow once. The fourth and final modality member
     "dedup_video_frames",
+    #   - match_entity_apply: the entity-resolution REWRITE applied to
+    #     the row stream (apply_entity_mapping's broadcast join) and
+    #     re-aggregated per canonical — hash-verifies resolution AND
+    #     application end-to-end; the family's report-to-rewrite closer
+    "match_entity_apply",
     # ...and the late-round-11 births (rotated INTO the checked 50
     # the same round — see the late-round-11 block below; the
     # descriptions stay here as the capability record):
