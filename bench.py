@@ -278,6 +278,31 @@ def main() -> None:
 
     qmap["curate_batch_semantic"] = _curate_batch_semantic
 
+    # Batch-mode image edge (round 13): curate(image_near_hamming=7) —
+    # the FOURTH edge type (dHash fingerprints via mapInPandas over the
+    # decode seam, pigeonhole band join) unioned into the near-dup
+    # graph. Every third doc carries an image (the documents_as_media
+    # modality mix), the rest exercise the NULL-image path; gates
+    # configured like the semantic twin so the entry isolates
+    # scan+score+dedup core + the image edge.
+    batch_img_cfg = CurationConfig(
+        image_near_hamming=7, min_quality_score=0.0,
+        drop_repetitive=False, redact_pii=False,
+    )
+
+    def _curate_batch_image(spark, d):
+        docs_img = docs.withColumn(
+            "image",
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+                F.encode("text", "utf-8"),
+            ),
+        )
+        res = curate(docs_img, cfg=batch_img_cfg)
+        return res.after_mixture
+
+    qmap["curate_batch_image"] = _curate_batch_image
+
     # Each query is timed over THREE full executions and the MIN is
     # reported. Rationale (round 3, tightened round 5): the host is
     # shared — single-run timings showed 4-20x outliers from CPU steal
@@ -422,6 +447,15 @@ def main() -> None:
         # round-12 addition: image cluster keeper (pairs -> components
         # -> largest-original election)
         "dedup_image_cluster_keep": time_query("dedup_image_cluster_keep"),
+        # round-13 additions: the audio and video near-dup members
+        # (energy-contour banding; sampled-frame equi-join), the
+        # entity-resolution corpus rewrite, and the image edge inside
+        # batch curation (fourth edge type, fingerprints persisted so
+        # the decode runs once)
+        "dedup_audio_fp": time_query("dedup_audio_fp"),
+        "dedup_video_frames": time_query("dedup_video_frames"),
+        "match_entity_apply": time_query("match_entity_apply"),
+        "curate_batch_image": time_query("curate_batch_image"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
