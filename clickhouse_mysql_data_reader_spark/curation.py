@@ -315,6 +315,22 @@ class CurationConfig:
     # when image_decode_fn is None, else "custom" — production passes
     # an explicit version tag
     image_decoder_tag: str | None = None
+    # opt-in FIFTH near-dup edge type: audio energy-contour near-dup
+    # at this Hamming budget — the image edge type's exact mirror on
+    # the audio modality (operators/multimodal.py audio_energy_hash:
+    # n_windows per-clip energies through the injectable seam,
+    # n_windows - 1 quieter-than-next difference bits in one BIGINT,
+    # Manku pigeonhole banding). Docs carry ``audio_col`` (binary;
+    # NULL = no clip). In ``curate_increment`` the state must be
+    # audio-enabled (CurationState audio_n_windows + decoder tag);
+    # write() then lands (doc_id, ahash) in ``audio_fps`` and later
+    # batches probe history via the chunk bucket-join — landed longs
+    # only, clip bytes never re-read. None = off.
+    audio_near_hamming: int | None = None
+    audio_col: str = "audio"
+    audio_n_windows: int = 49
+    audio_decode_fn: Callable | None = None
+    audio_decoder_tag: str | None = None
     contamination_threshold: float = 0.5
     # decontamination policy when `benchmark` is given: "drop_docs"
     # removes any corpus doc whose shingle overlap with a benchmark
@@ -438,6 +454,20 @@ class CurationConfig:
                     f"dHash bit width {bits} (grid {self.image_grid_w}x"
                     f"{self.image_grid_h}) not divisible into "
                     f"{self.image_near_hamming + 1} pigeonhole chunks; "
+                    "pick a hamming budget h with bits % (h+1) == 0"
+                )
+        if self.audio_near_hamming is not None:
+            bits = self.audio_n_windows - 1
+            if self.audio_near_hamming < 0 or self.audio_n_windows < 2:
+                raise ValueError(
+                    f"need audio_near_hamming >= 0 and audio_n_windows >= 2; "
+                    f"got {self.audio_near_hamming}, {self.audio_n_windows}"
+                )
+            if bits % (self.audio_near_hamming + 1):
+                raise ValueError(
+                    f"energy-hash bit width {bits} "
+                    f"(n_windows={self.audio_n_windows}) not divisible into "
+                    f"{self.audio_near_hamming + 1} pigeonhole chunks; "
                     "pick a hamming budget h with bits % (h+1) == 0"
                 )
         if self.quality_calibrate_pctile is not None and not (
@@ -900,10 +930,11 @@ def _semantic_edge_set(
     return _cos_verified(cand, vecs, vecs, cfg.embed_near_cos)
 
 
-def _image_decoder_tag(decode_fn, explicit: str | None) -> str:
-    """The decoder-identity string pinned in the state manifest: a
-    fingerprint landed by one decoder can never match another's, so a
-    silent decoder swap must fail loudly like any geometry mismatch."""
+def _decoder_tag(decode_fn, explicit: str | None) -> str:
+    """The decoder-identity string pinned in a media-fingerprint state
+    manifest (image and audio alike): a fingerprint landed by one
+    decoder can never match another's, so a silent decoder swap must
+    fail loudly like any geometry mismatch."""
     if explicit is not None:
         return explicit
     return "md5-blocked-fake" if decode_fn is None else "custom"
@@ -955,6 +986,49 @@ def _image_edge_set(sigs: DataFrame, cfg: CurationConfig) -> DataFrame:
         hamming_max=cfg.image_near_hamming,
         id_col="doc_id",
         sig_col="dhash",
+    ).select("doc_a", "doc_b")
+
+
+def _audio_sigs(
+    docs: DataFrame,
+    id_col: str,
+    audio_col: str,
+    n_windows: int,
+    decode_fn: Callable | None,
+) -> DataFrame:
+    """(doc_id, ahash) energy-contour fingerprints for the audio-bearing
+    rows — ``_image_sigs``' exact mirror on the audio modality (same
+    NULL-exclusion rationale: the fake would hash every NULL clip to
+    one fingerprint and collapse the clipless corpus into a bogus
+    component)."""
+    from clickhouse_mysql_data_reader_spark.operators.multimodal import (
+        audio_energy_hash,
+    )
+
+    media = docs.filter(F.col(audio_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.col(audio_col).alias("content"),
+    )
+    return audio_energy_hash(
+        media, decode_fn=decode_fn, n_windows=n_windows
+    ).select(F.col("media_id").alias("doc_id"), "ahash")
+
+
+def _audio_edge_set(sigs: DataFrame, cfg: CurationConfig) -> DataFrame:
+    """Within-relation audio near-dup edges — ``_image_edge_set``'s
+    mirror over the energy-contour longs; the caller persists or
+    checkpoints ``sigs`` so the decode runs once per batch."""
+    from clickhouse_mysql_data_reader_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    return simhash_near_pairs(
+        sigs,
+        bits=cfg.audio_n_windows - 1,
+        hamming_max=cfg.audio_near_hamming,
+        id_col="doc_id",
+        sig_col="ahash",
     ).select("doc_a", "doc_b")
 
 
@@ -1081,6 +1155,12 @@ def curate(
             f"image_near_hamming={cfg.image_near_hamming} needs an "
             f"{cfg.image_col!r} binary column on the corpus (NULL for "
             f"imageless rows); got {docs.columns}"
+        )
+    if cfg.audio_near_hamming is not None and cfg.audio_col not in docs.columns:
+        raise ValueError(
+            f"audio_near_hamming={cfg.audio_near_hamming} needs an "
+            f"{cfg.audio_col!r} binary column on the corpus (NULL for "
+            f"clipless rows); got {docs.columns}"
         )
     if cfg.dedup_lines:
         # stage 0 (optional): corpus-level line dedup BEFORE the gates —
@@ -1235,6 +1315,19 @@ def curate(
         ).persist(StorageLevel.MEMORY_AND_DISK)
         persisted.append(sigs_img)
         edges = edges.unionByName(_image_edge_set(sigs_img, cfg)).distinct()
+    if cfg.audio_near_hamming is not None:
+        # FIFTH edge type: audio energy-contour near-dups — the image
+        # stanza's exact mirror (same persist-the-fingerprints
+        # decode-once discipline, same banding machinery over the
+        # energy-hash longs)
+        from pyspark import StorageLevel
+
+        sigs_aud = _audio_sigs(
+            boiled, id_col, cfg.audio_col, cfg.audio_n_windows,
+            cfg.audio_decode_fn,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(sigs_aud)
+        edges = edges.unionByName(_audio_edge_set(sigs_aud, cfg)).distinct()
     comps = connected_components(edges)
     drop_ids = _near_dup_drop_ids(comps, boiled, cfg, text_col, id_col)
     deduped = boiled.join(drop_ids, id_col, "left_anti")
@@ -1406,6 +1499,10 @@ class CurationState:
         image_col: str = "image",
         image_decode_fn: Callable | None = None,
         image_decoder_tag: str | None = None,
+        audio_n_windows: int | None = None,
+        audio_col: str = "audio",
+        audio_decode_fn: Callable | None = None,
+        audio_decoder_tag: str | None = None,
     ):
         self.state_dir = str(state_dir)
         self.minhash_k = minhash_k
@@ -1435,8 +1532,23 @@ class CurationState:
         self.image_grid_h = int(image_grid_h)
         self.image_col = str(image_col)
         self.image_decode_fn = image_decode_fn
-        self.image_decoder_tag = _image_decoder_tag(
+        self.image_decoder_tag = _decoder_tag(
             image_decode_fn, image_decoder_tag
+        )
+        # Opt-in AUDIO near-dup support (cfg.audio_near_hamming): the
+        # image stanza's exact mirror — when ``audio_n_windows`` is
+        # set, write() lands ``audio_fps`` (doc_id, ahash) and probes
+        # chunk-bucket-join the landed longs; window count + decoder
+        # tag pinned in ``_audio_params.json``; the hamming budget is
+        # probe-time-free like the image one. Enable on a landed state
+        # via ``backfill_audio_fps``.
+        self.audio_n_windows = (
+            int(audio_n_windows) if audio_n_windows is not None else None
+        )
+        self.audio_col = str(audio_col)
+        self.audio_decode_fn = audio_decode_fn
+        self.audio_decoder_tag = _decoder_tag(
+            audio_decode_fn, audio_decoder_tag
         )
         # Opt-in SEMANTIC near-dup support for increments
         # (cfg.embed_near_cos): when ``embed_dim`` is set, write()
@@ -1539,6 +1651,13 @@ class CurationState:
                 image_decode_fn=cfg.image_decode_fn,
                 image_decoder_tag=cfg.image_decoder_tag,
             )
+        if cfg.audio_near_hamming is not None:
+            kw.update(
+                audio_n_windows=cfg.audio_n_windows,
+                audio_col=cfg.audio_col,
+                audio_decode_fn=cfg.audio_decode_fn,
+                audio_decoder_tag=cfg.audio_decoder_tag,
+            )
         return cls(state_dir, **kw)
 
     def _fs(self, spark):
@@ -1584,6 +1703,7 @@ class CurationState:
         "srp_bands",
         "embeddings",
         "image_fps",
+        "audio_fps",
         "splits",
     )
 
@@ -2344,6 +2464,106 @@ class CurationState:
                 f"backfill_image_fps: rename {staging} -> {final} failed"
             )
 
+    def _sync_audio_params(self, spark) -> None:
+        """Mirror of _sync_image_params for the energy-contour
+        derivation: window count + decoder identity pinned in
+        ``_audio_params.json``."""
+        mine = {
+            "audio_n_windows": self.audio_n_windows,
+            "audio_decoder": self.audio_decoder_tag,
+        }
+
+        def validate(landed: dict) -> None:
+            if self.audio_n_windows is None:
+                raise ValueError(
+                    f"CurationState({self.state_dir}) has landed audio-"
+                    f"dedup state ({landed}) but this instance was "
+                    "constructed without audio_n_windows — writes that "
+                    "skip the audio_fps append would leave landed docs "
+                    "invisible to every later audio history probe; "
+                    "construct with the landed geometry"
+                )
+            if landed != mine:
+                raise ValueError(
+                    f"CurationState({self.state_dir}) constructed with "
+                    f"{mine} but the landed audio fingerprints were "
+                    f"derived with {landed}; fingerprints from different "
+                    "window counts/decoders never match — use the landed "
+                    "geometry and decoder (or a fresh state)"
+                )
+
+        self._sync_manifest(
+            spark,
+            "_audio_params.json",
+            mine if self.audio_n_windows is not None else None,
+            validate,
+        )
+
+    def audio_landed(self, spark) -> bool:
+        """True once an audio batch has fully landed in ``audio_fps``
+        — ``image_landed``'s mirror."""
+        self._recover_crashed_compact(spark, ("audio_fps",))
+        return self._table_landed(spark, "audio_fps")
+
+    def audio_fps(
+        self, spark, exclude_epoch: int | None = None, run_id: str | None = None
+    ) -> DataFrame:
+        """The landed (doc_id, ahash) energy-contour history, with the
+        same replayed-epoch exclusion as the doc tables."""
+        return self._read(spark, "audio_fps", exclude_epoch, run_id)
+
+    def backfill_audio_fps(
+        self, kept: DataFrame, id_col: str = "doc_id"
+    ) -> None:
+        """Enable audio dedup on a state whose batches landed before
+        audio support — ``backfill_image_fps``'s mirror (one table, so
+        a landed final dir means a committed backfill; the caller
+        supplies the historical kept corpus with its clip column)."""
+        spark = kept.sparkSession
+        if self.audio_n_windows is None:
+            raise ValueError(
+                "backfill_audio_fps needs an audio-enabled state — "
+                "construct CurationState with audio_n_windows (and the "
+                "decoder) first"
+            )
+        self._sync_audio_params(spark)
+        if self.audio_landed(spark):
+            return
+        if self.audio_col not in kept.columns:
+            raise ValueError(
+                "audio-enabled CurationState needs the "
+                f"{self.audio_col!r} binary column on the supplied "
+                f"historical corpus; got {kept.columns}"
+            )
+        rows = self._derive_audio(kept, id_col)
+        jvm, fs = self._fs(spark)
+        hp = jvm.org.apache.hadoop.fs.Path
+        final = self._path("audio_fps")
+        staging = final + "__bf"
+        if fs.exists(hp(staging)):
+            fs.delete(hp(staging), True)  # crashed earlier attempt
+        rows.withColumns(
+            {"_epoch": F.lit(-1), "_run": F.lit("")}
+        ).write.mode("overwrite").parquet(staging)
+        if not fs.rename(hp(staging), hp(final)):
+            raise IOError(
+                f"backfill_audio_fps: rename {staging} -> {final} failed"
+            )
+
+    def _derive_audio(self, kept: DataFrame, id_col: str) -> DataFrame:
+        """(doc_id, ahash) rows for a kept batch — the same
+        ``_audio_sigs`` derivation the edge stages probe with."""
+        if self.audio_col not in kept.columns:
+            raise ValueError(
+                "audio-enabled CurationState needs the "
+                f"{self.audio_col!r} binary column on every kept batch; "
+                f"got {kept.columns}"
+            )
+        return _audio_sigs(
+            kept, id_col, self.audio_col, self.audio_n_windows,
+            self.audio_decode_fn,
+        )
+
     def _derive_image(self, kept: DataFrame, id_col: str) -> DataFrame:
         """(doc_id, dhash) rows for a kept batch — the same
         ``_image_sigs`` derivation the edge stages probe with, so
@@ -2394,7 +2614,8 @@ class CurationState:
     def write(self, kept: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               mode: str = "append", epoch_id: int | None = None,
               run_id: str | None = None,
-              image_sigs: DataFrame | None = None) -> DataFrame:
+              image_sigs: DataFrame | None = None,
+              audio_sigs: DataFrame | None = None) -> DataFrame:
         """Derive and append the three state tables for a kept batch;
         returns the CHECKPOINTED ``kept`` — callers must act on the
         returned frame, not the original lazy plan, whose state reads
@@ -2441,6 +2662,7 @@ class CurationState:
         self._sync_prefix_params(kept.sparkSession)
         self._sync_embed_params(kept.sparkSession)
         self._sync_image_params(kept.sparkSession)
+        self._sync_audio_params(kept.sparkSession)
         if (
             self.embed_dim is not None
             and self.exists(kept.sparkSession)
@@ -2474,6 +2696,17 @@ class CurationState:
                 "no landed image_fps — run backfill_image_fps("
                 "historical_kept_corpus) once (offline) before "
                 "image-enabled appends"
+            )
+        if (
+            self.audio_n_windows is not None
+            and self.exists(kept.sparkSession)
+            and not self.audio_landed(kept.sparkSession)
+        ):
+            raise ValueError(
+                f"CurationState({self.state_dir}) has landed batches but "
+                "no landed audio_fps — run backfill_audio_fps("
+                "historical_kept_corpus) once (offline) before "
+                "audio-enabled appends"
             )
         if self._prefix_frac() is not None:
             # a prefix-enabled handle writing over a LEGACY prefix-less
@@ -2550,6 +2783,17 @@ class CurationState:
             srp.withColumns({"_epoch": etag, "_run": rtag}).write.mode(
                 mode
             ).parquet(self._path("srp_bands"))
+        aud = None
+        if self.audio_n_windows is not None:
+            aud = (
+                audio_sigs.join(
+                    kept.select(F.col(id_col).alias("doc_id")),
+                    "doc_id",
+                    "left_semi",
+                )
+                if audio_sigs is not None
+                else self._derive_audio(kept, id_col)
+            )
         if img is not None:
             # BEFORE the fingerprints append, the embed-tables argument
             # verbatim: orphaned image fps make later probes STRICTER
@@ -2558,6 +2802,11 @@ class CurationState:
             img.withColumns({"_epoch": etag, "_run": rtag}).write.mode(
                 mode
             ).parquet(self._path("image_fps"))
+        if aud is not None:
+            # same ordering argument as the image fps
+            aud.withColumns({"_epoch": etag, "_run": rtag}).write.mode(
+                mode
+            ).parquet(self._path("audio_fps"))
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             fp.withColumns({"_epoch": etag, "_run": rtag}).write.mode(mode).parquet(
@@ -2945,7 +3194,7 @@ def curate_increment(
             cfg.image_grid_w,
             cfg.image_grid_h,
             cfg.image_col,
-            _image_decoder_tag(cfg.image_decode_fn, cfg.image_decoder_tag),
+            _decoder_tag(cfg.image_decode_fn, cfg.image_decoder_tag),
         )
         theirs_img = (
             state.image_grid_w,
@@ -2966,6 +3215,34 @@ def curate_increment(
             raise ValueError(
                 f"image_near_hamming={cfg.image_near_hamming} needs an "
                 f"{cfg.image_col!r} binary column on the batch; got "
+                f"{new_docs.columns}"
+            )
+    if cfg.audio_near_hamming is not None:
+        # the image-geometry argument on the audio modality
+        mine_aud = (
+            cfg.audio_n_windows,
+            cfg.audio_col,
+            _decoder_tag(cfg.audio_decode_fn, cfg.audio_decoder_tag),
+        )
+        theirs_aud = (
+            state.audio_n_windows,
+            state.audio_col,
+            state.audio_decoder_tag,
+        )
+        if state.audio_n_windows is None or mine_aud != theirs_aud:
+            raise ValueError(
+                f"audio_near_hamming={cfg.audio_near_hamming} needs an "
+                "audio-enabled CurationState matching the cfg's "
+                "energy-hash geometry: cfg has (n_windows, col, decoder)="
+                f"{mine_aud} but the state was constructed with "
+                f"{theirs_aud}; fingerprints from different window "
+                "counts/decoders never match (silently missed audio "
+                "duplicates)"
+            )
+        if cfg.audio_col not in new_docs.columns:
+            raise ValueError(
+                f"audio_near_hamming={cfg.audio_near_hamming} needs an "
+                f"{cfg.audio_col!r} binary column on the batch; got "
                 f"{new_docs.columns}"
             )
     spark = new_docs.sparkSession
@@ -3007,6 +3284,15 @@ def curate_increment(
                     "once (offline; the caller supplies the kept corpus "
                     "with its image column — the state keeps keys, not "
                     "media bytes), then increments maintain it per batch"
+                )
+        if cfg.audio_near_hamming is not None:
+            state._sync_audio_params(spark)
+            if not state.audio_landed(spark):
+                raise ValueError(
+                    "audio near-dup vs history needs the landed "
+                    "audio_fps table, which this state has not written — "
+                    "run state.backfill_audio_fps(historical_kept_corpus) "
+                    "once (offline), then increments maintain it per batch"
                 )
 
     # --- stage 0 (optional): incremental corpus-level line dedup ------
@@ -3193,6 +3479,16 @@ def curate_increment(
             edges0 = edges0.unionByName(
                 _image_edge_set(sigs_img0, cfg)
             ).distinct()
+        sigs_aud0 = None
+        if cfg.audio_near_hamming is not None:
+            # fifth (audio) edge type — the image stanza's mirror
+            sigs_aud0 = _audio_sigs(
+                boiled0, id_col, cfg.audio_col, cfg.audio_n_windows,
+                cfg.audio_decode_fn,
+            ).localCheckpoint()
+            edges0 = edges0.unionByName(
+                _audio_edge_set(sigs_aud0, cfg)
+            ).distinct()
         comps0 = connected_components(edges0)
         drop0 = _near_dup_drop_ids(comps0, boiled0, cfg, text_col, id_col)
         kept = boiled0.join(drop0, id_col, "left_anti")
@@ -3200,7 +3496,7 @@ def curate_increment(
         if update_state:
             kept = state.write(kept, text_col=text_col, id_col=id_col,
                                mode="append", epoch_id=epoch_id, run_id=run_id,
-                               image_sigs=sigs_img0)
+                               image_sigs=sigs_img0, audio_sigs=sigs_aud0)
         _land_line_fps()
         _land_splits(kept, comps0)
         return kept
@@ -3346,6 +3642,14 @@ def curate_increment(
             cfg.image_grid_h, cfg.image_decode_fn,
         ).localCheckpoint()
 
+    sigs_aud_new = None
+    if cfg.audio_near_hamming is not None:
+        # the image checkpoint discipline on the audio modality
+        sigs_aud_new = _audio_sigs(
+            vs_hist, id_col, cfg.audio_col, cfg.audio_n_windows,
+            cfg.audio_decode_fn,
+        ).localCheckpoint()
+
     # within batch: cfg's candidate policy (LSH default, exact AllPairs
     # under near_dup_exact) + optional containment edges — the shared
     # helper, same edge semantics as batch curate(). The rarest-first
@@ -3379,6 +3683,11 @@ def curate_increment(
         # fingerprints reused so the decode does not re-run per side
         edges_in = edges_in.unionByName(
             _image_edge_set(sigs_img_new, cfg)
+        ).distinct()
+    if cfg.audio_near_hamming is not None:
+        # fifth (audio) edge type within the batch
+        edges_in = edges_in.unionByName(
+            _audio_edge_set(sigs_aud_new, cfg)
         ).distinct()
     comps = connected_components(edges_in)
     drop_in = _near_dup_drop_ids(comps, vs_hist, cfg, text_col, id_col)
@@ -3526,6 +3835,25 @@ def curate_increment(
         drop_hist = drop_hist.unionByName(
             img_pairs.select(F.col("doc_a").alias(id_col))
         )
+    if cfg.audio_near_hamming is not None:
+        # vs history, audio metric (fifth drop set) — the image probe's
+        # mirror: chunk bucket-join against the landed energy-hash
+        # longs, exact Hamming verify in the join, history wins
+        from clickhouse_mysql_data_reader_spark.operators.dedup import (
+            simhash_near_pairs_cross,
+        )
+
+        aud_pairs = simhash_near_pairs_cross(
+            sigs_aud_new,
+            state.audio_fps(spark, exclude_epoch=epoch_id, run_id=run_id),
+            bits=cfg.audio_n_windows - 1,
+            hamming_max=cfg.audio_near_hamming,
+            id_col="doc_id",
+            sig_col="ahash",
+        )
+        drop_hist = drop_hist.unionByName(
+            aud_pairs.select(F.col("doc_a").alias(id_col))
+        )
     drop_hist = drop_hist.distinct()
 
     kept = (
@@ -3538,7 +3866,7 @@ def curate_increment(
         # result cannot re-read the state this call just appended to
         kept = state.write(kept, text_col=text_col, id_col=id_col,
                            mode="append", epoch_id=epoch_id, run_id=run_id,
-                           image_sigs=sigs_img_new)
+                           image_sigs=sigs_img_new, audio_sigs=sigs_aud_new)
     _land_line_fps()
     _land_splits(kept, comps)
     return kept
