@@ -331,6 +331,29 @@ class CurationConfig:
     audio_n_windows: int = 49
     audio_decode_fn: Callable | None = None
     audio_decoder_tag: str | None = None
+    # opt-in SIXTH near-dup edge type: video sampled-frame matching
+    # (operators/multimodal.py video_frame_hashes /
+    # video_near_dup_pairs) — clips whose sampled-frame dHash SETS
+    # share at least ``video_min_matching`` distinct hashes merge.
+    # Docs carry ``video_col`` (binary; NULL = no clip) AND
+    # ``video_duration_col`` (BIGINT milliseconds — frame sampling
+    # needs the clip length, which real corpora store as metadata; a
+    # NULL/zero duration means no frames, like a NULL clip). Unlike
+    # the one-long image/audio fingerprints the video fingerprint is a
+    # SET of frame hashes, so the history probe is a frame-level
+    # equi-join against the landed ``video_fps`` rows + a per-pair
+    # match count — the shingle-table shape, never banding.
+    # ``video_max_frame_df`` drops ubiquitous frames (black/logo
+    # stop-frames) within the batch-side edge stage. None = off.
+    video_min_matching: int | None = None
+    video_col: str = "video"
+    video_duration_col: str = "video_ms"
+    video_every_ms: int = 1000
+    video_grid_w: int = 7
+    video_grid_h: int = 8
+    video_decode_fn: Callable | None = None
+    video_decoder_tag: str | None = None
+    video_max_frame_df: int | None = None
     contamination_threshold: float = 0.5
     # decontamination policy when `benchmark` is given: "drop_docs"
     # removes any corpus doc whose shingle overlap with a benchmark
@@ -469,6 +492,16 @@ class CurationConfig:
                     f"(n_windows={self.audio_n_windows}) not divisible into "
                     f"{self.audio_near_hamming + 1} pigeonhole chunks; "
                     "pick a hamming budget h with bits % (h+1) == 0"
+                )
+        if self.video_min_matching is not None:
+            if self.video_min_matching < 1:
+                raise ValueError(
+                    f"video_min_matching must be >= 1, got "
+                    f"{self.video_min_matching}"
+                )
+            if self.video_every_ms < 1:
+                raise ValueError(
+                    f"video_every_ms must be >= 1, got {self.video_every_ms}"
                 )
         if self.quality_calibrate_pctile is not None and not (
             0.0 <= self.quality_calibrate_pctile <= 1.0
@@ -1032,6 +1065,92 @@ def _audio_edge_set(sigs: DataFrame, cfg: CurationConfig) -> DataFrame:
     ).select("doc_a", "doc_b")
 
 
+def _video_sigs(
+    docs: DataFrame,
+    id_col: str,
+    cfg: CurationConfig,
+) -> DataFrame:
+    """Distinct (doc_id, fhash) sampled-frame fingerprints for the
+    video-bearing rows — the SET-valued fingerprint of the video edge
+    type (one row per distinct frame hash per clip, the shingle-table
+    shape). NULL clips and NULL/zero durations yield no rows."""
+    from clickhouse_mysql_data_reader_spark.operators.multimodal import (
+        video_frame_hashes,
+    )
+
+    media = docs.filter(
+        F.col(cfg.video_col).isNotNull()
+        & (F.coalesce(F.col(cfg.video_duration_col), F.lit(0)) > 0)
+    ).select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.col(cfg.video_col).alias("content"),
+        F.struct(
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col(cfg.video_duration_col).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return (
+        video_frame_hashes(
+            media,
+            every_ms=cfg.video_every_ms,
+            decode_fn=cfg.video_decode_fn,
+            grid_w=cfg.video_grid_w,
+            grid_h=cfg.video_grid_h,
+        )
+        .select(F.col("media_id").alias("doc_id"), "fhash")
+        .distinct()
+    )
+
+
+def _video_edge_set(fset: DataFrame, cfg: CurationConfig) -> DataFrame:
+    """Within-relation video near-dup edges from a distinct
+    (doc_id, fhash) frame set — operators/multimodal.py
+    ``video_near_dup_pairs``' pairing core through its ``sigs=`` seam
+    (the caller checkpoints/persists ``fset`` so the decode ran
+    once)."""
+    from clickhouse_mysql_data_reader_spark.operators.multimodal import (
+        video_near_dup_pairs,
+    )
+
+    return video_near_dup_pairs(
+        media=None,
+        min_matching_frames=cfg.video_min_matching,
+        max_frame_df=cfg.video_max_frame_df,
+        sigs=fset.select(F.col("doc_id").alias("media_id"), "fhash"),
+    ).select("doc_a", "doc_b")
+
+
+def _video_hist_drop(
+    fset_new: DataFrame, hist_fps: DataFrame, cfg: CurationConfig
+) -> DataFrame:
+    """Batch docs that are video near-dups of HISTORY: frame-level
+    equi-join of the batch's distinct frame hashes against the landed
+    (doc_id, fhash) rows, per-(new, hist) match count, threshold —
+    the set-intersection analogue of ``simhash_near_pairs_cross``.
+    Returns one column of new-doc ids to drop (history wins).
+    Replayed-epoch duplicate rows in the landed table are collapsed
+    before counting (a duplicate frame row must not double-count one
+    match)."""
+    hist = hist_fps.select("doc_id", "fhash").dropDuplicates(
+        ["doc_id", "fhash"]
+    )
+    return (
+        fset_new.alias("n")
+        .join(hist.alias("h"), F.col("n.fhash") == F.col("h.fhash"))
+        .groupBy(
+            F.col("n.doc_id").alias("doc_a"),
+            F.col("h.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") >= cfg.video_min_matching)
+        .select("doc_a")
+        .distinct()
+    )
+
+
 def _split_assignment_frame(
     survivors: DataFrame,
     comps: DataFrame,
@@ -1161,6 +1280,15 @@ def curate(
             f"audio_near_hamming={cfg.audio_near_hamming} needs an "
             f"{cfg.audio_col!r} binary column on the corpus (NULL for "
             f"clipless rows); got {docs.columns}"
+        )
+    if cfg.video_min_matching is not None and (
+        cfg.video_col not in docs.columns
+        or cfg.video_duration_col not in docs.columns
+    ):
+        raise ValueError(
+            f"video_min_matching={cfg.video_min_matching} needs "
+            f"{cfg.video_col!r} (binary) and {cfg.video_duration_col!r} "
+            f"(BIGINT ms) columns on the corpus; got {docs.columns}"
         )
     if cfg.dedup_lines:
         # stage 0 (optional): corpus-level line dedup BEFORE the gates —
@@ -1328,6 +1456,18 @@ def curate(
         ).persist(StorageLevel.MEMORY_AND_DISK)
         persisted.append(sigs_aud)
         edges = edges.unionByName(_audio_edge_set(sigs_aud, cfg)).distinct()
+    if cfg.video_min_matching is not None:
+        # SIXTH edge type: video sampled-frame matching — the frame
+        # SET is the fingerprint (shingle-table shape), so the edge is
+        # an equi-join on the frame hash + a per-pair match count, not
+        # banding; same persist-the-fingerprints decode-once discipline
+        from pyspark import StorageLevel
+
+        fset_vid = _video_sigs(boiled, id_col, cfg).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        persisted.append(fset_vid)
+        edges = edges.unionByName(_video_edge_set(fset_vid, cfg)).distinct()
     comps = connected_components(edges)
     drop_ids = _near_dup_drop_ids(comps, boiled, cfg, text_col, id_col)
     deduped = boiled.join(drop_ids, id_col, "left_anti")
@@ -1503,6 +1643,13 @@ class CurationState:
         audio_col: str = "audio",
         audio_decode_fn: Callable | None = None,
         audio_decoder_tag: str | None = None,
+        video_every_ms: int | None = None,
+        video_col: str = "video",
+        video_duration_col: str = "video_ms",
+        video_grid_w: int = 7,
+        video_grid_h: int = 8,
+        video_decode_fn: Callable | None = None,
+        video_decoder_tag: str | None = None,
     ):
         self.state_dir = str(state_dir)
         self.minhash_k = minhash_k
@@ -1549,6 +1696,25 @@ class CurationState:
         self.audio_decode_fn = audio_decode_fn
         self.audio_decoder_tag = _decoder_tag(
             audio_decode_fn, audio_decoder_tag
+        )
+        # Opt-in VIDEO near-dup support (cfg.video_min_matching): when
+        # ``video_every_ms`` is set, write() lands ``video_fps``
+        # (doc_id, fhash — one row per DISTINCT sampled-frame hash, the
+        # shingle-table shape) and probes equi-join the landed rows +
+        # count matches per pair. Sampling interval, grid geometry and
+        # decoder tag pinned in ``_video_params.json``; the MATCH
+        # THRESHOLD is probe-time-free like the hamming budgets.
+        # Enable on a landed state via ``backfill_video_fps``.
+        self.video_every_ms = (
+            int(video_every_ms) if video_every_ms is not None else None
+        )
+        self.video_col = str(video_col)
+        self.video_duration_col = str(video_duration_col)
+        self.video_grid_w = int(video_grid_w)
+        self.video_grid_h = int(video_grid_h)
+        self.video_decode_fn = video_decode_fn
+        self.video_decoder_tag = _decoder_tag(
+            video_decode_fn, video_decoder_tag
         )
         # Opt-in SEMANTIC near-dup support for increments
         # (cfg.embed_near_cos): when ``embed_dim`` is set, write()
@@ -1658,6 +1824,16 @@ class CurationState:
                 audio_decode_fn=cfg.audio_decode_fn,
                 audio_decoder_tag=cfg.audio_decoder_tag,
             )
+        if cfg.video_min_matching is not None:
+            kw.update(
+                video_every_ms=cfg.video_every_ms,
+                video_col=cfg.video_col,
+                video_duration_col=cfg.video_duration_col,
+                video_grid_w=cfg.video_grid_w,
+                video_grid_h=cfg.video_grid_h,
+                video_decode_fn=cfg.video_decode_fn,
+                video_decoder_tag=cfg.video_decoder_tag,
+            )
         return cls(state_dir, **kw)
 
     def _fs(self, spark):
@@ -1704,6 +1880,7 @@ class CurationState:
         "embeddings",
         "image_fps",
         "audio_fps",
+        "video_fps",
         "splits",
     )
 
@@ -2564,6 +2741,114 @@ class CurationState:
             self.audio_decode_fn,
         )
 
+    def _sync_video_params(self, spark) -> None:
+        """Mirror of _sync_image_params for the frame-set derivation:
+        sampling interval, grid geometry and decoder identity pinned
+        in ``_video_params.json`` (frames sampled at a different
+        cadence or thumbnail grid can never match the landed ones)."""
+        mine = {
+            "video_every_ms": self.video_every_ms,
+            "video_grid_w": self.video_grid_w,
+            "video_grid_h": self.video_grid_h,
+            "video_decoder": self.video_decoder_tag,
+        }
+
+        def validate(landed: dict) -> None:
+            if self.video_every_ms is None:
+                raise ValueError(
+                    f"CurationState({self.state_dir}) has landed video-"
+                    f"dedup state ({landed}) but this instance was "
+                    "constructed without video_every_ms — writes that "
+                    "skip the video_fps append would leave landed docs "
+                    "invisible to every later video history probe; "
+                    "construct with the landed geometry"
+                )
+            if landed != mine:
+                raise ValueError(
+                    f"CurationState({self.state_dir}) constructed with "
+                    f"{mine} but the landed video fingerprints were "
+                    f"derived with {landed}; frames sampled differently "
+                    "never match — use the landed geometry and decoder "
+                    "(or a fresh state)"
+                )
+
+        self._sync_manifest(
+            spark,
+            "_video_params.json",
+            mine if self.video_every_ms is not None else None,
+            validate,
+        )
+
+    def video_landed(self, spark) -> bool:
+        """True once a video batch has fully landed in ``video_fps``."""
+        self._recover_crashed_compact(spark, ("video_fps",))
+        return self._table_landed(spark, "video_fps")
+
+    def video_fps(
+        self, spark, exclude_epoch: int | None = None, run_id: str | None = None
+    ) -> DataFrame:
+        """The landed (doc_id, fhash) sampled-frame history, with the
+        same replayed-epoch exclusion as the doc tables."""
+        return self._read(spark, "video_fps", exclude_epoch, run_id)
+
+    def backfill_video_fps(
+        self, kept: DataFrame, id_col: str = "doc_id"
+    ) -> None:
+        """Enable video dedup on a state whose batches landed before
+        video support — ``backfill_image_fps``'s mirror; the caller
+        supplies the historical kept corpus with its clip AND duration
+        columns."""
+        spark = kept.sparkSession
+        if self.video_every_ms is None:
+            raise ValueError(
+                "backfill_video_fps needs a video-enabled state — "
+                "construct CurationState with video_every_ms (and the "
+                "grid/decoder) first"
+            )
+        self._sync_video_params(spark)
+        if self.video_landed(spark):
+            return
+        rows = self._derive_video(kept, id_col)
+        jvm, fs = self._fs(spark)
+        hp = jvm.org.apache.hadoop.fs.Path
+        final = self._path("video_fps")
+        staging = final + "__bf"
+        if fs.exists(hp(staging)):
+            fs.delete(hp(staging), True)  # crashed earlier attempt
+        rows.withColumns(
+            {"_epoch": F.lit(-1), "_run": F.lit("")}
+        ).write.mode("overwrite").parquet(staging)
+        if not fs.rename(hp(staging), hp(final)):
+            raise IOError(
+                f"backfill_video_fps: rename {staging} -> {final} failed"
+            )
+
+    def _derive_video(self, kept: DataFrame, id_col: str) -> DataFrame:
+        """(doc_id, fhash) rows for a kept batch — the same
+        ``_video_sigs`` derivation the edge stages probe with (a
+        minimal cfg view carries the state's pinned geometry)."""
+        missing = [
+            c for c in (self.video_col, self.video_duration_col)
+            if c not in kept.columns
+        ]
+        if missing:
+            raise ValueError(
+                "video-enabled CurationState needs the "
+                f"{self.video_col!r} (binary) and "
+                f"{self.video_duration_col!r} (BIGINT ms) columns on "
+                f"every kept batch; missing {missing} in {kept.columns}"
+            )
+        cfg_view = CurationConfig(
+            video_min_matching=1,
+            video_col=self.video_col,
+            video_duration_col=self.video_duration_col,
+            video_every_ms=self.video_every_ms,
+            video_grid_w=self.video_grid_w,
+            video_grid_h=self.video_grid_h,
+            video_decode_fn=self.video_decode_fn,
+        )
+        return _video_sigs(kept, id_col, cfg_view)
+
     def _derive_image(self, kept: DataFrame, id_col: str) -> DataFrame:
         """(doc_id, dhash) rows for a kept batch — the same
         ``_image_sigs`` derivation the edge stages probe with, so
@@ -2615,7 +2900,8 @@ class CurationState:
               mode: str = "append", epoch_id: int | None = None,
               run_id: str | None = None,
               image_sigs: DataFrame | None = None,
-              audio_sigs: DataFrame | None = None) -> DataFrame:
+              audio_sigs: DataFrame | None = None,
+              video_sigs: DataFrame | None = None) -> DataFrame:
         """Derive and append the three state tables for a kept batch;
         returns the CHECKPOINTED ``kept`` — callers must act on the
         returned frame, not the original lazy plan, whose state reads
@@ -2663,6 +2949,7 @@ class CurationState:
         self._sync_embed_params(kept.sparkSession)
         self._sync_image_params(kept.sparkSession)
         self._sync_audio_params(kept.sparkSession)
+        self._sync_video_params(kept.sparkSession)
         if (
             self.embed_dim is not None
             and self.exists(kept.sparkSession)
@@ -2707,6 +2994,17 @@ class CurationState:
                 "no landed audio_fps — run backfill_audio_fps("
                 "historical_kept_corpus) once (offline) before "
                 "audio-enabled appends"
+            )
+        if (
+            self.video_every_ms is not None
+            and self.exists(kept.sparkSession)
+            and not self.video_landed(kept.sparkSession)
+        ):
+            raise ValueError(
+                f"CurationState({self.state_dir}) has landed batches but "
+                "no landed video_fps — run backfill_video_fps("
+                "historical_kept_corpus) once (offline) before "
+                "video-enabled appends"
             )
         if self._prefix_frac() is not None:
             # a prefix-enabled handle writing over a LEGACY prefix-less
@@ -2807,6 +3105,21 @@ class CurationState:
             aud.withColumns({"_epoch": etag, "_run": rtag}).write.mode(
                 mode
             ).parquet(self._path("audio_fps"))
+        vid = None
+        if self.video_every_ms is not None:
+            vid = (
+                video_sigs.join(
+                    kept.select(F.col(id_col).alias("doc_id")),
+                    "doc_id",
+                    "left_semi",
+                )
+                if video_sigs is not None
+                else self._derive_video(kept, id_col)
+            )
+            # same ordering argument as the image/audio fps
+            vid.withColumns({"_epoch": etag, "_run": rtag}).write.mode(
+                mode
+            ).parquet(self._path("video_fps"))
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             fp.withColumns({"_epoch": etag, "_run": rtag}).write.mode(mode).parquet(
@@ -3245,6 +3558,44 @@ def curate_increment(
                 f"{cfg.audio_col!r} binary column on the batch; got "
                 f"{new_docs.columns}"
             )
+    if cfg.video_min_matching is not None:
+        mine_vid = (
+            cfg.video_every_ms,
+            cfg.video_grid_w,
+            cfg.video_grid_h,
+            cfg.video_col,
+            cfg.video_duration_col,
+            _decoder_tag(cfg.video_decode_fn, cfg.video_decoder_tag),
+        )
+        theirs_vid = (
+            state.video_every_ms,
+            state.video_grid_w,
+            state.video_grid_h,
+            state.video_col,
+            state.video_duration_col,
+            state.video_decoder_tag,
+        )
+        if state.video_every_ms is None or mine_vid != theirs_vid:
+            raise ValueError(
+                f"video_min_matching={cfg.video_min_matching} needs a "
+                "video-enabled CurationState matching the cfg's frame "
+                "geometry: cfg has (every_ms, grid_w, grid_h, col, "
+                f"dur_col, decoder)={mine_vid} but the state was "
+                f"constructed with {theirs_vid}; frames sampled "
+                "differently never match (silently missed video "
+                "duplicates)"
+            )
+        missing_vid = [
+            c for c in (cfg.video_col, cfg.video_duration_col)
+            if c not in new_docs.columns
+        ]
+        if missing_vid:
+            raise ValueError(
+                f"video_min_matching={cfg.video_min_matching} needs "
+                f"{cfg.video_col!r} (binary) and "
+                f"{cfg.video_duration_col!r} (BIGINT ms) columns on the "
+                f"batch; missing {missing_vid} in {new_docs.columns}"
+            )
     spark = new_docs.sparkSession
     if state.exists(spark):
         # also validate against the ON-DISK parameters: the ctor-vs-cfg
@@ -3292,6 +3643,15 @@ def curate_increment(
                     "audio near-dup vs history needs the landed "
                     "audio_fps table, which this state has not written — "
                     "run state.backfill_audio_fps(historical_kept_corpus) "
+                    "once (offline), then increments maintain it per batch"
+                )
+        if cfg.video_min_matching is not None:
+            state._sync_video_params(spark)
+            if not state.video_landed(spark):
+                raise ValueError(
+                    "video near-dup vs history needs the landed "
+                    "video_fps table, which this state has not written — "
+                    "run state.backfill_video_fps(historical_kept_corpus) "
                     "once (offline), then increments maintain it per batch"
                 )
 
@@ -3489,6 +3849,13 @@ def curate_increment(
             edges0 = edges0.unionByName(
                 _audio_edge_set(sigs_aud0, cfg)
             ).distinct()
+        fset_vid0 = None
+        if cfg.video_min_matching is not None:
+            # sixth (video) edge type — set-valued fingerprints
+            fset_vid0 = _video_sigs(boiled0, id_col, cfg).localCheckpoint()
+            edges0 = edges0.unionByName(
+                _video_edge_set(fset_vid0, cfg)
+            ).distinct()
         comps0 = connected_components(edges0)
         drop0 = _near_dup_drop_ids(comps0, boiled0, cfg, text_col, id_col)
         kept = boiled0.join(drop0, id_col, "left_anti")
@@ -3496,7 +3863,8 @@ def curate_increment(
         if update_state:
             kept = state.write(kept, text_col=text_col, id_col=id_col,
                                mode="append", epoch_id=epoch_id, run_id=run_id,
-                               image_sigs=sigs_img0, audio_sigs=sigs_aud0)
+                               image_sigs=sigs_img0, audio_sigs=sigs_aud0,
+                               video_sigs=fset_vid0)
         _land_line_fps()
         _land_splits(kept, comps0)
         return kept
@@ -3650,6 +4018,11 @@ def curate_increment(
             cfg.audio_decode_fn,
         ).localCheckpoint()
 
+    fset_vid_new = None
+    if cfg.video_min_matching is not None:
+        # the same checkpoint discipline on the video frame sets
+        fset_vid_new = _video_sigs(vs_hist, id_col, cfg).localCheckpoint()
+
     # within batch: cfg's candidate policy (LSH default, exact AllPairs
     # under near_dup_exact) + optional containment edges — the shared
     # helper, same edge semantics as batch curate(). The rarest-first
@@ -3688,6 +4061,11 @@ def curate_increment(
         # fifth (audio) edge type within the batch
         edges_in = edges_in.unionByName(
             _audio_edge_set(sigs_aud_new, cfg)
+        ).distinct()
+    if cfg.video_min_matching is not None:
+        # sixth (video) edge type within the batch
+        edges_in = edges_in.unionByName(
+            _video_edge_set(fset_vid_new, cfg)
         ).distinct()
     comps = connected_components(edges_in)
     drop_in = _near_dup_drop_ids(comps, vs_hist, cfg, text_col, id_col)
@@ -3854,6 +4232,18 @@ def curate_increment(
         drop_hist = drop_hist.unionByName(
             aud_pairs.select(F.col("doc_a").alias(id_col))
         )
+    if cfg.video_min_matching is not None:
+        # vs history, video metric (sixth drop set): frame-level
+        # equi-join against the landed frame-hash rows + per-pair
+        # match count — the set-intersection analogue of the banding
+        # cross probes. History always wins: the NEW doc drops.
+        drop_hist = drop_hist.unionByName(
+            _video_hist_drop(
+                fset_vid_new,
+                state.video_fps(spark, exclude_epoch=epoch_id, run_id=run_id),
+                cfg,
+            ).select(F.col("doc_a").alias(id_col))
+        )
     drop_hist = drop_hist.distinct()
 
     kept = (
@@ -3866,7 +4256,8 @@ def curate_increment(
         # result cannot re-read the state this call just appended to
         kept = state.write(kept, text_col=text_col, id_col=id_col,
                            mode="append", epoch_id=epoch_id, run_id=run_id,
-                           image_sigs=sigs_img_new, audio_sigs=sigs_aud_new)
+                           image_sigs=sigs_img_new, audio_sigs=sigs_aud_new,
+                           video_sigs=fset_vid_new)
     _land_line_fps()
     _land_splits(kept, comps)
     return kept

@@ -1,0 +1,189 @@
+"""Video (sampled-frame) near-dup curation: the SIXTH edge type
+``CurationConfig.video_min_matching`` enables — set-valued frame-hash
+fingerprints (unlike the one-long image/audio hashes), a landed
+``video_fps`` state table, and a frame-level equi-join + match-count
+history probe. Pins batch≡increment parity, the geometry+decoder
+validation guards, and streaming replay idempotence — the
+image/audio curation contract on the video modality."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_mysql_data_reader_spark.curation import (
+    CurationConfig,
+    CurationState,
+    curate,
+    curate_increment,
+    curation_epoch_apply,
+)
+
+_T_A = (
+    "the quick brown fox jumps over the lazy dog and then it runs far "
+    "away to find a place for the long sleep it wanted all day"
+)
+_T_B = (
+    "a swift russet vulpine leaps across one idle hound before racing "
+    "toward distant hills seeking somewhere quiet to rest until morning"
+)
+_T_C = (
+    "call it what you want but the story of the sea is the story of "
+    "the men who sailed it for the wind and the tide and the stars"
+)
+_T_D = (
+    "meanwhile the village bakery opened early because the harvest "
+    "festival needed seven hundred loaves of dark rye bread by noon"
+)
+
+# Under the fake frame decoder, frame j hashes only content slice j
+# (64 chars). All clips run 2560 ms -> 3 sampled frames (slices 0-2).
+# _VID_NEAR shares slices 0-1 (first 128 chars) -> 2 matching frames;
+# _VID_FAR shares none.
+_VID = ("vid-alpha-" + "x" * 246).encode()
+_VID_NEAR = (("vid-alpha-" + "x" * 246)[:128] + "vid-tail-" + "y" * 119).encode()
+_VID_FAR = ("vid-omega-" + "z" * 246).encode()
+_DUR = 2560
+
+
+def _cfg(**kw):
+    base = dict(near_dup_jaccard=0.9, video_min_matching=2)
+    base.update(kw)
+    return CurationConfig(**base)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, source string, text string, video binary, video_ms long",
+    )
+
+
+def _vstate(tmpdir, name="st", **kw):
+    return CurationState(f"{tmpdir}/{name}", video_every_ms=1000, **kw)
+
+
+def test_planted_video_overlaps(spark):
+    from clickhouse_mysql_data_reader_spark.curation import _video_sigs
+
+    df = _mk(
+        spark,
+        [
+            (1, "web", _T_A, _VID, _DUR),
+            (2, "web", _T_B, _VID_NEAR, _DUR),
+            (3, "web", _T_C, _VID_FAR, _DUR),
+            (4, "web", _T_D, None, None),
+        ],
+    )
+    fset = _video_sigs(df, "doc_id", _cfg())
+    rows = {}
+    for r in fset.collect():
+        rows.setdefault(r["doc_id"], set()).add(r["fhash"])
+    assert set(rows) == {1, 2, 3}  # NULL clip yields no rows
+    assert all(len(v) == 3 for v in rows.values())
+    assert len(rows[1] & rows[2]) == 2
+    assert len(rows[1] & rows[3]) == 0
+
+
+def test_curate_video_sixth_edge_type_batch(spark):
+    docs = _mk(
+        spark,
+        [
+            (1, "web", _T_A, _VID, _DUR),
+            (2, "web", _T_B, _VID_NEAR, _DUR),  # 2 shared frames >= threshold
+            (3, "web", _T_C, _VID_FAR, _DUR),
+            (4, "web", _T_D, None, None),
+        ],
+    )
+    res = curate(docs, cfg=_cfg())
+    kept = {r["doc_id"] for r in res.after_near_dedup.collect()}
+    res.unpersist()
+    assert kept == {1, 3, 4}
+    # threshold 3 would demand all frames; the pair shares only 2
+    res3 = curate(docs, cfg=_cfg(video_min_matching=3))
+    kept3 = {r["doc_id"] for r in res3.after_near_dedup.collect()}
+    res3.unpersist()
+    assert kept3 == {1, 2, 3, 4}
+    with pytest.raises(ValueError, match="video"):
+        curate(docs.drop("video_ms"), cfg=_cfg())
+
+
+def test_curate_increment_video_bootstrap_and_vs_history(spark, tmp_path):
+    cfg = _cfg()
+    b1 = _mk(
+        spark,
+        [(1, "web", _T_A, _VID, _DUR), (3, "web", _T_C, _VID_FAR, _DUR)],
+    )
+    b2 = _mk(
+        spark,
+        [
+            (10, "web", _T_B, _VID_NEAR, _DUR),  # 2 frames shared with landed 1
+            (11, "web", _T_D, None, None),
+        ],
+    )
+    state = _vstate(tmp_path)
+    kept1 = {r["doc_id"] for r in curate_increment(b1, state, cfg=cfg).collect()}
+    assert kept1 == {1, 3}
+    assert state.video_landed(spark)
+    fps = state.video_fps(spark)
+    per_doc = {
+        r["doc_id"]: r["count"]
+        for r in fps.groupBy("doc_id").count().collect()
+    }
+    assert per_doc == {1: 3, 3: 3}
+    kept2 = {r["doc_id"] for r in curate_increment(b2, state, cfg=cfg).collect()}
+    assert kept2 == {11}, "video dup of landed doc must drop"
+
+
+def test_curate_increment_video_state_validation(spark, tmp_path):
+    cfg = _cfg()
+    b1 = _mk(spark, [(1, "web", _T_A, _VID, _DUR)])
+    b2 = _mk(spark, [(10, "web", _T_B, _VID_NEAR, _DUR)])
+    with pytest.raises(ValueError, match="video-enabled"):
+        curate_increment(b1, CurationState(f"{tmp_path}/plain"), cfg=cfg)
+    bad = CurationState(f"{tmp_path}/bad", video_every_ms=500)
+    with pytest.raises(ValueError, match="geometry"):
+        curate_increment(b1, bad, cfg=cfg)
+    other_dec = CurationState(
+        f"{tmp_path}/dec", video_every_ms=1000, video_decoder_tag="pyav-v1"
+    )
+    with pytest.raises(ValueError, match="decoder"):
+        curate_increment(b1, other_dec, cfg=cfg)
+
+    legacy = f"{tmp_path}/legacy"
+    plain = CurationState(legacy)
+    kept_hist = curate_increment(
+        b1, plain, cfg=CurationConfig(near_dup_jaccard=0.9)
+    ).localCheckpoint()
+    upgraded = CurationState(legacy, video_every_ms=1000)
+    with pytest.raises(ValueError, match="backfill_video_fps"):
+        curate_increment(b2, upgraded, cfg=cfg)
+    upgraded.backfill_video_fps(kept_hist)
+    kept2 = {r["doc_id"] for r in curate_increment(b2, upgraded, cfg=cfg).collect()}
+    assert kept2 == set()
+
+
+def test_curate_stream_video_replay_idempotent(spark, tmp_path):
+    cfg = _cfg()
+    state = _vstate(tmp_path, "state")
+    out = str(tmp_path / "out")
+    apply_fn = curation_epoch_apply(state, out, cfg=cfg)
+    b1 = _mk(
+        spark,
+        [(1, "web", _T_A, _VID, _DUR), (3, "web", _T_C, _VID_FAR, _DUR)],
+    )
+    apply_fn(b1, 0)
+    apply_fn(b1, 0)  # full replay
+    replay = {r["doc_id"] for r in spark.read.parquet(f"{out}/epoch=0").collect()}
+    assert replay == {1, 3}
+    b2 = _mk(
+        spark,
+        [(10, "web", _T_B, _VID_NEAR, _DUR), (12, "web", _T_D, None, None)],
+    )
+    apply_fn(b2, 1)
+    kept2 = {r["doc_id"] for r in spark.read.parquet(f"{out}/epoch=1").collect()}
+    assert kept2 == {12}
+    # the replayed epoch double-appended frame rows; the history probe
+    # collapses them before counting, so a LATER near-dup still sees
+    # each frame once (the drop above already proves it didn't
+    # double-count past the threshold)
