@@ -730,6 +730,46 @@ def test_cli_curate_data_split_fractions_json(spark, tmp_path, capsys):
     assert set(splits.values()) <= {"train", "val", "test"}
 
 
+def test_cli_curate_data_image_edge_json(spark, tmp_path, capsys):
+    """The image near-dup edge type rides the --curation-config JSON
+    path (image_near_hamming is a plain JSON knob; the decoder
+    defaults to the deterministic fake): a doc whose image is a
+    near-twin of another's is dropped even though the texts share
+    nothing."""
+    # md5-blocked fake: contents differing only in the last 64-char
+    # block sit at dHash Hamming 3 (test_image_curation's fixtures)
+    img = ("img-alpha-" + "x" * 246).encode()
+    img_near = (
+        ("img-alpha-" + "x" * 246)[:192] + "img-alpha-tail-v1".ljust(64, "y")
+    ).encode()
+    src = str(tmp_path / "docs_img_edge")
+    spark.createDataFrame(
+        [
+            (1, "web", _CUR_A, img),
+            (2, "web", _CUR_B, img_near),
+            (3, "web", "meanwhile the village bakery opened early because "
+             "the harvest festival needed seven hundred loaves of dark "
+             "rye bread by noon", None),
+        ],
+        "doc_id long, source string, text string, image binary",
+    ).write.mode("overwrite").parquet(src)
+    ccfg = tmp_path / "curation_img.json"
+    ccfg.write_text(json.dumps({
+        "min_quality_score": 0.0,
+        "drop_repetitive": False,
+        "image_near_hamming": 7,
+    }))
+    out = str(tmp_path / "kept_img_edge")
+    assert run(parse_config([
+        "--curate-data",
+        "--src-parquet-dir", src,
+        "--dst-parquet-dir", out,
+        "--curation-config", str(ccfg),
+    ]), spark) == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3}  # image near-twin 2 merged into 1, min_id keeps 1
+
+
 def test_cli_curate_data_incremental_split_lands_in_state(
     spark, tmp_path, capsys
 ):
