@@ -2199,6 +2199,55 @@ def doc_corpus_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "monitor_dup_rate_by_source",
+    f"""
+    WITH f AS (SELECT source, md5({_NORM}) AS fp FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_docs,
+           round(1.0 - count(DISTINCT fp) / count(*), 6) AS dup_rate
+    FROM f GROUP BY source
+    """,
+    doc="Per-source exact-duplication rate — the pre-dedup corpus-"
+    "health monitor a scraping pipeline reads BEFORE paying for a "
+    "dedup pass (a source whose dup_rate jumps is re-crawling itself "
+    "or mirroring another feed): per source, docs, distinct content "
+    "fingerprints (the md5-of-normalized-text the exact-dedup stage "
+    "keys on — operators/dedup.py content_fingerprint, so this report "
+    "predicts exactly what that stage would remove), duplicated-doc "
+    "count and rate. Scale shape: one map-side-combinable count-"
+    "distinct per source (two-phase partial aggregation on the "
+    "(source, fp) key — no window, no join); the text is hashed in "
+    "the scan stage and only 16-byte fingerprints shuffle.",
+)
+def monitor_dup_rate_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.dedup import (
+        content_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct(content_fingerprint(F.col("text")))
+            .cast("long")
+            .alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            (F.col("n_docs") - F.col("n_distinct")).alias("n_dup_docs"),
+            F.round(1.0 - F.col("n_distinct") / F.col("n_docs"), 6).alias(
+                "dup_rate"
+            ),
+        )
+    )
+
+
+@register(
     "sample_shuffle_order",
     """
     SELECT doc_id, source, shard, CAST(pos AS BIGINT) AS pos FROM (

@@ -780,6 +780,12 @@ DEPRIORITIZED = (
     #     re-aggregated per canonical — hash-verifies resolution AND
     #     application end-to-end; the family's report-to-rewrite closer
     "match_entity_apply",
+    #   - monitor_dup_rate_by_source: per-source exact-duplication
+    #     rate on the exact-dedup stage's own content fingerprint —
+    #     the pre-dedup corpus-health monitor (which source is
+    #     re-crawling itself); one count-distinct per source, no
+    #     window, no join
+    "monitor_dup_rate_by_source",
     # ...and the late-round-11 births (rotated INTO the checked 50
     # the same round — see the late-round-11 block below; the
     # descriptions stay here as the capability record):
