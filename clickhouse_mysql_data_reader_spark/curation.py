@@ -96,9 +96,15 @@ class CurationConfig:
     # (read back via state.split_assignments): each kept doc hashes
     # its within-batch component, landed rows never change, and a
     # later near-twin of a landed doc is dropped by history-wins — so
-    # splits are STABLE across daily batches and no near-dup cluster
-    # ever straddles train/test. With batch-ordered ids this equals
-    # batch-over-concatenation bit-for-bit (parity pinned by test);
+    # splits are STABLE across daily batches and no DIRECT near-twin
+    # of a landed doc ever straddles train/test. (TRANSITIVE twins
+    # can, in a corner: a batch doc connected to a landed doc only
+    # through a dropped within-batch sibling survives with
+    # split = hash(min within-batch id), which may differ from the
+    # landed twin's hash — the survivor-set delta vs one-shot batch
+    # curate leaks into assignments exactly there.) With batch-ordered
+    # ids this equals batch-over-concatenation bit-for-bit on
+    # identical survivor sets (parity pinned by test);
     # fractions are pinned in the state's _split_params.json for its
     # lifetime. None = off.
     split_fractions: tuple[tuple[str, float], ...] | None = None
@@ -965,12 +971,43 @@ def _semantic_edge_set(
 
 def _decoder_tag(decode_fn, explicit: str | None) -> str:
     """The decoder-identity string pinned in a media-fingerprint state
-    manifest (image and audio alike): a fingerprint landed by one
-    decoder can never match another's, so a silent decoder swap must
-    fail loudly like any geometry mismatch."""
+    manifest (image, audio, and video alike): a fingerprint landed by
+    one decoder can never match another's, so a silent decoder swap
+    must fail loudly like any geometry mismatch. An injected decoder
+    therefore REQUIRES an explicit tag — defaulting every custom
+    decoder to one shared label would let two different production
+    decoders pass the manifest check, the exact hazard the tag
+    exists to catch."""
     if explicit is not None:
         return explicit
-    return "md5-blocked-fake" if decode_fn is None else "custom"
+    if decode_fn is not None:
+        raise ValueError(
+            "an injected media decode_fn needs an explicit decoder tag "
+            "(e.g. image_decoder_tag='pillow-v10') — the tag is pinned "
+            "in the state's _*_params.json so fingerprints landed by a "
+            "DIFFERENT decoder can never silently match"
+        )
+    return "md5-blocked-fake"
+
+
+_INTEGRAL_ID_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _require_integral_id(docs: DataFrame, id_col: str, modality: str) -> None:
+    """The media-fingerprint tables key on BIGINT doc ids (the landed
+    state's schema); a non-integral id column would ``cast('long')``
+    to NULL silently and the whole edge type would quietly find
+    nothing — raise loudly instead, like every other misconfiguration
+    (a schema check, no job runs)."""
+    dtype = dict(docs.dtypes).get(id_col)
+    if dtype not in _INTEGRAL_ID_TYPES:
+        raise ValueError(
+            f"the {modality} near-dup edge keys its fingerprint state "
+            f"on BIGINT doc ids, but column {id_col!r} is {dtype!r} — "
+            "cast (or map) ids to an integral type first; a silent "
+            "cast would NULL every media_id and the edge would match "
+            "nothing"
+        )
 
 
 def _image_sigs(
@@ -992,6 +1029,7 @@ def _image_sigs(
         image_dhash,
     )
 
+    _require_integral_id(docs, id_col, "image")
     media = docs.filter(F.col(image_col).isNotNull()).select(
         F.col(id_col).cast("long").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -1038,6 +1076,7 @@ def _audio_sigs(
         audio_energy_hash,
     )
 
+    _require_integral_id(docs, id_col, "audio")
     media = docs.filter(F.col(audio_col).isNotNull()).select(
         F.col(id_col).cast("long").alias("media_id"),
         F.lit("audio").alias("kind"),
@@ -1078,6 +1117,7 @@ def _video_sigs(
         video_frame_hashes,
     )
 
+    _require_integral_id(docs, id_col, "video")
     media = docs.filter(
         F.col(cfg.video_col).isNotNull()
         & (F.coalesce(F.col(cfg.video_duration_col), F.lit(0)) > 0)
@@ -1123,8 +1163,35 @@ def _video_edge_set(fset: DataFrame, cfg: CurationConfig) -> DataFrame:
     ).select("doc_a", "doc_b")
 
 
+def _video_hot_frames(
+    fset_new: DataFrame, hist: DataFrame, cfg: CurationConfig
+) -> DataFrame | None:
+    """Frame hashes whose document frequency over the UNION of the
+    batch's and the landed frame sets exceeds ``cfg.video_max_frame_df``
+    — the increment-time form of the stop-frame guard (black frames,
+    studio logos). The union is distinct-per-(doc, frame) first so a
+    replayed epoch (whose docs already landed) cannot double-count its
+    own frames' df. One narrow aggregate over longs; returns ``None``
+    when no cap is configured. Both inputs must already be
+    (doc_id, fhash)-distinct."""
+    if cfg.video_max_frame_df is None:
+        return None
+    return (
+        fset_new.select("doc_id", "fhash")
+        .unionByName(hist.select("doc_id", "fhash"))
+        .distinct()
+        .groupBy("fhash")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > cfg.video_max_frame_df)
+        .select("fhash")
+    )
+
+
 def _video_hist_drop(
-    fset_new: DataFrame, hist_fps: DataFrame, cfg: CurationConfig
+    fset_new: DataFrame,
+    hist_fps: DataFrame,
+    cfg: CurationConfig,
+    hot: DataFrame | None = None,
 ) -> DataFrame:
     """Batch docs that are video near-dups of HISTORY: frame-level
     equi-join of the batch's distinct frame hashes against the landed
@@ -1133,12 +1200,30 @@ def _video_hist_drop(
     Returns one column of new-doc ids to drop (history wins).
     Replayed-epoch duplicate rows in the landed table are collapsed
     before counting (a duplicate frame row must not double-count one
-    match)."""
+    match).
+
+    ``cfg.video_max_frame_df`` — the stop-frame guard the within-batch
+    edge applies (operators/multimodal.py ``video_near_dup_pairs``) —
+    is enforced here too, with the document frequency computed over the
+    UNION of the batch's and the landed frame sets: a frame rare in a
+    small increment but ubiquitous in history (a black frame, a studio
+    logo) must not (a) make this equi-join quadratic in its history-side
+    df, nor (b) count toward ``video_min_matching`` when the batch-curate
+    of the same corpus would have dropped it before pairing
+    (``_video_hot_frames``). ``hot=`` lets the increment pass its
+    already-checkpointed hot set so the union aggregate runs once per
+    batch."""
     hist = hist_fps.select("doc_id", "fhash").dropDuplicates(
         ["doc_id", "fhash"]
     )
+    new = fset_new.select("doc_id", "fhash")
+    if cfg.video_max_frame_df is not None:
+        if hot is None:
+            hot = _video_hot_frames(new, hist, cfg)
+        new = new.join(hot, "fhash", "left_anti")
+        hist = hist.join(hot, "fhash", "left_anti")
     return (
-        fset_new.alias("n")
+        new.alias("n")
         .join(hist.alias("h"), F.col("n.fhash") == F.col("h.fhash"))
         .groupBy(
             F.col("n.doc_id").alias("doc_a"),
@@ -3325,6 +3410,83 @@ class CurationState:
             }
         return report
 
+    def media_dup_rate_report(self, spark) -> DataFrame:
+        """Per-modality duplication-rate report over the LANDED
+        fingerprint tables — the monitor_dup_rate_* query family
+        (queries/multimodal.py) read from state instead of re-decoding
+        media: one row per landed modality with (modality, n_docs,
+        n_distinct_fp, n_dup_docs, dup_rate). ``text`` counts distinct
+        exact-content fingerprints; ``image``/``audio`` count the
+        landed dHash / energy-contour longs; ``video`` uses the
+        frame-SET identity (md5 of the sorted distinct frame hashes
+        per clip — the set-valued fingerprint the modality needs).
+        Replayed-epoch duplicate rows are collapsed before counting.
+
+        This is what an ops loop reads BEFORE paying for a multimodal
+        dedup pass: the media bytes are never re-read and the decode
+        never re-runs — each modality is one narrow aggregate over
+        landed longs (the video identity adds a bounded per-clip
+        sort). Modalities this state never landed are simply absent.
+        """
+        parts = []
+
+        def _rate_row(keyed: DataFrame, modality: str) -> DataFrame:
+            return keyed.agg(
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.countDistinct("_k").alias("n_distinct_fp"),
+            ).select(
+                F.lit(modality).alias("modality"),
+                "n_docs",
+                "n_distinct_fp",
+                (F.col("n_docs") - F.col("n_distinct_fp")).alias("n_dup_docs"),
+                F.round(
+                    1.0 - F.col("n_distinct_fp") / F.col("n_docs"), 6
+                ).alias("dup_rate"),
+            )
+
+        flat = (
+            ("text", "fingerprints", self.fingerprints, "fp"),
+            ("image", "image_fps", self.image_fps, "dhash"),
+            ("audio", "audio_fps", self.audio_fps, "ahash"),
+        )
+        for modality, table, reader, col in flat:
+            if not self._table_landed(spark, table):
+                continue
+            keyed = (
+                reader(spark)
+                .select("doc_id", F.col(col).alias("_k"))
+                .dropDuplicates(["doc_id", "_k"])
+            )
+            parts.append(_rate_row(keyed, modality))
+        if self._table_landed(spark, "video_fps"):
+            fset = (
+                self.video_fps(spark)
+                .select("doc_id", "fhash")
+                .dropDuplicates(["doc_id", "fhash"])
+            )
+            ident = fset.groupBy("doc_id").agg(
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.sort_array(F.collect_list("fhash")),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("_k")
+            )
+            parts.append(_rate_row(ident, "video"))
+        if not parts:
+            return spark.createDataFrame(
+                [],
+                "modality string, n_docs bigint, n_distinct_fp bigint, "
+                "n_dup_docs bigint, dup_rate double",
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
 
 def curate_increment(
     new_docs: DataFrame,
@@ -4019,9 +4181,31 @@ def curate_increment(
         ).localCheckpoint()
 
     fset_vid_new = None
+    fset_vid_pair = None
+    hot_vid = None
     if cfg.video_min_matching is not None:
         # the same checkpoint discipline on the video frame sets
         fset_vid_new = _video_sigs(vs_hist, id_col, cfg).localCheckpoint()
+        # the stop-frame guard must see the df over batch UNION history
+        # — a frame rare in a small increment but ubiquitous in the
+        # landed clips (black frame, studio logo) would otherwise (a)
+        # pair batch clips the batch-curate of the same corpus would
+        # never pair, and (b) explode the history probe's equi-join in
+        # its history-side df. The hot set is tiny (only hashes above
+        # the cap) — checkpoint it once, reuse across the within-batch
+        # edge and both sides of the history probe. The RAW fingerprint
+        # set still lands in state (future batches need the true df).
+        fset_vid_pair = fset_vid_new
+        if cfg.video_max_frame_df is not None:
+            hist_v = (
+                state.video_fps(spark, exclude_epoch=epoch_id, run_id=run_id)
+                .select("doc_id", "fhash")
+                .dropDuplicates(["doc_id", "fhash"])
+            )
+            hot_vid = _video_hot_frames(
+                fset_vid_new, hist_v, cfg
+            ).localCheckpoint()
+            fset_vid_pair = fset_vid_new.join(hot_vid, "fhash", "left_anti")
 
     # within batch: cfg's candidate policy (LSH default, exact AllPairs
     # under near_dup_exact) + optional containment edges — the shared
@@ -4063,9 +4247,10 @@ def curate_increment(
             _audio_edge_set(sigs_aud_new, cfg)
         ).distinct()
     if cfg.video_min_matching is not None:
-        # sixth (video) edge type within the batch
+        # sixth (video) edge type within the batch — over the
+        # hot-frame-guarded set (df computed vs batch UNION history)
         edges_in = edges_in.unionByName(
-            _video_edge_set(fset_vid_new, cfg)
+            _video_edge_set(fset_vid_pair, cfg)
         ).distinct()
     comps = connected_components(edges_in)
     drop_in = _near_dup_drop_ids(comps, vs_hist, cfg, text_col, id_col)
@@ -4242,6 +4427,7 @@ def curate_increment(
                 fset_vid_new,
                 state.video_fps(spark, exclude_epoch=epoch_id, run_id=run_id),
                 cfg,
+                hot=hot_vid,
             ).select(F.col("doc_a").alias(id_col))
         )
     drop_hist = drop_hist.distinct()

@@ -776,6 +776,93 @@ def _simhash_chunks(
     )
 
 
+def hamming_chunk_stats(
+    bits: int,
+    hamming_max: int,
+    n_docs: int,
+    min_pruning: float = 32.0,
+) -> dict:
+    """Candidate-volume advisor for the Manku pigeonhole banding
+    (``simhash_near_pairs`` / ``simhash_near_pairs_cross``) — the
+    ``optimal_lsh_bands`` analogue for Hamming budgets. Run it BEFORE
+    a 100-TB pass: the banding splits ``bits`` into ``hamming_max + 1``
+    chunks, and a RANDOM (unrelated) pair collides on some chunk with
+
+        p = 1 - (1 - 2^-chunk_bits)^n_chunks
+          ~= n_chunks / 2^chunk_bits        (union bound, tight here)
+
+    so candidate generation prunes only ``1/p`` of the all-pairs cross
+    product. The budget drives this hard: at 48 bits, hamming_max 7
+    gives 8 chunks x 6 bits -> p ~= 8/64 (only ~8.5x pruning — a
+    near-cross-product at corpus scale), while hamming_max 5 gives
+    6 chunks x 8 bits -> ~43x, and the 64-bit Manku shape (hamming 3,
+    4 x 16 bits) prunes ~16000x. Correctness is never at stake — the
+    within-bucket Hamming verify is exact — only join volume.
+
+    Returns a dict with ``n_chunks``, ``chunk_bits``,
+    ``collision_prob`` (p above), ``expected_candidate_pairs``
+    (C(n_docs, 2) * p — an upper bound for real corpora, whose
+    fingerprints are not adversarially clustered), ``pruning_factor``
+    (1/p), and ``ok`` (pruning_factor >= min_pruning). Emits a
+    ``UserWarning`` when not ok, naming the largest budget that passes
+    (``max_hamming_budget``). Driver-side integer/float arithmetic —
+    touches no DataFrame."""
+    n_chunks = hamming_max + 1
+    if bits % n_chunks:
+        raise ValueError(f"bits={bits} not divisible into {n_chunks} chunks")
+    if n_docs < 0:
+        raise ValueError(f"n_docs must be >= 0, got {n_docs}")
+    cb = bits // n_chunks
+    p = 1.0 - (1.0 - 2.0**-cb) ** n_chunks
+    all_pairs = n_docs * (n_docs - 1) // 2
+    pruning = 1.0 / p if p > 0 else float("inf")
+    ok = pruning >= min_pruning
+    if not ok:
+        import warnings
+
+        best = max_hamming_budget(bits, min_pruning)
+        warnings.warn(
+            f"hamming_max={hamming_max} at {bits} bits yields "
+            f"{n_chunks} chunks of {cb} bits: only {pruning:.1f}x "
+            f"candidate pruning vs all-pairs (floor {min_pruning:g}x)."
+            + (
+                f" Largest budget meeting the floor: "
+                f"hamming_max={best}."
+                if best is not None
+                else " No divisible budget meets the floor at this "
+                "width — widen the fingerprint."
+            ),
+            UserWarning,
+            stacklevel=2,
+        )
+    return {
+        "n_chunks": n_chunks,
+        "chunk_bits": cb,
+        "collision_prob": p,
+        "expected_candidate_pairs": all_pairs * p,
+        "pruning_factor": pruning,
+        "ok": ok,
+    }
+
+
+def max_hamming_budget(bits: int, min_pruning: float = 32.0) -> int | None:
+    """Largest ``hamming_max`` whose pigeonhole banding at ``bits``
+    still prunes at least ``min_pruning``x vs all-pairs (and divides
+    the width evenly, as ``_simhash_chunks`` requires). At the repo's
+    48-bit image/audio fingerprints and the default 32x floor this is
+    5 (6 chunks x 8 bits, ~43x); at 64 bits it is 7 (8 x 8). None if
+    even hamming_max=0 misses the floor."""
+    best = None
+    for h in range(bits):
+        n_chunks = h + 1
+        if bits % n_chunks:
+            continue
+        p = 1.0 - (1.0 - 2.0 ** -(bits // n_chunks)) ** n_chunks
+        if p > 0 and 1.0 / p >= min_pruning:
+            best = h
+    return best
+
+
 def simhash_near_pairs(
     sigs: DataFrame,
     bits: int = 32,

@@ -403,3 +403,246 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_window_plan(media, win_ms=2000, hop_ms=1000).select(
         "media_id", "start_ms", "end_ms"
     )
+
+
+@register(
+    "monitor_dup_rate_image",
+    """
+    WITH img AS (
+      SELECT doc_id AS media_id, source, text
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (
+      SELECT media_id, k,
+             ('0x' || substr(md5(substr(text, CAST(k//16*64 + 1 AS INT), 64)
+                                 || ':' || CAST(k//16 AS VARCHAR)),
+                             CAST(2*(k%16)+1 AS INT), 2))::BIGINT AS p
+      FROM img, UNNEST(range(56)) AS t(k)
+    ),
+    bits AS (
+      SELECT a.media_id,
+             CAST((a.k // 7) * 6 + (a.k % 7) AS INT) AS bit_i,
+             CASE WHEN a.p < b.p THEN 1 ELSE 0 END AS bit
+      FROM px a JOIN px b ON a.media_id = b.media_id AND b.k = a.k + 1
+      WHERE a.k % 7 < 6
+    ),
+    fp AS (
+      SELECT media_id, CAST(sum(bit * (1::BIGINT << bit_i)) AS BIGINT) AS dhash
+      FROM bits GROUP BY media_id
+    )
+    SELECT i.source,
+           CAST(count(*) AS BIGINT) AS n_media,
+           CAST(count(DISTINCT f.dhash) AS BIGINT) AS n_distinct,
+           CAST(count(*) - count(DISTINCT f.dhash) AS BIGINT) AS n_dup_docs,
+           round(1.0 - count(DISTINCT f.dhash) / count(*), 6) AS dup_rate
+    FROM fp f JOIN img i ON f.media_id = i.media_id
+    GROUP BY i.source
+    """,
+    doc="Per-source IMAGE duplication rate on the dHash perceptual "
+    "fingerprint — monitor_dup_rate_by_source's shape on the image "
+    "modality: what an ops loop reads BEFORE paying for an image "
+    "dedup pass (a source whose perceptual-dup rate jumps is "
+    "re-hosting the same thumbnails). Per source: image count, "
+    "distinct 48-bit dHash longs, duplicated-image count and rate. "
+    "Scale shape: the media bytes are touched once at the scan "
+    "(mapInPandas dHash — in an incremental pipeline the landed "
+    "image_fps state table replaces even that, see "
+    "curation.media_dup_rate_report); downstream is one id-equi join "
+    "for the source label plus a map-side-combinable count-distinct "
+    "over 8-byte longs per source. No window, no pair join.",
+)
+def monitor_dup_rate_image_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.multimodal import (
+        image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dh = image_dhash(documents_as_media(docs))
+    return (
+        dh.join(
+            docs.select(F.col("doc_id").alias("media_id"), "source"),
+            "media_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_media"),
+            F.countDistinct("dhash").cast("long").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_media",
+            "n_distinct",
+            (F.col("n_media") - F.col("n_distinct")).alias("n_dup_docs"),
+            F.round(1.0 - F.col("n_distinct") / F.col("n_media"), 6).alias(
+                "dup_rate"
+            ),
+        )
+    )
+
+
+@register(
+    "monitor_dup_rate_audio",
+    """
+    WITH aud AS (
+      SELECT doc_id AS media_id, source, text
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    e AS (
+      SELECT media_id, k,
+             ('0x' || substr(md5(substr(text, CAST(k//16*64 + 1 AS INT), 64)
+                                 || ':' || CAST(k//16 AS VARCHAR)),
+                             CAST(2*(k%16)+1 AS INT), 2))::BIGINT AS v
+      FROM aud, UNNEST(range(49)) AS t(k)
+    ),
+    bits AS (
+      SELECT a.media_id, a.k AS bit_i,
+             CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+      FROM e a JOIN e b ON a.media_id = b.media_id AND b.k = a.k + 1
+    ),
+    fp AS (
+      SELECT media_id, CAST(sum(bit * (1::BIGINT << bit_i)) AS BIGINT) AS ahash
+      FROM bits GROUP BY media_id
+    )
+    SELECT u.source,
+           CAST(count(*) AS BIGINT) AS n_media,
+           CAST(count(DISTINCT f.ahash) AS BIGINT) AS n_distinct,
+           CAST(count(*) - count(DISTINCT f.ahash) AS BIGINT) AS n_dup_docs,
+           round(1.0 - count(DISTINCT f.ahash) / count(*), 6) AS dup_rate
+    FROM fp f JOIN aud u ON f.media_id = u.media_id
+    GROUP BY u.source
+    """,
+    doc="Per-source AUDIO duplication rate on the energy-contour "
+    "fingerprint — the image monitor's mirror on the audio modality "
+    "(a source whose contour-dup rate jumps is mirroring another "
+    "feed's clips). Same scale shape: one mapInPandas fingerprint "
+    "pass (or the landed audio_fps table in an incremental pipeline), "
+    "one id-equi join for the source label, one count-distinct over "
+    "longs per source.",
+)
+def monitor_dup_rate_audio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.multimodal import (
+        audio_energy_hash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ah = audio_energy_hash(documents_as_media(docs))
+    return (
+        ah.join(
+            docs.select(F.col("doc_id").alias("media_id"), "source"),
+            "media_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_media"),
+            F.countDistinct("ahash").cast("long").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_media",
+            "n_distinct",
+            (F.col("n_media") - F.col("n_distinct")).alias("n_dup_docs"),
+            F.round(1.0 - F.col("n_distinct") / F.col("n_media"), 6).alias(
+                "dup_rate"
+            ),
+        )
+    )
+
+
+@register(
+    "monitor_dup_rate_video",
+    """
+    WITH vid AS (
+      SELECT doc_id AS media_id, source, text,
+             CAST((n_chars * 10 - 1) // 1000 AS INT) + 1 AS n_frames
+      FROM documents WHERE doc_id % 3 = 2 AND n_chars * 10 > 0
+    ),
+    px AS (
+      SELECT media_id, j, k,
+             ('0x' || substr(md5(substr(text, CAST(j*64 + 1 AS INT), 64)
+                                 || ':' || CAST(j AS VARCHAR)
+                                 || ':' || CAST(k//16 AS VARCHAR)),
+                             CAST(2*(k%16)+1 AS INT), 2))::BIGINT AS p
+      FROM vid, UNNEST(range(n_frames)) AS f(j), UNNEST(range(56)) AS t(k)
+    ),
+    bits AS (
+      SELECT a.media_id, a.j,
+             CAST((a.k // 7) * 6 + (a.k % 7) AS INT) AS bit_i,
+             CASE WHEN a.p < b.p THEN 1 ELSE 0 END AS bit
+      FROM px a JOIN px b
+        ON a.media_id = b.media_id AND a.j = b.j AND b.k = a.k + 1
+      WHERE a.k % 7 < 6
+    ),
+    fh AS (
+      SELECT media_id, j,
+             CAST(sum(bit * (1::BIGINT << bit_i)) AS BIGINT) AS fhash
+      FROM bits GROUP BY media_id, j
+    ),
+    fset AS (SELECT DISTINCT media_id, fhash FROM fh),
+    clipfp AS (
+      SELECT media_id,
+             md5(string_agg(CAST(fhash AS VARCHAR), ',' ORDER BY fhash)) AS vfp
+      FROM fset GROUP BY media_id
+    )
+    SELECT v.source,
+           CAST(count(*) AS BIGINT) AS n_media,
+           CAST(count(DISTINCT c.vfp) AS BIGINT) AS n_distinct,
+           CAST(count(*) - count(DISTINCT c.vfp) AS BIGINT) AS n_dup_docs,
+           round(1.0 - count(DISTINCT c.vfp) / count(*), 6) AS dup_rate
+    FROM clipfp c JOIN vid v ON c.media_id = v.media_id
+    GROUP BY v.source
+    """,
+    doc="Per-source VIDEO duplication rate on the frame-SET "
+    "fingerprint — the set-valued variant the video modality needs: a "
+    "clip's identity is the md5 of its numerically-sorted distinct "
+    "sampled-frame dHashes (two clips whose every sampled frame "
+    "matches are byte-transcode duplicates). Per source: clip count, "
+    "distinct frame-set identities, duplicated-clip count and rate. "
+    "Scale shape: one mapInPandas pass per clip (bytes cross Arrow "
+    "once; the landed video_fps table replaces it incrementally), a "
+    "bounded per-clip sort+concat (frames per clip, not corpus-"
+    "sized), one id-equi join for the source label, one count-"
+    "distinct per source. Exact-duplicate detection only — NEAR-dup "
+    "clips (subset frame overlap) are dedup_video_frames' pair join.",
+)
+def monitor_dup_rate_video_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_mysql_data_reader_spark.operators.multimodal import (
+        video_frame_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fset = (
+        video_frame_hashes(documents_as_media(docs))
+        .select("media_id", "fhash")
+        .distinct()
+    )
+    clipfp = fset.groupBy("media_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("fhash")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("vfp")
+    )
+    return (
+        clipfp.join(
+            docs.select(F.col("doc_id").alias("media_id"), "source"),
+            "media_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_media"),
+            F.countDistinct("vfp").cast("long").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_media",
+            "n_distinct",
+            (F.col("n_media") - F.col("n_distinct")).alias("n_dup_docs"),
+            F.round(1.0 - F.col("n_distinct") / F.col("n_media"), 6).alias(
+                "dup_rate"
+            ),
+        )
+    )

