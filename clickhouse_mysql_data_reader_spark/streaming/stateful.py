@@ -154,10 +154,10 @@ def stateful_latest_wins_tws(
     no such dependency). Checked eagerly here — without it the query
     dies at start with an opaque 'driver worker crashed'.
 
-    (Install retried 2026-08-16, ROUND 13 of the build — and rounds
-    9, 10, 11, 12 before it: ``pip install protobuf`` still fails — no
-    network route to any index ("Name or service not known" resolving
-    the configured mirror), so the streaming integration test remains
+    (Install retried 2026-08-16, ROUND 14 of the build — and rounds
+    9-13 before it: ``pip install protobuf`` still fails — the index
+    resolves no distribution ("No matching distribution found"; no
+    network route), so the streaming integration test remains
     environment-gated; the processor logic itself is executed in CI
     via a stubbed ValueState handle, tests/test_stateful.py.)
     """

@@ -770,6 +770,112 @@ def test_cli_curate_data_image_edge_json(spark, tmp_path, capsys):
     assert kept == {1, 3}  # image near-twin 2 merged into 1, min_id keeps 1
 
 
+def test_cli_curate_data_audio_edge_json(spark, tmp_path, capsys):
+    """The audio near-dup edge rides the --curation-config JSON path
+    (audio_near_hamming + geometry are plain JSON knobs), and with
+    --curation-state the verb lands the audio_fps sibling state from
+    the command line — the image CLI test's mirror on the fifth edge
+    type."""
+    from clickhouse_mysql_data_reader_spark.curation import CurationState
+
+    # md5-blocked fake: last-64-char-block edit -> energy-contour
+    # Hamming 1 (test_audio_curation's pinned fixtures)
+    aud = ("aud-alpha-" + "x" * 246).encode()
+    aud_near = (
+        ("aud-alpha-" + "x" * 246)[:192] + "aud-alpha-tail-v1".ljust(64, "y")
+    ).encode()
+    src = str(tmp_path / "docs_aud_edge")
+    spark.createDataFrame(
+        [
+            (1, "web", _CUR_A, aud),
+            (2, "web", _CUR_B, aud_near),
+            (3, "web", "meanwhile the village bakery opened early because "
+             "the harvest festival needed seven hundred loaves of dark "
+             "rye bread by noon", None),
+        ],
+        "doc_id long, source string, text string, audio binary",
+    ).write.mode("overwrite").parquet(src)
+    ccfg = tmp_path / "curation_aud.json"
+    ccfg.write_text(json.dumps({
+        "min_quality_score": 0.0,
+        "drop_repetitive": False,
+        "audio_near_hamming": 7,
+        "audio_n_windows": 49,
+    }))
+    out = str(tmp_path / "kept_aud_edge")
+    state_dir = str(tmp_path / "state_aud")
+    assert run(parse_config([
+        "--curate-data",
+        "--src-parquet-dir", src,
+        "--dst-parquet-dir", out,
+        "--curation-config", str(ccfg),
+        "--curation-state", state_dir,
+        "--curation-epoch", "0",
+    ]), spark) == 0
+    capsys.readouterr()
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3}  # audio near-twin 2 merged into 1, min_id keeps
+    state = CurationState(state_dir, audio_n_windows=49)
+    assert state.audio_landed(spark)
+    fps = {r["doc_id"] for r in state.audio_fps(spark).collect()}
+    assert fps == {1}  # only the clip-bearing keeper has a fingerprint
+
+
+def test_cli_curate_data_video_edge_json(spark, tmp_path, capsys):
+    """The video near-dup edge (sixth type) through --curation-config
+    JSON + --curation-state: video_min_matching / video_every_ms /
+    the stop-frame cap are plain JSON knobs, and the verb lands the
+    video_fps frame-set sibling state from the command line."""
+    from clickhouse_mysql_data_reader_spark.curation import CurationState
+
+    # fake frame decoder: frame j hashes the j-th 64-char slice; 2560
+    # ms -> 3 frames; sharing the first two slices = 2 matching frames
+    vid = ("vid-alpha-" + "x" * 246).encode()
+    vid_near = (
+        ("vid-alpha-" + "x" * 246)[:128] + "vid-tail-" + "y" * 119
+    ).encode()
+    src = str(tmp_path / "docs_vid_edge")
+    spark.createDataFrame(
+        [
+            (1, "web", _CUR_A, vid, 2560),
+            (2, "web", _CUR_B, vid_near, 2560),
+            (3, "web", "meanwhile the village bakery opened early because "
+             "the harvest festival needed seven hundred loaves of dark "
+             "rye bread by noon", None, None),
+        ],
+        "doc_id long, source string, text string, video binary, "
+        "video_ms long",
+    ).write.mode("overwrite").parquet(src)
+    ccfg = tmp_path / "curation_vid.json"
+    ccfg.write_text(json.dumps({
+        "min_quality_score": 0.0,
+        "drop_repetitive": False,
+        "video_min_matching": 2,
+        "video_every_ms": 1000,
+        "video_max_frame_df": 50,
+    }))
+    out = str(tmp_path / "kept_vid_edge")
+    state_dir = str(tmp_path / "state_vid")
+    assert run(parse_config([
+        "--curate-data",
+        "--src-parquet-dir", src,
+        "--dst-parquet-dir", out,
+        "--curation-config", str(ccfg),
+        "--curation-state", state_dir,
+        "--curation-epoch", "0",
+    ]), spark) == 0
+    capsys.readouterr()
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3}  # 2 shares 2 of 3 frames with 1 -> merged
+    state = CurationState(state_dir, video_every_ms=1000)
+    assert state.video_landed(spark)
+    per_doc = {
+        r["doc_id"]: r["count"]
+        for r in state.video_fps(spark).groupBy("doc_id").count().collect()
+    }
+    assert per_doc == {1: 3}  # the keeper's 3 distinct frame hashes
+
+
 def test_cli_curate_data_incremental_split_lands_in_state(
     spark, tmp_path, capsys
 ):
