@@ -456,6 +456,12 @@ def main() -> None:
         "dedup_video_frames": time_query("dedup_video_frames"),
         "match_entity_apply": time_query("match_entity_apply"),
         "curate_batch_image": time_query("curate_batch_image"),
+        # round-14 additions: the per-modality dup-rate monitors (one
+        # count-distinct over fingerprint longs per source; video uses
+        # the frame-set identity)
+        "monitor_dup_rate_image": time_query("monitor_dup_rate_image"),
+        "monitor_dup_rate_audio": time_query("monitor_dup_rate_audio"),
+        "monitor_dup_rate_video": time_query("monitor_dup_rate_video"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -101,6 +101,26 @@ def run(cfg: AppConfig, spark: SparkSession | None = None) -> int:
         # exit 0 only when no UNSAFE drift (profile rows are informational)
         return 0 if unsafe == 0 else 1
 
+    if verb == "curation-report":
+        from clickhouse_mysql_data_reader_spark.curation import CurationState
+
+        if not cfg.curate.state_dir:
+            raise ValueError(
+                "--curation-report requires --curation-state (the landed "
+                "state directory to report on)"
+            )
+        # a plain read handle: the report only scans landed tables, so
+        # no geometry/decoder parameters are needed (or validated)
+        state = CurationState(cfg.curate.state_dir)
+        print(json.dumps({
+            "verb": verb,
+            "state_dir": cfg.curate.state_dir,
+            "growth": state.growth_report(spark),
+            "media_dup_rates": [
+                r.asDict() for r in state.media_dup_rate_report(spark).collect()
+            ],
+        }))
+        return 0
     if verb == "curate-data":
         from clickhouse_mysql_data_reader_spark.curation import (
             CurationConfig,

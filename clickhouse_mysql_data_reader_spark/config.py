@@ -166,6 +166,7 @@ class AppConfig:
     pump_data: bool = False
     profile_table: bool = False  # monitoring verb beyond reference parity
     curate_data: bool = False  # LLM-corpus curation verb beyond parity
+    curation_report: bool = False  # read-only state ops report
 
     with_create_database: bool = False
     dry: bool = False
@@ -187,6 +188,7 @@ class AppConfig:
                 ("pump-data", self.pump_data),
                 ("profile-table", self.profile_table),
                 ("curate-data", self.curate_data),
+                ("curation-report", self.curation_report),
             )
             if on
         ]
@@ -194,7 +196,8 @@ class AppConfig:
             raise ValueError(
                 f"exactly one of --create-table-sql / --create-table-json-template"
                 f" / --migrate-table / --pump-data / --profile-table / "
-                f"--curate-data required, got {chosen or 'none'}"
+                f"--curate-data / --curation-report required, "
+                f"got {chosen or 'none'}"
             )
         return chosen[0]
 
@@ -223,6 +226,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Curate an LLM document corpus (--src-parquet-dir) "
                    "through the gates + dedup + decontamination pipeline; "
                    "survivors land under --dst-parquet-dir")
+    p.add_argument("--curation-report", action="store_true",
+                   help="Read-only ops report over a landed curation "
+                   "state (--curation-state): per-table growth plus "
+                   "per-modality duplication rates from the landed "
+                   "fingerprint tables — no media decode, no corpus scan")
     p.add_argument("--with-create-database", action="store_true",
                    help="Prepend CREATE DATABASE to each CREATE TABLE")
     p.add_argument("--dry", action="store_true",
@@ -351,6 +359,7 @@ def parse_config(argv: list[str] | None = None) -> AppConfig:
         pump_data=args.pump_data,
         profile_table=args.profile_table,
         curate_data=args.curate_data,
+        curation_report=args.curation_report,
         with_create_database=args.with_create_database,
         dry=args.dry,
         log_level=args.log_level,

@@ -95,16 +95,14 @@ class CurationConfig:
     # assignment instead LANDS immutably in the state's `splits` table
     # (read back via state.split_assignments): each kept doc hashes
     # its within-batch component, landed rows never change, and a
-    # later near-twin of a landed doc is dropped by history-wins — so
-    # splits are STABLE across daily batches and no DIRECT near-twin
-    # of a landed doc ever straddles train/test. (TRANSITIVE twins
-    # can, in a corner: a batch doc connected to a landed doc only
-    # through a dropped within-batch sibling survives with
-    # split = hash(min within-batch id), which may differ from the
-    # landed twin's hash — the survivor-set delta vs one-shot batch
-    # curate leaks into assignments exactly there.) With batch-ordered
-    # ids this equals batch-over-concatenation bit-for-bit on
-    # identical survivor sets (parity pinned by test);
+    # later near-twin of a landed doc is dropped by history-wins —
+    # TRANSITIVELY since round 14: a within-batch component touching
+    # history drops entirely (see the hist_touched stage in
+    # curate_increment), so even a batch doc connected to a landed doc
+    # only through a dropped sibling never survives. Splits are
+    # therefore STABLE across daily batches and no near-dup cluster
+    # ever straddles train/test. With batch-ordered ids this equals
+    # batch-over-concatenation bit-for-bit (parity pinned by test);
     # fractions are pinned in the state's _split_params.json for its
     # lifetime. None = off.
     split_fractions: tuple[tuple[str, float], ...] | None = None
@@ -309,7 +307,10 @@ class CurationConfig:
     # ``image_fps``, and later batches drop image near-dups of history
     # via a chunk bucket-join against the landed longs — the media
     # bytes of history are never re-read and the decode never re-runs.
-    # None = off.
+    # Budget guidance: candidate pruning collapses at high budgets
+    # (48 bits at hamming 7 prunes only ~8.5x vs all-pairs) — check
+    # operators/dedup.py hamming_chunk_stats / max_hamming_budget
+    # before a large pass (<= 5 at the default 48 bits). None = off.
     image_near_hamming: int | None = None
     image_col: str = "image"
     image_grid_w: int = 7
@@ -331,7 +332,9 @@ class CurationConfig:
     # audio-enabled (CurationState audio_n_windows + decoder tag);
     # write() then lands (doc_id, ahash) in ``audio_fps`` and later
     # batches probe history via the chunk bucket-join — landed longs
-    # only, clip bytes never re-read. None = off.
+    # only, clip bytes never re-read. Same budget guidance as the
+    # image edge (hamming_chunk_stats; <= 5 at the default 48 bits).
+    # None = off.
     audio_near_hamming: int | None = None
     audio_col: str = "audio"
     audio_n_windows: int = 49
@@ -350,7 +353,11 @@ class CurationConfig:
     # equi-join against the landed ``video_fps`` rows + a per-pair
     # match count — the shingle-table shape, never banding.
     # ``video_max_frame_df`` drops ubiquitous frames (black/logo
-    # stop-frames) within the batch-side edge stage. None = off.
+    # stop-frames) before pairing — in the batch-side edge stage AND
+    # (round 14) in the history probe, where the document frequency is
+    # computed over the batch UNION the landed frame sets so a frame
+    # rare in a small increment but ubiquitous in history is still
+    # capped. None = off.
     video_min_matching: int | None = None
     video_col: str = "video"
     video_duration_col: str = "video_ms"
@@ -4431,6 +4438,31 @@ def curate_increment(
             ).select(F.col("doc_a").alias(id_col))
         )
     drop_hist = drop_hist.distinct()
+    # history-wins, TRANSITIVELY (round 14): a within-batch component
+    # containing ANY history-dropped doc drops ENTIRELY — exactly what
+    # one-shot batch curate over the concatenated corpus does (the
+    # landed twin joins the component, and with batch-ordered ids the
+    # min-id keeper election keeps the LANDED doc, dropping every
+    # batch member). Without this, a batch doc connected to a landed
+    # doc only through a dropped within-batch sibling (cluster {5,6}
+    # where 5 near-dups landed 1 but the keeper election kept 6) would
+    # survive as an undetected transitive near-twin — and its split
+    # assignment could straddle the landed twin's. Two narrow
+    # semi-joins over the batch-sized component frame.
+    hist_touched = (
+        comps.join(
+            drop_hist.select(F.col(id_col).alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+        .select("component")
+        .distinct()
+    )
+    drop_hist = drop_hist.unionByName(
+        comps.join(hist_touched, "component", "left_semi").select(
+            F.col("doc_id").alias(id_col)
+        )
+    ).distinct()
 
     kept = (
         vs_hist.join(drop_in, id_col, "left_anti")

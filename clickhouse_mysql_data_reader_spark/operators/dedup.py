@@ -887,6 +887,11 @@ def simhash_near_pairs(
     document size — and only same-chunk buckets are joined. Random
     fingerprints collide on a chunk with p ~= 2^-(bits/(d+1)), so bucket
     sizes stay near-uniform unless the corpus genuinely clusters.
+    BUDGET MATTERS: p also bounds how much the banding prunes vs
+    all-pairs (1/p), and at high budgets the chunks get thin — 48 bits
+    at hamming_max 7 prunes only ~8.5x. Run ``hamming_chunk_stats``
+    before a large pass and prefer budgets ``max_hamming_budget``
+    approves (<= 5 at 48 bits, <= 7 at 64).
 
     Returns (doc_a, doc_b, hamming), doc_a < doc_b, one row per
     verified pair.

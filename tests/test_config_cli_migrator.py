@@ -876,6 +876,41 @@ def test_cli_curate_data_video_edge_json(spark, tmp_path, capsys):
     assert per_doc == {1: 3}  # the keeper's 3 distinct frame hashes
 
 
+def test_cli_curation_report(spark, tmp_path, capsys):
+    """--curation-report: read-only ops verb over a landed state —
+    per-table growth plus the per-modality dup-rate rows from the
+    landed fingerprint tables (no media decode, no corpus scan)."""
+    src = str(tmp_path / "docs_rep")
+    _write_docs(spark, src, [(1, "web", _CUR_A), (2, "web", _CUR_B)])
+    state_dir = str(tmp_path / "state_rep")
+    out = str(tmp_path / "kept_rep")
+    ccfg = tmp_path / "curation_rep.json"
+    ccfg.write_text(json.dumps({
+        "min_quality_score": 0.0, "drop_repetitive": False,
+    }))
+    assert run(parse_config([
+        "--curate-data",
+        "--src-parquet-dir", src,
+        "--dst-parquet-dir", out,
+        "--curation-config", str(ccfg),
+        "--curation-state", state_dir,
+        "--curation-epoch", "0",
+    ]), spark) == 0
+    capsys.readouterr()
+    assert run(parse_config([
+        "--curation-report",
+        "--curation-state", state_dir,
+    ]), spark) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["verb"] == "curation-report"
+    assert rep["growth"]["fingerprints"]["rows"] == 2
+    rates = {r["modality"]: r for r in rep["media_dup_rates"]}
+    assert rates["text"]["n_docs"] == 2
+    assert rates["text"]["n_dup_docs"] == 0
+    with pytest.raises(ValueError, match="curation-state"):
+        run(parse_config(["--curation-report"]), spark)
+
+
 def test_cli_curate_data_incremental_split_lands_in_state(
     spark, tmp_path, capsys
 ):

@@ -226,6 +226,43 @@ def test_video_hist_probe_hot_frame_guard(spark, tmp_path):
     assert kept2_nocap == set()
 
 
+def test_hist_wins_is_transitive_through_batch_components(spark, tmp_path):
+    """A batch doc connected to a LANDED doc only through a dropped
+    within-batch sibling drops too (round 14): history-wins extends
+    through the within-batch component, which is exactly what one-shot
+    batch curate over the concatenation does — so no transitive
+    near-twin of a landed doc ever survives (and split assignments
+    can never straddle through the corner the r13 advice flagged).
+
+    Frame chain (the fake decoder hashes slice CONTENT at its slot, so
+    shared frames must share positions): landed 1 = A B C; batch
+    5 = A B D (frames A@0, B@1 shared with 1 -> direct history
+    near-dup); batch 6 = X B D (B@1, D@2 shared with 5; only B@1 with
+    1 -> transitive only)."""
+    cfg = _cfg()
+    b1 = _mk(spark, [(1, "web", _T_A, _clip("A", "B", "C"), 2560)])
+    b2 = _mk(
+        spark,
+        [
+            (5, "web", _T_B, _clip("A", "B", "D"), 2560),
+            (6, "web", _T_C, _clip("X", "B", "D"), 2560),
+        ],
+    )
+    state = _vstate(tmp_path)
+    kept1 = {r["doc_id"] for r in curate_increment(b1, state, cfg=cfg).collect()}
+    assert kept1 == {1}
+    kept2 = {r["doc_id"] for r in curate_increment(b2, state, cfg=cfg).collect()}
+    assert kept2 == set(), (
+        "6 is a transitive near-twin of landed 1 (via dropped 5) and "
+        "must drop — batch curate over the concatenation keeps only 1"
+    )
+    # parity: one-shot batch over the concatenated corpus agrees
+    res = curate(b1.unionByName(b2), cfg=cfg)
+    batch_kept = {r["doc_id"] for r in res.after_near_dedup.collect()}
+    res.unpersist()
+    assert batch_kept == kept1 | kept2 == {1}
+
+
 def test_curate_stream_video_replay_idempotent(spark, tmp_path):
     cfg = _cfg()
     state = _vstate(tmp_path, "state")
