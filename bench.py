@@ -462,6 +462,11 @@ def main() -> None:
         "monitor_dup_rate_image": time_query("monitor_dup_rate_image"),
         "monitor_dup_rate_audio": time_query("monitor_dup_rate_audio"),
         "monitor_dup_rate_video": time_query("monitor_dup_rate_video"),
+        # round-14 addition: the near-dup complement (LSH -> verify ->
+        # components -> per-source casualty count)
+        "monitor_near_dup_rate_by_source": time_query(
+            "monitor_near_dup_rate_by_source"
+        ),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -3403,3 +3403,78 @@ def text_url_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host",
         F.count(F.lit(1)).over(w).alias("n_same_url"),
     )
+
+
+def _register_near_dup_rate_monitor() -> None:
+    """Deferred so _CC_REACH_CTES (defined mid-module) is in scope."""
+
+    @register(
+        "monitor_near_dup_rate_by_source",
+        f"""{_CC_REACH_CTES},
+    comp AS (SELECT u AS doc_id, min(lbl) AS component FROM reach GROUP BY u),
+    labeled AS (
+      SELECT d.doc_id, d.source, coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id = component THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_dup_docs,
+           round(sum(CASE WHEN doc_id = component THEN 0 ELSE 1 END)
+                 / count(*), 6) AS near_dup_rate
+    FROM labeled GROUP BY source
+    """,
+        doc="Per-source NEAR-duplication rate — the near-dup complement "
+        "of monitor_dup_rate_by_source: exactly what a near-dedup pass "
+        "(LSH -> Jaccard verify -> connected components, min-id keeper "
+        "— the checked dedup_cluster machinery) would remove from each "
+        "source. Read the two monitors together to tell a source "
+        "re-crawling itself (exact rate jumps) from one templating or "
+        "mirroring with edits (near rate jumps while exact stays "
+        "flat). A doc is a near-dup casualty iff its component label "
+        "(= min member id, connected_components' convention) differs "
+        "from its own id, so the report needs NO separate keeper "
+        "election — one scan-stage comparison after the closure. "
+        "Scale shape: the banded LSH candidate machinery of the "
+        "checked dedup family (never all-pairs); the corpus adds one "
+        "left join against the bounded component frame and a "
+        "map-side-combinable per-source aggregate. The oracle replays "
+        "the full closure as a recursive CTE.",
+    )
+    def monitor_near_dup_rate_by_source_q(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from clickhouse_mysql_data_reader_spark.operators.graph import (
+            connected_components,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        sh = shingle_table(docs, "text", "doc_id", k=3)
+        sigs = minhash_signatures(sh, NUM_HASHES)
+        cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
+        pairs = jaccard_pairs(sh, candidates=cands, min_jaccard=_CC_THRESHOLD)
+        comp = connected_components(pairs)
+        labeled = (
+            docs.select("doc_id", "source")
+            .join(comp, "doc_id", "left")
+            .withColumn("component", F.coalesce("component", F.col("doc_id")))
+        )
+        dropped = F.when(F.col("doc_id") == F.col("component"), 0).otherwise(1)
+        return (
+            labeled.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(dropped).cast("long").alias("n_dup_docs"),
+            )
+            .select(
+                "source",
+                "n_docs",
+                "n_dup_docs",
+                F.round(F.col("n_dup_docs") / F.col("n_docs"), 6).alias(
+                    "near_dup_rate"
+                ),
+            )
+        )
+
+
+_register_near_dup_rate_monitor()

@@ -831,6 +831,13 @@ DEPRIORITIZED = (
     #     hashes; bounded per-clip sort, one count-distinct per source
     #     (landed twin: video_fps)
     "monitor_dup_rate_video",
+    #   - monitor_near_dup_rate_by_source: the NEAR-dup complement of
+    #     the checked monitor_dup_rate_by_source — what an LSH ->
+    #     verify -> components pass (min-id keeper) would remove per
+    #     source; component label = min member id, so casualty = one
+    #     scan-stage comparison, no keeper election; recursive-CTE
+    #     closure oracle
+    "monitor_near_dup_rate_by_source",
     # ...and the late-round-11 births (rotated INTO the checked 50
     # the same round — see the late-round-11 block below; the
     # descriptions stay here as the capability record):
