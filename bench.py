@@ -467,6 +467,10 @@ def main() -> None:
         "monitor_near_dup_rate_by_source": time_query(
             "monitor_near_dup_rate_by_source"
         ),
+        # round-14 addition: margin-based cross-population mining (the
+        # bitext criterion — broadcast queries, one streamed corpus
+        # scan, conditional-aggregate top-2 pivot)
+        "match_margin_pairs": time_query("match_margin_pairs"),
     }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

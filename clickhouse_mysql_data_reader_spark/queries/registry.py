@@ -838,6 +838,13 @@ DEPRIORITIZED = (
     #     scan-stage comparison, no keeper election; recursive-CTE
     #     closure oracle
     "monitor_near_dup_rate_by_source",
+    #   - match_margin_pairs: margin-based cross-population pair
+    #     mining (Artetxe & Schwenk 2019 distance margin — the
+    #     CCMatrix/LASER bitext-mining criterion): accept the top-1
+    #     cross-side neighbor only when it beats the runner-up by a
+    #     margin; top-2 -> margin is ONE conditional aggregate, raw-
+    #     cos ranking + 6dp grid rounding keeps decisions engine-exact
+    "match_margin_pairs",
     # ...and the late-round-11 births (rotated INTO the checked 50
     # the same round — see the late-round-11 block below; the
     # descriptions stay here as the capability record):
