@@ -364,6 +364,7 @@ _TINY_CROSSJOIN_OK = {
     "monitor_psi_by_source",        # |keys|-row spine x n_buckets range
     "rag_mmr_rerank",               # 4-row query frame (cosine_topk)
     "rag_rrf_fuse",                 # 1-row BM25 totals (inherited)
+    "match_margin_pairs",           # bounded query frame (cosine_topk)
 }
 
 
