@@ -102,7 +102,12 @@ def mh_b(i: int) -> int:
 
 
 def shingle_table(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, distinct: bool = True
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    distinct: bool = True,
+    partition_by_id: bool = False,
 ) -> DataFrame:
     """(doc_id, sh_h) pairs — the base relation for Jaccard and
     MinHash. The shingle string is hashed to a 60-bit int IMMEDIATELY
@@ -114,12 +119,36 @@ def shingle_table(
     ``distinct=False`` skips the dedup shuffle — correct for consumers
     that are duplicate-insensitive (MinHash: min over a multiset equals
     min over its set), wrong for anything that COUNTS shingles
-    (Jaccard sizes/intersections need the set)."""
+    (Jaccard sizes/intersections need the set).
+
+    ``partition_by_id=True`` (only meaningful with ``distinct=True``)
+    hash-partitions the DOCUMENTS by ``id_col`` BEFORE tokenizing, so
+    every shingle of a doc is born co-located and the distinct becomes
+    a LOCAL aggregate — the shingle relation itself never crosses an
+    exchange. Byte math at scale: the repartition moves the raw text
+    once (~5 B/token), where the default path's distinct exchange
+    moves the unique (doc_id, sh_h) pairs (~16 B/token) — strictly
+    fewer shuffled bytes AND one exchange instead of two whenever the
+    input is under-split enough that ``fan_out`` fires. Downstream
+    doc-keyed consumers (MinHash signatures, per-doc sizes) then meet
+    an already-satisfied ClusteredDistribution and plan no exchange of
+    their own. Leave it False for consumers keyed on the SHINGLE
+    (frequency counts, prefix slicing): they re-exchange on sh_h
+    either way, and on a well-split input the repartition would add a
+    full text shuffle the default path avoids."""
+    if partition_by_id and distinct:
+        base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col)).repartition(
+            "doc_id"
+        )
+    else:
+        base = fan_out(df).select(
+            F.col(id_col).alias("doc_id"), F.col(text_col)
+        )
     sh = (
-        fan_out(df)
+        base
         # tokenize behind its own projection so the regex+split runs
         # once per doc, not once per shingle (see shingles_from_tokens)
-        .select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("tk"))
+        .select("doc_id", tokenize(F.col(text_col)).alias("tk"))
         .select("doc_id", F.explode(shingles_from_tokens(F.col("tk"), k)).alias("shingle"))
         .select(
             "doc_id",

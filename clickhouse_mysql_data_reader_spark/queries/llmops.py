@@ -957,7 +957,7 @@ def dedup_lsh_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs, "text", "doc_id", k=3)
+    sh = shingle_table(docs, "text", "doc_id", k=3, partition_by_id=True)
     sigs = minhash_signatures(sh, NUM_HASHES)
     cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
     # the shared shingle frame feeds signatures AND the verify join;
@@ -1025,7 +1025,7 @@ def dedup_cluster_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_mysql_data_reader_spark.operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs, "text", "doc_id", k=3)
+    sh = shingle_table(docs, "text", "doc_id", k=3, partition_by_id=True)
     sigs = minhash_signatures(sh, NUM_HASHES)
     cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
     pairs = jaccard_pairs(sh, candidates=cands, min_jaccard=_CC_THRESHOLD)
@@ -1070,7 +1070,7 @@ def dedup_cluster_best_keeper_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs, "text", "doc_id", k=3)
+    sh = shingle_table(docs, "text", "doc_id", k=3, partition_by_id=True)
     sigs = minhash_signatures(sh, NUM_HASHES)
     cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
     pairs = jaccard_pairs(sh, candidates=cands, min_jaccard=_CC_THRESHOLD)
@@ -1118,7 +1118,7 @@ def _register_cluster_safe_split() -> None:
         )
 
         docs = load_table(spark, sf_dir, "documents")
-        sh = shingle_table(docs, "text", "doc_id", k=3)
+        sh = shingle_table(docs, "text", "doc_id", k=3, partition_by_id=True)
         sigs = minhash_signatures(sh, NUM_HASHES)
         cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
         pairs = jaccard_pairs(sh, candidates=cands, min_jaccard=_CC_THRESHOLD)
@@ -3449,7 +3449,7 @@ def _register_near_dup_rate_monitor() -> None:
         )
 
         docs = load_table(spark, sf_dir, "documents")
-        sh = shingle_table(docs, "text", "doc_id", k=3)
+        sh = shingle_table(docs, "text", "doc_id", k=3, partition_by_id=True)
         sigs = minhash_signatures(sh, NUM_HASHES)
         cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
         pairs = jaccard_pairs(sh, candidates=cands, min_jaccard=_CC_THRESHOLD)
