@@ -1423,18 +1423,21 @@ def curate(
     # duration and surfaced via CurationResult.persisted_frames /
     # .unpersist() (caller-owned lifecycle, same contract as
     # jaccard_pairs' storage parameter).
-    sh = shingle_table(exact, text_col, id_col)
+    sh = shingle_table(exact, text_col, id_col, partition_by_id=True)
     boiled = exact
     prefix_paths_on = cfg.near_dup_containment is not None or cfg.near_dup_exact
-    if prefix_paths_on and cfg.max_boiler_frac is None:
+    if cfg.max_boiler_frac is None:
         from pyspark import StorageLevel
 
-        # the prefix-filter paths (containment edge type and/or exact
-        # Jaccard candidates) add four more consumers of the shingle
-        # relation (frequency agg, prefix build, probe side, verify
-        # core) on top of MinHash — persist it even when the
-        # boilerplate gate (which persists below) is off; same
-        # caller-owned lifecycle via CurationResult.unpersist()
+        # the shingle relation ALWAYS has multiple consumers: MinHash
+        # signatures plus the verify core's three reads (sizes + both
+        # join sides) in every config, and the prefix-filter paths
+        # (containment edge type and/or exact Jaccard candidates) add
+        # four more (frequency agg, prefix build, probe side, verify
+        # core). Persist unconditionally so the gates+shingle subtree
+        # runs once, not once per consumer; same caller-owned
+        # lifecycle via CurationResult.unpersist(). (With the
+        # boilerplate gate on, the persist happens below instead.)
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
         persisted.append(sh)
     if cfg.max_boiler_frac is not None:
@@ -2971,7 +2974,7 @@ class CurationState:
             F.col(id_col).alias("doc_id"),
             content_fingerprint(F.col(text_col)).alias("fp"),
         )
-        sh = shingle_table(kept, text_col, id_col)
+        sh = shingle_table(kept, text_col, id_col, partition_by_id=True)
         bands = band_table(
             minhash_signatures(sh, num_hashes=self.minhash_k),
             num_hashes=self.minhash_k,
@@ -3952,7 +3955,9 @@ def curate_increment(
         # Jaccard verify AND (via components' edge materialization)
         # runs eagerly anyway — without truncation each consumer
         # re-executes the gates+shingling chain from the scan
-        sh0 = shingle_table(exact, text_col, id_col).localCheckpoint()
+        sh0 = shingle_table(
+            exact, text_col, id_col, partition_by_id=True
+        ).localCheckpoint()
         # boilerplate gate, bootstrap form: batch one IS the corpus so
         # far, so within-batch frequencies are exactly what batch
         # curate() over the (one-batch) concatenation would measure
@@ -4093,7 +4098,9 @@ def curate_increment(
     # the state-fingerprint anti-join snapshot the shingles derive
     # from, the same mid-increment-consistency argument as
     # CurationState.write's checkpoint.
-    sh_new = shingle_table(vs_hist, text_col, id_col).localCheckpoint()
+    sh_new = shingle_table(
+        vs_hist, text_col, id_col, partition_by_id=True
+    ).localCheckpoint()
 
     # --- boilerplate gate vs history + batch (optional) ---------------
     # Same position as batch curate() (after exact dedup, before the

@@ -121,22 +121,24 @@ def shingle_table(
     min over its set), wrong for anything that COUNTS shingles
     (Jaccard sizes/intersections need the set).
 
-    ``partition_by_id=True`` (only meaningful with ``distinct=True``)
-    hash-partitions the DOCUMENTS by ``id_col`` BEFORE tokenizing, so
-    every shingle of a doc is born co-located and the distinct becomes
-    a LOCAL aggregate — the shingle relation itself never crosses an
-    exchange. Byte math at scale: the repartition moves the raw text
-    once (~5 B/token), where the default path's distinct exchange
-    moves the unique (doc_id, sh_h) pairs (~16 B/token) — strictly
-    fewer shuffled bytes AND one exchange instead of two whenever the
-    input is under-split enough that ``fan_out`` fires. Downstream
-    doc-keyed consumers (MinHash signatures, per-doc sizes) then meet
-    an already-satisfied ClusteredDistribution and plan no exchange of
-    their own. Leave it False for consumers keyed on the SHINGLE
-    (frequency counts, prefix slicing): they re-exchange on sh_h
-    either way, and on a well-split input the repartition would add a
-    full text shuffle the default path avoids."""
-    if partition_by_id and distinct:
+    ``partition_by_id=True`` hash-partitions the DOCUMENTS by
+    ``id_col`` BEFORE tokenizing, so every shingle of a doc is born
+    co-located and doc-keyed consumers meet an already-satisfied
+    ClusteredDistribution: the distinct becomes a LOCAL aggregate (the
+    shingle relation itself never crosses an exchange), and with
+    ``distinct=False`` the MinHash signature groupBy plans no exchange
+    of its own (min over a multiset equals min over its set, so
+    co-location is all it needs). Byte math at scale: the repartition
+    moves the raw text once (~5 B/token), where the default path's
+    distinct exchange — or the signature groupBy's — moves the
+    (doc_id, sh_h) pairs (~16 B/token) — strictly fewer shuffled bytes
+    AND one exchange instead of two whenever the input is under-split
+    enough that ``fan_out`` fires. Leave it False for consumers keyed
+    on the SHINGLE (frequency counts, prefix slicing): they
+    re-exchange on sh_h either way, and on a well-split input the
+    repartition would add a full text shuffle the default path
+    avoids."""
+    if partition_by_id:
         base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col)).repartition(
             "doc_id"
         )

@@ -123,7 +123,10 @@ def dedup_minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # distinct=False: MinHash is duplicate-insensitive, skip the dedup shuffle
     return minhash_signatures(
-        shingle_table(docs, "text", "doc_id", k=3, distinct=False), NUM_HASHES
+        shingle_table(
+            docs, "text", "doc_id", k=3, distinct=False, partition_by_id=True
+        ),
+        NUM_HASHES,
     )
 
 
@@ -146,7 +149,10 @@ def dedup_minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(
-        shingle_table(docs, "text", "doc_id", k=3, distinct=False), NUM_HASHES
+        shingle_table(
+            docs, "text", "doc_id", k=3, distinct=False, partition_by_id=True
+        ),
+        NUM_HASHES,
     )
     return lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
 
@@ -176,7 +182,7 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs, "text", "doc_id", k=3)
+    sh = shingle_table(docs, "text", "doc_id", k=3, partition_by_id=True)
     # caller-owned persist: released by unpersist/clearCache after the
     # action (bench.py clears between queries)
     return jaccard_pairs(sh, min_inter=3, storage=StorageLevel.MEMORY_AND_DISK)
@@ -218,7 +224,7 @@ def dedup_containment_near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs, "text", "doc_id", k=3)
+    sh = shingle_table(docs, "text", "doc_id", k=3, partition_by_id=True)
     return containment_pairs(
         sh, min_inter=3, min_containment=0.5,
         storage=StorageLevel.MEMORY_AND_DISK,
@@ -267,7 +273,7 @@ def dedup_containment_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one persist shared by the candidate generator (freq + prefix +
     # probe side) and the verify core (sizes + both join sides) —
     # caller-owned, released by bench.py's clearCache between queries
-    sh = shingle_table(docs, "text", "doc_id", k=3).persist(
+    sh = shingle_table(docs, "text", "doc_id", k=3, partition_by_id=True).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     cands = containment_prefix_candidates(sh, min_containment=0.9)
@@ -311,7 +317,7 @@ def dedup_jaccard_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs, "text", "doc_id", k=3).persist(
+    sh = shingle_table(docs, "text", "doc_id", k=3, partition_by_id=True).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     cands = jaccard_prefix_candidates(sh, min_jaccard=0.5)
@@ -1022,13 +1028,20 @@ _CC_REACH_CTES = f"""
     "the oracle is DuckDB's recursive CTE over the identical pair set.",
 )
 def dedup_cluster_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from clickhouse_mysql_data_reader_spark.operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_table(docs, "text", "doc_id", k=3, partition_by_id=True)
     sigs = minhash_signatures(sh, NUM_HASHES)
     cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
-    pairs = jaccard_pairs(sh, candidates=cands, min_jaccard=_CC_THRESHOLD)
+    # sh feeds the signature subtree AND the verify join's three reads;
+    # caller-owned persist, same discipline as dedup_lsh_jaccard
+    pairs = jaccard_pairs(
+        sh, candidates=cands, min_jaccard=_CC_THRESHOLD,
+        storage=StorageLevel.MEMORY_AND_DISK,
+    )
     return connected_components(pairs)
 
 
@@ -1064,6 +1077,8 @@ def dedup_cluster_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cluster_components in the driver-checked set.",
 )
 def dedup_cluster_best_keeper_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from clickhouse_mysql_data_reader_spark.operators.graph import (
         component_keepers,
         connected_components,
@@ -1073,7 +1088,10 @@ def dedup_cluster_best_keeper_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_table(docs, "text", "doc_id", k=3, partition_by_id=True)
     sigs = minhash_signatures(sh, NUM_HASHES)
     cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
-    pairs = jaccard_pairs(sh, candidates=cands, min_jaccard=_CC_THRESHOLD)
+    pairs = jaccard_pairs(
+        sh, candidates=cands, min_jaccard=_CC_THRESHOLD,
+        storage=StorageLevel.MEMORY_AND_DISK,
+    )
     comp = connected_components(pairs)
     return component_keepers(comp, docs.select("doc_id", "n_chars"), "n_chars")
 
@@ -1113,6 +1131,8 @@ def _register_cluster_safe_split() -> None:
         "closure (recursive CTE) and the exact split thresholds.",
     )
     def sample_split_cluster_safe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark import StorageLevel
+
         from clickhouse_mysql_data_reader_spark.operators.sampling import (
             cluster_safe_split,
         )
@@ -1121,7 +1141,10 @@ def _register_cluster_safe_split() -> None:
         sh = shingle_table(docs, "text", "doc_id", k=3, partition_by_id=True)
         sigs = minhash_signatures(sh, NUM_HASHES)
         cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
-        pairs = jaccard_pairs(sh, candidates=cands, min_jaccard=_CC_THRESHOLD)
+        pairs = jaccard_pairs(
+            sh, candidates=cands, min_jaccard=_CC_THRESHOLD,
+            storage=StorageLevel.MEMORY_AND_DISK,
+        )
         return cluster_safe_split(
             docs.select("doc_id"), pairs, _SPLITS
         ).select("doc_id", "component", "split")
@@ -2817,7 +2840,7 @@ def text_boilerplate_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # caller-owned persist (two consumers: freq + join back); released
     # by unpersist/clearCache after the action, same as dedup_ngram_jaccard
-    sh = shingle_table(docs, "text", "doc_id", k=3).persist(
+    sh = shingle_table(docs, "text", "doc_id", k=3, partition_by_id=True).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     return ngram_boilerplate(docs, "text", "doc_id", min_docs=3, shingles=sh)
@@ -3083,6 +3106,8 @@ _SEMDEDUP_TAU = 0.35
     "the keeper window is bounded by cluster size.",
 )
 def dedup_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from clickhouse_mysql_data_reader_spark.operators.similarity import (
         centroids_by_cell,
         semantic_dedup_decisions,
@@ -3090,7 +3115,12 @@ def dedup_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = centroids_by_cell(emb)
-    return semantic_dedup_decisions(emb, _SEMDEDUP_TAU, centroids=cents)
+    # caller-owned persist of the (id, vector, cell) frame (released by
+    # bench.py clearCache) — four consumers, see the operator docstring
+    return semantic_dedup_decisions(
+        emb, _SEMDEDUP_TAU, centroids=cents,
+        storage=StorageLevel.MEMORY_AND_DISK,
+    )
 
 
 _HTML_PRE = (
@@ -3444,6 +3474,8 @@ def _register_near_dup_rate_monitor() -> None:
     def monitor_near_dup_rate_by_source_q(
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
+        from pyspark import StorageLevel
+
         from clickhouse_mysql_data_reader_spark.operators.graph import (
             connected_components,
         )
@@ -3452,7 +3484,10 @@ def _register_near_dup_rate_monitor() -> None:
         sh = shingle_table(docs, "text", "doc_id", k=3, partition_by_id=True)
         sigs = minhash_signatures(sh, NUM_HASHES)
         cands = lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
-        pairs = jaccard_pairs(sh, candidates=cands, min_jaccard=_CC_THRESHOLD)
+        pairs = jaccard_pairs(
+            sh, candidates=cands, min_jaccard=_CC_THRESHOLD,
+            storage=StorageLevel.MEMORY_AND_DISK,
+        )
         comp = connected_components(pairs)
         labeled = (
             docs.select("doc_id", "source")
