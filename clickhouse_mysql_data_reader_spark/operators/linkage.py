@@ -139,6 +139,7 @@ def resolve_entities(
     block_fn: Callable[[Column], Column],
     max_dist: int = 2,
     small_graph_pairs: int | None = None,
+    storage=None,
 ) -> DataFrame:
     """End-to-end entity RESOLUTION on top of the pair proposals:
     ``fuzzy_match_pairs`` edges -> connected components over the name
@@ -172,8 +173,16 @@ def resolve_entities(
 
     # build the dictionary ONCE and feed it both ways (the dictionary=
     # seam): without it the corpus groupBy subtree plans twice — once
-    # for the label join, once inside the pair generation
+    # for the label join, once inside the pair generation. A shared
+    # PLAN is still one evaluation per consumer: the components count
+    # probe, the label join and the canonical election each re-run the
+    # corpus groupBy unless the dictionary is persisted — pass
+    # ``storage`` (e.g. StorageLevel.MEMORY_AND_DISK) to cache it for
+    # the duration; the CALLER owns the lifecycle (unpersist/
+    # clearCache after the action), same contract as jaccard_pairs.
     dic = _dictionary(df, text_col, block_fn)
+    if storage is not None:
+        dic = dic.persist(storage)
     d = dic.select("name", "n")
     pairs = fuzzy_match_pairs(
         df, text_col, block_fn, max_dist=max_dist, dictionary=dic

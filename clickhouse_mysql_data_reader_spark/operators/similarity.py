@@ -787,6 +787,7 @@ def semantic_dedup_decisions(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    storage=None,
 ) -> DataFrame:
     """SemDeDup decision table (Abbas et al. 2023, arXiv:2303.09540):
     cluster the embedding space with the k-means coarse quantizer, form
@@ -823,6 +824,16 @@ def semantic_dedup_decisions(
     tagged = corpus.select(
         F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("_v")
     ).join(assigned, "vec_id")
+    # (id, vector, cell) has four consumers: both sides of the
+    # cell-blocked pair self-join, the components count probe that
+    # materializes them, and the centroid-similarity projection — pass
+    # ``storage`` (e.g. StorageLevel.MEMORY_AND_DISK) to run the
+    # scan+assignment subtree once instead of once per consumer.
+    # CALLER-owned lifecycle (unpersist/clearCache after the action),
+    # the jaccard_pairs contract; default None keeps the operator
+    # allocation-free for callers that stream it once.
+    if storage is not None:
+        tagged = tagged.persist(storage)
     pairs = near_dup_pairs(
         tagged, threshold, id_col="vec_id", vec_col="_v", cell_col="cell"
     )

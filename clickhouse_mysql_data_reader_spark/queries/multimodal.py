@@ -111,8 +111,19 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "downstream is (id, chunk, fingerprint) longs.",
 )
 def dedup_image_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from clickhouse_mysql_data_reader_spark.operators.multimodal import (
+        image_dhash,
+    )
+
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
-    return image_near_dup_pairs(media, hamming_max=7).withColumn(
+    # caller-owned fingerprint persist (released by bench.py
+    # clearCache): the banding self-join consumes the frame on both
+    # sides and Spark plans a lazy Python decode subtree per side —
+    # the sigs= seam makes the decode run once (operator docstring)
+    sigs = image_dhash(media).persist(StorageLevel.MEMORY_AND_DISK)
+    return image_near_dup_pairs(media, hamming_max=7, sigs=sigs).withColumn(
         "hamming", F.col("hamming").cast("long")
     )
 
@@ -194,8 +205,17 @@ def dedup_image_cluster_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
+    from pyspark import StorageLevel
+
+    from clickhouse_mysql_data_reader_spark.operators.multimodal import (
+        image_dhash,
+    )
+
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
-    pairs = image_near_dup_pairs(media, hamming_max=7)
+    # decode-once fingerprint persist through the sigs= seam (see
+    # dedup_image_phash); caller-owned, released by bench.py clearCache
+    sigs = image_dhash(media).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = image_near_dup_pairs(media, hamming_max=7, sigs=sigs)
     comps = connected_components(pairs).select(
         F.col("doc_id").alias("media_id"), "component"
     )
@@ -250,12 +270,18 @@ def dedup_image_cluster_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "everything downstream is (id, chunk, fingerprint) longs.",
 )
 def dedup_audio_fp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from clickhouse_mysql_data_reader_spark.operators.multimodal import (
+        audio_energy_hash,
         audio_near_dup_pairs,
     )
 
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
-    return audio_near_dup_pairs(media, hamming_max=7).withColumn(
+    # decode-once fingerprint persist through the sigs= seam (the
+    # image discipline); caller-owned, released by bench.py clearCache
+    sigs = audio_energy_hash(media).persist(StorageLevel.MEMORY_AND_DISK)
+    return audio_near_dup_pairs(media, hamming_max=7, sigs=sigs).withColumn(
         "hamming", F.col("hamming").cast("long")
     )
 
@@ -329,6 +355,14 @@ def dedup_video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    # deliberately NO sigs= persist here, unlike the image/audio twins:
+    # measured r14 A/B (interleaved, min-of-3) read 0.79s lazy vs
+    # 1.18s persisting sigs and 2.28s persisting the distinct frame
+    # set — the per-frame row count makes the cache round-trip cost
+    # more than re-running the cheap fake decode per consumer. A real
+    # decoder deployment lands the fingerprints instead (the
+    # CurationState image/audio/video_fps discipline), which the
+    # operator docstring already prescribes.
     return video_near_dup_pairs(media, min_matching_frames=2)
 
 
