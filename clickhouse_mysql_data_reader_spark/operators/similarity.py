@@ -208,6 +208,7 @@ def near_dup_pairs_multiprobe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
+    storage=None,
 ) -> DataFrame:
     """``near_dup_pairs`` with multi-probe recall: every vector probes
     its ``n_probe`` nearest per-cell-mean centroids PLUS its own
@@ -243,6 +244,14 @@ def near_dup_pairs_multiprobe(
         )
         .distinct()
     )
+    # the probe table feeds BOTH sides of the cell self-join; without a
+    # persist each side re-evaluates the centroid aggregate + argmin
+    # assignment subtree from the corpus scan. ``storage`` (e.g.
+    # StorageLevel.MEMORY_AND_DISK) caches the narrow (vec_id, cell)
+    # rows for the duration — caller-owned lifecycle (unpersist/
+    # clearCache after the action), the jaccard_pairs contract.
+    if storage is not None:
+        probes = probes.persist(storage)
     cand = (
         probes.alias("a")
         .join(

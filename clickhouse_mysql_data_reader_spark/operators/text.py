@@ -1729,6 +1729,7 @@ def ccnet_buckets(
     scale: int = 1_000_000,
     counts: DataFrame | None = None,
     thresholds: tuple | None = None,
+    storage=None,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
     every document with ``lm_surprisal`` against ``reference`` (default:
@@ -1777,6 +1778,13 @@ def ccnet_buckets(
         reference if reference is not None else (docs if counts is None else None),
         text_col=text_col, id_col=id_col, scale=scale, counts=counts,
     )
+    # ``storage`` (e.g. StorageLevel.MEMORY_AND_DISK) persists the
+    # scored frame across its two consumers (threshold aggregate +
+    # output projection) — the caller-owned-lifecycle seam the
+    # docstring prescribes (unpersist/clearCache after the action);
+    # moot when frozen ``thresholds`` are passed (single consumer).
+    if storage is not None and thresholds is None:
+        scored = scored.persist(storage)
     if thresholds is not None:
         t_lo, t_hi = thresholds
         th = scored.sparkSession.createDataFrame(

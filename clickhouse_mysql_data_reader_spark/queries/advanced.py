@@ -1180,7 +1180,14 @@ def monitor_psi_frozen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     old = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
     new = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
-    return psi_drift_frozen(psi_baseline(old, "n_chars"), new, "n_chars")
+    # production LANDS the baseline once; persisting the bucket-count
+    # reference here models that instead of re-deriving it from the
+    # baseline corpus per consumer (edges join + totals). Caller-owned,
+    # released by bench.py clearCache.
+    from pyspark import StorageLevel
+
+    base = psi_baseline(old, "n_chars").persist(StorageLevel.MEMORY_AND_DISK)
+    return psi_drift_frozen(base, new, "n_chars")
 
 
 @register(

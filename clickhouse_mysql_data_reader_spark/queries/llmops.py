@@ -747,12 +747,19 @@ def dedup_embed_near_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pair is scored once via two id-keyed joins back to the vectors.",
 )
 def dedup_embed_near_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from clickhouse_mysql_data_reader_spark.operators.similarity import (
         near_dup_pairs_multiprobe,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return near_dup_pairs_multiprobe(emb, threshold=0.35, n_probe=2, cell_col="label")
+    # caller-owned probe-table persist (released by bench.py
+    # clearCache): both cell self-join sides read it
+    return near_dup_pairs_multiprobe(
+        emb, threshold=0.35, n_probe=2, cell_col="label",
+        storage=StorageLevel.MEMORY_AND_DISK,
+    )
 
 
 def _srp_oracle_ctes(dim: int = 64, n_bits: int = 32, n_bands: int = 4) -> str:
@@ -1402,15 +1409,24 @@ def text_bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "are a 1-row max aggregate over it, never a corpus rescan.",
 )
 def text_bm25_frozen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from clickhouse_mysql_data_reader_spark.operators.text import (
         bm25_stats,
         bm25_topk,
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # the vocab-sized stats relation has several consumers inside
+    # bm25_topk (per-term df joins + the 1-row totals aggregate); in
+    # production it is LANDED once — persisting here models that
+    # (caller-owned, released by bench.py clearCache) instead of
+    # re-deriving it from the corpus per consumer
+    stats = bm25_stats(docs, "text", "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return bm25_topk(
-        docs, "text", "doc_id", list(_BM25_TERMS), top_k=10,
-        stats=bm25_stats(docs, "text", "doc_id"),
+        docs, "text", "doc_id", list(_BM25_TERMS), top_k=10, stats=stats,
     )
 
 
@@ -2120,16 +2136,27 @@ def rag_chunk_retrieve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "row_number — nothing corpus-sized moves.",
 )
 def rag_rrf_fuse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
     from pyspark.sql import Window as W
 
     from clickhouse_mysql_data_reader_spark.operators.similarity import rrf_fuse
     from clickhouse_mysql_data_reader_spark.operators.text import (
+        bm25_stats,
         bm25_topk,
         chunk_retrieve_topk,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    lex = bm25_topk(docs, "text", "doc_id", list(_BM25_TERMS), top_k=20)
+    # persist the vocab-sized BM25 stats across bm25_topk's internal
+    # consumers (frozen==derived equality is pinned by
+    # test_text_gates.py, so this is a pure plan transform);
+    # caller-owned, released by bench.py clearCache
+    stats = bm25_stats(docs, "text", "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    lex = bm25_topk(
+        docs, "text", "doc_id", list(_BM25_TERMS), top_k=20, stats=stats
+    )
     lexr = lex.select(
         "doc_id",
         F.row_number()
@@ -2555,10 +2582,18 @@ def dedup_exact_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "LM-data selection.",
 )
 def text_ccnet_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from clickhouse_mysql_data_reader_spark.operators.text import ccnet_buckets
 
     docs = load_table(spark, sf_dir, "documents")
-    return ccnet_buckets(docs, text_col="text", id_col="doc_id")
+    # caller-owned persist of the scored frame (two consumers:
+    # threshold aggregate + output projection — the operator docstring's
+    # prescription); released by bench.py clearCache
+    return ccnet_buckets(
+        docs, text_col="text", id_col="doc_id",
+        storage=StorageLevel.MEMORY_AND_DISK,
+    )
 
 
 @register(
