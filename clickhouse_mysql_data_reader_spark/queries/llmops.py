@@ -3317,13 +3317,28 @@ def _mmr_oracle(k: int, n_candidates: int, lam: float) -> str:
     "sample_unimax idiom) and matches the selection bit-for-bit.",
 )
 def rag_mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clickhouse_mysql_data_reader_spark.operators.similarity import mmr_rerank
+    from pyspark import StorageLevel
+
+    from clickhouse_mysql_data_reader_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    return mmr_rerank(emb, queries, k=5, n_candidates=16, lam=0.7)
+    # candidates= retrieval seam (operator docstring): the candidate
+    # subtree feeds the cogroup leg AND both pair legs, so the exact
+    # top-N would evaluate ~5x per action unpersisted. Caller-owned
+    # persist of the bounded (qid, vec_id, cos_sim) frame, released by
+    # bench.py clearCache.
+    cands = cosine_topk(emb, queries, k=16).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return mmr_rerank(
+        emb, queries, k=5, n_candidates=16, lam=0.7, candidates=cands
+    )
 
 
 @register(
