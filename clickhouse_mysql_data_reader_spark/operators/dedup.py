@@ -125,17 +125,19 @@ def shingle_table(
     ``id_col`` BEFORE tokenizing, so every shingle of a doc is born
     co-located and doc-keyed consumers meet an already-satisfied
     ClusteredDistribution: the distinct becomes a LOCAL aggregate (the
-    shingle relation itself never crosses an exchange), and with
-    ``distinct=False`` the MinHash signature groupBy plans no exchange
-    of its own (min over a multiset equals min over its set, so
-    co-location is all it needs). Byte math at scale: the repartition
-    moves the raw text once (~5 B/token), where the default path's
-    distinct exchange — or the signature groupBy's — moves the
-    (doc_id, sh_h) pairs (~16 B/token) — strictly fewer shuffled bytes
-    AND one exchange instead of two whenever the input is under-split
-    enough that ``fan_out`` fires. Leave it False for consumers keyed
-    on the SHINGLE (frequency counts, prefix slicing): they
-    re-exchange on sh_h either way, and on a well-split input the
+    shingle relation itself never crosses an exchange). Byte math at
+    scale: the repartition moves the raw text once (~5 B/token), where
+    the default path's distinct exchange moves the (doc_id, sh_h)
+    pairs (~16 B/token) — strictly fewer shuffled bytes for
+    ``distinct=True`` consumers. It does NOT pay off for
+    ``distinct=False`` + MinHash-only consumers: the signature groupBy
+    partial-aggregates map-side (each doc's shingles already live in
+    one scan/fan_out partition), so its exchange moves one
+    num_hashes-long row per doc — far cheaper than a raw-text
+    repartition (r15 idle-host A/B: pbi costs +18..32% there; the r14
+    driver artifact agreed). Leave it False for those, and for
+    consumers keyed on the SHINGLE (frequency counts, prefix slicing):
+    they re-exchange on sh_h either way, and on a well-split input the
     repartition would add a full text shuffle the default path
     avoids."""
     if partition_by_id:

@@ -121,11 +121,17 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # distinct=False: MinHash is duplicate-insensitive, skip the dedup shuffle
+    # distinct=False: MinHash is duplicate-insensitive, skip the dedup shuffle.
+    # partition_by_id deliberately OFF here (round 15): the signature
+    # groupBy partial-aggregates map-side, so its exchange moves one
+    # 17-long row per doc — strictly fewer bytes than the raw-text
+    # hash repartition partition_by_id would pay. Idle-host interleaved
+    # A/B (r15): pbi=False 1.18s vs pbi=True 1.395s min-of-5, every
+    # pair agreeing — confirming the r14 driver regression (0.838 ->
+    # 1.316). pbi stays on for the distinct=True consumers, where it
+    # replaces the (doc_id, sh_h) distinct exchange and wins 2x.
     return minhash_signatures(
-        shingle_table(
-            docs, "text", "doc_id", k=3, distinct=False, partition_by_id=True
-        ),
+        shingle_table(docs, "text", "doc_id", k=3, distinct=False),
         NUM_HASHES,
     )
 
@@ -148,10 +154,12 @@ def dedup_minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # partition_by_id OFF (round 15) — the dedup_minhash_signatures
+    # rationale: the signature groupBy partial-aggregates, so its
+    # exchange is per-doc rows, cheaper than a raw-text repartition.
+    # Idle-host interleaved A/B: 1.448s vs 1.911s min-of-5.
     sigs = minhash_signatures(
-        shingle_table(
-            docs, "text", "doc_id", k=3, distinct=False, partition_by_id=True
-        ),
+        shingle_table(docs, "text", "doc_id", k=3, distinct=False),
         NUM_HASHES,
     )
     return lsh_candidate_pairs(sigs, NUM_HASHES, BANDS)
