@@ -52,6 +52,7 @@ from clickhouse_mysql_data_reader_spark.operators.text import (
     gate_columns,
     token_count,
 )
+from clickhouse_mysql_data_reader_spark.util import overlap_jobs
 
 
 @dataclass(frozen=True)
@@ -4087,6 +4088,19 @@ def curate_increment(
     else:
         vs_hist = with_fp.join(hist_fp, "_fp", "left_anti").drop("_fp")
 
+    # round 15: materialize the gates + history-anti-join result ONCE.
+    # vs_hist feeds every downstream consumer — the shingle table, the
+    # vector/media fingerprint frames, the keeper election's text
+    # reads and the final kept anti-joins — and each consumer
+    # otherwise re-executes the whole row-gate + exact-dedup +
+    # fingerprint-anti-join chain from the scan (3-4 evaluations per
+    # increment in the semantic config, profiled). Batch-sized, the
+    # same storage class as the dedup_lines `cleaned` checkpoint; it
+    # also freezes the state-fingerprint snapshot for every consumer
+    # at once (the sh_new mid-increment-consistency argument, now one
+    # level up).
+    vs_hist = vs_hist.localCheckpoint()
+
     # --- near-dup within batch AND vs history -------------------------
     from clickhouse_mysql_data_reader_spark.operators.dedup import band_table
 
@@ -4097,10 +4111,16 @@ def curate_increment(
     # chain run once instead of once per consumer. This also freezes
     # the state-fingerprint anti-join snapshot the shingles derive
     # from, the same mid-increment-consistency argument as
-    # CurationState.write's checkpoint.
-    sh_new = shingle_table(
-        vs_hist, text_col, id_col, partition_by_id=True
-    ).localCheckpoint()
+    # CurationState.write's checkpoint. Since round 15 the
+    # materialization itself is submitted through util.overlap_jobs
+    # together with the other independent per-batch checkpoints
+    # (vectors, media fingerprints) below — UNLESS the boilerplate
+    # gate is on, which rewrites vs_hist from sh_new and so forces the
+    # shingle job to land first, alone.
+    sh_new_plan = shingle_table(vs_hist, text_col, id_col, partition_by_id=True)
+    sh_new = None
+    if cfg.max_boiler_frac is not None:
+        sh_new = sh_new_plan.localCheckpoint()
 
     # --- boilerplate gate vs history + batch (optional) ---------------
     # Same position as batch curate() (after exact dedup, before the
@@ -4144,99 +4164,124 @@ def curate_increment(
             bdrop.select(F.col(id_col).alias("doc_id")), "doc_id", "left_anti"
         )
 
-    sigs_new = minhash_signatures(sh_new, num_hashes=cfg.minhash_k)
-    bands_new = band_table(sigs_new, num_hashes=cfg.minhash_k, bands=cfg.lsh_bands)
+    # --- per-batch materializations, OVERLAPPED (round 15) -------------
+    # Every eager localCheckpoint below is an independent Spark job
+    # over the same batch: shingles (+ the rarest-sorted arrays that
+    # back the prefix slices), vectors -> SRP bands, image/audio
+    # fingerprints, video frame sets (-> hot-frame guard). Landing
+    # them sequentially left the cluster idle through each job's
+    # straggler tail; util.overlap_jobs submits them concurrently from
+    # driver threads (FIFO back-fill). DEPENDENT materializations are
+    # chained INSIDE one callable and never split across two. Each
+    # job's per-frame rationale is unchanged from rounds 10-14:
+    # - sh_new: three consumers + the self-referential-append argument
+    #   (see the comment above sh_new_plan);
+    # - sorted arrays: the rarest-first relation backs up to three
+    #   prefix slices (within-batch jaccard/containment + the
+    #   cross-history batch prefixes) — one freq agg + collect, not
+    #   one per slice;
+    # - vecs/SRP bands: batch-sized, three consumers each (both sides
+    #   of the within-batch verify + the history probes), and the
+    #   checkpoint cuts the state reads upstream in vs_hist out of the
+    #   write lineage;
+    # - image/audio fingerprints: FOUR consumers (both sides of the
+    #   within-batch banding self-join, the cross-history probe, the
+    #   state write through the sigs seam) — the Arrow decode runs
+    #   ONCE per batch;
+    # - video frame sets: same, plus the hot-frame stop guard, whose
+    #   df must see batch UNION history (a frame rare in a small
+    #   increment but ubiquitous in the landed clips — black frame,
+    #   studio logo — would otherwise pair batch clips batch-curate
+    #   would never pair AND explode the history probe's equi-join).
+    #   The hot set is tiny (only hashes above the cap); the RAW
+    #   fingerprint set still lands in state (future batches need the
+    #   true df).
+    exactish = cfg.near_dup_exact or cfg.near_dup_containment is not None
+    if exactish:
+        from clickhouse_mysql_data_reader_spark.operators.dedup import (
+            rarest_sorted_shingles,
+        )
+    _vh = vs_hist  # the (possibly boiler-filtered) frame the closures bind
+    jobs: dict = {}
+    if sh_new is None:
 
-    vecs_new = bands_new_srp = None
+        def _sh_job(p=sh_new_plan):
+            s = p.localCheckpoint()
+            sa = rarest_sorted_shingles(s).localCheckpoint() if exactish else None
+            return s, sa
+
+        jobs["sh"] = _sh_job
+    elif exactish:
+        # boiler path: sh_new landed before the gate and was filtered
+        # lazily; the sorted arrays derive from the FILTERED frame
+        jobs["sorted_arr"] = lambda s=sh_new: rarest_sorted_shingles(
+            s
+        ).localCheckpoint()
     if cfg.embed_near_cos is not None:
         from clickhouse_mysql_data_reader_spark.operators.similarity import (
             as_double_array,
             srp_band_table,
         )
 
-        # batch-sized, three consumers each (both sides of the within-
-        # batch verify + the history probes) — the function's
-        # established localCheckpoint discipline; also cuts the state
-        # reads upstream in vs_hist out of the write lineage, the same
-        # self-referential-append argument as sh_new above.
-        vecs_new = vs_hist.select(
-            F.col(id_col).alias("vid"),
-            as_double_array(cfg.embed_col).alias("v"),
-        ).localCheckpoint()
-        bands_new_srp = srp_band_table(
-            vecs_new,
-            cfg.embed_dim,
-            n_bits=cfg.embed_bits,
-            n_bands=cfg.embed_srp_bands,
-            id_col="vid",
-            vec_col="v",
-            seed=cfg.embed_seed,
-        ).localCheckpoint()
+        def _vec_job(vh=_vh):
+            v = vh.select(
+                F.col(id_col).alias("vid"),
+                as_double_array(cfg.embed_col).alias("v"),
+            ).localCheckpoint()
+            b = srp_band_table(
+                v,
+                cfg.embed_dim,
+                n_bits=cfg.embed_bits,
+                n_bands=cfg.embed_srp_bands,
+                id_col="vid",
+                vec_col="v",
+                seed=cfg.embed_seed,
+            ).localCheckpoint()
+            return v, b
 
-    sigs_img_new = None
+        jobs["vec"] = _vec_job
     if cfg.image_near_hamming is not None:
-        # batch-sized, FOUR consumers (both sides of the within-batch
-        # banding self-join, the cross-history probe, and the state
-        # write through the image_sigs seam) — localCheckpoint so the
-        # Arrow decode runs ONCE per batch, and the state reads
-        # upstream in vs_hist leave the write lineage (the sh_new
-        # self-referential-append argument)
-        sigs_img_new = _image_sigs(
-            vs_hist, id_col, cfg.image_col, cfg.image_grid_w,
+        jobs["img"] = lambda vh=_vh: _image_sigs(
+            vh, id_col, cfg.image_col, cfg.image_grid_w,
             cfg.image_grid_h, cfg.image_decode_fn,
         ).localCheckpoint()
-
-    sigs_aud_new = None
     if cfg.audio_near_hamming is not None:
-        # the image checkpoint discipline on the audio modality
-        sigs_aud_new = _audio_sigs(
-            vs_hist, id_col, cfg.audio_col, cfg.audio_n_windows,
+        jobs["aud"] = lambda vh=_vh: _audio_sigs(
+            vh, id_col, cfg.audio_col, cfg.audio_n_windows,
             cfg.audio_decode_fn,
         ).localCheckpoint()
-
-    fset_vid_new = None
-    fset_vid_pair = None
-    hot_vid = None
     if cfg.video_min_matching is not None:
-        # the same checkpoint discipline on the video frame sets
-        fset_vid_new = _video_sigs(vs_hist, id_col, cfg).localCheckpoint()
-        # the stop-frame guard must see the df over batch UNION history
-        # — a frame rare in a small increment but ubiquitous in the
-        # landed clips (black frame, studio logo) would otherwise (a)
-        # pair batch clips the batch-curate of the same corpus would
-        # never pair, and (b) explode the history probe's equi-join in
-        # its history-side df. The hot set is tiny (only hashes above
-        # the cap) — checkpoint it once, reuse across the within-batch
-        # edge and both sides of the history probe. The RAW fingerprint
-        # set still lands in state (future batches need the true df).
-        fset_vid_pair = fset_vid_new
-        if cfg.video_max_frame_df is not None:
-            hist_v = (
-                state.video_fps(spark, exclude_epoch=epoch_id, run_id=run_id)
-                .select("doc_id", "fhash")
-                .dropDuplicates(["doc_id", "fhash"])
-            )
-            hot_vid = _video_hot_frames(
-                fset_vid_new, hist_v, cfg
-            ).localCheckpoint()
-            fset_vid_pair = fset_vid_new.join(hot_vid, "fhash", "left_anti")
 
-    # within batch: cfg's candidate policy (LSH default, exact AllPairs
-    # under near_dup_exact) + optional containment edges — the shared
-    # helper, same edge semantics as batch curate(). The rarest-first
-    # relation backs up to three prefix slices below (within-batch
-    # jaccard/containment + the cross-history batch prefixes);
-    # localCheckpoint it once — batch-sized, the function's established
-    # discipline — instead of re-running its freq agg + collect per
-    # slice.
-    exactish = cfg.near_dup_exact or cfg.near_dup_containment is not None
+        def _vid_job(vh=_vh):
+            f = _video_sigs(vh, id_col, cfg).localCheckpoint()
+            hot = None
+            if cfg.video_max_frame_df is not None:
+                hist_v = (
+                    state.video_fps(spark, exclude_epoch=epoch_id, run_id=run_id)
+                    .select("doc_id", "fhash")
+                    .dropDuplicates(["doc_id", "fhash"])
+                )
+                hot = _video_hot_frames(f, hist_v, cfg).localCheckpoint()
+            return f, hot
+
+        jobs["vid"] = _vid_job
+
+    mats = overlap_jobs(jobs)
     sorted_arr_new = None
-    if exactish:
-        from clickhouse_mysql_data_reader_spark.operators.dedup import (
-            rarest_sorted_shingles,
-        )
+    if "sh" in mats:
+        sh_new, sorted_arr_new = mats["sh"]
+    elif "sorted_arr" in mats:
+        sorted_arr_new = mats["sorted_arr"]
+    vecs_new, bands_new_srp = mats.get("vec", (None, None))
+    sigs_img_new = mats.get("img")
+    sigs_aud_new = mats.get("aud")
+    fset_vid_new, hot_vid = mats.get("vid", (None, None))
+    fset_vid_pair = fset_vid_new
+    if hot_vid is not None:
+        fset_vid_pair = fset_vid_new.join(hot_vid, "fhash", "left_anti")
 
-        sorted_arr_new = rarest_sorted_shingles(sh_new).localCheckpoint()
+    sigs_new = minhash_signatures(sh_new, num_hashes=cfg.minhash_k)
+    bands_new = band_table(sigs_new, num_hashes=cfg.minhash_k, bands=cfg.lsh_bands)
     edges_in = _near_dup_edge_set(
         sh_new, cfg, sigs=sigs_new, sorted_arrays=sorted_arr_new
     )

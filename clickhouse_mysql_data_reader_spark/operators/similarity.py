@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def as_double_array(col: Column | str) -> Column:
@@ -722,24 +723,60 @@ def ivfpq_topk(
     probed cells' code rows are scanned, which with cell-partitioned
     codes is the partition-pruned 1/n_cells read that makes IVF the
     scale path. Returned: (qid, vec_id, adc_dist, rn), deterministic
-    (dist, vec_id) tie-break."""
+    (dist, vec_id) tie-break.
+
+    The probe assignment AND the residual LUTs are computed on the
+    DRIVER (round 15): queries and centroids are the same bounded
+    broadcast metadata the codebooks already are (the LUT frame ships
+    to every executor either way), and building the LUT as a Catalyst
+    expression cost 3-6s of pure py4j expression-tree construction
+    per call (S x k x (dim/S) literals, profiled at sf0.1) plus a
+    double scan of the query frame. The Python arithmetic replicates
+    the JVM fold order exactly — strict left-to-right accumulation of
+    (x-y)*(x-y) over IEEE doubles, ties (d2, cell) ascending — so the
+    emitted LUT values and probe choices are bit-identical to the
+    former expression path."""
     cbs = _collect_codebooks(codebooks)
     bounds = _subspace_bounds(dim, n_subspaces)
-    probes = assign_cells_probes(
-        queries, coarse_centroids, n_probe, id_col=query_id_col, vec_col=vec_col
-    ).select(F.col("vec_id").alias("qid"), "cell")
-    cent = coarse_centroids.select(
-        "cell", as_double_array("centroid").alias("_cent")
+
+    def _d2(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            d = x - y
+            acc = acc + d * d
+        return acc
+
+    cent_rows = {
+        int(r["cell"]): [float(x) for x in r["centroid"]]
+        for r in coarse_centroids.collect()
+    }
+    q_rows = [
+        (r["qid"], [float(x) for x in r["_qv"]])
+        for r in queries.select(
+            F.col(query_id_col).alias("qid"), as_double_array(vec_col).alias("_qv")
+        ).collect()
+    ]
+    lut_rows = []
+    for qid, qvec in q_rows:
+        ranked = sorted((_d2(qvec, cv), cell) for cell, cv in cent_rows.items())
+        for _dist, cell in ranked[:n_probe]:
+            res = [x - y for x, y in zip(qvec, cent_rows[cell])]
+            lut = [
+                [_d2(res[start - 1 : start - 1 + length], c) for _cell, c in cbs[s]]
+                for s, (start, length) in enumerate(bounds)
+            ]
+            lut_rows.append((qid, cell, lut))
+    spark = corpus_codes.sparkSession
+    lut_schema = T.StructType(
+        [
+            T.StructField("qid", queries.schema[query_id_col].dataType),
+            T.StructField("cell", corpus_codes.schema["cell"].dataType),
+            T.StructField(
+                "_lut", T.ArrayType(T.ArrayType(T.DoubleType()))
+            ),
+        ]
     )
-    qv = queries.select(
-        F.col(query_id_col).alias("qid"), as_double_array(vec_col).alias("_qv")
-    )
-    q_res = F.zip_with(F.col("_qv"), F.col("_cent"), lambda x, y: x - y)
-    probe_lut = F.broadcast(
-        probes.join(qv, "qid")
-        .join(cent, "cell")
-        .select("qid", "cell", _adc_lut(q_res, cbs, bounds).alias("_lut"))
-    )
+    probe_lut = F.broadcast(spark.createDataFrame(lut_rows, lut_schema))
     scored = corpus_codes.join(probe_lut, "cell").select(
         "qid",
         "vec_id",
