@@ -3325,28 +3325,20 @@ def _mmr_oracle(k: int, n_candidates: int, lam: float) -> str:
     "sample_unimax idiom) and matches the selection bit-for-bit.",
 )
 def rag_mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
-    from clickhouse_mysql_data_reader_spark.operators.similarity import (
-        cosine_topk,
-        mmr_rerank,
-    )
+    from clickhouse_mysql_data_reader_spark.operators.similarity import mmr_rerank
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    # candidates= retrieval seam (operator docstring): the candidate
-    # subtree feeds the cogroup leg AND both pair legs, so the exact
-    # top-N would evaluate ~5x per action unpersisted. Caller-owned
-    # persist of the bounded (qid, vec_id, cos_sim) frame, released by
-    # bench.py clearCache.
-    cands = cosine_topk(emb, queries, k=16).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    return mmr_rerank(
-        emb, queries, k=5, n_candidates=16, lam=0.7, candidates=cands
-    )
+    # The candidates= persist seam (r14) was MEASURED AND DROPPED in
+    # round 15: A/B-neutral at sf0.1 AND at a 10x slice (1.28s
+    # persisted vs 1.337s lazy, min-of-3 interleaved, rows identical)
+    # while costing 2 extra exchanges — the bounded candidate subtree
+    # is too cheap for its re-evaluation to matter before the greedy
+    # cogroup dominates. The operator seam itself stays for callers
+    # whose retrieval leg IS expensive (ANN upstream).
+    return mmr_rerank(emb, queries, k=5, n_candidates=16, lam=0.7)
 
 
 @register(

@@ -814,37 +814,69 @@ DEPRIORITIZED = (
     "sample_temperature",
     "anomaly_events_mad",
     "text_html_strip",
-    # Born deprioritized in round 14 (pytest-oracle-checked every CI
-    # run; r15 rotation candidates — the per-MODALITY dup-rate
-    # monitors the round-13 verdict asked for, item #4):
+    # Round 15 ROTATION (per the round-14 verdict, item #9): the five
+    # round-14 births — every registered query that had never held a
+    # driver CORRECTNESS row — rotate INTO the checked 50 (their names
+    # left this tuple; the capability records stay below). Five
+    # members with driver-green history on unchanged plans rotate
+    # out, each hash-covered by a checked containing query,
+    # deployment superset, or family sibling:
+    #   - monitor_psi_drift (driver-green r12-r14): the STILL-CHECKED
+    #     monitor_psi_by_source runs the identical per-bucket PSI
+    #     arithmetic as its per-source SUPERSET (adds only the source
+    #     grouping); the frozen-baseline twin equality stays pinned by
+    #     test_round11_ops every CI run
+    #   - match_entity_resolve (driver-green r13-r14): the
+    #     STILL-CHECKED match_entity_apply executes resolve_entities
+    #     VERBATIM (the rewrite joins the golden-record election's
+    #     output back onto the corpus), so the dictionary -> pairs ->
+    #     components -> election chain keeps deciding a driver-checked
+    #     hash every round
+    #   - dedup_image_phash (driver-green r13-r14): the STILL-CHECKED
+    #     dedup_image_cluster_keep contains the dHash decode +
+    #     pigeonhole banding pair machinery (components + largest-
+    #     original election on top of the identical pair set)
+    #   - q10_returned_items (driver-green r10-r14): the broadcast-
+    #     star + partial-agg + TakeOrderedAndProject plan class stays
+    #     checked via q7/q8/q21; the exact-decimal revenue arithmetic
+    #     stays checked via q17/q19; the full query remains
+    #     pytest-oracle-checked every CI run
+    #   - q16_supplier_part_counts (driver-green r11-r14): the
+    #     anti-join machinery stays checked via q21/q22 (NOT-EXISTS /
+    #     NOT-IN shapes) and distinct-count aggregation is hash-
+    #     anchored by the pytest-checked agg_count_distinct family
+    "monitor_psi_drift",
+    "match_entity_resolve",
+    "dedup_image_phash",
+    "q10_returned_items",
+    "q16_supplier_part_counts",
+    # Born deprioritized in round 14 and ROTATED INTO the checked 50
+    # in round 15 (the established never-driver-checked rotation;
+    # descriptions stay as the capability record — the per-MODALITY
+    # dup-rate monitors the round-13 verdict asked for, item #4):
     #   - monitor_dup_rate_image: per-source image duplication rate on
     #     the 48-bit dHash perceptual fingerprint — one count-distinct
     #     over longs per source after the scan-stage mapInPandas hash
     #     (the landed image_fps table replaces even that in an
     #     incremental pipeline — curation.media_dup_rate_report)
-    "monitor_dup_rate_image",
     #   - monitor_dup_rate_audio: the image monitor's mirror on the
     #     energy-contour fingerprint (landed twin: audio_fps)
-    "monitor_dup_rate_audio",
     #   - monitor_dup_rate_video: the frame-SET variant — a clip's
     #     identity is the md5 of its sorted distinct sampled-frame
     #     hashes; bounded per-clip sort, one count-distinct per source
     #     (landed twin: video_fps)
-    "monitor_dup_rate_video",
     #   - monitor_near_dup_rate_by_source: the NEAR-dup complement of
     #     the checked monitor_dup_rate_by_source — what an LSH ->
     #     verify -> components pass (min-id keeper) would remove per
     #     source; component label = min member id, so casualty = one
     #     scan-stage comparison, no keeper election; recursive-CTE
     #     closure oracle
-    "monitor_near_dup_rate_by_source",
     #   - match_margin_pairs: margin-based cross-population pair
     #     mining (Artetxe & Schwenk 2019 distance margin — the
     #     CCMatrix/LASER bitext-mining criterion): accept the top-1
     #     cross-side neighbor only when it beats the runner-up by a
     #     margin; top-2 -> margin is ONE conditional aggregate, raw-
     #     cos ranking + 6dp grid rounding keeps decisions engine-exact
-    "match_margin_pairs",
     # ...and the late-round-11 births (rotated INTO the checked 50
     # the same round — see the late-round-11 block below; the
     # descriptions stay here as the capability record):

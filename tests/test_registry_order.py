@@ -149,16 +149,29 @@ DRIVER_CAP = 50
 # is displaced by its own identical-oracle twin monitor_psi_drift
 # staying checked; frozen==direct equality pinned every CI) —
 # rationale per displacement inside registry.DEPRIORITIZED.
+# Round 15 rotated in the five round-14 births that had never held a
+# driver CORRECTNESS row (monitor_dup_rate_image/audio/video,
+# monitor_near_dup_rate_by_source, match_margin_pairs), displacing
+# monitor_psi_drift / match_entity_resolve / dedup_image_phash /
+# q10_returned_items / q16_supplier_part_counts — each driver-green
+# for 2+ rounds on an unchanged plan with a checked containing query
+# (match_entity_apply runs resolve_entities verbatim;
+# dedup_image_cluster_keep contains the dHash banding pair machinery;
+# monitor_psi_by_source is psi_drift's per-source superset) or family
+# sibling — rationale per displacement inside registry.DEPRIORITIZED.
 MUST_BE_CHECKED = {
+    "monitor_dup_rate_image",
+    "monitor_dup_rate_audio",
+    "monitor_dup_rate_video",
+    "monitor_near_dup_rate_by_source",
+    "match_margin_pairs",
     "q8_market_share",
-    "q16_supplier_part_counts",
     "q21_suppliers_kept_waiting",
     "q22_global_sales_opportunity",
     "text_token_budget",
     "join_shuffle_fact_fact_bucketed",
     "retention_cohorts",
     "q7_volume_shipping",
-    "q10_returned_items",
     "window_pctile_ntile",
     "sketch_lang_rollup",
     "anomaly_events_flags",
@@ -189,11 +202,8 @@ MUST_BE_CHECKED = {
     "validate_fk_orphans",
     "sample_unimax",
     "dedup_semdedup",
-    "monitor_psi_drift",
     "text_url_normalize",
-    "dedup_image_phash",
     "rag_rrf_fuse",
-    "match_entity_resolve",
     "sample_split_cluster_safe",
     "dedup_image_cluster_keep",
     "dedup_audio_fp",
