@@ -3,6 +3,8 @@ rows must pick the SAME winner regardless of input partitioning."""
 
 from __future__ import annotations
 
+import pytest
+
 from clickhouse_mysql_data_reader_spark.operators.asof import asof_join
 
 
@@ -24,6 +26,7 @@ def _run(spark, right_parts):
     return sorted((r["k"], r["lts"], r["v"]) for r in out.collect())
 
 
+@pytest.mark.slow
 def test_asof_tie_break_stable_across_partitioning(spark):
     results = {tuple(_run(spark, n)) for n in (1, 3, 7)}
     assert len(results) == 1  # identical output under different layouts

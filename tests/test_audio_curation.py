@@ -75,6 +75,7 @@ def test_planted_audio_distances(spark):
     assert bin(sigs[1] ^ sigs[3]).count("1") == 26
 
 
+@pytest.mark.slow
 def test_curate_audio_fifth_edge_type_batch(spark):
     """Two lexically unrelated docs carrying near-dup clips merge via
     the audio edge (min_id keeps doc 1); the far clip and the clipless
@@ -101,6 +102,7 @@ def test_curate_audio_fifth_edge_type_batch(spark):
         curate(docs.drop("audio"), cfg=_cfg())
 
 
+@pytest.mark.slow
 def test_curate_increment_audio_bootstrap_and_vs_history(spark, tmp_path):
     """Bootstrap parity with batch mode, landed audio_fps covering the
     kept clip-bearing docs, and the cross-batch probe dropping a
@@ -124,6 +126,7 @@ def test_curate_increment_audio_bootstrap_and_vs_history(spark, tmp_path):
     assert kept2 == {11}, "audio dup of landed doc must drop"
 
 
+@pytest.mark.slow
 def test_curate_increment_audio_state_validation(spark, tmp_path):
     cfg = _cfg()
     b1 = _mk(spark, [(1, "web", _T_A, _AUD)])
@@ -153,6 +156,7 @@ def test_curate_increment_audio_state_validation(spark, tmp_path):
     assert kept2 == set()
 
 
+@pytest.mark.slow
 def test_curate_stream_audio_replay_idempotent(spark, tmp_path):
     cfg = _cfg()
     state = _astate(tmp_path, "state")
@@ -169,6 +173,7 @@ def test_curate_stream_audio_replay_idempotent(spark, tmp_path):
     assert kept2 == {12}
 
 
+@pytest.mark.slow
 def test_audio_and_image_edges_compose(spark, tmp_path):
     """Both media edge types on at once: doc 2 is an IMAGE near-dup of
     doc 1 and doc 3 an AUDIO near-dup of doc 2 — one transitive

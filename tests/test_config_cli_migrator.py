@@ -439,6 +439,7 @@ def test_cli_curate_data_batch_and_dry(spark, tmp_path, capsys):
     assert kept == {1, 3}
 
 
+@pytest.mark.slow
 def test_cli_curate_data_incremental_state(spark, tmp_path, capsys):
     """--curation-state switches to curate_increment: batch 2 dedups
     against batch 1's landed state (exact dup of a landed doc drops),
@@ -485,6 +486,7 @@ def test_cli_curate_data_requires_dirs_and_valid_config(spark, tmp_path):
         ]), spark)
 
 
+@pytest.mark.slow
 def test_cli_curate_data_stream_mode(spark, tmp_path, capsys):
     """--curation-stream-checkpoint runs curate_stream (drain-and-stop):
     epoch outputs land under run-scoped dirs, the state grows per epoch,
@@ -548,6 +550,7 @@ def _write_docs_vec(spark, path, rows):
     ).write.parquet(path)
 
 
+@pytest.mark.slow
 def test_cli_curate_data_increment_embed_and_retry(spark, tmp_path, capsys):
     """--curate-data with an embed-enabled curation config (the
     from_config geometry plumbing): the landed state grows
@@ -606,6 +609,7 @@ def test_cli_curate_data_increment_embed_and_retry(spark, tmp_path, capsys):
     assert kept3 == {11}, "tagged rerun must reproduce, not empty, dst"
 
 
+@pytest.mark.slow
 def test_cli_curate_data_stream_embed(spark, tmp_path, capsys):
     """Streaming --curate-data with an embed-enabled config: epoch 2's
     semantic near-dup of an epoch-1 doc (distinct text, same vector)
@@ -911,6 +915,7 @@ def test_cli_curation_report(spark, tmp_path, capsys):
         run(parse_config(["--curation-report"]), spark)
 
 
+@pytest.mark.slow
 def test_cli_curate_data_incremental_split_lands_in_state(
     spark, tmp_path, capsys
 ):

@@ -308,6 +308,7 @@ def test_curate_increment_exact_containment_bootstrap_parity(spark, tmp_path):
     assert pfx_docs == {3, 7}
 
 
+@pytest.mark.slow
 def test_curate_increment_containment_vs_history(spark, tmp_path):
     """Cross-BATCH truncated copy: batch 1 lands the long original,
     batch 2 carries a truncated copy (containment ~1.0, Jaccard far
@@ -341,6 +342,7 @@ def test_curate_increment_containment_vs_history(spark, tmp_path):
         assert kept2_off == {10, 11}
 
 
+@pytest.mark.slow
 def test_curate_increment_exact_vs_history_catches_lsh_miss(spark, tmp_path):
     """near_dup_exact in increments: with lsh_bands=1 (one 16-hash
     band — a 0.8-Jaccard pair collides only if ALL 16 minhashes agree,
@@ -539,6 +541,7 @@ def test_curate_contamination_mode_excise_spans(spark):
         )
 
 
+@pytest.mark.slow
 def test_curate_increment_decontaminates_each_batch(spark, tmp_path):
     """curate_increment(benchmark=...): the shared decontamination stage
     runs per batch in the batch stage order — contaminated docs never
@@ -664,6 +667,7 @@ def test_curate_decontamination_direction(spark):
     assert kept == {2}
 
 
+@pytest.mark.slow
 def test_curate_mixture_and_testdata_end_to_end(spark, sf_correct):
     docs = load_table(spark, sf_correct, "documents")
     cfg = CurationConfig(
@@ -750,6 +754,7 @@ def test_curate_null_text_rows_are_dropped(spark):
     assert {r["doc_id"] for r in res.quality_gated.collect()} == {1}
 
 
+@pytest.mark.slow
 def test_curate_increment_against_state(spark, tmp_path):
     from clickhouse_mysql_data_reader_spark.curation import (
         CurationState,
@@ -868,6 +873,7 @@ def test_curate_increment_rejects_state_param_mismatch(spark, tmp_path):
         curate_increment(docs, state, cfg=CurationConfig(lsh_bands=2))
 
 
+@pytest.mark.slow
 def test_curate_stream_replayed_epoch_is_idempotent(spark, tmp_path):
     """The at-least-once contract: re-running an epoch after its first
     attempt already appended state must reproduce the SAME survivors —
@@ -920,6 +926,7 @@ def test_curate_stream_replayed_epoch_is_idempotent(spark, tmp_path):
     assert {r["doc_id"] for r in state.fingerprints(spark).collect()} == {1, 12}
 
 
+@pytest.mark.slow
 def test_curate_stream_decontaminates_each_epoch_and_replays(spark, tmp_path):
     """benchmark= flows through curate_stream's epoch body: every
     epoch's output excludes benchmark-contaminated docs, the landed
@@ -981,6 +988,7 @@ def test_curate_stream_decontaminates_each_epoch_and_replays(spark, tmp_path):
     assert {r["doc_id"] for r in state.fingerprints(spark).collect()} == {2, 11}
 
 
+@pytest.mark.slow
 def test_curate_stream_line_dedup_lands_and_replays(spark, tmp_path):
     """Streaming epochs with dedup_lines on: the batch's line
     fingerprints land AFTER the epoch output commits (via the
@@ -1022,6 +1030,7 @@ def test_curate_stream_line_dedup_lands_and_replays(spark, tmp_path):
     assert replay == ep1
 
 
+@pytest.mark.slow
 def test_curate_stream_crash_before_state_append_replays_clean(spark, tmp_path):
     """Crash window: epoch output landed, state append never ran. The
     replay recomputes against the unchanged pre-epoch history and lands
@@ -1087,6 +1096,7 @@ def test_state_partial_write_is_not_landed(spark, tmp_path):
     assert state.exists(spark)
 
 
+@pytest.mark.slow
 def test_state_run_scoped_epoch_exclusion(spark, tmp_path):
     """Epoch ids are checkpoint-scoped: a restarted stream (fresh
     checkpoint, new run_id) reuses epoch 0, and its exclusion must NOT
@@ -1227,6 +1237,7 @@ def test_state_exists_without_success_markers(spark, tmp_path):
     assert not crashed.exists(spark)
 
 
+@pytest.mark.slow
 def test_state_bloom_prefilter_matches_plain_path(spark, tmp_path):
     """Opt-in incremental Bloom filter: identical kept sets with and
     without the prefilter (exactness for any fill level), cross-batch
@@ -1286,6 +1297,7 @@ def test_state_bloom_prefilter_matches_plain_path(spark, tmp_path):
     assert hits and all(r["hit"] for r in hits), "bloom missed a landed key"
 
 
+@pytest.mark.slow
 def test_state_bloom_bootstrap_and_sizing_guards(spark, tmp_path):
     """A pre-bloom state upgraded in place: ensure_bloom folds the full
     landed history into the new filter (no false negatives for old
@@ -1342,6 +1354,7 @@ def test_state_params_manifest_guards_reconstruction(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_curate_stream_two_batches(spark, tmp_path):
     """Streaming curation: batch 2 arrives after batch 1's survivors are
     in the state, so its cross-batch duplicates are dropped even though
@@ -1408,6 +1421,7 @@ def test_curate_stream_two_batches(spark, tmp_path):
     assert {r["doc_id"] for r in kept_out.collect()} == {1, 11}
 
 
+@pytest.mark.slow
 def test_curate_stream_auto_compacts_and_dedup_survives(spark, tmp_path):
     """compact_every=1: state is compacted after every epoch (inside the
     serialized foreachBatch body), the homogeneous marker lands, and the
@@ -1516,6 +1530,7 @@ def test_compact_crash_between_renames_recovers(spark, tmp_path):
     assert {r["doc_id"] for r in state.fingerprints(spark).collect()} == before
 
 
+@pytest.mark.slow
 def test_curate_lm_surprisal_gate_drops_gibberish(spark):
     """Opt-in LM gate: a doc that PASSES the stopword-based quality gate
     (plenty of function words) but is otherwise rare-token gibberish
@@ -1607,6 +1622,7 @@ def test_curate_gopher_gate_drops_rule_violations(spark):
         curate(docs, cfg=bad).quality_gated.collect()
 
 
+@pytest.mark.slow
 def test_curate_boilerplate_gate_drops_templated_docs(spark):
     """Opt-in corpus-level boilerplate gate: docs that are mostly a
     corpus-wide template are dropped before the near-dup stage (they
@@ -1638,6 +1654,7 @@ def test_curate_boilerplate_gate_drops_templated_docs(spark):
     assert on.near_dup_components.filter(F.col("doc_id") < 50).count() == 0
 
 
+@pytest.mark.slow
 def test_curate_increment_boilerplate_gate_matches_batch(spark, tmp_path):
     """Incremental boilerplate gate (round-6: max_boiler_frac accepted
     in increment mode): history doc-frequencies come from the landed
@@ -1696,6 +1713,7 @@ def test_curate_increment_boilerplate_gate_matches_batch(spark, tmp_path):
     assert batch_kept == kept1 | kept2
 
 
+@pytest.mark.slow
 def test_curate_stream_boilerplate_gate_parity_and_replay(spark, tmp_path):
     """Streaming twin of the incremental boilerplate gate: epochs driven
     through curation_epoch_apply drop a mostly-template doc on HISTORY
@@ -1858,6 +1876,7 @@ def test_curate_line_dedup_stage_removes_boilerplate_lines(spark):
     assert out[2]["source"] == "web", "non-text columns restored"
 
 
+@pytest.mark.slow
 def test_curate_increment_line_dedup_matches_batch(spark, tmp_path):
     """Incremental line dedup (round-6: dedup_lines accepted in
     increment mode): surviving line fingerprints land in CurationState
@@ -1908,6 +1927,7 @@ def test_curate_increment_line_dedup_matches_batch(spark, tmp_path):
     assert batch_out == {**inc1, **inc2}
 
 
+@pytest.mark.slow
 def test_curate_increment_paragraph_dedup_sep(spark, tmp_path):
     """cfg.line_dedup_sep='\\n\\n' runs the dedup_lines stage at
     PARAGRAPH granularity through curate_increment: a footer paragraph
@@ -1974,6 +1994,7 @@ def test_curate_collapse_lines_cleaner_runs_everywhere(spark):
     assert inc[0]["text"] == GOOD + "\nsame nav line"
 
 
+@pytest.mark.slow
 def test_curate_blocklist_gate_batch_and_increment_parity(spark, tmp_path):
     """Opt-in C4 bad-words gate: a doc containing a blocklisted token
     is dropped before any other gate; the gate is stateless, so daily
@@ -2078,6 +2099,7 @@ def test_prefix_backfill_on_legacy_state_and_crash_recovery(spark, tmp_path):
     assert {1, 2, 3, 4} <= pref_docs and {10, 11, 12} <= pref_docs
 
 
+@pytest.mark.slow
 def test_curate_language_gate(spark, tmp_path):
     """Opt-in language gate: non-allowlisted and mixed-language docs
     drop at the scan stage; stateless, so increments equal the batch

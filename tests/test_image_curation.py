@@ -179,6 +179,7 @@ def test_curate_increment_image_bootstrap_parity_and_state(spark, tmp_path):
     assert fps_docs == {1, 3}  # kept AND image-bearing (4 has no image)
 
 
+@pytest.mark.slow
 def test_curate_increment_image_vs_history(spark, tmp_path):
     """Cross-BATCH image near-dup: batch 1 lands doc 1's fingerprint;
     batch 2 carries a lexically fresh doc with a near-dup image — the
@@ -264,6 +265,7 @@ def test_curate_increment_image_state_validation(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_curate_stream_image_replay_idempotent(spark, tmp_path):
     """The at-least-once contract with the image edge on: a replayed
     epoch reproduces the SAME survivors (its own image_fps append is
@@ -292,6 +294,7 @@ def test_curate_stream_image_replay_idempotent(spark, tmp_path):
     assert kept2 == {12}
 
 
+@pytest.mark.slow
 def test_image_two_batch_parity_min_id(spark, tmp_path):
     """Batch-over-concatenation equals bootstrap+increment when ids
     arrive in batch order under min_id: the cross-batch image pair
@@ -311,6 +314,7 @@ def test_image_two_batch_parity_min_id(spark, tmp_path):
     assert k1 | k2 == batch_kept == {1, 3, 12}
 
 
+@pytest.mark.slow
 def test_image_state_compaction_and_growth_report(spark, tmp_path):
     """image_fps rides the maintenance lifecycle like every other state
     table: compact() rewrites it (tags preserved), the cross-history

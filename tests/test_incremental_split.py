@@ -66,6 +66,7 @@ def _b2(spark):
     )
 
 
+@pytest.mark.slow
 def test_increment_split_lands_and_matches_batch_over_concatenation(
     spark, tmp_path
 ):
@@ -99,6 +100,7 @@ def test_increment_split_lands_and_matches_batch_over_concatenation(
     assert landed[20][0] == 20 and landed[40][0] == 40
 
 
+@pytest.mark.slow
 def test_increment_split_landed_assignments_are_stable(spark, tmp_path):
     """A later batch must not change any landed assignment — the
     stability contract the old batch-only refusal existed to protect."""
@@ -119,6 +121,7 @@ def test_increment_split_landed_assignments_are_stable(spark, tmp_path):
     assert set(after) == set(before) | {31, 40}
 
 
+@pytest.mark.slow
 def test_increment_split_no_cluster_straddles(spark, tmp_path):
     """Leakage-safety across batches: the near-twin of a landed doc is
     dropped, so the corpus + splits table never contain two members of
@@ -132,6 +135,7 @@ def test_increment_split_no_cluster_straddles(spark, tmp_path):
     assert 30 not in assigned  # dropped docs get no assignment
 
 
+@pytest.mark.slow
 def test_increment_split_fractions_manifest_pinned(spark, tmp_path):
     cfg = _cfg()
     state = CurationState(str(tmp_path / "st"))
@@ -147,6 +151,7 @@ def test_increment_split_requires_landing_path(spark, tmp_path):
         curate_increment(_b1(spark), state, cfg=_cfg(), update_state=False)
 
 
+@pytest.mark.slow
 def test_stream_split_replay_idempotent(spark, tmp_path):
     """The at-least-once contract with splits on: a replayed epoch
     re-appends IDENTICAL assignment rows (deduplicated by the reader),
@@ -183,6 +188,7 @@ def test_stream_split_replay_idempotent(spark, tmp_path):
         assert final[doc_id] == assign
 
 
+@pytest.mark.slow
 def test_split_state_compaction_and_growth(spark, tmp_path):
     cfg = _cfg()
     state = CurationState(str(tmp_path / "st"))

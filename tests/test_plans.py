@@ -386,6 +386,7 @@ def test_fk_orphans_scans_each_child_once(spark, sf_correct):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.slow
 def test_registry_wide_plan_hygiene(spark):
     """Every registered query's physical plan, swept: CartesianProduct
     is banned outright, and BroadcastNestedLoopJoin may appear only in

@@ -176,6 +176,7 @@ def test_ivfpq_index_and_search_planted_clusters(spark):
         assert true_nn in {r["vec_id"] for r in rows}, (qid, true_nn, rows)
 
 
+@pytest.mark.slow
 def test_ivfpq_append_matches_build_encoding(spark, sf_dir):
     """Incremental add: vectors encoded via ivfpq_append against the
     frozen quantizers must be IDENTICAL to the rows the initial build

@@ -98,6 +98,7 @@ def test_ivfpq_driver_lut_matches_expression_path(spark):
     assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
 
 
+@pytest.mark.slow
 def test_increment_kept_set_identical_serial_vs_overlapped(spark, sf_dir, tmp_path):
     import clickhouse_mysql_data_reader_spark.curation as cur
     from clickhouse_mysql_data_reader_spark.curation import (

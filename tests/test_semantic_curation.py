@@ -110,6 +110,7 @@ def test_semantic_edge_set_matches_near_dup_pairs_srp(spark):
     assert mine == ref and len(mine) >= 4
 
 
+@pytest.mark.slow
 def test_curate_semantic_third_edge_type_batch(spark):
     """Batch mode: a paraphrase pair (zero shingle overlap, identical
     embedding) merges via the semantic edge and min_id keeps doc 1; the
@@ -143,6 +144,7 @@ def test_curate_semantic_requires_embedding_column(spark):
         curate(docs, cfg=_cfg())
 
 
+@pytest.mark.slow
 def test_curate_increment_semantic_bootstrap_parity_and_state(spark, tmp_path):
     """Bootstrap (history-free embed-enabled state): kept set equals
     batch curate() under the identical cfg, and the state landed
@@ -179,6 +181,7 @@ def test_curate_increment_semantic_bootstrap_parity_and_state(spark, tmp_path):
     assert {r["count"] for r in per_doc} == {4}
 
 
+@pytest.mark.slow
 def test_curate_increment_semantic_vs_history(spark, tmp_path):
     """Cross-BATCH paraphrase: batch 1 lands doc 1; batch 2 carries a
     lexically fresh doc with the SAME embedding — the landed-band
@@ -216,6 +219,7 @@ def test_curate_increment_semantic_vs_history(spark, tmp_path):
     assert kept2_off == {10, 11, 12}
 
 
+@pytest.mark.slow
 def test_curate_increment_semantic_state_validation(spark, tmp_path):
     """The guard rails: cfg with embed_near_cos needs an embed-enabled
     state with the SAME geometry; an embed-enabled handle over a legacy
@@ -267,6 +271,7 @@ def test_curate_increment_semantic_state_validation(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_curate_stream_semantic_replay_idempotent(spark, tmp_path):
     """The at-least-once contract with the semantic edge on: a replayed
     epoch reproduces the SAME survivors (its own srp_bands/embeddings
@@ -296,6 +301,7 @@ def test_curate_stream_semantic_replay_idempotent(spark, tmp_path):
     assert kept2 == {12}
 
 
+@pytest.mark.slow
 def test_semantic_state_compaction_and_growth_report(spark, tmp_path):
     """srp_bands/embeddings ride the maintenance lifecycle like every
     other state table: compact() rewrites them (tags preserved), the
@@ -324,6 +330,7 @@ def test_semantic_state_compaction_and_growth_report(spark, tmp_path):
     assert g["embeddings"]["segments"] == 2  # one append per epoch
 
 
+@pytest.mark.slow
 def test_semantic_two_batch_parity_min_id(spark, tmp_path):
     """Batch-over-concatenation equals bootstrap+increment when ids
     arrive in batch order under min_id: the cross-batch semantic pair
@@ -343,6 +350,7 @@ def test_semantic_two_batch_parity_min_id(spark, tmp_path):
     assert k1 | k2 == batch_kept == {1, 3, 12}
 
 
+@pytest.mark.slow
 def test_backfill_embeddings_retry_guard(spark, tmp_path):
     """A crash BETWEEN backfill's two renames leaves the first table
     fully landed (the rename is the commit). A retry with the SAME

@@ -34,6 +34,7 @@ ROWS = [
 ]
 
 
+@pytest.mark.slow
 def test_semantic_dedup_keeps_least_typical_of_each_group(spark):
     corpus = _mk(spark, ROWS)
     dec = semantic_dedup_decisions(corpus, threshold=0.999, k=2, n_iter=3)

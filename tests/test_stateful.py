@@ -6,6 +6,8 @@ Two source files processed as separate micro-batches
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -224,6 +226,7 @@ def test_latest_wins_tws_processor_logic_with_stub_handle():
     assert out2[0].iloc[0]["val"] == "last"
 
 
+@pytest.mark.slow
 def test_pooled_flush_signals_size_rotation(spark, tmp_path):
     src = tmp_path / "pool_src"
     # 25 rows for belt db.a (2 size-flushes of 10, 5 left buffered),

@@ -3,6 +3,8 @@ event files (FIXTURES F5 methodology) with availableNow triggers."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import time
 
@@ -363,6 +365,7 @@ def test_kafka_cdc_options_and_envelope_decode(spark):
     assert None in rows and rows[None]["op"] is None
 
 
+@pytest.mark.slow
 def test_cdc_pump_fanin_tables_apply_serially_per_destination(spark, tmp_path):
     """NameResolver fan-in (dst_table): many source tables land in ONE
     snapshot dir. Those must not race each other in the thread pool —

@@ -270,6 +270,7 @@ def _containment_corpus(spark):
     )
 
 
+@pytest.mark.slow
 def test_containment_prefix_candidates_exact_vs_all_pairs(spark):
     """Prefix filtering (Bayardo et al., WWW'07) is an EXACT candidate
     generator for containment >= t: verified pairs through the prefix
@@ -372,6 +373,7 @@ def test_bm25_topk_ranking_validation_and_plan(spark):
     assert plan.count("NestedLoopJoin") == plan.count("BroadcastNestedLoopJoin")
 
 
+@pytest.mark.slow
 def test_bm25_frozen_stats(spark):
     """bm25_topk(stats=...) — the frozen-stats deployment shape (the
     lm_surprisal(counts=)/DSIR move):
@@ -439,6 +441,7 @@ def test_bm25_frozen_stats(spark):
         bm25_topk(docs, "text", "doc_id", q, stats=empty).collect()
 
 
+@pytest.mark.slow
 def test_jaccard_prefix_candidates_exact_vs_all_pairs(spark):
     """The Jaccard form of the AllPairs prefix filter is exact at its
     TIGHTER bound (prefix ~ (1-t)/(1+t) of each doc): verified pairs
@@ -469,6 +472,7 @@ def test_jaccard_prefix_candidates_exact_vs_all_pairs(spark):
         jaccard_prefix_candidates(sh, min_jaccard=0.0)
 
 
+@pytest.mark.slow
 def test_prefix_filter_exactness_randomized(spark):
     """Adversarial randomized guard for the AllPairs prefix-filter
     math: random shingle-set corpora (skewed doc sizes, a planted hot

@@ -85,6 +85,7 @@ def test_planted_video_overlaps(spark):
     assert len(rows[1] & rows[3]) == 0
 
 
+@pytest.mark.slow
 def test_curate_video_sixth_edge_type_batch(spark):
     docs = _mk(
         spark,
@@ -108,6 +109,7 @@ def test_curate_video_sixth_edge_type_batch(spark):
         curate(docs.drop("video_ms"), cfg=_cfg())
 
 
+@pytest.mark.slow
 def test_curate_increment_video_bootstrap_and_vs_history(spark, tmp_path):
     cfg = _cfg()
     b1 = _mk(
@@ -135,6 +137,7 @@ def test_curate_increment_video_bootstrap_and_vs_history(spark, tmp_path):
     assert kept2 == {11}, "video dup of landed doc must drop"
 
 
+@pytest.mark.slow
 def test_curate_increment_video_state_validation(spark, tmp_path):
     cfg = _cfg()
     b1 = _mk(spark, [(1, "web", _T_A, _VID, _DUR)])
@@ -175,6 +178,7 @@ def _clip(*tags):
     return "".join((t + "-" + "q" * 64)[:64] for t in tags).encode()
 
 
+@pytest.mark.slow
 def test_video_hist_probe_hot_frame_guard(spark, tmp_path):
     """The HISTORY probe honours ``video_max_frame_df`` (ADVICE r13 /
     VERDICT r13 'What's wrong' #2): a frame hash ubiquitous across the
@@ -226,6 +230,7 @@ def test_video_hist_probe_hot_frame_guard(spark, tmp_path):
     assert kept2_nocap == set()
 
 
+@pytest.mark.slow
 def test_hist_wins_is_transitive_through_batch_components(spark, tmp_path):
     """A batch doc connected to a LANDED doc only through a dropped
     within-batch sibling drops too (round 14): history-wins extends
@@ -263,6 +268,7 @@ def test_hist_wins_is_transitive_through_batch_components(spark, tmp_path):
     assert batch_kept == kept1 | kept2 == {1}
 
 
+@pytest.mark.slow
 def test_curate_stream_video_replay_idempotent(spark, tmp_path):
     cfg = _cfg()
     state = _vstate(tmp_path, "state")
