@@ -1400,52 +1400,41 @@ def curate(
 
     gated, exact = _row_stages(docs, cfg, text_col, id_col, calibrate=True)
 
-    persisted: list[DataFrame] = []
-    if cfg.dedup_lines:
-        from pyspark import StorageLevel
+    from pyspark import StorageLevel
 
-        # the line-dedup machinery under `exact` costs three corpus
-        # shuffles, and `exact` has two evaluation sites (the shingle
-        # materialization below and the boiled -> packed chain), so
-        # without a cache the whole line pass runs twice per action.
-        # Spill-safe persist of the SURVIVORS (post-gates, post-exact-
-        # dedup — the smallest frame above the fork), released by the
-        # caller via CurationResult.unpersist() like the shingle frame.
-        exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
-        persisted.append(exact)
+    persisted: list[DataFrame] = []
+    # Persist the post-gates survivors ONCE (round 15; previously only
+    # under dedup_lines): `exact` forks into the shingle
+    # materialization, the vector/media edge frames, the keeper
+    # election's text reads and the boiled -> packed chain — without a
+    # cache the row gates (and with dedup_lines the three line
+    # shuffles) re-run from the scan per consumer. Spill-safe,
+    # released by the caller via CurationResult.unpersist() like the
+    # shingle frame.
+    exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
+    persisted.append(exact)
 
     # --- stage 3b: corpus-level boilerplate gate (optional) -----------
     # BEFORE near-dup: templated docs would otherwise form giant
     # near-dup components (every doc sharing the template is a
     # candidate pair). Shares the shingle PLAN with the LSH stage — but
-    # a shared plan is not a shared evaluation: with the gate on, the
-    # shingle subtree has three consumers (fragment counts, coverage
-    # join-back, MinHash), so it is persisted spill-safely for the
-    # duration and surfaced via CurationResult.persisted_frames /
-    # .unpersist() (caller-owned lifecycle, same contract as
-    # jaccard_pairs' storage parameter).
-    sh = shingle_table(exact, text_col, id_col, partition_by_id=True)
+    # a shared plan is not a shared evaluation: the shingle relation
+    # ALWAYS has multiple consumers — MinHash signatures plus the
+    # verify core's three reads (sizes + both join sides) in every
+    # config, the boilerplate gate's fragment counts + coverage
+    # join-back when on, and the prefix-filter paths (containment edge
+    # type and/or exact Jaccard candidates) add four more (frequency
+    # agg, prefix build, probe side, verify core). One unconditional
+    # persist (the r15 ADVICE collapse of two exhaustive branches);
+    # caller-owned lifecycle via CurationResult.persisted_frames /
+    # .unpersist(), same contract as jaccard_pairs' storage parameter.
+    sh = shingle_table(exact, text_col, id_col, partition_by_id=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    persisted.append(sh)
     boiled = exact
     prefix_paths_on = cfg.near_dup_containment is not None or cfg.near_dup_exact
-    if cfg.max_boiler_frac is None:
-        from pyspark import StorageLevel
-
-        # the shingle relation ALWAYS has multiple consumers: MinHash
-        # signatures plus the verify core's three reads (sizes + both
-        # join sides) in every config, and the prefix-filter paths
-        # (containment edge type and/or exact Jaccard candidates) add
-        # four more (frequency agg, prefix build, probe side, verify
-        # core). Persist unconditionally so the gates+shingle subtree
-        # runs once, not once per consumer; same caller-owned
-        # lifecycle via CurationResult.unpersist(). (With the
-        # boilerplate gate on, the persist happens below instead.)
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-        persisted.append(sh)
     if cfg.max_boiler_frac is not None:
-        from pyspark import StorageLevel
-
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-        persisted.append(sh)
         from clickhouse_mysql_data_reader_spark.operators.text import (
             ngram_boilerplate,
         )
